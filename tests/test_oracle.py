@@ -1,0 +1,46 @@
+"""Oracle tests: generated streams must decode in the reference vvdec binary.
+
+Skipped when the binary is absent; build it per .claude/skills/verify/SKILL.md.
+"""
+
+import os
+import subprocess
+
+import pytest
+
+VVDECAPP = os.environ.get("VVDECAPP", "/tmp/vvdec_bin/vvdecapp")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(VVDECAPP), reason="reference vvdecapp not built")
+
+
+def ref_decode(stream: bytes, tmp_path, expect_frames: int = 1) -> bytes:
+    bit = tmp_path / "t.266"
+    yuv = tmp_path / "t.yuv"
+    bit.write_bytes(stream)
+    r = subprocess.run(
+        [VVDECAPP, "-b", str(bit), "-o", str(yuv), "-t", "1"],
+        capture_output=True, text=True, timeout=120)
+    assert f"{expect_frames} frames decoded" in r.stdout, r.stdout + r.stderr
+    assert "ERROR" not in r.stdout, r.stdout
+    return yuv.read_bytes()
+
+
+class TestOracleAccepts:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_splits(self, seed, tmp_path):
+        from vvdec_tpu.testenc.encoder import generate_stream
+        stream, _ = generate_stream(width=64, height=64, seed=seed,
+                                    dec_kw=dict(split_prob=0.6))
+        ref_decode(stream, tmp_path)
+
+    def test_ctu128_and_boundary(self, tmp_path):
+        from vvdec_tpu.testenc.encoder import generate_stream
+        stream, _ = generate_stream(width=144, height=96, ctu=128, seed=5,
+                                    dec_kw=dict(split_prob=0.4))
+        ref_decode(stream, tmp_path)
+
+    def test_multi_frame(self, tmp_path):
+        from vvdec_tpu.testenc.encoder import generate_stream
+        stream, _ = generate_stream(width=64, height=64, n_frames=3, seed=2)
+        ref_decode(stream, tmp_path, expect_frames=3)

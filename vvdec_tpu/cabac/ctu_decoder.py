@@ -1,0 +1,1391 @@
+"""CTU-level CABAC syntax codec: coding tree, intra CUs, residual coding.
+
+Implements H.266 clauses 7.3.11 (coding tree / CU / TU syntax) and 7.3.11.11
+(residual coding).  Behavioral parity: vvdec CABACReader
+(source/Lib/DecoderLib/CABACReader.cpp: coding_tree_unit :128, coding_tree
+:477, split_cu_mode :679, coding_unit :856, intra_luma_pred_mode :1270,
+intra_chroma_pred_mode :1341, transform_tree :2012, transform_unit :2148,
+residual_coding :2362, residual_coding_subblock :2704, last_sig_coeff :2640)
+and CoeffCodingContext (CommonLib/ContextModelling.{h,cpp}).
+
+**Dual mode**: the same control path runs as a decoder (CabacDecoder attached)
+or as an encoder (CabacEncoder + a `decisions` provider).  Every syntax element
+goes through the `_bin/_ep/_eps/_rem` wrappers, so context selection and state
+update are identical in both directions — the encoder half powers the test
+bitstream generator and is pinned against the reference decoder binary.
+
+Tool scope (round 1): full QT/BT/TT partitioning, intra CUs (DC/planar/
+angular via MPM, DM/listed chroma), DCT2 residuals with dep-quant and
+sign-data-hiding decode, CU delta-QP.  SPS-gated tools not yet implemented
+raise NotImplementedError when encountered in a stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vvdec_tpu.cabac import ctx_tables
+from vvdec_tpu.cabac.engine import CabacDecoder, CabacEncoder
+from vvdec_tpu.cabac.partitioner import (
+    Area,
+    CU_DONT_SPLIT,
+    CU_HORZ_SPLIT,
+    CU_QUAD_SPLIT,
+    CU_TRIH_SPLIT,
+    CU_TRIV_SPLIT,
+    CU_VERT_SPLIT,
+    TU_MAX_TR_SPLIT,
+    PartNode,
+    SplitConstraints,
+    can_split,
+    split_areas,
+)
+from vvdec_tpu.frame.structure import (
+    CodingStructure,
+    CodingUnit,
+    DC_IDX,
+    DM_CHROMA_IDX,
+    HOR_IDX,
+    LM_CHROMA_IDX,
+    MDLM_L_IDX,
+    MDLM_T_IDX,
+    MODE_INTRA,
+    MODE_TYPE_ALL,
+    MODE_TYPE_INTER,
+    MODE_TYPE_INTRA,
+    MTS_DCT2_DCT2,
+    MTS_DST7_DST7,
+    MTS_SKIP,
+    NUM_LUMA_MODE,
+    NUM_MPM,
+    PLANAR_IDX,
+    TREE_C,
+    TREE_D,
+    TREE_L,
+    TransformUnit,
+    VDIA_IDX,
+    VER_IDX,
+)
+from vvdec_tpu.ops import rom
+
+_OFF = ctx_tables.CTX_OFFSETS
+
+
+def ctx(name: str, inc: int = 0) -> int:
+    off, size = _OFF[name]
+    assert inc < size, (name, inc, size)
+    return off + inc
+
+
+COEF_REMAIN_BIN_REDUCTION = 5
+SBH_THRESHOLD = 4
+CU_DQP_TU_CMAX = 5
+CU_DQP_EG_K = 0
+MAX_QP = 63
+# dep-quant state transition table packed into an int (CABACReader.cpp:2402)
+DQ_STATE_TRANS_TABLE = 32040
+
+
+class Decisions:
+    """Decision provider for encode mode.  Override for custom encoders."""
+
+    def split(self, node: PartNode, allowed: dict[int, bool]) -> int:
+        return CU_DONT_SPLIT
+
+    def intra_luma_mode(self, cu: CodingUnit) -> int:
+        return DC_IDX
+
+    def intra_chroma_mode(self, cu: CodingUnit, cand_modes: list[int]) -> int:
+        return DM_CHROMA_IDX
+
+    def qp_delta(self, cu: CodingUnit) -> int:
+        return 0
+
+    def coeffs(self, tu: TransformUnit, cu: CodingUnit, comp: int) -> np.ndarray | None:
+        """Quantized levels for the TU component (h x w int array) or None."""
+        return None
+
+
+class CtuDecoder:
+    """Parses (or writes) the slice data of one slice."""
+
+    def __init__(self, cs: CodingStructure, dec: CabacDecoder | None = None,
+                 enc: CabacEncoder | None = None,
+                 decisions: Decisions | None = None):
+        assert (dec is None) != (enc is None)
+        self.cs = cs
+        self.dec = dec
+        self.enc = enc
+        self.decisions = decisions
+        sps, pps, ph, sh = cs.sps, cs.pps, cs.ph, cs.sh
+        self.sps, self.pps, self.ph, self.sh = sps, pps, ph, sh
+        self.is_intra_slice = sh.is_intra
+        self.dual_tree = sh.is_intra and sps.dual_tree_intra
+        self.constraints = {}
+        for ch in (0, 1):
+            if sh.is_intra:
+                val_idx = (ch << 1) if self.dual_tree else 0
+            else:
+                val_idx = 1
+            self.constraints[ch] = SplitConstraints(
+                min_qt_size=ph.min_qt_size[val_idx],
+                max_bt_depth=ph.max_mtt_depth[val_idx],
+                max_bt_size=ph.max_bt_size[val_idx],
+                max_tt_size=ph.max_tt_size[val_idx],
+                min_bt_size=1 << sps.log2_min_cb_size,
+                min_tt_size=1 << sps.log2_min_cb_size,
+                max_tr_size=1 << sps.log2_max_tb_size,
+                min_cb_size=1 << sps.log2_min_cb_size,
+            )
+        self.qps = [sh.qp_y, sh.qp_y]
+        self.max_log2_tr_range = 15
+        self.qg_start = False
+        self.is_dqp_coded = False
+        self.is_chroma_qp_adj_coded = False
+        self.violates_lfnst = [False, False]
+        self.lfnst_last_scan_pos = False
+        self.violates_mts = False
+        self.mts_last_scan_pos = False
+        self._tpl = np.zeros(64 * 64, dtype=np.int32)
+        self.slice_idx = 0
+        self.cu_qp_delta_subdiv = (ph.cu_qp_delta_subdiv_intra if sh.is_intra
+                                   else ph.cu_qp_delta_subdiv_inter)
+        self.cu_chroma_qp_offset_subdiv = (
+            ph.cu_chroma_qp_offset_subdiv_intra if sh.is_intra
+            else ph.cu_chroma_qp_offset_subdiv_inter)
+
+    # -- bin IO wrappers (single code path for decode and encode) ---------
+    def _bin(self, ctx_id: int, want: int | None = None) -> int:
+        if self.enc is None:
+            return self.dec.decode_bin(ctx_id)
+        self.enc.encode_bin(int(want), ctx_id)
+        return int(want)
+
+    def _ep(self, want: int | None = None) -> int:
+        if self.enc is None:
+            return self.dec.decode_bin_ep()
+        self.enc.encode_bin_ep(int(want))
+        return int(want)
+
+    def _eps(self, n: int, want: int | None = None) -> int:
+        if n == 0:
+            return 0
+        if self.enc is None:
+            return self.dec.decode_bins_ep(n)
+        self.enc.encode_bins_ep(int(want), n)
+        return int(want)
+
+    def _rem(self, rice: int, cutoff: int, maxlog2: int,
+             want: int | None = None) -> int:
+        if self.enc is None:
+            return self.dec.decode_rem_abs_ep(rice, cutoff, maxlog2)
+        self.enc.encode_rem_abs_ep(int(want), rice, cutoff, maxlog2)
+        return int(want)
+
+    def _trm(self, want: int | None = None) -> int:
+        if self.enc is None:
+            return self.dec.decode_bin_trm()
+        self.enc.encode_bin_trm(int(want))
+        return int(want)
+
+    # ==================================================================
+    # slice / CTU level
+    # ==================================================================
+    def code_slice(self) -> None:
+        """Parse/write all CTUs of the slice.
+
+        Terminating bits appear only at the end of the slice and at
+        tile / WPP-row boundaries (parity: DecSlice::parseSlice,
+        DecSlice.cpp:169-190).  Tiles/WPP substreams not yet handled here.
+        """
+        sps, pps = self.sps, self.pps
+        ctu_size = sps.ctu_size
+        w_ctu = pps.pic_width_in_ctu
+        ctu_addrs = self.cs.sh.ctu_addrs
+        wavefronts = sps.entropy_coding_sync_enabled
+        if wavefronts or pps.num_tiles > 1:
+            raise NotImplementedError("tile/WPP substreams")
+        for i, addr in enumerate(ctu_addrs):
+            cx = (addr % w_ctu) * ctu_size
+            cy = (addr // w_ctu) * ctu_size
+            self.coding_tree_unit(cx, cy)
+            if i == len(ctu_addrs) - 1:
+                trm = self._trm(want=1)
+                if not trm:
+                    raise ValueError(f"expected terminating bit after CTU {addr}")
+        if self.dec is not None and not self.dec.finish_ok():
+            raise ValueError("CABAC stop pattern check failed at end of slice")
+
+    decode_slice = code_slice
+
+    def coding_tree_unit(self, cx: int, cy: int) -> None:
+        sps = self.sps
+        area = Area(cx, cy, sps.ctu_size, sps.ctu_size)
+
+        if self.sh.sao_enabled_luma or self.sh.sao_enabled_chroma:
+            self.sao_ctu(cx, cy)
+        if any(self.sh.alf_enabled) or self.sh.ccalf_cb_enabled or self.sh.ccalf_cr_enabled:
+            self.alf_ctu(cx, cy)
+
+        node = PartNode(area=area, ch_type=0, tree_type=TREE_D,
+                        mode_type=MODE_TYPE_ALL)
+        if self.dual_tree and sps.chroma_format_idc != 0:
+            node_c = PartNode(area=area, ch_type=1, tree_type=TREE_D,
+                              mode_type=MODE_TYPE_ALL)
+            self._dt_implicit_qt_split(node, node_c)
+        else:
+            self.coding_tree(node)
+
+    def _dt_implicit_qt_split(self, node_l: PartNode, node_c: PartNode) -> None:
+        if node_l.area.w > 64:
+            if self.pps.cu_qp_delta_enabled:
+                self.qg_start = True
+                self.is_dqp_coded = False
+            subs_l = split_areas(node_l.area, CU_QUAD_SPLIT)
+            subs_c = split_areas(node_c.area, CU_QUAD_SPLIT)
+            for i, (al, ac) in enumerate(zip(subs_l, subs_c)):
+                if al.x < self.cs.w and al.y < self.cs.h:
+                    self._dt_implicit_qt_split(
+                        node_l.child(al, CU_QUAD_SPLIT, i, 4),
+                        node_c.child(ac, CU_QUAD_SPLIT, i, 4))
+            return
+        self.coding_tree(node_l)
+        self.coding_tree(node_c)
+
+    # ==================================================================
+    # coding tree
+    # ==================================================================
+    def coding_tree(self, node: PartNode) -> None:
+        pps = self.pps
+        mode_type_parent = node.mode_type
+
+        if pps.cu_qp_delta_enabled and self._qg_enable(node) and node.ch_type == 0:
+            self.qg_start = True
+            self.is_dqp_coded = False
+        if self.sh.cu_chroma_qp_offset_enabled and self._qg_chroma_enable(node):
+            self.is_chroma_qp_adj_coded = False
+            self.cs.chroma_qp_adj = 0
+
+        split = self.split_cu_mode(node)
+
+        if split != CU_DONT_SPLIT:
+            child_mode_type = self.mode_constraint(node, split)
+            chroma_not_split = (mode_type_parent == MODE_TYPE_ALL
+                                and child_mode_type == MODE_TYPE_INTRA)
+            tree_type = node.tree_type
+            if tree_type == TREE_D:
+                tree_type = TREE_L if chroma_not_split else TREE_D
+
+            implicit = not (node.area.x + node.area.w <= self.cs.w
+                            and node.area.y + node.area.h <= self.cs.h)
+            subs = split_areas(node.area, split)
+            for i, sub in enumerate(subs):
+                if sub.x < self.cs.w and sub.y < self.cs.h:
+                    child = node.child(sub, split, i, len(subs))
+                    child.mode_type = child_mode_type
+                    child.tree_type = tree_type
+                    if implicit and split in (CU_HORZ_SPLIT, CU_VERT_SPLIT):
+                        child.impl_bt_depth = node.impl_bt_depth + 1
+                    self.coding_tree(child)
+
+            if chroma_not_split:
+                cnode = PartNode(
+                    area=node.area, ch_type=1, tree_type=TREE_C,
+                    mode_type=child_mode_type, qt_depth=node.qt_depth,
+                    mt_depth=node.mt_depth, impl_bt_depth=node.impl_bt_depth,
+                    depth=node.depth, subdiv=node.subdiv,
+                    last_split=node.last_split, part_idx=node.part_idx)
+                self.coding_tree(cnode)
+            return
+
+        self.code_cu(node)
+
+    def _qg_enable(self, node: PartNode) -> bool:
+        return node.subdiv <= self.cu_qp_delta_subdiv
+
+    def _qg_chroma_enable(self, node: PartNode) -> bool:
+        return node.subdiv <= self.cu_chroma_qp_offset_subdiv
+
+    def _neighbors(self, node: PartNode):
+        ch = 1 if node.tree_type == TREE_C else node.ch_type
+        if ch == 1:
+            x = node.area.x // self.cs.sub_w
+            y = node.area.y // self.cs.sub_h
+        else:
+            x, y = node.area.x, node.area.y
+        left = self._cu_query(x - 1, y, ch, node)
+        above = self._cu_query(x, y - 1, ch, node)
+        return left, above
+
+    def _cu_query(self, x, y, ch, node):
+        cu = self.cs.cu_at(x, y, ch)
+        if cu is None:
+            return None
+        if cu.slice_idx != self.slice_idx:
+            return None
+        if not self.pps.no_pic_partition:
+            lx = x * (self.cs.sub_w if ch else 1)
+            ly = y * (self.cs.sub_h if ch else 1)
+            if self._tile_at(lx, ly) != self._tile_at(node.area.x, node.area.y):
+                return None
+        return cu
+
+    def _tile_at(self, x, y):
+        if self.pps.no_pic_partition:
+            return 0
+        return int(self.cs.tile_map[min(y >> 2, self.cs.tile_map.shape[0] - 1),
+                                    min(x >> 2, self.cs.tile_map.shape[1] - 1)])
+
+    def split_cu_mode(self, node: PartNode) -> int:
+        allowed = can_split(node, self.constraints[node.ch_type],
+                            self.cs.w, self.cs.h, self.dual_tree,
+                            self.cs.sub_w, self.cs.sub_h)
+        can_no = allowed[CU_DONT_SPLIT]
+        can_qt = allowed[CU_QUAD_SPLIT]
+        can_bh, can_bv = allowed[CU_HORZ_SPLIT], allowed[CU_VERT_SPLIT]
+        can_th, can_tv = allowed[CU_TRIH_SPLIT], allowed[CU_TRIV_SPLIT]
+
+        target = None
+        if self.enc is not None:
+            target = self.decisions.split(node, allowed)
+            assert allowed.get(target, False) or (target == CU_DONT_SPLIT and can_no), \
+                (target, allowed, node)
+
+        num_hor = can_bh + can_th
+        num_ver = can_bv + can_tv
+        num_split = (can_qt << 1) + num_hor + num_ver
+        is_split = bool(num_split)
+        if can_no and not is_split:
+            return CU_DONT_SPLIT
+
+        cu_left, cu_above = self._neighbors(node)
+        ch = 1 if node.tree_type == TREE_C else node.ch_type
+        wc = node.area.w // (self.cs.sub_w if ch else 1)
+        hc = node.area.h // (self.cs.sub_h if ch else 1)
+
+        def nb_dim(cu, dim):
+            if cu is None:
+                return 0
+            if ch == 1:
+                return cu.cw if dim == "w" else cu.ch
+            return cu.w if dim == "w" else cu.h
+
+        if can_no and is_split:
+            ctx_split = int(bool(cu_left) and nb_dim(cu_left, "h") < hc)
+            ctx_split += int(bool(cu_above) and nb_dim(cu_above, "w") < wc)
+            ctx_split += (0, 0, 0, 3, 3, 6, 6)[num_split]
+            is_split = bool(self._bin(ctx("SplitFlag", ctx_split),
+                                      want=None if target is None
+                                      else int(target != CU_DONT_SPLIT)))
+        if not is_split:
+            return CU_DONT_SPLIT
+
+        can_btt = bool(num_hor) or bool(num_ver)
+        is_qt = can_qt
+        if is_qt and can_btt:
+            ctx_qt = int(bool(cu_left) and cu_left.qt_depth > node.qt_depth)
+            ctx_qt += int(bool(cu_above) and cu_above.qt_depth > node.qt_depth)
+            ctx_qt += 0 if node.qt_depth < 2 else 3
+            is_qt = bool(self._bin(ctx("SplitQtFlag", ctx_qt),
+                                   want=None if target is None
+                                   else int(target == CU_QUAD_SPLIT)))
+        if is_qt:
+            return CU_QUAD_SPLIT
+
+        can_hor = bool(num_hor)
+        is_ver = bool(num_ver)
+        if is_ver and can_hor:
+            ctx_hv = 0
+            if num_ver == num_hor:
+                if cu_left and cu_above:
+                    w_above = nb_dim(cu_above, "w")
+                    h_left = nb_dim(cu_left, "h")
+                    dep_above = wc >> (w_above.bit_length() - 1)
+                    dep_left = hc >> (h_left.bit_length() - 1)
+                    ctx_hv = 0 if dep_above == dep_left else (
+                        1 if dep_above < dep_left else 2)
+            elif num_ver < num_hor:
+                ctx_hv = 3
+            else:
+                ctx_hv = 4
+            is_ver = bool(self._bin(ctx("SplitHvFlag", ctx_hv),
+                                    want=None if target is None
+                                    else int(target in (CU_VERT_SPLIT, CU_TRIV_SPLIT))))
+
+        can14 = can_tv if is_ver else can_th
+        is12 = can_bv if is_ver else can_bh
+        if is12 and can14:
+            ctx_12 = int(node.mt_depth <= 1) + (2 if is_ver else 0)
+            is12 = bool(self._bin(ctx("Split12Flag", ctx_12),
+                                  want=None if target is None
+                                  else int(target in (CU_VERT_SPLIT, CU_HORZ_SPLIT))))
+
+        if is_ver:
+            return CU_VERT_SPLIT if is12 else CU_TRIV_SPLIT
+        return CU_HORZ_SPLIT if is12 else CU_TRIH_SPLIT
+
+    def mode_constraint(self, node: PartNode, split: int) -> int:
+        from vvdec_tpu.hls.params import CHROMA_400, CHROMA_444
+        sps = self.sps
+        if (self.dual_tree or node.mode_type != MODE_TYPE_ALL
+                or sps.chroma_format_idc in (CHROMA_400, CHROMA_444)):
+            return node.mode_type
+        min_luma_area = node.area.w * node.area.h
+        if split in (CU_QUAD_SPLIT, CU_TRIH_SPLIT, CU_TRIV_SPLIT):
+            min_luma_area >>= 2
+        elif split in (CU_VERT_SPLIT, CU_HORZ_SPLIT):
+            min_luma_area >>= 1
+        min_chroma_blk = min_luma_area >> (
+            (self.cs.sub_w - 1) + (self.cs.sub_h - 1))
+        cw = node.area.w // self.cs.sub_w
+        is_2xn_chroma = (cw == 4 and split == CU_VERT_SPLIT) or \
+                        (cw == 8 and split == CU_TRIV_SPLIT)
+        if min_chroma_blk >= 16 and not is_2xn_chroma:
+            return node.mode_type
+        if min_luma_area < 32 or self.is_intra_slice:
+            return MODE_TYPE_INTRA
+        cu_left, cu_above = self._neighbors(node)
+        ctx_id = 1 if ((cu_above and cu_above.pred_mode == MODE_INTRA)
+                       or (cu_left and cu_left.pred_mode == MODE_INTRA)) else 0
+        flag = self._bin(ctx("ModeConsFlag", ctx_id), want=1)
+        return MODE_TYPE_INTRA if flag else MODE_TYPE_INTER
+
+    # ==================================================================
+    # coding unit
+    # ==================================================================
+    def code_cu(self, node: PartNode) -> None:
+        cs = self.cs
+        a = node.area
+        cu = CodingUnit()
+        cu.x, cu.y, cu.w, cu.h = a.x, a.y, a.w, a.h
+        cu.cx, cu.cy = a.x // cs.sub_w, a.y // cs.sub_h
+        cu.cw, cu.ch = a.w // cs.sub_w, a.h // cs.sub_h
+        cu.ch_type = node.ch_type
+        cu.tree_type = node.tree_type
+        cu.mode_type = node.mode_type
+        cu.qt_depth = node.qt_depth
+        cu.mt_depth = node.mt_depth
+        cu.depth = node.depth
+        cu.slice_idx = self.slice_idx
+        cu.tile_idx = self._tile_at(a.x, a.y)
+        if node.tree_type == TREE_C:
+            cu.has_luma = False
+            cu.ch_type = 1
+        if node.tree_type == TREE_L or cs.num_comp == 1 or \
+                (node.ch_type == 0 and self.dual_tree):
+            cu.has_chroma = False
+
+        if self.qg_start:
+            self.qg_start = False
+            self.qps[0] = self.predict_qp(cu, self.qps[0])
+        cu.qp = self.qps[0]
+        cu.chroma_qp_adj = cs.chroma_qp_adj
+
+        if not self.is_intra_slice or self.sps.ibc_enabled:
+            raise NotImplementedError("inter/IBC slices not yet supported")
+        cu.pred_mode = MODE_INTRA
+
+        cs.add_cu(cu)
+
+        if self.sps.act_enabled:
+            raise NotImplementedError("adaptive color transform")
+
+        if cu.pred_mode == MODE_INTRA:
+            if cu.ch_type == 0 and cu.has_luma:
+                self.bdpcm_mode(cu, 0)
+                self.intra_luma_pred_mode(cu)
+            if cu.has_chroma and cs.num_comp > 1:
+                self.bdpcm_mode(cu, 1)
+                self.intra_chroma_pred_mode(cu)
+
+        self.cu_residual(cu, node)
+
+    def predict_qp(self, cu: CodingUnit, prev_qp: int) -> int:
+        cs = self.cs
+        ch = cu.ch_type
+        if ch == 1:
+            x, y = cu.cx, cu.cy
+            mask_w = (self.sps.ctu_size // cs.sub_w) - 1
+            mask_h = (self.sps.ctu_size // cs.sub_h) - 1
+        else:
+            x, y = cu.x, cu.y
+            mask_w = mask_h = self.sps.ctu_size - 1
+        cu_above = cs.cu_at(x, y - 1, ch)
+        cu_left = cs.cu_at(x - 1, y, ch)
+        lx = x * (cs.sub_w if ch else 1)
+        ctu_x = lx // self.sps.ctu_size
+        if not self.pps.no_pic_partition:
+            tile_col = self.pps.ctu_to_tile_col[ctu_x]
+            tile_x0 = self.pps.tile_col_bd[tile_col]
+        else:
+            tile_x0 = 0
+        at_tile_col_start = ctu_x == tile_x0
+        if (at_tile_col_start and not (x & mask_w) and not (y & mask_h)
+                and cu_above is not None
+                and cu_above.slice_idx == cu.slice_idx
+                and cu_above.tile_idx == cu.tile_idx):
+            return cu_above.qp
+        a = cu_above.qp if (y & mask_h) and cu_above else prev_qp
+        b = cu_left.qp if (x & mask_w) and cu_left else prev_qp
+        return (a + b + 1) >> 1
+
+    def bdpcm_mode(self, cu: CodingUnit, comp_ch: int) -> None:
+        if not self.sps.bdpcm_enabled:
+            return
+        max_ts = 1 << self.sps.log2_max_ts_size
+        if comp_ch == 0:
+            allowed = cu.w <= max_ts and cu.h <= max_ts and cu.has_luma
+        else:
+            allowed = cu.cw <= max_ts and cu.ch <= max_ts and cu.has_chroma
+        if not allowed:
+            return
+        ctx_id = 0 if comp_ch == 0 else 2
+        mode = self._bin(ctx("BDPCMMode", ctx_id), want=0)
+        if mode:
+            mode += self._bin(ctx("BDPCMMode", ctx_id + 1))
+        if comp_ch == 0:
+            cu.bdpcm_mode = mode
+        else:
+            cu.bdpcm_mode_chroma = mode
+
+    # ---------------- intra modes ----------------
+    def get_intra_mpms(self, cu: CodingUnit) -> list[int]:
+        cs = self.cs
+        left_dir = above_dir = PLANAR_IDX
+        cu_left = cs.cu_at_restricted(cu.x - 1, cu.y + cu.h - 1, cu, 0)
+        if cu_left and cu_left.pred_mode == MODE_INTRA:
+            left_dir = PLANAR_IDX if cu_left.mip_flag else cu_left.intra_dir[0]
+        cu_above = cs.cu_at_restricted(cu.x + cu.w - 1, cu.y - 1, cu, 0)
+        ctu = self.sps.ctu_size
+        # above only used when in the same CTU (line-buffer restriction)
+        if cu_above and cu_above.pred_mode == MODE_INTRA and \
+                (cu.y - 1) // ctu == cu.y // ctu and \
+                cu_above.y // ctu == cu.y // ctu:
+            above_dir = PLANAR_IDX if cu_above.mip_flag else cu_above.intra_dir[0]
+
+        offset = NUM_LUMA_MODE - 6
+        mod = offset + 3
+        mpm = [PLANAR_IDX, DC_IDX, VER_IDX, HOR_IDX, VER_IDX - 4, VER_IDX + 4]
+        if left_dir == above_dir:
+            if left_dir > DC_IDX:
+                mpm = [PLANAR_IDX, left_dir,
+                       ((left_dir + offset) % mod) + 2,
+                       ((left_dir - 1) % mod) + 2,
+                       ((left_dir + offset - 1) % mod) + 2,
+                       (left_dir % mod) + 2]
+        else:
+            if left_dir > DC_IDX and above_dir > DC_IDX:
+                mpm[0] = PLANAR_IDX
+                mpm[1] = left_dir
+                mpm[2] = above_dir
+                mx, mn = (1, 2) if mpm[1] > mpm[2] else (2, 1)
+                d = mpm[mx] - mpm[mn]
+                if d == 1:
+                    mpm[3] = ((mpm[mn] + offset) % mod) + 2
+                    mpm[4] = ((mpm[mx] - 1) % mod) + 2
+                    mpm[5] = ((mpm[mn] + offset - 1) % mod) + 2
+                elif d >= 62:
+                    mpm[3] = ((mpm[mn] - 1) % mod) + 2
+                    mpm[4] = ((mpm[mx] + offset) % mod) + 2
+                    mpm[5] = (mpm[mn] % mod) + 2
+                elif d == 2:
+                    mpm[3] = ((mpm[mn] - 1) % mod) + 2
+                    mpm[4] = ((mpm[mn] + offset) % mod) + 2
+                    mpm[5] = ((mpm[mx] - 1) % mod) + 2
+                else:
+                    mpm[3] = ((mpm[mn] + offset) % mod) + 2
+                    mpm[4] = ((mpm[mn] - 1) % mod) + 2
+                    mpm[5] = ((mpm[mx] + offset) % mod) + 2
+            elif left_dir + above_dir >= 2:
+                mpm[0] = PLANAR_IDX
+                mpm[1] = max(left_dir, above_dir)
+                mpm[2] = ((mpm[1] + offset) % mod) + 2
+                mpm[3] = ((mpm[1] - 1) % mod) + 2
+                mpm[4] = ((mpm[1] + offset - 1) % mod) + 2
+                mpm[5] = (mpm[1] % mod) + 2
+        return mpm
+
+    def trunc_bin(self, max_symbol: int, want: int | None = None) -> int:
+        thresh = int(rom.TB_MAX[max_symbol]) if max_symbol <= 256 else \
+            max_symbol.bit_length() - 1
+        val = 1 << thresh
+        b = max_symbol - val
+        if self.enc is None:
+            symbol = self._eps(thresh)
+            if symbol >= val - b:
+                symbol = (symbol << 1) + self._ep()
+                symbol -= val - b
+            return symbol
+        # encode
+        if want < val - b:
+            self._eps(thresh, want=want)
+        else:
+            w2 = want + val - b
+            self._eps(thresh, want=w2 >> 1)
+            self._ep(want=w2 & 1)
+        return want
+
+    def intra_luma_pred_mode(self, cu: CodingUnit) -> None:
+        if cu.bdpcm_mode:
+            cu.intra_dir[0] = VER_IDX if cu.bdpcm_mode == 2 else HOR_IDX
+            return
+        self.mip_flag(cu)
+        if cu.mip_flag:
+            self.mip_pred_mode(cu)
+            return
+        self.extend_ref_line(cu)
+        self.isp_mode(cu)
+
+        mpm = self.get_intra_mpms(cu)
+        target = None
+        if self.enc is not None:
+            target = self.decisions.intra_luma_mode(cu)
+        if cu.multi_ref_idx:
+            mpm_flag = True
+        else:
+            mpm_flag = bool(self._bin(ctx("IPredMode[0]"),
+                                      want=None if target is None
+                                      else int(target in mpm)))
+        if mpm_flag:
+            t_idx = mpm.index(target) if target is not None else None
+            ctx_pl = 1 if cu.isp_mode == 0 else 0
+            if cu.multi_ref_idx == 0:
+                idx = self._bin(ctx("IntraLumaPlanarFlag", ctx_pl),
+                                want=None if t_idx is None else int(t_idx > 0))
+            else:
+                idx = 1
+            if idx:
+                while idx < 5 and self._ep(want=None if t_idx is None
+                                           else int(t_idx > idx)):
+                    idx += 1
+            cu.intra_dir[0] = mpm[idx]
+        else:
+            if self.enc is not None:
+                srt = sorted(mpm)
+                mode = target
+                for m in reversed(srt):
+                    if mode > m:
+                        mode -= 1
+                mode_sym = mode
+            else:
+                mode_sym = None
+            mode = self.trunc_bin(NUM_LUMA_MODE - NUM_MPM, want=mode_sym)
+            for m in sorted(mpm):
+                if mode >= m:
+                    mode += 1
+            cu.intra_dir[0] = mode
+            if target is not None:
+                assert cu.intra_dir[0] == target, (cu.intra_dir[0], target, mpm)
+
+    def intra_chroma_pred_mode(self, cu: CodingUnit) -> None:
+        if cu.bdpcm_mode_chroma:
+            cu.intra_dir[1] = VER_IDX if cu.bdpcm_mode_chroma == 2 else HOR_IDX
+            return
+        if cu.color_transform:
+            cu.intra_dir[1] = DM_CHROMA_IDX
+            return
+        target = None
+        if self.enc is not None:
+            target = self.decisions.intra_chroma_mode(
+                cu, self.get_intra_chroma_cand_modes(cu))
+        if self.sps.cclm_enabled and self.check_cclm_allowed(cu):
+            is_lm = bool(self._bin(ctx("CclmModeFlag"),
+                                   want=None if target is None else
+                                   int(target in (LM_CHROMA_IDX, MDLM_L_IDX, MDLM_T_IDX))))
+            if is_lm:
+                t_sym = None if target is None else \
+                    (LM_CHROMA_IDX, MDLM_L_IDX, MDLM_T_IDX).index(target)
+                symbol = self._bin(ctx("CclmModeIdx"),
+                                   want=None if t_sym is None else int(t_sym > 0))
+                if symbol:
+                    symbol += self._ep(want=None if t_sym is None else t_sym - 1)
+                cu.intra_dir[1] = (LM_CHROMA_IDX, MDLM_L_IDX, MDLM_T_IDX)[symbol]
+                return
+        is_dm = self._bin(ctx("IPredMode[1]"),
+                          want=None if target is None
+                          else int(target != DM_CHROMA_IDX)) == 0
+        if is_dm:
+            cu.intra_dir[1] = DM_CHROMA_IDX
+            return
+        modes = self.get_intra_chroma_cand_modes(cu)
+        t_cand = None
+        if target is not None:
+            assert target in modes[:4], (target, modes)
+            t_cand = modes.index(target)
+        cand_id = self._eps(2, want=t_cand)
+        cu.intra_dir[1] = modes[cand_id]
+
+    def get_intra_chroma_cand_modes(self, cu: CodingUnit) -> list[int]:
+        modes = [PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX,
+                 LM_CHROMA_IDX, MDLM_L_IDX, MDLM_T_IDX, DM_CHROMA_IDX]
+        luma_mode = self.co_located_luma_mode(cu)
+        for i in range(4):
+            if luma_mode == modes[i]:
+                modes[i] = VDIA_IDX
+                break
+        return modes
+
+    def co_located_luma_mode(self, cu: CodingUnit) -> int:
+        if cu.tree_type == TREE_C or not cu.has_luma:
+            lx = (cu.cx + (cu.cw >> 1)) * self.cs.sub_w
+            ly = (cu.cy + (cu.ch >> 1)) * self.cs.sub_h
+            luma_cu = self.cs.cu_at(lx, ly, 0)
+            if luma_cu is None:
+                return PLANAR_IDX
+            return PLANAR_IDX if luma_cu.mip_flag else luma_cu.intra_dir[0]
+        return PLANAR_IDX if cu.mip_flag else cu.intra_dir[0]
+
+    def check_cclm_allowed(self, cu: CodingUnit) -> bool:
+        if not self.dual_tree:
+            return True
+        raise NotImplementedError("CCLM with dual tree")
+
+    def mip_flag(self, cu: CodingUnit) -> None:
+        if not self.sps.mip_enabled:
+            cu.mip_flag = False
+            return
+        raise NotImplementedError("MIP")
+
+    def mip_pred_mode(self, cu: CodingUnit) -> None:
+        raise NotImplementedError("MIP")
+
+    def extend_ref_line(self, cu: CodingUnit) -> None:
+        if cu.bdpcm_mode or not self.sps.mrl_enabled:
+            return
+        if (cu.y & (self.sps.ctu_size - 1)) == 0:
+            return
+        idx = 0
+        if self._bin(ctx("MultiRefLineIdx", 0), want=0):
+            idx = 1
+            if self._bin(ctx("MultiRefLineIdx", 1)):
+                idx = 2
+        cu.multi_ref_idx = idx
+
+    def isp_mode(self, cu: CodingUnit) -> None:
+        if cu.multi_ref_idx or not self.sps.isp_enabled or cu.bdpcm_mode \
+                or cu.color_transform:
+            return
+        raise NotImplementedError("ISP")
+
+    # ==================================================================
+    # residual
+    # ==================================================================
+    def cu_residual(self, cu: CodingUnit, node: PartNode) -> None:
+        cu.root_cbf = True
+        self.violates_lfnst = [False, False]
+        self.lfnst_last_scan_pos = False
+        self.violates_mts = False
+        self.mts_last_scan_pos = False
+
+        self.transform_tree(cu, node)
+
+        self.residual_lfnst_mode(cu)
+        self.mts_idx(cu)
+
+        cu.root_cbf = any(cu.plane_cbf)
+
+    def transform_tree(self, cu: CodingUnit, node: PartNode) -> None:
+        max_tr = 1 << self.sps.log2_max_tb_size
+        a = node.area
+        split = a.w > max_tr or a.h > max_tr
+        if cu.isp_mode or cu.sbt_info:
+            raise NotImplementedError("ISP/SBT transform splits")
+        if split:
+            for i, sub in enumerate(split_areas(a, TU_MAX_TR_SPLIT, max_tr)):
+                child = node.child(sub, TU_MAX_TR_SPLIT, i, 0)
+                child.part_idx = i
+                self.transform_tree(cu, child)
+            return
+        tu = TransformUnit()
+        tu.cu_idx = cu.idx
+        tu.part_idx = node.part_idx
+        if cu.has_luma:
+            tu.blocks[0] = (a.x, a.y, a.w, a.h)
+        if cu.has_chroma and self.cs.num_comp > 1:
+            cx, cy, cw, chh = a.chroma(self.cs.sub_w, self.cs.sub_h)
+            tu.blocks[1] = (cx, cy, cw, chh)
+            tu.blocks[2] = (cx, cy, cw, chh)
+        cu.tus.append(tu)
+        self.cs.add_tu(tu)
+        self.transform_unit(tu, cu, node)
+
+    def _tu_coeffs(self, tu, cu, comp):
+        if self.enc is None:
+            return None
+        return self.decisions.coeffs(tu, cu, comp)
+
+    def transform_unit(self, tu: TransformUnit, cu: CodingUnit,
+                       node: PartNode) -> None:
+        cbf_cb = cbf_cr = False
+        sep_tree = cu.tree_type != TREE_D
+        enc_coeffs = {}
+        if self.enc is not None:
+            for comp in range(3):
+                if tu.blocks[comp] is not None:
+                    enc_coeffs[comp] = self._tu_coeffs(tu, cu, comp)
+
+        if tu.blocks[1] is not None and (not sep_tree or node.ch_type == 1):
+            want_cb = want_cr = None
+            if self.enc is not None:
+                want_cb = int(enc_coeffs.get(1) is not None
+                              and np.any(enc_coeffs[1]))
+                want_cr = int(enc_coeffs.get(2) is not None
+                              and np.any(enc_coeffs[2]))
+            cbf_cb = self.cbf_comp(cu, 1, prev_cbf=False, want=want_cb)
+            cbf_cr = self.cbf_comp(cu, 2, prev_cbf=cbf_cb, want=want_cr)
+        tu.cbf[1], tu.cbf[2] = cbf_cb, cbf_cr
+
+        if node.ch_type == 0 and tu.blocks[0] is not None:
+            want_y = None
+            if self.enc is not None:
+                want_y = int(enc_coeffs.get(0) is not None
+                             and np.any(enc_coeffs[0]))
+            tu.cbf[0] = self.cbf_comp(cu, 0, prev_cbf=False, want=want_y)
+
+        cu.plane_cbf[0] = cu.plane_cbf[0] or tu.cbf[0]
+        cu.plane_cbf[1] = cu.plane_cbf[1] or tu.cbf[1]
+        cu.plane_cbf[2] = cu.plane_cbf[2] or tu.cbf[2]
+
+        luma_only = tu.blocks[1] is None
+        cbf_luma = tu.cbf[0]
+        cbf_chroma = (not luma_only) and (cbf_cb or cbf_cr)
+
+        if cu.w > 64 or cu.h > 64 or cbf_luma or cbf_chroma:
+            if self.pps.cu_qp_delta_enabled and not self.is_dqp_coded:
+                if not sep_tree or node.ch_type == 0:
+                    self.cu_qp_delta(cu)
+                    self.qps[0] = cu.qp
+                    self.is_dqp_coded = True
+                    self.cs.qp_map[cu.y >> 2:(cu.y + cu.h) >> 2,
+                                   cu.x >> 2:(cu.x + cu.w) >> 2] = cu.qp
+            if (not sep_tree or node.ch_type == 1) and self.sh.cu_chroma_qp_offset_enabled:
+                if (cu.w > 64 or cu.h > 64 or cbf_chroma) and not self.is_chroma_qp_adj_coded:
+                    self.cu_chroma_qp_offset(cu)
+                    self.is_chroma_qp_adj_coded = True
+            if not luma_only:
+                self.joint_cb_cr(tu, cu, (2 if tu.cbf[1] else 0) + (1 if tu.cbf[2] else 0))
+                if tu.joint_cbcr:
+                    cu.plane_cbf[1] = cu.plane_cbf[2] = True
+
+            tu.qp = cu.qp
+            self._set_chroma_qp(tu, cu)
+            if cbf_luma:
+                self.residual_coding(tu, cu, 0, enc_coeffs.get(0))
+            if not luma_only:
+                for comp in (1, 2):
+                    if tu.cbf[comp]:
+                        self.residual_coding(tu, cu, comp, enc_coeffs.get(comp))
+        else:
+            tu.qp = cu.qp
+            self._set_chroma_qp(tu, cu)
+
+    def _set_chroma_qp(self, tu: TransformUnit, cu: CodingUnit) -> None:
+        if self.cs.num_comp == 1 or tu.blocks[1] is None:
+            return
+        sps, pps, sh = self.sps, self.pps, self.sh
+        qp_bd = sps.qp_bd_offset
+        base = max(-qp_bd, min(MAX_QP, cu.qp))
+        for i in range(2):
+            if tu.joint_cbcr:
+                off = pps.joint_cbcr_qp_offset + sh.joint_cbcr_qp_offset
+                comp_idx = 2
+            else:
+                off = (pps.cb_qp_offset, pps.cr_qp_offset)[i] + \
+                      (sh.cb_qp_offset, sh.cr_qp_offset)[i]
+                comp_idx = i
+            mapped = sps.chroma_qp_table.map_qp(comp_idx, base)
+            qp = max(-qp_bd, min(MAX_QP, mapped + off)) + qp_bd
+            tu.chroma_qp[i] = qp
+
+    def cbf_comp(self, cu: CodingUnit, comp: int, prev_cbf: bool,
+                 use_isp: bool = False, want: int | None = None) -> bool:
+        name = f"QtCbf[{comp}]"
+        if (comp == 0 and cu.bdpcm_mode) or (comp != 0 and cu.bdpcm_mode_chroma):
+            inc = 2 if comp == 2 else 1
+        elif use_isp and comp == 0:
+            inc = 2 + int(prev_cbf)
+        elif comp == 2:
+            inc = 1 if prev_cbf else 0
+        else:
+            inc = 0
+        return bool(self._bin(ctx(name, inc), want=want))
+
+    def cu_qp_delta(self, cu: CodingUnit) -> None:
+        pred_qp = cu.qp
+        want = self.decisions.qp_delta(cu) if self.enc is not None else None
+        if self.enc is None:
+            dqp = self.unary_max_symbol(ctx("DeltaQP", 0), ctx("DeltaQP", 1),
+                                        CU_DQP_TU_CMAX)
+            if dqp >= CU_DQP_TU_CMAX:
+                dqp += self.exp_golomb_eqprob(CU_DQP_EG_K)
+            if dqp > 0:
+                if self._ep():
+                    dqp = -dqp
+        else:
+            mag = abs(want)
+            self.unary_max_symbol(ctx("DeltaQP", 0), ctx("DeltaQP", 1),
+                                  CU_DQP_TU_CMAX, want=min(mag, CU_DQP_TU_CMAX))
+            if mag >= CU_DQP_TU_CMAX:
+                self.exp_golomb_eqprob(CU_DQP_EG_K, want=mag - CU_DQP_TU_CMAX)
+            if mag > 0:
+                self._ep(want=int(want < 0))
+            dqp = want
+        if dqp != 0:
+            qp_bd = self.sps.qp_bd_offset
+            cu.qp = ((pred_qp + dqp + (MAX_QP + 1) + 2 * qp_bd)
+                     % ((MAX_QP + 1) + qp_bd)) - qp_bd
+        else:
+            cu.qp = pred_qp
+
+    def cu_chroma_qp_offset(self, cu: CodingUnit) -> None:
+        length = len(self.pps.chroma_qp_offset_list)
+        adj = self._bin(ctx("ChromaQpAdjFlag"), want=0)
+        if adj and length > 1:
+            adj += self.unary_max_symbol(ctx("ChromaQpAdjIdc"),
+                                         ctx("ChromaQpAdjIdc"), length - 1)
+        cu.chroma_qp_adj = self.cs.chroma_qp_adj = adj
+
+    def joint_cb_cr(self, tu: TransformUnit, cu: CodingUnit, cbf_mask: int) -> None:
+        if not self.sps.joint_cbcr_enabled:
+            return
+        if (cu.pred_mode == MODE_INTRA and cbf_mask) or cbf_mask == 3:
+            if self._bin(ctx("JointCbCrFlag", cbf_mask - 1), want=0):
+                tu.joint_cbcr = cbf_mask
+
+    def ts_flag(self, tu: TransformUnit, cu: CodingUnit, comp: int) -> None:
+        ts = 1 if ((cu.bdpcm_mode and comp == 0)
+                   or (cu.bdpcm_mode_chroma and comp != 0)) else 0
+        ctx_idx = 4 if comp == 0 else 5
+        if self._ts_allowed(tu, cu, comp):
+            ts = self._bin(ctx("MTSIndex", ctx_idx), want=0)
+        tu.mts_idx[comp] = MTS_SKIP if ts else MTS_DCT2_DCT2
+
+    def _ts_allowed(self, tu: TransformUnit, cu: CodingUnit, comp: int) -> bool:
+        if not self.sps.transform_skip_enabled:
+            return False
+        if comp == 0 and cu.bdpcm_mode:
+            return False
+        if comp != 0 and cu.bdpcm_mode_chroma:
+            return False
+        if cu.isp_mode or cu.sbt_info:
+            return False
+        max_ts = 1 << self.sps.log2_max_ts_size
+        _, _, w, h = tu.blocks[comp]
+        return w <= max_ts and h <= max_ts
+
+    def mts_idx(self, cu: CodingUnit) -> None:
+        if not cu.tus:
+            return
+        tu = cu.tus[0]
+        mts = tu.mts_idx[0]
+        if self._mts_allowed(cu) and not self.violates_mts and \
+                self.mts_last_scan_pos and cu.lfnst_idx == 0 and mts != MTS_SKIP:
+            symbol = self._bin(ctx("MTSIndex", 0), want=0)
+            if symbol:
+                mts = MTS_DST7_DST7
+                for i in range(3):
+                    symbol = self._bin(ctx("MTSIndex", 1 + i))
+                    mts += symbol
+                    if not symbol:
+                        break
+            tu.mts_idx[0] = mts
+
+    def _mts_allowed(self, cu: CodingUnit) -> bool:
+        sps = self.sps
+        if not sps.mts_enabled:
+            return False
+        use = sps.explicit_mts_intra if cu.pred_mode == MODE_INTRA \
+            else sps.explicit_mts_inter
+        return (use and cu.w <= 32 and cu.h <= 32 and not cu.sbt_info
+                and not cu.isp_mode and cu.has_luma)
+
+    def residual_lfnst_mode(self, cu: CodingUnit) -> None:
+        if not self.sps.lfnst_enabled or cu.pred_mode != MODE_INTRA:
+            return
+        raise NotImplementedError("LFNST")
+
+    # ---------------- residual coding (regular path) ----------------
+    def residual_coding(self, tu: TransformUnit, cu: CodingUnit, comp: int,
+                        enc_block: np.ndarray | None = None) -> None:
+        if comp == 2 and tu.joint_cbcr == 3:
+            return
+        self.ts_flag(tu, cu, comp)
+        if tu.mts_idx[comp] == MTS_SKIP and not self.sh.ts_residual_coding_disabled:
+            raise NotImplementedError("TS residual coding")
+
+        ch = 0 if comp == 0 else 1
+        x0, y0, w, h = tu.blocks[comp]
+        log2_w, log2_h = w.bit_length() - 1, h.bit_length() - 1
+        lg_cw, lg_ch = rom.log2_sbb_size(log2_w, log2_h)
+        log2_cg = lg_cw + lg_ch
+        w_groups = min(rom.ZERO_OUT_TH, w) >> lg_cw
+        h_groups = min(rom.ZERO_OUT_TH, h) >> lg_ch
+        scan = rom.scan_grouped(w, h)
+        scan_cg = rom.scan_cg(w_groups, h_groups)
+        max_num_coeff = w * h
+
+        enc_flat = None
+        if enc_block is not None:
+            assert enc_block.shape == (h, w)
+            enc_flat = enc_block.reshape(-1).astype(np.int64)
+            assert self.sh.dep_quant_used is False and \
+                self.sh.sign_data_hiding_used is False, \
+                "encoder does not support dep-quant / SDH"
+
+        # ---- last significant position ----
+        max_last_x = int(rom.GROUP_IDX[min(rom.ZERO_OUT_TH, w) - 1])
+        max_last_y = int(rom.GROUP_IDX[min(rom.ZERO_OUT_TH, h) - 1])
+        if ch == 0:
+            last_off_x = rom.LAST_PREFIX_CTX[log2_w]
+            last_off_y = rom.LAST_PREFIX_CTX[log2_h]
+            last_shift_x = (log2_w + 1) >> 2
+            last_shift_y = (log2_h + 1) >> 2
+        else:
+            last_off_x = last_off_y = 0
+            last_shift_x = max(0, min(2, w >> 3))
+            last_shift_y = max(0, min(2, h >> 3))
+        ctx_last_x = _OFF[f"LastX[{ch}]"][0]
+        ctx_last_y = _OFF[f"LastY[{ch}]"][0]
+
+        want_gx = want_gy = want_px = want_py = None
+        if enc_flat is not None:
+            nz = np.nonzero(enc_flat[scan[: len(scan)]])[0]
+            assert len(nz), "cbf set but no coefficients"
+            scan_pos_last_enc = int(nz[-1])
+            blk = int(scan[scan_pos_last_enc])
+            want_px = blk & (w - 1)
+            want_py = blk >> log2_w
+            want_gx = int(rom.GROUP_IDX[want_px])
+            want_gy = int(rom.GROUP_IDX[want_py])
+
+        pos_x = self._last_prefix(ctx_last_x + last_off_x, last_shift_x,
+                                  max_last_x, want_gx)
+        pos_y = self._last_prefix(ctx_last_y + last_off_y, last_shift_y,
+                                  max_last_y, want_gy)
+        if pos_x > 3:
+            n = (pos_x - 2) >> 1
+            t = 0
+            wsuf = None if want_px is None else want_px - int(rom.MIN_IN_GROUP[pos_x])
+            for i in range(n - 1, -1, -1):
+                t += self._ep(want=None if wsuf is None else (wsuf >> i) & 1) << i
+            pos_x = int(rom.MIN_IN_GROUP[pos_x]) + t
+        if pos_y > 3:
+            n = (pos_y - 2) >> 1
+            t = 0
+            wsuf = None if want_py is None else want_py - int(rom.MIN_IN_GROUP[pos_y])
+            for i in range(n - 1, -1, -1):
+                t += self._ep(want=None if wsuf is None else (wsuf >> i) & 1) << i
+            pos_y = int(rom.MIN_IN_GROUP[pos_y]) + t
+
+        blk_last = pos_x + pos_y * w
+        idxs = np.nonzero(scan == blk_last)[0]
+        scan_pos_last = int(idxs[0]) if len(idxs) else max_num_coeff - 1
+
+        if tu.mts_idx[comp] != MTS_SKIP and w >= 4 and h >= 4:
+            max_lfnst_pos = 7 if ((w == 4 and h == 4) or (w == 8 and h == 8)) else 15
+            self.violates_lfnst[ch] |= scan_pos_last > max_lfnst_pos
+            self.lfnst_last_scan_pos |= scan_pos_last >= 1
+        if ch == 0 and tu.mts_idx[comp] != MTS_SKIP:
+            self.mts_last_scan_pos |= scan_pos_last >= 1
+
+        state_trans = DQ_STATE_TRANS_TABLE if self.sh.dep_quant_used else 0
+        state = 0
+        coeff = np.zeros(max_num_coeff, dtype=np.int64)
+        tpl = self._tpl
+        tpl[:max_num_coeff] = 0
+
+        sign_hiding = self.sh.sign_data_hiding_used
+        reg_bin_limit = (min(32, w) * min(32, h) * 28) >> 4
+        bdpcm = cu.bdpcm_mode if comp == 0 else cu.bdpcm_mode_chroma
+
+        sig_ctx_base = (_OFF[f"SigFlag[{ch}]"][0], _OFF[f"SigFlag[{ch + 2}]"][0],
+                        _OFF[f"SigFlag[{ch + 4}]"][0])
+        par_ctx_base = _OFF[f"ParFlag[{ch}]"][0]
+        gt1_ctx_base = _OFF[f"GtxFlag[{ch + 2}]"][0]
+        gt2_ctx_base = _OFF[f"GtxFlag[{ch}]"][0]
+        sig_group_ctx_base = _OFF[f"SigCoeffGroup[{ch}]"][0]
+
+        sig_cg_flags = np.zeros(w_groups * h_groups + w_groups + 1, dtype=bool)
+        subset_results = []
+        tmpl_cp_diag = -1
+        tmpl_cp_sum1 = -1
+        max_cg_x = max_cg_y = 0
+
+        for subset_id in range((scan_pos_last >> log2_cg), -1, -1):
+            cg_pos = int(scan_cg[subset_id])
+            cg_y = cg_pos // w_groups
+            cg_x = cg_pos - cg_y * w_groups
+            min_sub_pos = subset_id << log2_cg
+            max_sub_pos = min_sub_pos + (1 << log2_cg) - 1
+            is_last_cg = (scan_pos_last >> log2_cg) == subset_id
+
+            sig_group = is_last_cg or min_sub_pos == 0
+            if not sig_group:
+                sig_right = bool(cg_x + 1 < w_groups and sig_cg_flags[cg_pos + 1])
+                sig_lower = bool(cg_y + 1 < h_groups and sig_cg_flags[cg_pos + w_groups])
+                inc = int(sig_right or sig_lower)
+                want_sg = None
+                if enc_flat is not None:
+                    want_sg = int(any(enc_flat[int(scan[p])] != 0
+                                      for p in range(min_sub_pos, max_sub_pos + 1)))
+                sig_group = bool(self._bin(sig_group_ctx_base + inc, want=want_sg))
+            if not sig_group:
+                continue
+            sig_cg_flags[cg_pos] = True
+            max_cg_x = max(max_cg_x, cg_x)
+            max_cg_y = max(max_cg_y, cg_y)
+
+            first_sig_pos = scan_pos_last if is_last_cg else max_sub_pos
+            next_sig_pos = first_sig_pos
+            infer_sig_pos = next_sig_pos if next_sig_pos == scan_pos_last else (
+                min_sub_pos if subset_id != 0 else -1)
+            num_nonzero = 0
+            positions: list[int] = []
+            sub1_pattern = 0
+            gt1_positions: list[int] = []
+            gt2_mask = 0
+            num_gt1 = 0
+            first_nz = next_sig_pos
+            last_nz = -1
+
+            while next_sig_pos >= min_sub_pos and reg_bin_limit >= 4:
+                blk_pos = int(scan[next_sig_pos])
+                want_abs = None if enc_flat is None else abs(int(enc_flat[blk_pos]))
+                sig_flag = (num_nonzero == 0 and next_sig_pos == infer_sig_pos)
+                if not sig_flag:
+                    py = blk_pos >> log2_w
+                    px = blk_pos & (w - 1)
+                    diag = px + py
+                    tpl_val = int(tpl[blk_pos])
+                    num_pos = tpl_val >> 5
+                    sum_abs = tpl_val & 31
+                    ctx_ofs = min((sum_abs + 1) >> 1, 3) + (4 if diag < 2 else 0)
+                    if ch == 0:
+                        ctx_ofs += 4 if diag < 5 else 0
+                    tmpl_cp_diag = diag
+                    tmpl_cp_sum1 = sum_abs - num_pos
+                    sig_flag = bool(self._bin(
+                        sig_ctx_base[max(0, state - 1)] + ctx_ofs,
+                        want=None if want_abs is None else int(want_abs > 0)))
+                    reg_bin_limit -= 1
+                if sig_flag:
+                    if tmpl_cp_diag != -1:
+                        off = min(tmpl_cp_sum1, 4) + 1
+                        if tmpl_cp_diag == 0:
+                            off += 15 if ch == 0 else 5
+                        elif ch == 0:
+                            off += 10 if tmpl_cp_diag < 3 else (5 if tmpl_cp_diag < 10 else 0)
+                    else:
+                        off = 0
+                    sub1_pattern = ((state >> 1) & 1) | (sub1_pattern << 1)
+                    positions.append(blk_pos)
+                    num_nonzero += 1
+                    first_nz = next_sig_pos
+                    last_nz = max(last_nz, next_sig_pos)
+                    gt1 = self._bin(gt1_ctx_base + off,
+                                    want=None if want_abs is None else int(want_abs > 1))
+                    reg_bin_limit -= 1
+                    if gt1:
+                        par = self._bin(par_ctx_base + off,
+                                        want=None if want_abs is None else want_abs & 1)
+                        num_gt1 += 1
+                        reg_bin_limit -= 1
+                        gt2 = self._bin(gt2_ctx_base + off,
+                                        want=None if want_abs is None else int(want_abs > 3))
+                        gt2_mask |= gt2 << (num_gt1 - 1)
+                        reg_bin_limit -= 1
+                        gt1_positions.append(blk_pos)
+                        abs_val = 2 + par + (gt2 << 1)
+                        state = (state_trans >> ((state << 2) + (par << 1))) & 3
+                    else:
+                        abs_val = 1
+                        state = (state_trans >> ((state << 2) + 2)) & 3
+                    coeff[blk_pos] = abs_val
+                    py = blk_pos >> log2_w
+                    px = blk_pos & (w - 1)
+                    upd = 32 + abs_val
+                    if py > 1:
+                        tpl[blk_pos - 2 * w] += upd
+                    if py > 0 and px > 0:
+                        tpl[blk_pos - w - 1] += upd
+                    if py > 0:
+                        tpl[blk_pos - w] += upd
+                    if px > 1:
+                        tpl[blk_pos - 2] += upd
+                    if px > 0:
+                        tpl[blk_pos - 1] += upd
+                else:
+                    state = (state_trans >> (state << 2)) & 3
+                next_sig_pos -= 1
+
+            # 3rd pass: go-rice remainders for gt2 coefficients
+            gmask = gt2_mask
+            for k in range(num_gt1):
+                if gmask & 1:
+                    bp = gt1_positions[k]
+                    sum_all = self._template_abs_sum(bp, coeff, w, h, log2_w, 4)
+                    rice = int(rom.GO_RICE_PARS[sum_all])
+                    want_rem = None
+                    if enc_flat is not None:
+                        want_rem = (abs(int(enc_flat[bp])) - int(coeff[bp])) >> 1
+                    rem = self._rem(rice, COEF_REMAIN_BIN_REDUCTION,
+                                    self.max_log2_tr_range, want=want_rem)
+                    coeff[bp] += rem << 1
+                gmask >>= 1
+
+            # bypass coefficients
+            while next_sig_pos >= min_sub_pos:
+                sub1 = (state >> 1) & 1
+                blk_pos = int(scan[next_sig_pos])
+                sum_all = self._template_abs_sum(blk_pos, coeff, w, h, log2_w, 0)
+                rice = int(rom.GO_RICE_PARS[sum_all])
+                pos0 = rom.go_rice_pos_coeff0(state, rice)
+                want_rem = None
+                if enc_flat is not None:
+                    v = abs(int(enc_flat[blk_pos]))
+                    want_rem = pos0 if v == 0 else (v - 1 if v <= pos0 else v)
+                rem = self._rem(rice, COEF_REMAIN_BIN_REDUCTION,
+                                self.max_log2_tr_range, want=want_rem)
+                tcoeff = 0 if rem == pos0 else (rem + 1 if rem < pos0 else rem)
+                state = (state_trans >> ((state << 2) + ((tcoeff & 1) << 1))) & 3
+                if tcoeff:
+                    coeff[blk_pos] = tcoeff
+                    sub1_pattern = sub1 | (sub1_pattern << 1)
+                    positions.append(blk_pos)
+                    num_nonzero += 1
+                    first_nz = next_sig_pos
+                    last_nz = max(last_nz, next_sig_pos)
+                next_sig_pos -= 1
+
+            # signs
+            hide = sign_hiding and (last_nz - first_nz >= SBH_THRESHOLD) and not bdpcm
+            num_signs = num_nonzero - 1 if (hide and num_nonzero > 0) else num_nonzero
+            want_signs = None
+            if enc_flat is not None:
+                want_signs = 0
+                for p in positions[:num_signs]:
+                    want_signs = (want_signs << 1) | int(enc_flat[p] < 0)
+            sign_pattern = self._eps(num_signs, want=want_signs)
+            if num_nonzero > num_signs:
+                sum_abs_cg = sum(int(coeff[p]) for p in positions)
+                sign_pattern = (sign_pattern << 1) + (sum_abs_cg & 1)
+
+            if num_nonzero > 0:
+                subset_results.append((num_nonzero, sign_pattern, sub1_pattern,
+                                       positions))
+
+        if bdpcm:
+            max_x_px, max_y_px = w, h
+        else:
+            max_x_px = (max_cg_x + 1) << lg_cw
+            max_y_px = (max_cg_y + 1) << lg_ch
+
+        dep_quant = self.sh.dep_quant_used and tu.mts_idx[comp] != MTS_SKIP
+        plane = self.cs.coef[comp]
+        plane[y0:y0 + max_y_px, x0:x0 + max_x_px] = 0
+        for num_nonzero, sign_pattern, sub1_pattern, positions in reversed(subset_results):
+            for k in range(num_nonzero - 1, -1, -1):
+                bp = positions[k]
+                px = bp & (w - 1)
+                py = bp >> log2_w
+                abs_c = int(coeff[bp])
+                if dep_quant:
+                    abs_c = 2 * abs_c - (sub1_pattern & 1)
+                plane[y0 + py, x0 + px] = -abs_c if (sign_pattern & 1) else abs_c
+                sign_pattern >>= 1
+                sub1_pattern >>= 1
+
+        if scan_pos_last == 0:
+            tu.max_scan_x[comp] = 0
+            tu.max_scan_y[comp] = 0
+        else:
+            tu.max_scan_x[comp] = max_x_px - 1
+            tu.max_scan_y[comp] = max_y_px - 1
+
+        if enc_flat is not None:
+            got = plane[y0:y0 + h, x0:x0 + w]
+            assert np.array_equal(got, enc_block.astype(plane.dtype)), \
+                "encoder produced coefficients that do not round-trip"
+
+    def _last_prefix(self, ctx_base: int, shift: int, max_val: int,
+                     want: int | None) -> int:
+        pos = 0
+        if self.enc is None:
+            while pos < max_val and self.dec.decode_bin(ctx_base + (pos >> shift)):
+                pos += 1
+            return pos
+        for pos in range(want):
+            self.enc.encode_bin(1, ctx_base + (pos >> shift))
+        if want < max_val:
+            self.enc.encode_bin(0, ctx_base + (want >> shift))
+        return want
+
+    @staticmethod
+    def _template_abs_sum(blk_pos: int, coeff: np.ndarray, w: int, h: int,
+                          log2_w: int, base_level: int) -> int:
+        py = blk_pos >> log2_w
+        px = blk_pos & (w - 1)
+        s = 0
+        if px + 2 < w:
+            s += int(coeff[blk_pos + 1]) + int(coeff[blk_pos + 2])
+            if py + 1 < h:
+                s += int(coeff[blk_pos + w + 1])
+        elif px + 1 < w:
+            s += int(coeff[blk_pos + 1])
+            if py + 1 < h:
+                s += int(coeff[blk_pos + w + 1])
+        if py + 2 < h:
+            s += int(coeff[blk_pos + w]) + int(coeff[blk_pos + 2 * w])
+        elif py + 1 < h:
+            s += int(coeff[blk_pos + w])
+        return max(min(s - 5 * base_level, 31), 0)
+
+    # ---------------- helpers ----------------
+    def unary_max_symbol(self, ctx_id0: int, ctx_idn: int, max_symbol: int,
+                         want: int | None = None) -> int:
+        if self.enc is None:
+            ones = 0
+            while ones < max_symbol and self.dec.decode_bin(
+                    ctx_id0 if ones == 0 else ctx_idn):
+                ones += 1
+            return ones
+        for i in range(want):
+            self.enc.encode_bin(1, ctx_id0 if i == 0 else ctx_idn)
+        if want < max_symbol:
+            self.enc.encode_bin(0, ctx_id0 if want == 0 else ctx_idn)
+        return want
+
+    def exp_golomb_eqprob(self, count: int, want: int | None = None) -> int:
+        if self.enc is None:
+            symbol = 0
+            bit = 1
+            while bit:
+                bit = self.dec.decode_bin_ep()
+                symbol += bit << count
+                count += 1
+            count -= 1
+            if count:
+                symbol += self.dec.decode_bins_ep(count)
+            return symbol
+        # encode: unary prefix of k ones then 0; suffix of (count + k) bits?
+        # dual of the decode loop: symbol accumulates bit<<count with count
+        # incrementing per 1-bit, then a (count-1)-bit suffix.
+        k = count
+        base = 0
+        while want >= base + (1 << k):
+            base += 1 << k
+            k += 1
+        # emit (k - count) ones then a zero
+        for _ in range(k - count):
+            self.enc.encode_bin_ep(1)
+        self.enc.encode_bin_ep(0)
+        if k:
+            self.enc.encode_bins_ep(want - base, k)
+        return want
+
+    # SAO / ALF CTU syntax (later rounds)
+    def sao_ctu(self, cx: int, cy: int) -> None:
+        raise NotImplementedError("SAO CTU syntax")
+
+    def alf_ctu(self, cx: int, cy: int) -> None:
+        raise NotImplementedError("ALF CTU syntax")

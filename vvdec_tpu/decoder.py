@@ -1,0 +1,86 @@
+"""Top-level decode driver: Annex-B stream -> parsed frames -> device recon.
+
+Host-plane orchestration, parity with vvdec DecLib/DecLibParser
+(source/Lib/DecoderLib/DecLib.cpp:182 decode, DecLibParser.cpp:125 parse) —
+re-designed: the parse stage emits whole-frame tensors that the JAX device
+pipeline reconstructs per frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from vvdec_tpu.bitstream.nal import NalUnitType, read_nal_units
+from vvdec_tpu.bitstream.reader import BitReader
+from vvdec_tpu.cabac.ctu_decoder import CtuDecoder
+from vvdec_tpu.cabac.engine import CabacDecoder
+from vvdec_tpu.frame.structure import CodingStructure
+from vvdec_tpu.hls.reader import (
+    ParameterSetManager,
+    parse_picture_header,
+    parse_pps,
+    parse_slice_header,
+    parse_sps,
+)
+
+
+@dataclass
+class ParsedFrame:
+    cs: CodingStructure
+    poc: int = 0
+
+
+class FrameParser:
+    """Stateful NAL-stream parser producing per-frame CodingStructures."""
+
+    def __init__(self) -> None:
+        self.psman = ParameterSetManager()
+        self.prev_tid0_poc = 0
+        self.cur_ph = None
+
+    def parse_stream(self, data: bytes) -> list[ParsedFrame]:
+        frames: list[ParsedFrame] = []
+        for nal in read_nal_units(data):
+            full_rbsp = bytes([0, (int(nal.nal_type) << 3) | (nal.temporal_id + 1)]) \
+                + nal.rbsp
+            t = nal.nal_type
+            if t == NalUnitType.SPS:
+                self.psman.store_sps(parse_sps(full_rbsp))
+            elif t == NalUnitType.PPS:
+                self.psman.store_pps(parse_pps(full_rbsp, self.psman.get_sps))
+            elif t == NalUnitType.PH:
+                r = BitReader(full_rbsp, pos=16)
+                self.cur_ph = parse_picture_header(r, self.psman)
+            elif t in (NalUnitType.PREFIX_APS, NalUnitType.SUFFIX_APS):
+                raise NotImplementedError("APS parsing")
+            elif nal.is_vcl:
+                frames.append(self._parse_slice(full_rbsp, nal))
+            # SEI / AUD / EOS / EOB / FD: ignored at this stage
+        return frames
+
+    def _parse_slice(self, full_rbsp: bytes, nal) -> ParsedFrame:
+        r = BitReader(full_rbsp, pos=16)
+        sh, ph = parse_slice_header(r, self.psman, int(nal.nal_type),
+                                    nal.temporal_id, self.prev_tid0_poc,
+                                    self.cur_ph)
+        if nal.temporal_id == 0 and t_is_ref(nal.nal_type):
+            self.prev_tid0_poc = sh.poc
+        pps = self.psman.get_pps(ph.pps_id)
+        sps = self.psman.get_sps(pps.sps_id)
+        cs = CodingStructure(sps, pps, ph, sh)
+        start_byte = sh.data_offset_bits // 8
+        dec = CabacDecoder(full_rbsp, start_byte)
+        dec.reset(sh.qp_y, sh.slice_type)
+        coder = CtuDecoder(cs, dec=dec)
+        coder.decode_slice()
+        return ParsedFrame(cs=cs, poc=sh.poc)
+
+
+def t_is_ref(nal_type) -> bool:
+    return True  # RASL/RADL handling arrives with inter support
+
+
+def parse_annexb(data: bytes) -> list[ParsedFrame]:
+    return FrameParser().parse_stream(data)

@@ -1,0 +1,216 @@
+"""Test bitstream generator: produces legal constrained VVC Main10 streams.
+
+Builds SPS/PPS/slice-header via hls_writer and slice data via the dual-mode
+CtuDecoder running in encode mode with randomized decisions (partitioning,
+intra modes, coefficient levels).  Streams are decodable by the reference
+vvdec binary, which pins our writer to the standard; our decoder must then
+match vvdec's output bit-exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from vvdec_tpu.bitstream.nal import NalUnitType
+from vvdec_tpu.cabac.ctu_decoder import CtuDecoder, Decisions, ctx
+from vvdec_tpu.cabac.engine import CabacEncoder
+from vvdec_tpu.cabac.partitioner import (
+    CU_DONT_SPLIT,
+    CU_HORZ_SPLIT,
+    CU_QUAD_SPLIT,
+    CU_TRIH_SPLIT,
+    CU_TRIV_SPLIT,
+    CU_VERT_SPLIT,
+)
+from vvdec_tpu.frame.structure import (
+    CodingStructure,
+    DC_IDX,
+    DM_CHROMA_IDX,
+    HOR_IDX,
+    PLANAR_IDX,
+    VER_IDX,
+)
+from vvdec_tpu.hls.params import SPS, PPS, ChromaQpTable, I_SLICE, PicHeader, SliceHeader
+from vvdec_tpu.testenc.bitwriter import BitWriter
+from vvdec_tpu.testenc.hls_writer import (
+    make_nal,
+    write_pps,
+    write_slice_header,
+    write_sps,
+)
+
+
+def make_sps(width: int, height: int, ctu: int = 32, bit_depth: int = 10,
+             chroma_format: int = 1, **kw) -> SPS:
+    sps = SPS()
+    sps.pic_width_max = width
+    sps.pic_height_max = height
+    sps.ctu_size = ctu
+    sps.chroma_format_idc = chroma_format
+    sps.ptl.level_idc = 35
+    sps.bit_depth = bit_depth
+    sps.max_dec_pic_buffering = [8]
+    sps.num_reorder_pics = [0]
+    sps.max_latency_increase_plus1 = [0]
+    sps.log2_min_cb_size = 2
+    # default: allow QT down to 8, BT/TT depth 2 (chroma entries [2] stay 0
+    # unless dual-tree — mirrors the parser's inference)
+    sps.min_qt_size = [8, 8, 0]
+    sps.max_mtt_depth = [2, 2, 0]
+    sps.max_bt_size = [min(32, ctu), min(32, ctu), 0]
+    sps.max_tt_size = [min(32, ctu), min(32, ctu), 0]
+    sps.log2_max_tb_size = 5 if ctu <= 32 else 6
+    for k, v in kw.items():
+        setattr(sps, k, v)
+    sps.chroma_qp_table = ChromaQpTable.default(sps.qp_bd_offset)
+    return sps
+
+
+def make_pps(sps: SPS, **kw) -> PPS:
+    pps = PPS()
+    pps.pic_width = sps.pic_width_max
+    pps.pic_height = sps.pic_height_max
+    for k, v in kw.items():
+        setattr(pps, k, v)
+    pps.finalize(sps)
+    return pps
+
+
+class RandomDecisions(Decisions):
+    """Seeded random encode decisions for stream generation."""
+
+    def __init__(self, seed: int = 0, split_prob: float = 0.4,
+                 cbf_prob: float = 0.7, max_level: int = 40,
+                 modes: list[int] | None = None,
+                 density: float = 0.25, qp_delta_range: int = 0):
+        self.rnd = random.Random(seed)
+        self.split_prob = split_prob
+        self.cbf_prob = cbf_prob
+        self.max_level = max_level
+        self.density = density
+        self.modes = modes  # None -> any of 0..66
+        self.qp_delta_range = qp_delta_range
+
+    def split(self, node, allowed):
+        choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
+                               CU_TRIH_SPLIT, CU_TRIV_SPLIT) if allowed.get(s)]
+        if allowed.get(CU_DONT_SPLIT) and (not choices
+                                           or self.rnd.random() > self.split_prob):
+            return CU_DONT_SPLIT
+        if not choices:
+            return CU_DONT_SPLIT
+        return self.rnd.choice(choices)
+
+    def intra_luma_mode(self, cu):
+        if self.modes is not None:
+            return self.rnd.choice(self.modes)
+        return self.rnd.randrange(0, 67)
+
+    def intra_chroma_mode(self, cu, cand_modes):
+        # DM half the time; otherwise one of the four list modes
+        if self.rnd.random() < 0.5:
+            return DM_CHROMA_IDX
+        return self.rnd.choice(cand_modes[:4])
+
+    def qp_delta(self, cu):
+        if self.qp_delta_range == 0:
+            return 0
+        return self.rnd.randint(-self.qp_delta_range, self.qp_delta_range)
+
+    def coeffs(self, tu, cu, comp):
+        if self.rnd.random() > self.cbf_prob:
+            return None
+        x, y, w, h = tu.blocks[comp]
+        blk = np.zeros((h, w), dtype=np.int32)
+        n = max(1, int(w * h * self.density * self.rnd.random()))
+        # keep energy in low frequencies and inside the zero-out region
+        wmax, hmax = min(w, 32), min(h, 32)
+        for _ in range(n):
+            cx = min(int(self.rnd.expovariate(0.25)), wmax - 1)
+            cy = min(int(self.rnd.expovariate(0.25)), hmax - 1)
+            blk[cy, cx] = self.rnd.randint(1, self.max_level) * \
+                (1 if self.rnd.random() < 0.5 else -1)
+        if not np.any(blk):
+            blk[0, 0] = 1
+        return blk
+
+
+def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
+                 poc: int = 0, idr: bool = True,
+                 ) -> tuple[bytes, CodingStructure]:
+    """Encode one intra frame; returns (slice NAL unit bytes, the CS built
+    during encoding — i.e. the expected parse result)."""
+    ph = PicHeader()
+    ph.gdr_or_irap_pic = idr
+    ph.inter_slice_allowed = False
+    ph.intra_slice_allowed = True
+    ph.pps_id = pps.pps_id
+    ph.poc_lsb = poc & (sps.max_poc_lsb - 1)
+    # inherit partition constraints exactly as parse_picture_header does
+    ph.min_qt_size = list(sps.min_qt_size)
+    ph.max_mtt_depth = list(sps.max_mtt_depth)
+    ph.max_bt_size = list(sps.max_bt_size)
+    ph.max_tt_size = list(sps.max_tt_size)
+
+    sh = SliceHeader()
+    sh.picture_header_in_slice_header = True
+    sh.slice_type = I_SLICE
+    sh.qp_y = qp
+    sh.poc = poc
+    nal_type = NalUnitType.IDR_N_LP if idr else NalUnitType.TRAIL
+    sh.nal_type = nal_type
+    sh.ctu_addrs = list(range(pps.pic_width_in_ctu * pps.pic_height_in_ctu))
+
+    # slice header bits
+    w = BitWriter()
+    write_slice_header(w, sh, ph, sps, pps)
+
+    # slice data (CABAC)
+    cs = CodingStructure(sps, pps, ph, sh)
+    enc = CabacEncoder()
+    init_id = sh.slice_type  # I_SLICE == 2
+    enc.reset(qp, init_id)
+    coder = CtuDecoder(cs, enc=enc, decisions=decisions)
+    coder.code_slice()
+    cabac_bytes = enc.finish()
+    tail_val, tail_n = enc.tail_bits
+
+    # assemble RBSP: header bits + cabac bytes + tail bits + stop bit
+    # (slice header ends byte-aligned, so cabac starts aligned)
+    rbsp = bytearray(w.bytes())
+    rbsp += cabac_bytes
+    acc = (tail_val << 1) | 1  # rbsp_stop_one_bit
+    nbits = tail_n + 1
+    pad = (-nbits) % 8
+    acc <<= pad
+    nbits += pad
+    rbsp += acc.to_bytes(nbits // 8, "big")
+
+    return make_nal(nal_type, bytes(rbsp)), cs
+
+
+def generate_stream(width: int = 64, height: int = 64, n_frames: int = 1,
+                    seed: int = 0, qp: int = 32, ctu: int = 32,
+                    sps_kw: dict | None = None, pps_kw: dict | None = None,
+                    dec_kw: dict | None = None,
+                    ) -> tuple[bytes, list[CodingStructure]]:
+    """Generate a full Annex-B stream of all-intra frames."""
+    sps = make_sps(width, height, ctu=ctu, **(sps_kw or {}))
+    pps = make_pps(sps, **(pps_kw or {}))
+
+    w = BitWriter()
+    write_sps(w, sps)
+    out = make_nal(NalUnitType.SPS, w.bytes())
+    w = BitWriter()
+    write_pps(w, pps, sps)
+    out += make_nal(NalUnitType.PPS, w.bytes())
+
+    css = []
+    for f in range(n_frames):
+        decisions = RandomDecisions(seed=seed * 1000 + f, **(dec_kw or {}))
+        nal, cs = encode_frame(sps, pps, decisions, qp=qp, poc=f, idr=True)
+        out += nal
+        css.append(cs)
+    return out, css
