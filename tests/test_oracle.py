@@ -44,3 +44,48 @@ class TestOracleAccepts:
         from vvdec_tpu.testenc.encoder import generate_stream
         stream, _ = generate_stream(width=64, height=64, n_frames=3, seed=2)
         ref_decode(stream, tmp_path, expect_frames=3)
+
+
+def md5_compare(tmp_path, **kw):
+    import hashlib
+
+    import numpy as np
+
+    from vvdec_tpu.decoder import parse_annexb
+    from vvdec_tpu.frame.recon_np import reconstruct_frame
+    from vvdec_tpu.testenc.encoder import generate_stream
+
+    kw.setdefault("pps_kw", dict(deblocking_filter_control_present=True,
+                                 deblocking_filter_disabled=True))
+    stream, _ = generate_stream(**kw)
+    ref = ref_decode(stream, tmp_path, expect_frames=kw.get("n_frames", 1))
+    out = b""
+    for f in parse_annexb(stream):
+        for p in reconstruct_frame(f.cs):
+            out += p.astype("<u2").tobytes()
+    assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest(), \
+        "decoded YUV differs from reference"
+
+
+class TestBitExactRecon:
+    """Full decode (parse + intra recon) must match the reference bit-exactly."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_intra_random(self, seed, tmp_path):
+        md5_compare(tmp_path, width=64, height=64, seed=seed,
+                    dec_kw=dict(split_prob=0.5))
+
+    def test_boundary_and_ctu128(self, tmp_path):
+        md5_compare(tmp_path, width=80, height=48, seed=11,
+                    dec_kw=dict(split_prob=0.4))
+        md5_compare(tmp_path, width=128, height=128, ctu=128, seed=12,
+                    dec_kw=dict(split_prob=0.4))
+
+    @pytest.mark.parametrize("qp", [5, 27, 51])
+    def test_qp_extremes(self, qp, tmp_path):
+        md5_compare(tmp_path, width=64, height=64, seed=qp, qp=qp,
+                    dec_kw=dict(split_prob=0.4))
+
+    def test_multi_frame(self, tmp_path):
+        md5_compare(tmp_path, width=64, height=64, n_frames=3, seed=9,
+                    dec_kw=dict(split_prob=0.5))

@@ -1,0 +1,575 @@
+"""Numpy golden reconstruction: the bit-exact scalar reference for the device
+pipeline (same role as vvdec's scalar kernels vs SIMD).
+
+Implements H.266 clause 8.4 (intra prediction) and 8.7 (dequant + inverse
+transform) for the intra tool subset.  Behavioral parity:
+  - dequant: vvdec Quant::dequant / DeQuantImpl (Quant.cpp:292,120)
+  - inverse transform: TrQuant::xIT (TrQuant.cpp:410), _fastInverseMM
+    (TrQuant_EMT.cpp:103)
+  - intra: IntraPrediction.cpp — xFillReferenceSamples :1069,
+    xFilterReferenceSamples :1248, xPredIntraPlanarCore :154, xGetPredValDc
+    :409, xPredIntraAng :589, PDPC IntraPredSampleFilterCore :212,
+    availability rule CodingStructure::getCURestricted (CodingStructure.cpp:468)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vvdec_tpu.frame.structure import (
+    CodingStructure,
+    CodingUnit,
+    DC_IDX,
+    DM_CHROMA_IDX,
+    HOR_IDX,
+    MODE_INTRA,
+    MTS_SKIP,
+    PLANAR_IDX,
+    TransformUnit,
+    VDIA_IDX,
+    VER_IDX,
+)
+from vvdec_tpu.ops import rom
+from vvdec_tpu.ops.tables import (
+    ANG_TABLE,
+    CHROMA_FILTER,
+    GAUSS_FILTER,
+    INTRA_FILTER_THRESH,
+    INV_ANG_TABLE,
+    tr_matrix,
+)
+
+DIA_IDX = 34
+
+
+# ======================================================================
+# dequant + inverse transform
+# ======================================================================
+def dequant_block(levels: np.ndarray, qp: int, log2_w: int, log2_h: int,
+                  bit_depth: int, dep_quant: bool, max_x: int, max_y: int
+                  ) -> np.ndarray:
+    """Scalar dequantization (no scaling lists).  levels: int32 [h, w]."""
+    max_log2_tr_range = 15
+    transform_shift = max_log2_tr_range - bit_depth - ((log2_w + log2_h) >> 1)
+    needs_sqrt2 = ((log2_w + log2_h) & 1) == 1
+    i_transform_shift = transform_shift + (-1 if needs_sqrt2 else 0)
+    if dep_quant:
+        qp_per = (qp + 1) // 6
+        qp_rem = qp + 1 - 6 * qp_per
+    else:
+        qp_per, qp_rem = qp // 6, qp % 6
+    right_shift = 6 + (1 if dep_quant else 0) - (i_transform_shift + qp_per)
+    scale = int(rom.INV_QUANT_SCALES[1 if needs_sqrt2 else 0][qp_rem])
+
+    target_bd = min(max_log2_tr_range + 1, 64 + right_shift - 7)
+    input_max = (1 << (target_bd - 1)) - 1
+    tr_max = (1 << max_log2_tr_range) - 1
+
+    out = np.zeros_like(levels, dtype=np.int64)
+    region = levels[: max_y + 1, : max_x + 1].astype(np.int64)
+    clipped = np.clip(region, -input_max - 1, input_max)
+    if right_shift > 0:
+        add = 1 << (right_shift - 1)
+        deq = (clipped * scale + add) >> right_shift
+    else:
+        deq = (clipped * scale) << (-right_shift)
+    out[: max_y + 1, : max_x + 1] = np.where(
+        region != 0, np.clip(deq, -tr_max - 1, tr_max), 0)
+    return out
+
+
+def inverse_transform(coeff: np.ndarray, tr_hor: str, tr_ver: str,
+                      bit_depth: int) -> np.ndarray:
+    """Separable inverse transform; coeff int64 [h, w] -> residual int [h, w]."""
+    h, w = coeff.shape
+    max_log2_tr_range = 15
+    clip_min, clip_max = -(1 << max_log2_tr_range), (1 << max_log2_tr_range) - 1
+
+    if w > 1 and h > 1:
+        s1 = 7  # TRANSFORM_MATRIX_SHIFT + 1
+        s2 = (6 + max_log2_tr_range - 1) - bit_depth
+        mv = tr_matrix(tr_ver, h).astype(np.int64)
+        mh = tr_matrix(tr_hor, w).astype(np.int64)
+        # pass 1 (vertical): tmp[x][y'] = sum_k coeff[k][x] * Mv[k][y']
+        tmp = coeff.T @ mv  # [w, h]
+        tmp = np.clip((tmp + (1 << (s1 - 1))) >> s1, clip_min, clip_max)
+        # pass 2 (horizontal): block[y'][x'] = sum_k tmp[k][y'] * Mh[k][x']
+        block = tmp.T @ mh  # [h, w]
+        res = np.clip((block + (1 << (s2 - 1))) >> s2, clip_min, clip_max)
+        return res
+    # 1-D transforms
+    s = (6 + max_log2_tr_range - 1) - bit_depth + 1
+    if w == 1:
+        m = tr_matrix(tr_ver, h).astype(np.int64)
+        block = coeff.reshape(1, h) @ m  # [1, h] -> transposed layout
+        res = np.clip((block + (1 << (s - 1))) >> s, clip_min, clip_max)
+        return res.reshape(h, 1)
+    m = tr_matrix(tr_hor, w).astype(np.int64)
+    block = coeff.reshape(1, w) @ m
+    res = np.clip((block + (1 << (s - 1))) >> s, clip_min, clip_max)
+    return res.reshape(1, w)
+
+
+def get_tr_types(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
+                 comp: int) -> tuple[str, str]:
+    """Parity: TrQuant::getTrTypes (TrQuant.cpp:330)."""
+    sps = cs.sps
+    if not sps.mts_enabled:
+        return "DCT2", "DCT2"
+    is_implicit = (cu.pred_mode == MODE_INTRA and comp == 0
+                   and sps.mts_enabled and not sps.explicit_mts_intra
+                   and cu.lfnst_idx == 0 and not cu.mip_flag)
+    if is_implicit or (cu.isp_mode and comp == 0):
+        hor = "DST7" if 4 <= cu.w <= 16 else "DCT2"
+        ver = "DST7" if 4 <= cu.h <= 16 else "DCT2"
+        return hor, ver
+    mts = tu.mts_idx[0] if comp == 0 else 0
+    if comp != 0 or mts <= 1:
+        return "DCT2", "DCT2"
+    # explicit MTS: 2=DST7/DST7, 3=DCT8/DST7, 4=DST7/DCT8, 5=DCT8/DCT8
+    hor = "DST7" if mts in (2, 4) else "DCT8"
+    ver = "DST7" if mts in (2, 3) else "DCT8"
+    return hor, ver
+
+
+# ======================================================================
+# intra prediction
+# ======================================================================
+def wide_angle(width: int, height: int, mode: int) -> int:
+    if DC_IDX < mode <= VDIA_IDX:
+        mode_shift = (0, 6, 10, 12, 14, 15)
+        delta = abs((width.bit_length() - 1) - (height.bit_length() - 1))
+        if width > height and mode < 2 + mode_shift[delta]:
+            mode += VDIA_IDX - 1
+        elif height > width and mode > VDIA_IDX - mode_shift[delta]:
+            mode -= VDIA_IDX - 1
+    return mode
+
+
+class IntraReconstructor:
+    """Whole-frame intra reconstruction in parse order (numpy golden)."""
+
+    def __init__(self, cs: CodingStructure):
+        self.cs = cs
+        self.bit_depth = cs.sps.bit_depth
+        self.pel_max = (1 << self.bit_depth) - 1
+        self.reco = [np.zeros((h, w), dtype=np.int32) for (w, h) in cs.comp_size]
+        self.wpp = cs.sps.entropy_coding_sync_enabled
+        # per-4x4 luma map of TU parse order (for intra availability)
+        self.tu_order_map = np.full((cs.h >> 2, cs.w >> 2), -1, dtype=np.int32)
+        self.ctu_log2 = cs.sps.ctu_log2
+
+    # ---------------- availability ----------------
+    def _avail(self, px: int, py: int, comp: int, cu: CodingUnit,
+               tu_order: int) -> bool:
+        """Is the reference sample at (px, py) in comp coords available?"""
+        cs = self.cs
+        if px < 0 or py < 0:
+            return False
+        sx = cs.sub_w if comp else 1
+        sy = cs.sub_h if comp else 1
+        w_comp, h_comp = cs.comp_size[comp]
+        if px >= w_comp or py >= h_comp:
+            return False
+        # CTU-grid availability rule (getCURestricted)
+        shx = self.ctu_log2 - (sx - 1)
+        shy = self.ctu_log2 - (sy - 1)
+        cux, cuy = (cu.cx, cu.cy) if comp else (cu.x, cu.y)
+        xdiff = (px >> shx) - (cux >> shx)
+        ydiff = (py >> shy) - (cuy >> shy)
+        if ydiff > 0 or (ydiff == 0 and xdiff > 0):
+            return False
+        if xdiff > (0 if self.wpp else 1):
+            return False
+        # position in luma coords for the CU map
+        lx, ly = px * sx, py * sy
+        cu2 = cs.cu_at(lx, ly, 0)
+        if cu2 is None:
+            return False
+        if cu2.slice_idx != cu.slice_idx or cu2.tile_idx != cu.tile_idx:
+            return False
+        if cu2.idx > cu.idx:
+            return False
+        if cu2.idx == cu.idx:
+            order = int(self.tu_order_map[ly >> 2, lx >> 2])
+            if order < 0 or order >= tu_order:
+                return False
+        return True
+
+    # ---------------- reference sample fill ----------------
+    def fill_reference(self, tu: TransformUnit, cu: CodingUnit, comp: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (top_ref[2w+1], left_ref[2h+1]); index 0 is the corner in
+        both (shared).  Parity: xFillReferenceSamples."""
+        cs = self.cs
+        x, y, w, h = tu.blocks[comp]
+        reco = self.reco[comp]
+        pred_size = 2 * w
+        pred_h = 2 * h
+        sx = cs.sub_w if comp else 1
+        sy = cs.sub_h if comp else 1
+        unit_w = 4 // sx
+        unit_h = 4 // sy
+        tu_order = tu.order
+
+        top = np.zeros(pred_size + 1, dtype=np.int32)
+        left = np.zeros(pred_h + 1, dtype=np.int32)
+
+        total_above_units = (pred_size + unit_w - 1) // unit_w
+        total_left_units = (pred_h + unit_h - 1) // unit_h
+        num_above_units = w // unit_w
+        num_left_units = h // unit_h
+        total_units = total_above_units + total_left_units + 1
+
+        # contiguous availability counts
+        n_topleft = 1 if self._avail(x - 1, y - 1, comp, cu, tu_order) else 0
+        n_above = 0
+        for u in range(total_above_units):
+            if self._avail(x + u * unit_w, y - 1, comp, cu, tu_order):
+                n_above += 1
+            else:
+                break
+        n_left = 0
+        for u in range(total_left_units):
+            if self._avail(x - 1, y + u * unit_h, comp, cu, tu_order):
+                n_left += 1
+            else:
+                break
+        num_avail = n_topleft + n_above + n_left
+
+        dc_val = 1 << (self.bit_depth - 1)
+        if num_avail == 0:
+            top[:] = dc_val
+            left[:] = dc_val
+            return top, left
+        if num_avail == total_units:
+            top[0] = reco[y - 1, x - 1]
+            n = min(pred_size, reco.shape[1] - x)
+            top[1: 1 + n] = reco[y - 1, x: x + n]
+            if n < pred_size:  # clip at picture edge: replicate
+                top[1 + n:] = top[n]
+            left[0] = top[0]
+            n = min(pred_h, reco.shape[0] - y)
+            left[1: 1 + n] = reco[y: y + n, x - 1]
+            if n < pred_h:
+                left[1 + n:] = left[n]
+            return top, left
+
+        # partial availability (vvdec scheme)
+        if n_left > 0:
+            n = min(n_left * unit_h, pred_h)
+            n = min(n, reco.shape[0] - y)
+            left[1: 1 + n] = reco[y: y + n, x - 1]
+            left[1 + n:] = left[n]
+            if n_topleft:
+                corner = reco[y - 1, x - 1]
+            else:
+                corner = reco[y, x - 1]
+            top[0] = corner
+            left[0] = corner
+            if n_above > 0:
+                n = min(n_above * unit_w, pred_size)
+                n = min(n, reco.shape[1] - x)
+                top[1: 1 + n] = reco[y - 1, x: x + n]
+                top[1 + n:] = top[n]
+            else:
+                top[1:] = corner
+        else:
+            # left unavailable -> top must be available
+            n = min(n_above * unit_w, pred_size)
+            n = min(n, reco.shape[1] - x)
+            top[1: 1 + n] = reco[y - 1, x: x + n]
+            top[1 + n:] = top[n]
+            corner = reco[y - 1, x]
+            top[0] = corner
+            left[:] = corner
+        return top, left
+
+    @staticmethod
+    def filter_reference(top: np.ndarray, left: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """[1 2 1] reference smoothing (xFilterReferenceSamples)."""
+        ft = top.copy()
+        fl = left.copy()
+        # interior of left column (bottom-left sample unfiltered)
+        if len(left) > 2:
+            fl[1:-1] = (left[:-2] + 2 * left[1:-1] + left[2:] + 2) >> 2
+        # corner: left[1], corner, top[1]
+        c = (left[1] + 2 * top[0] + top[1] + 2) >> 2
+        ft[0] = c
+        fl[0] = c
+        if len(top) > 2:
+            ft[1:-1] = (top[:-2] + 2 * top[1:-1] + top[2:] + 2) >> 2
+        return ft, fl
+
+    # ---------------- predictors ----------------
+    def pred_planar(self, top: np.ndarray, left: np.ndarray, w: int, h: int
+                    ) -> np.ndarray:
+        log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+        top_row = top[1: w + 2].astype(np.int64)  # w+1 entries
+        left_col = left[1: h + 2].astype(np.int64)
+        bottom_left = left_col[h]
+        top_right = top_row[w]
+        xs = np.arange(1, w + 1, dtype=np.int64)
+        ys = np.arange(1, h + 1, dtype=np.int64)
+        hor = (left_col[:h, None] << log2w) + xs[None, :] * (top_right - left_col[:h, None])
+        ver = (top_row[None, :w] << log2h) + ys[:, None] * (bottom_left - top_row[None, :w])
+        offset = 1 << (log2w + log2h)
+        return ((hor << log2h) + (ver << log2w) + offset) >> (1 + log2w + log2h)
+
+    def pred_dc(self, top: np.ndarray, left: np.ndarray, w: int, h: int
+                ) -> np.ndarray:
+        s = 0
+        denom = (w << 1) if w == h else max(w, h)
+        if w >= h:
+            s += int(np.sum(top[1: w + 1]))
+        if w <= h:
+            s += int(np.sum(left[1: h + 1]))
+        dc = (s + (denom >> 1)) >> (denom.bit_length() - 1)
+        return np.full((h, w), dc, dtype=np.int64)
+
+    def pred_angular(self, top: np.ndarray, left: np.ndarray, w: int, h: int,
+                     mode: int, comp: int, filtered_used: bool) -> np.ndarray:
+        """Parity: xPredIntraAng (multiRefIdx == 0, no ISP)."""
+        pred_mode = wide_angle(w, h, mode)
+        is_ver = pred_mode >= DIA_IDX
+        ang_mode = (pred_mode - VER_IDX) if is_ver else -(pred_mode - HOR_IDX)
+        abs_ang = int(ANG_TABLE[abs(ang_mode)])
+        inv_angle = int(INV_ANG_TABLE[abs(ang_mode)])
+        angle = (1 if ang_mode >= 0 else -1) * abs_ang
+
+        # main/side reference arrays
+        if not is_ver:
+            w, h = h, w
+            main_src, side_src = left, top
+        else:
+            main_src, side_src = top, left
+
+        if angle < 0:
+            size_side = h
+            ref_main = np.zeros(size_side + 2 * w + 2, dtype=np.int64)
+            off = size_side  # index of sample 0
+            n = min(w + 2, len(main_src))
+            ref_main[off: off + n] = main_src[:n]
+            for k in range(-size_side, 0):
+                idx = min((-k * inv_angle + 256) >> 9, size_side)
+                ref_main[off + k] = side_src[idx]
+        else:
+            ref_main = np.zeros(2 * w + 3, dtype=np.int64)
+            off = 0
+            n = min(2 * w + 1, len(main_src))
+            ref_main[:n] = main_src[:n]
+            # extend right by replication (maxIndex = 2 for mrl 0)
+            ref_main[n: n + 2] = ref_main[n - 1]
+
+        dst = np.zeros((h, w), dtype=np.int64)
+        if angle == 0:
+            dst[:, :] = ref_main[off + 1: off + 1 + w][None, :]
+            # PDPC for pure hor/ver (xPredIntraAng angle==0 branch)
+            if self._pdpc_enabled(w, h):
+                scale = ((w.bit_length() - 3) + (h.bit_length() - 3) + 2) >> 2
+                lev = (min(3, w), min(6, w), min(12, w), min(24, w))[scale]
+                corner = int(side_src[0])
+                for yy in range(h):
+                    left_v = int(side_src[yy + 1])
+                    for xx in range(lev):
+                        wl = 32 >> min(31, (xx << 1) >> scale)
+                        v = (wl * (left_v - corner)
+                             + int(ref_main[off + xx + 1]) * 64 + 32) >> 6
+                        dst[yy, xx] = min(max(v, 0), self.pel_max)
+        else:
+            positions = np.arange(w, dtype=np.int64)
+            frac_needed = (abs_ang & 0x1F) != 0
+            if frac_needed:
+                if comp == 0:
+                    # 4-tap filter selection
+                    diff = min(abs(pred_mode - HOR_IDX), abs(pred_mode - VER_IDX))
+                    log2_size = ((w.bit_length() - 1) + (h.bit_length() - 1)) >> 1
+                    filter_flag = diff > INTRA_FILTER_THRESH[0][log2_size]
+                    interpolation = filter_flag  # isRefFilter false when frac != 0
+                    use_cubic = not interpolation
+                    f = CHROMA_FILTER if use_cubic else GAUSS_FILTER
+                    for yy in range(h):
+                        delta = angle * (yy + 1)
+                        di = delta >> 5
+                        frac = delta & 31
+                        co = f[frac]
+                        base = off + di + 1
+                        p0 = ref_main[base - 1: base - 1 + w]
+                        p1 = ref_main[base: base + w]
+                        p2 = ref_main[base + 1: base + 1 + w]
+                        p3 = ref_main[base + 2: base + 2 + w]
+                        val = (int(co[0]) * p0 + int(co[1]) * p1
+                               + int(co[2]) * p2 + int(co[3]) * p3 + 32) >> 6
+                        if use_cubic:
+                            val = np.clip(val, 0, self.pel_max)
+                        dst[yy] = val
+                else:
+                    for yy in range(h):
+                        delta = angle * (yy + 1)
+                        di = delta >> 5
+                        frac = delta & 31
+                        base = off + di + 1
+                        p0 = ref_main[base: base + w]
+                        p1 = ref_main[base + 1: base + 1 + w]
+                        dst[yy] = ((32 - frac) * p0 + frac * p1 + 16) >> 5
+            else:
+                for yy in range(h):
+                    delta = angle * (yy + 1)
+                    di = delta >> 5
+                    dst[yy] = ref_main[off + di + 1: off + di + 1 + w]
+
+            # PDPC for positive angles.  Reference uses pDst.height (ver) or
+            # pDst.width (hor) of the *unswapped* block — both equal local h.
+            if self._pdpc_enabled(w, h) and angle > 0:
+                side_size = h
+                max_scale = 2
+                angular_scale = min(max_scale, (side_size.bit_length() - 1)
+                                    - ((3 * inv_angle - 2).bit_length() - 1 - 8))
+                if angular_scale >= 0:
+                    for yy in range(h):
+                        inv_sum = 256
+                        for xx in range(min(3 << angular_scale, w)):
+                            inv_sum += inv_angle
+                            wl = 32 >> min(31, (2 * xx) >> angular_scale)
+                            lv = int(side_src[yy + (inv_sum >> 9) + 1]) \
+                                if yy + (inv_sum >> 9) + 1 < len(side_src) else \
+                                int(side_src[-1])
+                            dst[yy, xx] += (wl * (lv - dst[yy, xx]) + 32) >> 6
+
+        if not is_ver:
+            dst = dst.T
+        return dst
+
+    def _pdpc_enabled(self, w: int, h: int) -> bool:
+        return w >= 4 and h >= 4
+
+    def pdpc_dc_planar(self, pred: np.ndarray, top: np.ndarray,
+                       left: np.ndarray) -> np.ndarray:
+        h, w = pred.shape
+        scale = ((w.bit_length() - 3) + (h.bit_length() - 3) + 2) >> 2
+        out = pred.copy()
+        for y in range(h):
+            wt = 32 >> min(31, (y << 1) >> scale)
+            lv = int(left[y + 1])
+            for x in range(w):
+                wl = 32 >> min(31, (x << 1) >> scale)
+                tv = int(top[x + 1])
+                v = int(out[y, x])
+                out[y, x] = v + ((wl * (lv - v) + wt * (tv - v) + 32) >> 6)
+        return out
+
+    # ---------------- per-TU prediction + reconstruction ----------------
+    def final_mode(self, cu: CodingUnit, comp: int) -> int:
+        if comp == 0:
+            return cu.intra_dir[0]
+        mode = cu.intra_dir[1]
+        if mode == DM_CHROMA_IDX:
+            # co-located luma mode at chroma block center
+            lx = (cu.cx + (cu.cw >> 1)) * self.cs.sub_w
+            ly = (cu.cy + (cu.ch >> 1)) * self.cs.sub_h
+            if cu.tree_type == 2 or not cu.has_luma:  # TREE_C
+                luma_cu = self.cs.cu_at(lx, ly, 0)
+            else:
+                luma_cu = cu
+            mode = PLANAR_IDX if (luma_cu is None or luma_cu.mip_flag) \
+                else luma_cu.intra_dir[0]
+        # 422 mapping not needed for 420/444
+        return mode
+
+    def use_filtered_refs(self, cu: CodingUnit, comp: int, w: int, h: int) -> bool:
+        """Parity: useFilteredIntraRefSamples (IntraPrediction.cpp:1299)."""
+        if comp != 0:
+            return False
+        if cu.multi_ref_idx or cu.bdpcm_mode or cu.isp_mode or cu.mip_flag:
+            return False
+        mode = self.final_mode(cu, comp)
+        if mode == DC_IDX:
+            return False
+        if mode == PLANAR_IDX:
+            return w * h > 32
+        pred_mode = wide_angle(w, h, mode)
+        diff = min(abs(pred_mode - HOR_IDX), abs(pred_mode - VER_IDX))
+        log2_size = ((w.bit_length() - 1) + (h.bit_length() - 1)) >> 1
+        ang_mode = (pred_mode - VER_IDX) if pred_mode >= DIA_IDX else -(pred_mode - HOR_IDX)
+        abs_ang = int(ANG_TABLE[abs(ang_mode)])
+        return diff > INTRA_FILTER_THRESH[0][log2_size] and (abs_ang & 0x1F) == 0
+
+    def predict_tu(self, tu: TransformUnit, cu: CodingUnit, comp: int
+                   ) -> np.ndarray:
+        x, y, w, h = tu.blocks[comp]
+        mode = self.final_mode(cu, comp)
+        top, left = self.fill_reference(tu, cu, comp)
+        filtered = self.use_filtered_refs(cu, comp, w, h)
+        if filtered:
+            ftop, fleft = self.filter_reference(top, left)
+        else:
+            ftop, fleft = top, left
+        do_pdpc = self._pdpc_enabled(w, h)
+        if mode == PLANAR_IDX:
+            pred = self.pred_planar(ftop, fleft, w, h)
+        elif mode == DC_IDX:
+            pred = self.pred_dc(ftop, fleft, w, h)
+        else:
+            return self.pred_angular(ftop, fleft, w, h, mode, comp, filtered)
+        if do_pdpc:
+            pred = self.pdpc_dc_planar(pred, ftop, fleft)
+        return pred
+
+    def reconstruct_tu(self, tu: TransformUnit, cu: CodingUnit) -> None:
+        cs = self.cs
+        comps = []
+        if tu.blocks[0] is not None and cu.has_luma:
+            comps.append(0)
+        if tu.blocks[1] is not None and cu.has_chroma:
+            comps += [1, 2]
+        for comp in comps:
+            x, y, w, h = tu.blocks[comp]
+            pred = self.predict_tu(tu, cu, comp)
+            if tu.cbf[comp] or (comp == 2 and tu.joint_cbcr):
+                levels = cs.coef[comp][y: y + h, x: x + w]
+                # luma: QpParam baseQp = qp + QpBdOffset (Quant.cpp:79);
+                # chroma qp already includes the offset (ctu_decoder._set_chroma_qp)
+                qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
+                    else tu.chroma_qp[comp - 1]
+                if tu.mts_idx[comp] == MTS_SKIP:
+                    raise NotImplementedError("transform skip recon")
+                if tu.joint_cbcr:
+                    raise NotImplementedError("joint CbCr recon")
+                dep_quant = cs.sh.dep_quant_used
+                deq = dequant_block(levels, qp, w.bit_length() - 1,
+                                    h.bit_length() - 1, self.bit_depth,
+                                    dep_quant, tu.max_scan_x[comp],
+                                    tu.max_scan_y[comp])
+                hor, ver = get_tr_types(cs, tu, cu, comp)
+                resi = inverse_transform(deq, hor, ver, self.bit_depth)
+                out = np.clip(pred + resi, 0, self.pel_max)
+            else:
+                out = np.clip(pred, 0, self.pel_max)
+            self.reco[comp][y: y + h, x: x + w] = out
+        # mark TU decoded for availability (luma-granularity map)
+        if tu.blocks[0] is not None:
+            x, y, w, h = tu.blocks[0]
+        else:
+            cxx, cyy, cww, chh = tu.blocks[1]
+            x, y = cxx * cs.sub_w, cyy * cs.sub_h
+            w, h = cww * cs.sub_w, chh * cs.sub_h
+        self.tu_order_map[y >> 2: (y + h) >> 2, x >> 2: (x + w) >> 2] = tu.order
+
+    def run(self) -> list[np.ndarray]:
+        for i, tu in enumerate(self.cs.tus):
+            tu.order = i
+        for tu in self.cs.tus:
+            cu = self.cs.cus[tu.cu_idx]
+            if cu.pred_mode != MODE_INTRA:
+                raise NotImplementedError("inter recon")
+            self.reconstruct_tu(tu, cu)
+        return self.reco
+
+
+def reconstruct_frame(cs: CodingStructure) -> list[np.ndarray]:
+    """Reconstruct one parsed frame; returns uint16 planes (no in-loop filters
+    yet — deblocking/SAO/ALF arrive as separate stages)."""
+    r = IntraReconstructor(cs)
+    planes = r.run()
+    return [p.astype(np.uint16) for p in planes]

@@ -65,6 +65,8 @@ class TransformUnit:
     max_scan_y: list[int] = field(default_factory=lambda: [0, 0, 0])
     # index of this TU within its CU partitioning (ISP/maxTr splits)
     part_idx: int = 0
+    # global parse-order counter (assigned by the reconstructor)
+    order: int = 0
 
 
 @dataclass

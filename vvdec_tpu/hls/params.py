@@ -129,7 +129,7 @@ class ChromaQpTable:
             qp_out = [start]
             for j in range(n):
                 qp_in.append(qp_in[-1] + self.delta_qp_in_val_minus1[i][j] + 1)
-                qp_out.append(qp_out[-1] + self.delta_qp_out_val[i][j] + 1)
+                qp_out.append(qp_out[-1] + self.delta_qp_out_val[i][j])
             # build full table over [-off, 63]
             tab = [0] * (64 + off)
 
@@ -140,13 +140,13 @@ class ChromaQpTable:
             for k in range(qp_in[0] - 1, -off - 1, -1):
                 tab[idx(k)] = max(-off, min(63, tab[idx(k + 1)] - 1))
             for j in range(n):
-                sh = (self.delta_qp_in_val_minus1[i][j] + 1) >> 1
-                kk = 1
-                for k in range(qp_in[j] + 1, qp_in[j + 1] + 1):
-                    tab[idx(k)] = tab[idx(qp_in[j])] + (
-                        (self.delta_qp_out_val[i][j] + 1) * kk + sh
-                    ) // (self.delta_qp_in_val_minus1[i][j] + 1)
-                    kk += 1
+                d_in = self.delta_qp_in_val_minus1[i][j] + 1
+                sh = d_in >> 1
+                for m, k in enumerate(range(qp_in[j] + 1, qp_in[j + 1] + 1), 1):
+                    num = (qp_out[j + 1] - qp_out[j]) * m + sh
+                    # C++ integer division truncates toward zero
+                    q = abs(num) // d_in
+                    tab[idx(k)] = tab[idx(qp_in[j])] + (q if num >= 0 else -q)
             for k in range(qp_in[n] + 1, 64):
                 tab[idx(k)] = max(-off, min(63, tab[idx(k - 1)] + 1))
             self.tables.append(tab)
