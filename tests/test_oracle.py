@@ -51,18 +51,12 @@ def md5_compare(tmp_path, **kw):
 
     import numpy as np
 
-    from vvdec_tpu.decoder import parse_annexb
-    from vvdec_tpu.frame.recon_np import reconstruct_frame
+    from vvdec_tpu.decoder import decode_to_yuv
     from vvdec_tpu.testenc.encoder import generate_stream
 
-    kw.setdefault("pps_kw", dict(deblocking_filter_control_present=True,
-                                 deblocking_filter_disabled=True))
     stream, _ = generate_stream(**kw)
     ref = ref_decode(stream, tmp_path, expect_frames=kw.get("n_frames", 1))
-    out = b""
-    for f in parse_annexb(stream):
-        for p in reconstruct_frame(f.cs):
-            out += p.astype("<u2").tobytes()
+    out = decode_to_yuv(stream)
     assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest(), \
         "decoded YUV differs from reference"
 

@@ -84,3 +84,31 @@ def t_is_ref(nal_type) -> bool:
 
 def parse_annexb(data: bytes) -> list[ParsedFrame]:
     return FrameParser().parse_stream(data)
+
+
+def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
+    """Full decode: Annex-B stream -> list of frames, each a list of uint16
+    planes (Y, Cb, Cr).  The numpy golden path; `use_jax=True` routes the
+    reconstruction through the JAX device pipeline."""
+    from vvdec_tpu.frame.deblock_np import deblock_frame
+    from vvdec_tpu.frame.recon_np import IntraReconstructor
+
+    frames = []
+    for f in parse_annexb(data):
+        if use_jax:
+            from vvdec_tpu.ops.pipeline import reconstruct_frame_jax
+            planes = reconstruct_frame_jax(f.cs)
+        else:
+            planes = IntraReconstructor(f.cs).run()
+            deblock_frame(f.cs, planes)
+        frames.append([p.astype(np.uint16) for p in planes])
+    return frames
+
+
+def decode_to_yuv(data: bytes, use_jax: bool = False) -> bytes:
+    """Decode to the vvdecapp YUV output format (16-bit LE planar)."""
+    out = b""
+    for planes in decode_annexb(data, use_jax=use_jax):
+        for p in planes:
+            out += p.astype("<u2").tobytes()
+    return out

@@ -1,0 +1,539 @@
+"""Numpy golden deblocking filter (H.266 clause 8.8.3), intra tool scope.
+
+Behavioral parity: vvdec LoopFilter (source/Lib/CommonLib/LoopFilter.cpp —
+strength derivation xSetMaxFilterLengthPQFromTransformSizes :780 /
+xGetBoundaryStrengthSingle :1094, luma filter xEdgeFilterLuma :1464 +
+xPelFilterLumaCorePel :213 + xFilteringPandQCore :129, chroma filter
+xEdgeFilterChroma :1620 + xPelFilterChroma :281, decision helpers
+xCalcDP/DQ :1393 / xUseStrongFiltering :1410, tables :84-104).
+
+VVC guarantees non-overlapping filter operations per direction, so each
+direction is applied as an embarrassingly parallel whole-frame pass
+(vertical edges first, then horizontal) — this maps directly onto the
+TPU whole-frame kernel later.
+
+Current scope: intra CUs (BS=2 everywhere on filtered edges), single tree,
+no BDPCM/ISP; inter BS derivation arrives with inter support.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vvdec_tpu.frame.structure import CodingStructure, MODE_INTRA
+
+TC_TABLE = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 3, 4, 4, 4, 4, 5,
+    5, 5, 5, 7, 7, 8, 9, 10, 10, 11, 13, 14, 15, 17, 19, 21, 24, 25, 29, 33,
+    36, 41, 45, 51, 57, 64, 71, 80, 89, 100, 112, 125, 141, 157, 177, 198,
+    222, 250, 280, 314, 352, 395], dtype=np.int32)
+BETA_TABLE = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11, 12,
+    13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38, 40, 42,
+    44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64, 66, 68, 70, 72, 74, 76, 78,
+    80, 82, 84, 86, 88], dtype=np.int32)
+
+DB_COEFFS = {7: (59, 50, 41, 32, 23, 14, 5), 5: (58, 45, 32, 19, 6),
+             3: (53, 32, 11)}
+TC_COEFFS = {7: (6, 5, 4, 3, 2, 1, 1), 5: (6, 5, 4, 3, 2), 3: (6, 4, 2)}
+# NOTE: tcP table is tc7 for sides 5 and 7, tc3 only for side 3
+DEFAULT_INTRA_TC_OFFSET = 2
+MAX_QP = 63
+
+
+class EdgeParams:
+    """Per-4x4-cell edge parameter maps for one direction."""
+
+    def __init__(self, h4: int, w4: int):
+        self.bs_y = np.zeros((h4, w4), dtype=np.int8)
+        self.bs_cb = np.zeros((h4, w4), dtype=np.int8)
+        self.bs_cr = np.zeros((h4, w4), dtype=np.int8)
+        self.qp_y = np.zeros((h4, w4), dtype=np.int16)
+        self.qp_cb = np.zeros((h4, w4), dtype=np.int16)
+        self.qp_cr = np.zeros((h4, w4), dtype=np.int16)
+        self.max_fl_p = np.zeros((h4, w4), dtype=np.int8)
+        self.max_fl_q = np.zeros((h4, w4), dtype=np.int8)
+        self.cmfl = np.zeros((h4, w4), dtype=np.int8)  # chroma long filter flag
+
+
+class Deblocker:
+    def __init__(self, cs: CodingStructure, reco: list[np.ndarray]):
+        self.cs = cs
+        self.reco = reco
+        self.bit_depth = cs.sps.bit_depth
+        self.pel_max = (1 << self.bit_depth) - 1
+        h4, w4 = cs.h >> 2, cs.w >> 2
+        self.edges = [EdgeParams(h4, w4), EdgeParams(h4, w4)]  # [VER, HOR]
+        # per-4x4 (luma units) TU index maps, separately per plane — local
+        # dual tree produces luma-only and chroma-only TUs
+        self.tu_map = np.full((h4, w4), -1, dtype=np.int32)
+        self.tu_map_c = np.full((h4, w4), -1, dtype=np.int32)
+        for i, tu in enumerate(cs.tus):
+            if tu.blocks[0] is not None:
+                x, y, w, h = tu.blocks[0]
+                self.tu_map[y >> 2:(y + h) >> 2, x >> 2:(x + w) >> 2] = i
+            if tu.blocks[1] is not None:
+                cx, cy, cw, chh = tu.blocks[1]
+                x, y = cx * cs.sub_w, cy * cs.sub_h
+                w, h = cw * cs.sub_w, chh * cs.sub_h
+                self.tu_map_c[y >> 2:(y + h) >> 2, x >> 2:(x + w) >> 2] = i
+
+    # ---------------- strength derivation ----------------
+    def derive_strengths(self) -> None:
+        cs = self.cs
+        if cs.sh.deblocking_disabled:
+            return
+        for tu in cs.tus:
+            cu = cs.cus[tu.cu_idx]
+            if cu.pred_mode != MODE_INTRA:
+                raise NotImplementedError("inter deblocking strengths")
+            self._tu_edges(tu, cu, 0)  # EDGE_VER
+            self._tu_edges(tu, cu, 1)  # EDGE_HOR
+
+    def _cu_filter_edge_allowed(self, cu, dir_: int) -> bool:
+        """CU-boundary edge filterable? (xGetLoopfilterParam)."""
+        cs = self.cs
+        x, y = cu.x, cu.y
+        if dir_ == 0:
+            if x == 0:
+                return False
+            nb = cs.cu_at(x - 1, y, 0)
+        else:
+            if y == 0:
+                return False
+            nb = cs.cu_at(x, y - 1, 0)
+        if nb is None:
+            return False
+        pps = cs.pps
+        if nb.slice_idx != cu.slice_idx and not pps.loop_filter_across_slices:
+            return False
+        if nb.tile_idx != cu.tile_idx and not pps.loop_filter_across_tiles:
+            return False
+        return True
+
+    def _tu_edges(self, tu, cu, dir_: int) -> None:
+        """Set edge params along the leading edge of this TU."""
+        cs = self.cs
+        ep = self.edges[dir_]
+        if tu.blocks[0] is not None:
+            x, y, w, h = tu.blocks[0]
+        else:
+            cx, cy, cw, chh = tu.blocks[1]
+            x, y = cx * cs.sub_w, cy * cs.sub_h
+            w, h = cw * cs.sub_w, chh * cs.sub_h
+        # edge at TU start; interior CU edges always filtered, CU-boundary
+        # edges subject to availability
+        at_cu_edge = (x == cu.x) if dir_ == 0 else (y == cu.y)
+        if at_cu_edge:
+            if not self._cu_filter_edge_allowed(cu, dir_):
+                filter_edge = False
+            else:
+                filter_edge = True
+        else:
+            filter_edge = True
+        edge_pos = x if dir_ == 0 else y
+        if edge_pos == 0 or not filter_edge:
+            luma_edge = False
+        else:
+            luma_edge = True
+
+        if tu.blocks[0] is None:
+            luma_edge = False
+        if luma_edge:
+            n_cells = (h if dir_ == 0 else w) >> 2
+            for d in range(n_cells):
+                if dir_ == 0:
+                    cx4, cy4 = x >> 2, (y >> 2) + d
+                    px, py = x - 1, y + 4 * d
+                else:
+                    cx4, cy4 = (x >> 2) + d, y >> 2
+                    px, py = x + 4 * d, y - 1
+                cu_p = cs.cu_at(px, py, 0)
+                tu_p = cs.tus[int(self.tu_map[py >> 2, px >> 2])]
+                size_q = w if dir_ == 0 else h
+                pblk = tu_p.blocks[0]
+                size_p = pblk[2] if dir_ == 0 else pblk[3]
+                # BS (intra): 2 unless both-side BDPCM
+                bs = 0 if (cu.bdpcm_mode and cu_p.bdpcm_mode) else 2
+                ep.bs_y[cy4, cx4] = bs
+                ep.qp_y[cy4, cx4] = (cu.qp + cu_p.qp + 1) >> 1
+                if size_p <= 4 or size_q <= 4:
+                    flp = flq = 1
+                else:
+                    flp = 7 if size_p >= 32 else 3
+                    flq = 7 if size_q >= 32 else 3
+                ep.max_fl_p[cy4, cx4] = flp
+                ep.max_fl_q[cy4, cx4] = flq
+
+        # chroma edges (from the chroma TU block)
+        if tu.blocks[1] is None or cs.num_comp == 1:
+            return
+        cx0, cy0, cw, chh = tu.blocks[1]
+        edge_pos_c = cx0 if dir_ == 0 else cy0
+        if edge_pos_c == 0 or not filter_edge:
+            return
+        sub_w, sub_h = cs.sub_w, cs.sub_h
+        qp_bd2 = cs.sps.qp_bd_offset * 2
+        inc_c = 4 // (sub_h if dir_ == 0 else sub_w)  # chroma samples per cell
+        n_cells_c = (chh if dir_ == 0 else cw) // inc_c
+        for d in range(n_cells_c):
+            if dir_ == 0:
+                pcx, pcy = cx0 - 1, cy0 + inc_c * d
+                lx, ly = (cx0 * sub_w) >> 2, ((cy0 + inc_c * d) * sub_h) >> 2
+                cy4, cx4 = ly, lx
+            else:
+                pcx, pcy = cx0 + inc_c * d, cy0 - 1
+                cy4 = (cy0 * sub_h) >> 2
+                cx4 = ((cx0 + inc_c * d) * sub_w) >> 2
+            plx, ply = pcx * sub_w, pcy * sub_h
+            cu_p = cs.cu_at(pcx, pcy, 1) or cs.cu_at(plx, ply, 0)
+            tu_p = cs.tus[int(self.tu_map_c[ply >> 2, plx >> 2])]
+            bs = 0 if (cu.bdpcm_mode_chroma and cu_p.bdpcm_mode_chroma) else 2
+            ep.bs_cb[cy4, cx4] = bs
+            ep.bs_cr[cy4, cx4] = bs
+            ep.qp_cb[cy4, cx4] = (tu_p.chroma_qp[0] + tu.chroma_qp[0] - qp_bd2 + 1) >> 1
+            ep.qp_cr[cy4, cx4] = (tu_p.chroma_qp[1] + tu.chroma_qp[1] - qp_bd2 + 1) >> 1
+            size_q = cw if dir_ == 0 else chh
+            pblk = tu_p.blocks[1]
+            size_p = pblk[2] if dir_ == 0 else pblk[3]
+            ep.cmfl[cy4, cx4] = 1 if (size_p >= 8 and size_q >= 8) else 0
+
+    # ---------------- application ----------------
+    def apply(self) -> None:
+        if self.cs.sh.deblocking_disabled:
+            return
+        self.derive_strengths()
+        for dir_ in (0, 1):
+            self._filter_luma(dir_)
+            if self.cs.num_comp > 1:
+                self._filter_chroma(dir_)
+
+    # -- luma --
+    def _filter_luma(self, dir_: int) -> None:
+        cs = self.cs
+        ep = self.edges[dir_]
+        sh = cs.sh
+        plane = self.reco[0]
+        h4, w4 = ep.bs_y.shape
+        cells = np.argwhere(ep.bs_y > 0)
+        for cy4, cx4 in cells:
+            self._luma_edge_cell(plane, dir_, int(cx4) * 4, int(cy4) * 4,
+                                 ep, int(cy4), int(cx4), sh)
+
+    def _luma_edge_cell(self, plane, dir_, x, y, ep, cy4, cx4, sh) -> None:
+        """Filter one 4-line edge segment (xEdgeFilterLuma)."""
+        bs = int(ep.bs_y[cy4, cx4])
+        qp = int(ep.qp_y[cy4, cx4])
+        max_fl_p = int(ep.max_fl_p[cy4, cx4])
+        max_fl_q = int(ep.max_fl_q[cy4, cx4])
+        bd = self.bit_depth
+
+        # sample accessor: s(line, k) = sample at offset k across the edge
+        # (k=0 is Q side first sample, -1 is P side first)
+        if dir_ == 0:
+            def get(line, k):
+                return int(plane[y + line, x + k])
+
+            def put(line, k, v):
+                plane[y + line, x + k] = v
+        else:
+            def get(line, k):
+                return int(plane[y + k, x + line])
+
+            def put(line, k, v):
+                plane[y + k, x + line] = v
+
+        side_p_large = max_fl_p > 3
+        side_q_large = max_fl_q > 3
+        if dir_ == 1 and (y & (self.cs.sps.ctu_size - 1)) == 0:
+            side_p_large = False
+
+        idx_tc = max(0, min(MAX_QP + DEFAULT_INTRA_TC_OFFSET,
+                            qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1)
+                            + 2 * sh.tc_offset_div2))
+        idx_b = max(0, min(MAX_QP, qp + 2 * sh.beta_offset_div2))
+        tc = (TC_TABLE[idx_tc] << (bd - 10)) if bd >= 10 else \
+            ((TC_TABLE[idx_tc] + (1 << (9 - bd))) >> (10 - bd))
+        tc = int(tc)
+        beta = int(BETA_TABLE[idx_b]) << (bd - 8)
+        side_thresh = (beta + (beta >> 1)) >> 3
+        thr_cut = tc * 10
+        if beta == 0 and tc == 0:
+            return
+
+        def calc_dp(line, base):
+            return abs(get(line, base - 3) - 2 * get(line, base - 2) + get(line, base - 1))
+
+        def calc_dq(line, base):
+            return abs(get(line, base) - 2 * get(line, base + 1) + get(line, base + 2))
+
+        dp0, dq0 = calc_dp(0, 0), calc_dq(0, 0)
+        dp3, dq3 = calc_dp(3, 0), calc_dq(3, 0)
+        d0, d3 = dp0 + dq0, dp3 + dq3
+
+        def use_strong(line, d2, use_large, mfp, mfq):
+            m3, m4 = get(line, -1), get(line, 0)
+            if not (d2 < (beta >> 2) and abs(m3 - m4) < ((tc * 5 + 1) >> 1)):
+                return False
+            m0, m7 = get(line, -4), get(line, 3)
+            sp3 = abs(m0 - m3)
+            sq3 = abs(m7 - m4)
+            if use_large:
+                sp_l, sq_l = side_p_large, side_q_large
+                if sp_l:
+                    mp4 = get(line, -mfp - 1)
+                    if mfp == 7:
+                        sp3 += abs(get(line, -5) - get(line, -6) - get(line, -7) + mp4)
+                    sp3 = (sp3 + abs(m0 - mp4) + 1) >> 1
+                if sq_l:
+                    m11 = get(line, mfq)
+                    if mfq == 7:
+                        sq3 += abs(get(line, 4) - get(line, 5) - get(line, 6) + m11)
+                    sq3 = (sq3 + abs(m11 - m7) + 1) >> 1
+                return ((sp3 + sq3) < (beta * 3 >> 5)) and (d2 < (beta >> 4)) \
+                    and (abs(m3 - m4) < ((tc * 5 + 1) >> 1))
+            return (sp3 + sq3) < (beta >> 3)
+
+        if side_p_large or side_q_large:
+            dp0l = ((dp0 + calc_dp(0, -3) + 1) >> 1) if side_p_large else dp0
+            dq0l = ((dq0 + calc_dq(0, 3) + 1) >> 1) if side_q_large else dq0
+            dp3l = ((dp3 + calc_dp(3, -3) + 1) >> 1) if side_p_large else dp3
+            dq3l = ((dq3 + calc_dq(3, 3) + 1) >> 1) if side_q_large else dq3
+            d0l, d3l = dp0l + dq0l, dp3l + dq3l
+            if d0l + d3l < beta:
+                sw_l = use_strong(0, 2 * d0l, True, max_fl_p, max_fl_q) and \
+                    use_strong(3, 2 * d3l, True, max_fl_p, max_fl_q)
+                if sw_l:
+                    self._long_filter(get, put, max_fl_p if side_p_large else 3,
+                                      max_fl_q if side_q_large else 3, tc)
+                    return
+
+        dp, dq, d = dp0 + dp3, dq0 + dq3, d0 + d3
+        if d >= beta:
+            return
+        filter_p = filter_q = False
+        if max_fl_p > 1 and max_fl_q > 1:
+            filter_p = dp < side_thresh
+            filter_q = dq < side_thresh
+        sw = False
+        if max_fl_p > 2 and max_fl_q > 2:
+            sw = use_strong(0, 2 * d0, False, 7, 7) and use_strong(3, 2 * d3, False, 7, 7)
+        for line in range(4):
+            self._pel_filter_luma(get, put, line, tc, sw, thr_cut,
+                                  filter_p, filter_q)
+
+    def _pel_filter_luma(self, get, put, line, tc, sw, thr_cut,
+                         filter_p, filter_q) -> None:
+        m1, m2, m3 = get(line, -3), get(line, -2), get(line, -1)
+        m4, m5, m6 = get(line, 0), get(line, 1), get(line, 2)
+        if sw:
+            m0, m7 = get(line, -4), get(line, 3)
+            def c3(v, ref, t):
+                return max(ref - t, min(ref + t, v))
+            put(line, -3, c3((2 * m0 + 3 * m1 + m2 + m3 + m4 + 4) >> 3, m1, tc))
+            put(line, -2, c3((m1 + m2 + m3 + m4 + 2) >> 2, m2, 2 * tc))
+            put(line, -1, c3((m1 + 2 * m2 + 2 * m3 + 2 * m4 + m5 + 4) >> 3, m3, 3 * tc))
+            put(line, 0, c3((m2 + 2 * m3 + 2 * m4 + 2 * m5 + m6 + 4) >> 3, m4, 3 * tc))
+            put(line, 1, c3((m3 + m4 + m5 + m6 + 2) >> 2, m5, 2 * tc))
+            put(line, 2, c3((m3 + m4 + m5 + 3 * m6 + 2 * m7 + 4) >> 3, m6, tc))
+        else:
+            delta = (9 * (m4 - m3) - 3 * (m5 - m2) + 8) >> 4
+            if abs(delta) < thr_cut:
+                delta = max(-tc, min(tc, delta))
+                tc2 = tc >> 1
+                put(line, -1, self._clip_pel(m3 + delta))
+                if filter_p:
+                    d1 = max(-tc2, min(tc2, (((m1 + m3 + 1) >> 1) - m2 + delta) >> 1))
+                    put(line, -2, self._clip_pel(m2 + d1))
+                put(line, 0, self._clip_pel(m4 - delta))
+                if filter_q:
+                    d2 = max(-tc2, min(tc2, (((m6 + m4 + 1) >> 1) - m5 - delta) >> 1))
+                    put(line, 1, self._clip_pel(m5 + d2))
+
+    def _long_filter(self, get, put, n_p, n_q, tc) -> None:
+        """Long bilinear filter (xFilteringPandQCore + xBilinearFilter)."""
+        dbp, dbq = DB_COEFFS[n_p], DB_COEFFS[n_q]
+        tc7 = (6, 5, 4, 3, 2, 1, 1)
+        tc3 = (6, 4, 2)
+        tcp = tc3 if n_p == 3 else tc7
+        tcq = tc3 if n_q == 3 else tc7
+        for line in range(4):
+            def p(k):
+                return get(line, -1 - k)
+
+            def q(k):
+                return get(line, k)
+            ref_p = (p(n_p - 1) + p(n_p) + 1) >> 1
+            ref_q = (q(n_q - 1) + q(n_q) + 1) >> 1
+            if n_p == n_q:
+                if n_p == 5:
+                    ref_m = (2 * (p(0) + q(0) + p(1) + q(1) + p(2) + q(2))
+                             + p(3) + q(3) + p(4) + q(4) + 8) >> 4
+                else:
+                    ref_m = (2 * (p(0) + q(0)) + p(1) + q(1) + p(2) + q(2)
+                             + p(3) + q(3) + p(4) + q(4) + p(5) + q(5)
+                             + p(6) + q(6) + 8) >> 4
+            else:
+                if n_q > n_p:
+                    pl, ql = q, p  # pl = larger side
+                    n_l, n_s = n_q, n_p
+                else:
+                    pl, ql = p, q
+                    n_l, n_s = n_p, n_q
+                if n_l == 7 and n_s == 5:
+                    ref_m = (2 * (p(0) + q(0) + p(1) + q(1)) + p(2) + q(2)
+                             + p(3) + q(3) + p(4) + q(4) + p(5) + q(5) + 8) >> 4
+                elif n_l == 7 and n_s == 3:
+                    ref_m = (2 * (pl(0) + ql(0)) + ql(0) + 2 * (ql(1) + ql(2))
+                             + pl(1) + ql(1) + pl(2) + pl(3) + pl(4) + pl(5)
+                             + pl(6) + 8) >> 4
+                else:  # 5 & 3
+                    ref_m = (p(0) + q(0) + p(1) + q(1) + p(2) + q(2)
+                             + p(3) + q(3) + 4) >> 3
+            for pos in range(n_p):
+                src = p(pos)
+                cv = (tc * tcp[pos]) >> 1
+                val = (ref_m * dbp[pos] + ref_p * (64 - dbp[pos]) + 32) >> 6
+                put(line, -1 - pos, max(src - cv, min(src + cv, val)))
+            for pos in range(n_q):
+                src = q(pos)
+                cv = (tc * tcq[pos]) >> 1
+                val = (ref_m * dbq[pos] + ref_q * (64 - dbq[pos]) + 32) >> 6
+                put(line, pos, max(src - cv, min(src + cv, val)))
+
+    def _clip_pel(self, v: int) -> int:
+        return max(0, min(self.pel_max, v))
+
+    # -- chroma --
+    def _filter_chroma(self, dir_: int) -> None:
+        cs = self.cs
+        ep = self.edges[dir_]
+        sh = cs.sh
+        sub_w, sub_h = cs.sub_w, cs.sub_h
+        cw, chh = cs.comp_size[1]
+        # grid: edges every 8 chroma samples perpendicular, 2-chroma-line cells
+        if dir_ == 0:
+            perp_step = 8        # chroma columns between edges
+            par_step = 4 // sub_h  # chroma rows per param cell
+        else:
+            perp_step = 8
+            par_step = 4 // sub_w
+        sub_shift = sub_h - 1 if dir_ == 0 else sub_w - 1  # 420: 1
+
+        for c1 in range(0, (chh if dir_ == 0 else cw), par_step):
+            for c0 in range(perp_step, (cw if dir_ == 0 else chh), perp_step):
+                # map cell in luma-4x4 units
+                if dir_ == 0:
+                    ccx, ccy = c0, c1
+                else:
+                    ccx, ccy = c1, c0
+                cx4 = (ccx * sub_w) >> 2
+                cy4 = (ccy * sub_h) >> 2
+                bs_cb = int(ep.bs_cb[cy4, cx4])
+                bs_cr = int(ep.bs_cr[cy4, cx4])
+                if bs_cb <= 0 and bs_cr <= 0:
+                    continue
+                self._chroma_edge_cell(dir_, ccx, ccy, ep, cy4, cx4, sh,
+                                       par_step, sub_shift)
+
+    def _chroma_edge_cell(self, dir_, ccx, ccy, ep, cy4, cx4, sh,
+                          loop_len, sub_shift) -> None:
+        cs = self.cs
+        bd = self.bit_depth
+        large = bool(ep.cmfl[cy4, cx4])
+        ctu_c_mask = (cs.sps.ctu_size // cs.sub_h) - 1
+        is_hor_ctb = dir_ == 1 and (ccy & ctu_c_mask) == 0
+        for idx, comp in enumerate((1, 2)):
+            bs = int((ep.bs_cb if comp == 1 else ep.bs_cr)[cy4, cx4])
+            if not (bs == 2 or (large and bs == 1)):
+                continue
+            plane = self.reco[comp]
+            qp = int((ep.qp_cb if comp == 1 else ep.qp_cr)[cy4, cx4])
+            tc_off = sh.cb_tc_offset_div2 if comp == 1 else sh.cr_tc_offset_div2
+            beta_off = sh.cb_beta_offset_div2 if comp == 1 else sh.cr_beta_offset_div2
+            idx_tc = max(0, min(MAX_QP + DEFAULT_INTRA_TC_OFFSET,
+                                qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + 2 * tc_off))
+            tc = (TC_TABLE[idx_tc] << (bd - 10)) if bd >= 10 else \
+                ((TC_TABLE[idx_tc] + (1 << (9 - bd))) >> (10 - bd))
+            tc = int(tc)
+            if tc == 0 and not large:
+                continue
+
+            if dir_ == 0:
+                def get(line, k):
+                    return int(plane[ccy + line, ccx + k])
+
+                def put(line, k, v):
+                    plane[ccy + line, ccx + k] = v
+            else:
+                def get(line, k):
+                    return int(plane[ccy + k, ccx + line])
+
+                def put(line, k, v):
+                    plane[ccy + k, ccx + line] = v
+
+            sw = False
+            if large:
+                beta = int(BETA_TABLE[max(0, min(MAX_QP, qp + 2 * beta_off))]) \
+                    << (bd - 8)
+
+                def calc_dp(line, hor_ctb):
+                    if hor_ctb:
+                        return abs(get(line, -2) - 2 * get(line, -2) + get(line, -1))
+                    return abs(get(line, -3) - 2 * get(line, -2) + get(line, -1))
+
+                def calc_dq(line):
+                    return abs(get(line, 0) - 2 * get(line, 1) + get(line, 2))
+
+                line3 = 1 if sub_shift == 1 else 3
+                dp0 = calc_dp(0, is_hor_ctb)
+                dq0 = calc_dq(0)
+                dp3 = calc_dp(line3, is_hor_ctb)
+                dq3 = calc_dq(line3)
+                d0, d3 = dp0 + dq0, dp3 + dq3
+                if d0 + d3 < beta:
+                    sw = self._chroma_strong(get, 0, 2 * d0, beta, tc, is_hor_ctb) \
+                        and self._chroma_strong(get, line3, 2 * d3, beta, tc, is_hor_ctb)
+            for line in range(loop_len):
+                self._pel_filter_chroma(get, put, line, tc, sw, large, is_hor_ctb)
+
+    def _chroma_strong(self, get, line, d2, beta, tc, hor_ctb) -> bool:
+        m3, m4 = get(line, -1), get(line, 0)
+        if not (d2 < (beta >> 2) and abs(m3 - m4) < ((tc * 5 + 1) >> 1)):
+            return False
+        m0, m7 = get(line, -4), get(line, 3)
+        m2 = get(line, -2)
+        sp3 = abs(m2 - m3) if hor_ctb else abs(m0 - m3)
+        sq3 = abs(m7 - m4)
+        return (sp3 + sq3) < (beta >> 3)
+
+    def _pel_filter_chroma(self, get, put, line, tc, sw, large, hor_ctb) -> None:
+        m2, m3 = get(line, -2), get(line, -1)
+        m4, m5 = get(line, 0), get(line, 1)
+        if sw:
+            m6, m7 = get(line, 2), get(line, 3)
+
+            def c3(v, ref):
+                return max(ref - tc, min(ref + tc, v))
+            if hor_ctb:
+                put(line, -1, c3((3 * m2 + 2 * m3 + m4 + m5 + m6 + 4) >> 3, m3))
+                put(line, 0, c3((2 * m2 + m3 + 2 * m4 + m5 + m6 + m7 + 4) >> 3, m4))
+                put(line, 1, c3((m2 + m3 + m4 + 2 * m5 + m6 + 2 * m7 + 4) >> 3, m5))
+                put(line, 2, c3((m3 + m4 + m5 + 2 * m6 + 3 * m7 + 4) >> 3, m6))
+            else:
+                m0, m1 = get(line, -4), get(line, -3)
+                put(line, -3, c3((3 * m0 + 2 * m1 + m2 + m3 + m4 + 4) >> 3, m1))
+                put(line, -2, c3((2 * m0 + m1 + 2 * m2 + m3 + m4 + m5 + 4) >> 3, m2))
+                put(line, -1, c3((m0 + m1 + m2 + 2 * m3 + m4 + m5 + m6 + 4) >> 3, m3))
+                put(line, 0, c3((m1 + m2 + m3 + 2 * m4 + m5 + m6 + m7 + 4) >> 3, m4))
+                put(line, 1, c3((m2 + m3 + m4 + 2 * m5 + m6 + 2 * m7 + 4) >> 3, m5))
+                put(line, 2, c3((m3 + m4 + m5 + 2 * m6 + 3 * m7 + 4) >> 3, m6))
+        else:
+            delta = max(-tc, min(tc, ((((m4 - m3) * 4) + m2 - m5 + 4) >> 3)))
+            put(line, -1, self._clip_pel(m3 + delta))
+            put(line, 0, self._clip_pel(m4 - delta))
+
+
+def deblock_frame(cs: CodingStructure, reco: list[np.ndarray]) -> None:
+    """In-place deblocking of reconstructed planes."""
+    Deblocker(cs, reco).apply()
