@@ -149,8 +149,10 @@ def wide_angle(width: int, height: int, mode: int) -> int:
 class IntraReconstructor:
     """Whole-frame intra reconstruction in parse order (numpy golden)."""
 
-    def __init__(self, cs: CodingStructure):
+    def __init__(self, cs: CodingStructure, residual_planes=None):
         self.cs = cs
+        # optional precomputed residual planes (device ITX stage output)
+        self.residual_planes = residual_planes
         self.bit_depth = cs.sps.bit_depth
         self.pel_max = (1 << self.bit_depth) - 1
         self.reco = [np.zeros((h, w), dtype=np.int32) for (w, h) in cs.comp_size]
@@ -527,22 +529,25 @@ class IntraReconstructor:
             x, y, w, h = tu.blocks[comp]
             pred = self.predict_tu(tu, cu, comp)
             if tu.cbf[comp] or (comp == 2 and tu.joint_cbcr):
-                levels = cs.coef[comp][y: y + h, x: x + w]
-                # luma: QpParam baseQp = qp + QpBdOffset (Quant.cpp:79);
-                # chroma qp already includes the offset (ctu_decoder._set_chroma_qp)
-                qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
-                    else tu.chroma_qp[comp - 1]
-                if tu.mts_idx[comp] == MTS_SKIP:
-                    raise NotImplementedError("transform skip recon")
                 if tu.joint_cbcr:
                     raise NotImplementedError("joint CbCr recon")
-                dep_quant = cs.sh.dep_quant_used
-                deq = dequant_block(levels, qp, w.bit_length() - 1,
-                                    h.bit_length() - 1, self.bit_depth,
-                                    dep_quant, tu.max_scan_x[comp],
-                                    tu.max_scan_y[comp])
-                hor, ver = get_tr_types(cs, tu, cu, comp)
-                resi = inverse_transform(deq, hor, ver, self.bit_depth)
+                if self.residual_planes is not None:
+                    resi = self.residual_planes[comp][y: y + h, x: x + w]
+                else:
+                    levels = cs.coef[comp][y: y + h, x: x + w]
+                    # luma: QpParam baseQp = qp + QpBdOffset (Quant.cpp:79);
+                    # chroma qp already includes the offset (_set_chroma_qp)
+                    qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
+                        else tu.chroma_qp[comp - 1]
+                    if tu.mts_idx[comp] == MTS_SKIP:
+                        raise NotImplementedError("transform skip recon")
+                    dep_quant = cs.sh.dep_quant_used
+                    deq = dequant_block(levels, qp, w.bit_length() - 1,
+                                        h.bit_length() - 1, self.bit_depth,
+                                        dep_quant, tu.max_scan_x[comp],
+                                        tu.max_scan_y[comp])
+                    hor, ver = get_tr_types(cs, tu, cu, comp)
+                    resi = inverse_transform(deq, hor, ver, self.bit_depth)
                 out = np.clip(pred + resi, 0, self.pel_max)
             else:
                 out = np.clip(pred, 0, self.pel_max)

@@ -1,0 +1,147 @@
+"""JAX device pipeline: batched reconstruction stages on TPU.
+
+TPU-first design (SURVEY.md §7): the host CABAC stage emits whole-frame
+coefficient planes and per-TU metadata; the device plane runs *batched* stage
+kernels over all TUs of a frame grouped by shape:
+
+  Stage 1  dequant + inverse transform   — two int32 matmuls per size class
+           (bit-exact integer arithmetic; the MXU int8-split Pallas kernel is
+           the planned fast path, this is the XLA reference)
+  Stage 2  intra prediction + reconstruct — host for now (sequential TU
+           dependency; device wavefront planned)
+  Stage 3  deblocking                     — host numpy golden (device whole-
+           frame stencil planned)
+
+All functions are shape-specialized and cached, so per-frame work is pure
+device execution after warmup.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vvdec_tpu.frame.structure import CodingStructure, MODE_INTRA, MTS_SKIP
+from vvdec_tpu.ops import rom
+from vvdec_tpu.ops.tables import tr_matrix
+
+MAX_LOG2_TR_RANGE = 15
+
+
+@functools.lru_cache(maxsize=None)
+def _itx_fn(h: int, w: int, tr_hor: str, tr_ver: str, bit_depth: int,
+            dep_quant: bool):
+    """Jitted batched dequant+ITX for one TU shape: (levels [N,h,w] int32,
+    qp [N] int32) -> residual [N,h,w] int32."""
+    log2_w, log2_h = w.bit_length() - 1, h.bit_length() - 1
+    transform_shift = MAX_LOG2_TR_RANGE - bit_depth - ((log2_w + log2_h) >> 1)
+    needs_sqrt2 = ((log2_w + log2_h) & 1) == 1
+    i_transform_shift = transform_shift + (-1 if needs_sqrt2 else 0)
+    scales = jnp.asarray(rom.INV_QUANT_SCALES[1 if needs_sqrt2 else 0],
+                         dtype=jnp.int32)
+    tr_max = (1 << MAX_LOG2_TR_RANGE) - 1
+
+    mv = jnp.asarray(tr_matrix(tr_ver, h), dtype=jnp.int32)
+    mh = jnp.asarray(tr_matrix(tr_hor, w), dtype=jnp.int32)
+    s1 = 7
+    s2 = (6 + MAX_LOG2_TR_RANGE - 1) - bit_depth
+    clip_min, clip_max = -(1 << MAX_LOG2_TR_RANGE), (1 << MAX_LOG2_TR_RANGE) - 1
+
+    @jax.jit
+    def run(levels: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
+        if dep_quant:
+            qp_per = (qp + 1) // 6
+            qp_rem = qp + 1 - 6 * qp_per
+        else:
+            qp_per, qp_rem = qp // 6, qp % 6
+        right_shift = 6 + (1 if dep_quant else 0) - (i_transform_shift + qp_per)
+        scale = scales[qp_rem]
+        target_bd = jnp.minimum(MAX_LOG2_TR_RANGE + 1, 64 + right_shift - 7)
+        input_max = (1 << (target_bd - 1)) - 1
+
+        lv = levels
+        clipped = jnp.clip(lv, -input_max[:, None, None] - 1,
+                           input_max[:, None, None])
+        prod = clipped * scale[:, None, None]
+        rs = right_shift[:, None, None]
+        pos = (prod + (1 << jnp.maximum(rs - 1, 0))) >> jnp.maximum(rs, 0)
+        neg = prod << jnp.maximum(-rs, 0)
+        deq = jnp.where(rs > 0, pos, neg)
+        deq = jnp.where(lv != 0,
+                        jnp.clip(deq, -tr_max - 1, tr_max), 0)
+
+        if w > 1 and h > 1:
+            # pass 1 (vertical): tmp[n, x, y'] = sum_k coeff[n, k, x] * Mv[k, y']
+            tmp = jnp.einsum("nkx,ky->nxy", deq, mv,
+                             preferred_element_type=jnp.int32)
+            tmp = jnp.clip((tmp + (1 << (s1 - 1))) >> s1, clip_min, clip_max)
+            # pass 2 (horizontal): res[n, y', x'] = sum_k tmp[n, k, y'] * Mh[k, x']
+            blk = jnp.einsum("nky,kx->nyx", tmp, mh,
+                             preferred_element_type=jnp.int32)
+            res = jnp.clip((blk + (1 << (s2 - 1))) >> s2, clip_min, clip_max)
+            return res
+        # 1-D transforms
+        s = s2 + 1
+        if w == 1:
+            blk = jnp.einsum("nk,ky->ny", deq[:, :, 0], mv,
+                             preferred_element_type=jnp.int32)
+            res = jnp.clip((blk + (1 << (s - 1))) >> s, clip_min, clip_max)
+            return res[:, :, None]
+        blk = jnp.einsum("nk,kx->nx", deq[:, 0, :], mh,
+                         preferred_element_type=jnp.int32)
+        res = jnp.clip((blk + (1 << (s - 1))) >> s, clip_min, clip_max)
+        return res[:, None, :]
+
+    return run
+
+
+def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
+    """Run stage 1 (dequant + inverse transform) for a whole frame on device.
+
+    Returns per-component residual planes (int32) positioned at TU locations.
+    """
+    from vvdec_tpu.frame.recon_np import get_tr_types
+
+    resi = [np.zeros((h, w), dtype=np.int32) for (w, h) in cs.comp_size]
+    groups: dict[tuple, list] = {}
+    for tu in cs.tus:
+        cu = cs.cus[tu.cu_idx]
+        comps = []
+        if tu.blocks[0] is not None and tu.cbf[0]:
+            comps.append(0)
+        if tu.blocks[1] is not None:
+            comps += [c for c in (1, 2) if tu.cbf[c]]
+        for comp in comps:
+            if tu.mts_idx[comp] == MTS_SKIP:
+                raise NotImplementedError("TS on device path")
+            x, y, w, h = tu.blocks[comp]
+            hor, ver = get_tr_types(cs, tu, cu, comp)
+            qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 else tu.chroma_qp[comp - 1]
+            key = (comp != 0, w, h, hor, ver)
+            groups.setdefault(key, []).append((comp, x, y, qp))
+
+    dep_quant = bool(cs.sh.dep_quant_used)
+    for (is_chroma, w, h, hor, ver), items in groups.items():
+        levels = np.stack([cs.coef[comp][y: y + h, x: x + w]
+                           for comp, x, y, qp in items])
+        qps = np.array([qp for _, _, _, qp in items], dtype=np.int32)
+        fn = _itx_fn(h, w, hor, ver, cs.sps.bit_depth, dep_quant)
+        out = np.asarray(fn(jnp.asarray(levels), jnp.asarray(qps)))
+        for (comp, x, y, _), blk in zip(items, out):
+            resi[comp][y: y + h, x: x + w] = blk
+    return resi
+
+
+def reconstruct_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
+    """Frame reconstruction with stage 1 on device, stages 2-3 on host."""
+    from vvdec_tpu.frame.deblock_np import deblock_frame
+    from vvdec_tpu.frame.recon_np import IntraReconstructor
+
+    resi = itx_frame_jax(cs)
+    r = IntraReconstructor(cs, residual_planes=resi)
+    planes = r.run()
+    deblock_frame(cs, planes)
+    return planes
