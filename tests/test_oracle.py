@@ -83,3 +83,52 @@ class TestBitExactRecon:
     def test_multi_frame(self, tmp_path):
         md5_compare(tmp_path, width=64, height=64, n_frames=3, seed=9,
                     dec_kw=dict(split_prob=0.5))
+
+
+class TestToolsBitExact:
+    """Transform/residual tool combinations vs the reference."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_combined_tools(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions
+        from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+        class AllDec(RandomDecisions):
+            def bdpcm_mode(self, cu, ch):
+                return self.rnd.choice([0, 0, 1, 2])
+
+            def use_ts(self, tu, cu, comp):
+                return self.rnd.random() < 0.3
+
+            def lfnst_idx(self, cu):
+                return self.rnd.choice([0, 1, 2])
+
+            def mts_idx(self, cu):
+                return self.rnd.choice([0, 0, 2, 3, 4, 5])
+
+        sps = E.make_sps(64, 64, transform_skip_enabled=True, bdpcm_enabled=True,
+                         log2_max_ts_size=4, lfnst_enabled=True, mts_enabled=True,
+                         explicit_mts_intra=True,
+                         dep_quant_enabled=seed % 2 == 0,
+                         sign_data_hiding_enabled=seed % 4 >= 2)
+        pps = E.make_pps(sps)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        dec = AllDec(seed=seed, split_prob=0.5, density=0.15, max_level=30)
+        sh_kw = dict(dep_quant_used=seed % 2 == 0,
+                     sign_data_hiding_used=seed % 4 >= 2 and seed % 2 == 1)
+        nal, _ = E.encode_frame(sps, pps, dec, qp=32, sh_kw=sh_kw)
+        stream += nal
+        ref = ref_decode(stream, tmp_path)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

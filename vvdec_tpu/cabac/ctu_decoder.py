@@ -101,6 +101,18 @@ class Decisions:
     def qp_delta(self, cu: CodingUnit) -> int:
         return 0
 
+    def mts_idx(self, cu: CodingUnit) -> int:
+        return 0  # MTS_DCT2_DCT2 or MTS_DST7_DST7..MTS_DCT8_DCT8 (2..5)
+
+    def lfnst_idx(self, cu: CodingUnit) -> int:
+        return 0  # 0, 1 or 2
+
+    def use_ts(self, tu: TransformUnit, cu: CodingUnit, comp: int) -> bool:
+        return False
+
+    def bdpcm_mode(self, cu: CodingUnit, comp_ch: int) -> int:
+        return 0  # 0 off, 1 horizontal, 2 vertical
+
     def coeffs(self, tu: TransformUnit, cu: CodingUnit, comp: int) -> np.ndarray | None:
         """Quantized levels for the TU component (h x w int array) or None."""
         return None
@@ -540,9 +552,14 @@ class CtuDecoder:
         if not allowed:
             return
         ctx_id = 0 if comp_ch == 0 else 2
-        mode = self._bin(ctx("BDPCMMode", ctx_id), want=0)
+        want = None
+        if self.enc is not None:
+            want = self.decisions.bdpcm_mode(cu, comp_ch)
+        mode = self._bin(ctx("BDPCMMode", ctx_id),
+                         want=None if want is None else int(want > 0))
         if mode:
-            mode += self._bin(ctx("BDPCMMode", ctx_id + 1))
+            mode += self._bin(ctx("BDPCMMode", ctx_id + 1),
+                              want=None if want is None else int(want == 2))
         if comp_ch == 0:
             cu.bdpcm_mode = mode
         else:
@@ -957,7 +974,10 @@ class CtuDecoder:
                    or (cu.bdpcm_mode_chroma and comp != 0)) else 0
         ctx_idx = 4 if comp == 0 else 5
         if self._ts_allowed(tu, cu, comp):
-            ts = self._bin(ctx("MTSIndex", ctx_idx), want=0)
+            want = None
+            if self.enc is not None:
+                want = int(self.decisions.use_ts(tu, cu, comp))
+            ts = self._bin(ctx("MTSIndex", ctx_idx), want=want)
         tu.mts_idx[comp] = MTS_SKIP if ts else MTS_DCT2_DCT2
 
     def _ts_allowed(self, tu: TransformUnit, cu: CodingUnit, comp: int) -> bool:
@@ -980,11 +1000,17 @@ class CtuDecoder:
         mts = tu.mts_idx[0]
         if self._mts_allowed(cu) and not self.violates_mts and \
                 self.mts_last_scan_pos and cu.lfnst_idx == 0 and mts != MTS_SKIP:
-            symbol = self._bin(ctx("MTSIndex", 0), want=0)
+            target = None
+            if self.enc is not None:
+                target = self.decisions.mts_idx(cu)
+            symbol = self._bin(ctx("MTSIndex", 0),
+                               want=None if target is None else int(target >= 2))
             if symbol:
                 mts = MTS_DST7_DST7
                 for i in range(3):
-                    symbol = self._bin(ctx("MTSIndex", 1 + i))
+                    symbol = self._bin(ctx("MTSIndex", 1 + i),
+                                       want=None if target is None
+                                       else int(target > mts))
                     mts += symbol
                     if not symbol:
                         break
@@ -1000,9 +1026,48 @@ class CtuDecoder:
                 and not cu.isp_mode and cu.has_luma)
 
     def residual_lfnst_mode(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::residual_lfnst_mode (CABACReader.cpp:2578)."""
         if not self.sps.lfnst_enabled or cu.pred_mode != MODE_INTRA:
             return
-        raise NotImplementedError("LFNST")
+        sep_tree = cu.tree_type != TREE_D
+        ch_idx = 1 if (sep_tree and cu.ch_type == 1) else 0
+        if cu.isp_mode:
+            raise NotImplementedError("LFNST with ISP")
+        if cu.mip_flag and not (cu.w >= 16 and cu.h >= 16):
+            return
+        if cu.ch_type == 1 and min(cu.cw, cu.ch) < 4:
+            return
+        # luma-scaled size of the reference block
+        if ch_idx == 1:
+            lw, lh = cu.cw * self.cs.sub_w, cu.ch * self.cs.sub_h
+        else:
+            lw, lh = cu.w, cu.h
+        max_tb = 1 << self.sps.log2_max_tb_size
+        if lw > max_tb or lh > max_tb:
+            return
+        luma_flag = (cu.ch_type == 0) if sep_tree else True
+        chroma_flag = (cu.ch_type == 1) if sep_tree else True
+        nonzero_corner = (luma_flag and self.violates_lfnst[0]) or \
+            (chroma_flag and self.violates_lfnst[1])
+        is_tr_skip = False
+        for tu in cu.tus:
+            for comp in range(3):
+                if tu.blocks[comp] is not None and tu.cbf[comp] \
+                        and tu.mts_idx[comp] == MTS_SKIP:
+                    is_tr_skip = True
+        if nonzero_corner or (not self.lfnst_last_scan_pos and not cu.isp_mode) \
+                or is_tr_skip:
+            return
+        cctx = 1 if sep_tree else 0
+        want = None
+        if self.enc is not None:
+            want = self.decisions.lfnst_idx(cu)
+        idx = self._bin(ctx("LFNSTIdx", cctx),
+                        want=None if want is None else int(want > 0))
+        if idx:
+            idx += self._bin(ctx("LFNSTIdx", 2),
+                             want=None if want is None else int(want > 1))
+        cu.lfnst_idx = idx
 
     # ---------------- residual coding (regular path) ----------------
     def residual_coding(self, tu: TransformUnit, cu: CodingUnit, comp: int,
@@ -1011,7 +1076,8 @@ class CtuDecoder:
             return
         self.ts_flag(tu, cu, comp)
         if tu.mts_idx[comp] == MTS_SKIP and not self.sh.ts_residual_coding_disabled:
-            raise NotImplementedError("TS residual coding")
+            self.residual_coding_ts(tu, cu, comp, enc_block)
+            return
 
         ch = 0 if comp == 0 else 1
         x0, y0, w, h = tu.blocks[comp]
@@ -1024,13 +1090,14 @@ class CtuDecoder:
         scan_cg = rom.scan_cg(w_groups, h_groups)
         max_num_coeff = w * h
 
+        # In encode mode enc_block holds the *parsed* levels (pre dep-quant
+        # correction); with dep-quant/SDH on, the reconstructed coefficients
+        # legitimately differ from them (state-machine correction / inferred
+        # sign), which is fine for oracle streams.
         enc_flat = None
         if enc_block is not None:
             assert enc_block.shape == (h, w)
             enc_flat = enc_block.reshape(-1).astype(np.int64)
-            assert self.sh.dep_quant_used is False and \
-                self.sh.sign_data_hiding_used is False, \
-                "encoder does not support dep-quant / SDH"
 
         # ---- last significant position ----
         max_last_x = int(rom.GROUP_IDX[min(rom.ZERO_OUT_TH, w) - 1])
@@ -1134,6 +1201,8 @@ class CtuDecoder:
             sig_cg_flags[cg_pos] = True
             max_cg_x = max(max_cg_x, cg_x)
             max_cg_y = max(max_cg_y, cg_y)
+            if ch == 0 and (cg_x > 3 or cg_y > 3):
+                self.violates_mts = True
 
             first_sig_pos = scan_pos_last if is_last_cg else max_sub_pos
             next_sig_pos = first_sig_pos
@@ -1302,10 +1371,224 @@ class CtuDecoder:
             tu.max_scan_x[comp] = max_x_px - 1
             tu.max_scan_y[comp] = max_y_px - 1
 
-        if enc_flat is not None:
+        if enc_flat is not None and not dep_quant and not sign_hiding:
             got = plane[y0:y0 + h, x0:x0 + w]
             assert np.array_equal(got, enc_block.astype(plane.dtype)), \
                 "encoder produced coefficients that do not round-trip"
+
+    def residual_coding_ts(self, tu: TransformUnit, cu: CodingUnit, comp: int,
+                           enc_block: np.ndarray | None = None) -> None:
+        """Transform-skip residual coding (parity: CABACReader::
+        residual_codingTS :2863, residual_coding_subblockTS :2900)."""
+        ch = 0 if comp == 0 else 1
+        x0, y0, w, h = tu.blocks[comp]
+        log2_w, log2_h = w.bit_length() - 1, h.bit_length() - 1
+        lg_cw, lg_ch = rom.log2_sbb_size(log2_w, log2_h)
+        log2_cg = lg_cw + lg_ch
+        w_groups = w >> lg_cw
+        h_groups = h >> lg_ch
+        scan = rom.scan_grouped(w, h)
+        scan_cg = rom.scan_cg(w_groups, h_groups)
+        max_num_coeff = w * h
+        bdpcm = cu.bdpcm_mode if comp == 0 else cu.bdpcm_mode_chroma
+
+        coeff = np.zeros(max_num_coeff, dtype=np.int64)
+        num_ctx_bins = (max_num_coeff * 7) >> 2
+        max_x = max_y = 0
+        sig_cg_flags = np.zeros(w_groups * h_groups + w_groups + 1, dtype=bool)
+        any_sig_group = False
+        last_subset = (max_num_coeff - 1) >> log2_cg
+
+        coded = None
+        if enc_block is not None:
+            # precompute coded (level-mapped) values from the true levels
+            flat = enc_block.reshape(-1).astype(np.int64)
+            coded = np.zeros(max_num_coeff, dtype=np.int64)
+            for p in range(max_num_coeff):
+                py, px = p >> log2_w, p & (w - 1)
+                v = abs(int(flat[p]))
+                if bdpcm or v == 0:
+                    coded[p] = v
+                    continue
+                right = abs(int(flat[p - 1])) if px > 0 else 0
+                below = abs(int(flat[p - w])) if py > 0 else 0
+                pred1 = max(right, below)
+                if v == pred1:
+                    coded[p] = 1
+                elif v < pred1:
+                    coded[p] = v + 1
+                else:
+                    coded[p] = v
+
+        tsig = _OFF["TsSigFlag"][0]
+        tsign = _OFF["TsResidualSign"][0]
+        tlrg1 = _OFF["TsLrg1Flag"][0]
+        tpar = _OFF["TsParFlag"][0]
+        tgtx = _OFF["TsGtxFlag"][0]
+        tsg = _OFF["TsSigCoeffGroup"][0]
+
+        plane = self.cs.coef[comp]
+        plane[y0:y0 + h, x0:x0 + w] = 0
+
+        for subset_id in range(last_subset + 1):
+            cg_pos = int(scan_cg[subset_id])
+            cg_y = cg_pos // w_groups
+            cg_x = cg_pos - cg_y * w_groups
+            min_pos = subset_id << log2_cg
+            max_pos = min_pos + (1 << log2_cg) - 1
+
+            sig_group = (subset_id == last_subset) and not any_sig_group
+            if not sig_group:
+                sig_left = bool(cg_x > 0 and sig_cg_flags[cg_pos - 1])
+                sig_above = bool(cg_y > 0 and sig_cg_flags[cg_pos - w_groups])
+                want_sg = None
+                if coded is not None:
+                    want_sg = int(any(coded[int(scan[p])] != 0
+                                      for p in range(min_pos, max_pos + 1)))
+                sig_group = bool(self._bin(tsg + sig_left + sig_above, want=want_sg))
+            if not sig_group:
+                continue
+            sig_cg_flags[cg_pos] = True
+            any_sig_group = True
+
+            infer_sig_pos = max_pos
+            num_nonzero = 0
+            sig_blk_pos: list[int] = []
+            sign_pattern = 0
+            last_pass1 = -1
+            last_pass2 = -1
+
+            next_pos = min_pos
+            while next_pos <= max_pos and num_ctx_bins >= 4:
+                blk = int(scan[next_pos])
+                py, px = blk >> log2_w, blk & (w - 1)
+                want_c = None if coded is None else int(coded[blk])
+                sig = (num_nonzero == 0 and next_pos == infer_sig_pos)
+                if not sig:
+                    npos = int(px > 0 and coeff[blk - 1] != 0) + \
+                        int(py > 0 and coeff[blk - w] != 0)
+                    sig = bool(self._bin(tsig + npos,
+                                         want=None if want_c is None
+                                         else int(want_c != 0)))
+                    num_ctx_bins -= 1
+                if sig:
+                    right = int(coeff[blk - 1]) if px > 0 else 0
+                    below = int(coeff[blk - w]) if py > 0 else 0
+                    if (right == 0 and below == 0) or right * below < 0:
+                        sctx = 0
+                    elif right >= 0 and below >= 0:
+                        sctx = 1
+                    else:
+                        sctx = 2
+                    if bdpcm:
+                        sctx += 3
+                    want_sign = None
+                    if coded is not None:
+                        want_sign = int(enc_block.reshape(-1)[blk] < 0)
+                    sign = self._bin(tsign + sctx, want=want_sign)
+                    num_ctx_bins -= 1
+                    sign_pattern += sign << num_nonzero
+                    sig_blk_pos.append(blk)
+                    num_nonzero += 1
+                    if bdpcm:
+                        nlrg = 3
+                    else:
+                        nlrg = int(px > 0 and coeff[blk - 1] != 0) + \
+                            int(py > 0 and coeff[blk - w] != 0)
+                    gt1 = self._bin(tlrg1 + nlrg,
+                                    want=None if want_c is None
+                                    else int(want_c > 1))
+                    num_ctx_bins -= 1
+                    par = 0
+                    if gt1:
+                        # after pass 1 the working value is 1+gt1+par; the
+                        # final coded value keeps that parity (pass 2/3 add
+                        # multiples of 2), so par = coded & 1
+                        par = self._bin(tpar, want=None if want_c is None
+                                        else int(want_c & 1))
+                        num_ctx_bins -= 1
+                    coeff[blk] = (-1 if sign else 1) * (1 + par + gt1)
+                last_pass1 = next_pos
+                next_pos += 1
+
+            # pass 2: greater-x bins
+            pos = min_pos
+            while pos <= max_pos and num_ctx_bins >= 4:
+                blk = int(scan[pos])
+                cutoff = 2
+                if coeff[blk] < 0:
+                    coeff[blk] = -coeff[blk]
+                for i in range(4):
+                    if coeff[blk] >= cutoff:
+                        want_g = None
+                        if coded is not None:
+                            want_g = int(coded[blk] > coeff[blk] + 1)
+                        g = self._bin(tgtx + (cutoff >> 1), want=want_g)
+                        coeff[blk] += g << 1
+                        num_ctx_bins -= 1
+                    cutoff += 2
+                last_pass2 = pos
+                pos += 1
+
+            # pass 3: remainders
+            for pos in range(min_pos, max_pos + 1):
+                blk = int(scan[pos])
+                cutoff = 10 if pos <= last_pass2 else (2 if pos <= last_pass1 else 0)
+                if coeff[blk] < 0:
+                    coeff[blk] = -coeff[blk]
+                if coeff[blk] >= cutoff:
+                    rice = 1  # templateAbsSumTS
+                    want_rem = None
+                    if coded is not None:
+                        if pos <= last_pass1:
+                            want_rem = (int(coded[blk]) - int(coeff[blk])) >> 1
+                        else:
+                            want_rem = int(coded[blk])
+                    rem = self._rem(rice, COEF_REMAIN_BIN_REDUCTION,
+                                    self.max_log2_tr_range, want=want_rem)
+                    coeff[blk] += (rem << 1) if pos <= last_pass1 else rem
+                    if coeff[blk] and pos > last_pass1:
+                        want_sign = None
+                        if coded is not None:
+                            want_sign = int(enc_block.reshape(-1)[blk] < 0)
+                        sign = self._ep(want=want_sign)
+                        sign_pattern += sign << num_nonzero
+                        sig_blk_pos.append(blk)
+                        num_nonzero += 1
+                if not bdpcm and cutoff:
+                    if coeff[blk] > 0:
+                        py, px = blk >> log2_w, blk & (w - 1)
+                        right = abs(int(coeff[blk - 1])) if px > 0 else 0
+                        below = abs(int(coeff[blk - w])) if py > 0 else 0
+                        pred1 = max(right, below)
+                        v = int(coeff[blk])
+                        if v == 1 and pred1 > 0:
+                            coeff[blk] = pred1
+                        else:
+                            coeff[blk] = v - (v <= pred1)
+
+            # final signs
+            for k, blk in enumerate(sig_blk_pos):
+                val = int(coeff[blk])
+                if (sign_pattern >> k) & 1:
+                    val = -val
+                coeff[blk] = val
+                py, px = blk >> log2_w, blk & (w - 1)
+                max_x = max(max_x, px)
+                max_y = max(max_y, py)
+                plane[y0 + py, x0 + px] = val
+
+        if bdpcm:
+            tu.max_scan_x[comp] = w
+            tu.max_scan_y[comp] = h
+        else:
+            tu.max_scan_x[comp] = max_x
+            tu.max_scan_y[comp] = max_y
+
+        if enc_block is not None and not bdpcm:
+            got = plane[y0:y0 + h, x0:x0 + w]
+            assert np.array_equal(got, enc_block.astype(plane.dtype)), \
+                "TS encoder round-trip failed"
 
     def _last_prefix(self, ctx_base: int, shift: int, max_val: int,
                      want: int | None) -> int:

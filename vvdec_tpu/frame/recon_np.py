@@ -22,6 +22,8 @@ from vvdec_tpu.frame.structure import (
     DC_IDX,
     DM_CHROMA_IDX,
     HOR_IDX,
+    LM_CHROMA_IDX,
+    MDLM_T_IDX,
     MODE_INTRA,
     MTS_SKIP,
     PLANAR_IDX,
@@ -46,13 +48,18 @@ DIA_IDX = 34
 # dequant + inverse transform
 # ======================================================================
 def dequant_block(levels: np.ndarray, qp: int, log2_w: int, log2_h: int,
-                  bit_depth: int, dep_quant: bool, max_x: int, max_y: int
+                  bit_depth: int, dep_quant: bool, max_x: int, max_y: int,
+                  ts: bool = False, internal_minus_input: int = 0
                   ) -> np.ndarray:
     """Scalar dequantization (no scaling lists).  levels: int32 [h, w]."""
     max_log2_tr_range = 15
     transform_shift = max_log2_tr_range - bit_depth - ((log2_w + log2_h) >> 1)
-    needs_sqrt2 = ((log2_w + log2_h) & 1) == 1
+    needs_sqrt2 = (not ts) and ((log2_w + log2_h) & 1) == 1
     i_transform_shift = transform_shift + (-1 if needs_sqrt2 else 0)
+    if ts:
+        qp = max(qp, 4 + 6 * internal_minus_input)
+        dep_quant = False
+        i_transform_shift = 0
     if dep_quant:
         qp_per = (qp + 1) // 6
         qp_rem = qp + 1 - 6 * qp_per
@@ -108,6 +115,100 @@ def inverse_transform(coeff: np.ndarray, tr_hor: str, tr_ver: str,
     block = coeff.reshape(1, w) @ m
     res = np.clip((block + (1 << (s - 1))) >> s, clip_min, clip_max)
     return res.reshape(1, w)
+
+
+def apply_inv_lfnst(cs: CodingStructure, deq: np.ndarray, tu: TransformUnit,
+                    cu: CodingUnit, comp: int, final_mode_fn) -> np.ndarray:
+    """Inverse LFNST on dequantized coefficients (parity: TrQuant::xInvLfnst
+    TrQuant.cpp:201, invLfnstNxNCore :79)."""
+    from vvdec_tpu.ops.tables import LFNST_4x4, LFNST_8x8, LFNST_LUT
+
+    if cu.lfnst_idx == 0 or tu.mts_idx[comp] == MTS_SKIP:
+        return deq
+    sep_tree = cu.tree_type != 0
+    if not sep_tree and comp != 0:
+        return deq
+    x, y, w, h = tu.blocks[comp]
+    ch = 0 if comp == 0 else 1
+    if cu.mip_flag and ch == 0:
+        intra_mode = PLANAR_IDX
+    else:
+        d = cu.intra_dir[ch]
+        if LM_CHROMA_IDX <= d <= MDLM_T_IDX:
+            intra_mode = co_located_luma_mode_of(cs, cu)
+        else:
+            intra_mode = final_mode_fn(cu, comp)
+    wide = wide_angle(w, h, intra_mode)
+    if wide < 0:
+        lfnst_mode = wide + 14 + 67
+    elif wide >= 67:
+        lfnst_mode = wide + 14
+    else:
+        lfnst_mode = wide
+    transpose = (lfnst_mode >= 81) or (67 > lfnst_mode > DIA_IDX)
+    whge3 = w >= 8 and h >= 8
+    sb = 8 if whge3 else 4
+    zero_out = 8 if ((w == 4 and h == 4) or (w == 8 and h == 8)) else 16
+    mat = (LFNST_8x8 if sb == 8 else LFNST_4x4)[int(LFNST_LUT[lfnst_mode])][cu.lfnst_idx - 1]
+    flat = deq.reshape(-1)
+    scan = rom.scan_grouped(w, h)[:16]
+    src = flat[scan].astype(np.int64)
+    out = (mat[:, :zero_out].astype(np.int64) @ src[:zero_out] + 64) >> 7
+    out = np.clip(out, -(1 << 15), (1 << 15) - 1)
+    res = deq.copy()
+    if not transpose:
+        if sb == 4:
+            res[:4, :4] = out.reshape(4, 4)
+        else:
+            res[:4, :8] = out[:32].reshape(4, 8)
+            res[4:8, :4] = out[32:48].reshape(4, 4)
+    else:
+        if sb == 4:
+            res[:4, :4] = out.reshape(4, 4).T
+        else:
+            res[:8, :4] = out[:32].reshape(4, 8).T
+            res[:4, 4:8] = out[32:48].reshape(4, 4).T
+    return res
+
+
+def ts_residual(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
+                comp: int) -> np.ndarray:
+    """Transform-skip / BDPCM residual: (invResDPCM +) TS dequant.
+    Parity: Quant.cpp invResDPCM :236 + DeQuantPCM/DeQuant."""
+    x, y, w, h = tu.blocks[comp]
+    levels = cs.coef[comp][y: y + h, x: x + w].astype(np.int64)
+    bdpcm = cu.bdpcm_mode if comp == 0 else cu.bdpcm_mode_chroma
+    if bdpcm:
+        acc = np.zeros_like(levels)
+        lo, hi = -(1 << 15), (1 << 15) - 1
+        if bdpcm == 1:  # horizontal: accumulate along rows
+            acc[:, 0] = levels[:, 0]
+            for xx in range(1, w):
+                acc[:, xx] = np.clip(acc[:, xx - 1] + levels[:, xx], lo, hi)
+        else:  # vertical
+            acc[0, :] = levels[0, :]
+            for yy in range(1, h):
+                acc[yy, :] = np.clip(acc[yy - 1, :] + levels[yy, :], lo, hi)
+        levels = acc
+        max_x, max_y = w - 1, h - 1
+    else:
+        max_x, max_y = tu.max_scan_x[comp], tu.max_scan_y[comp]
+    qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 else tu.chroma_qp[comp - 1]
+    return dequant_block(levels, qp, w.bit_length() - 1, h.bit_length() - 1,
+                         cs.sps.bit_depth, bool(cs.sh.dep_quant_used),
+                         max_x, max_y, ts=True,
+                         internal_minus_input=cs.sps.internal_minus_input_bit_depth)
+
+
+def co_located_luma_mode_of(cs: CodingStructure, cu: CodingUnit) -> int:
+    if cu.tree_type == 2 or not cu.has_luma:
+        lx = (cu.cx + (cu.cw >> 1)) * cs.sub_w
+        ly = (cu.cy + (cu.ch >> 1)) * cs.sub_h
+        luma_cu = cs.cu_at(lx, ly, 0)
+        if luma_cu is None:
+            return PLANAR_IDX
+        return PLANAR_IDX if luma_cu.mip_flag else luma_cu.intra_dir[0]
+    return PLANAR_IDX if cu.mip_flag else cu.intra_dir[0]
 
 
 def get_tr_types(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
@@ -500,6 +601,15 @@ class IntraReconstructor:
     def predict_tu(self, tu: TransformUnit, cu: CodingUnit, comp: int
                    ) -> np.ndarray:
         x, y, w, h = tu.blocks[comp]
+        bdpcm = cu.bdpcm_mode if comp == 0 else cu.bdpcm_mode_chroma
+        if bdpcm:
+            top, left = self.fill_reference(tu, cu, comp)
+            pred = np.zeros((h, w), dtype=np.int64)
+            if bdpcm == 1:  # horizontal: replicate left column
+                pred[:, :] = left[1: h + 1][:, None]
+            else:  # vertical: replicate top row
+                pred[:, :] = top[1: w + 1][None, :]
+            return pred
         mode = self.final_mode(cu, comp)
         top, left = self.fill_reference(tu, cu, comp)
         filtered = self.use_filtered_refs(cu, comp, w, h)
@@ -539,15 +649,20 @@ class IntraReconstructor:
                     # chroma qp already includes the offset (_set_chroma_qp)
                     qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
                         else tu.chroma_qp[comp - 1]
-                    if tu.mts_idx[comp] == MTS_SKIP:
-                        raise NotImplementedError("transform skip recon")
                     dep_quant = cs.sh.dep_quant_used
-                    deq = dequant_block(levels, qp, w.bit_length() - 1,
-                                        h.bit_length() - 1, self.bit_depth,
-                                        dep_quant, tu.max_scan_x[comp],
-                                        tu.max_scan_y[comp])
-                    hor, ver = get_tr_types(cs, tu, cu, comp)
-                    resi = inverse_transform(deq, hor, ver, self.bit_depth)
+                    if tu.mts_idx[comp] == MTS_SKIP:
+                        # transform skip / BDPCM: residual = dequantized levels
+                        resi = ts_residual(cs, tu, cu, comp)
+                    else:
+                        deq = dequant_block(levels, qp, w.bit_length() - 1,
+                                            h.bit_length() - 1, self.bit_depth,
+                                            dep_quant, tu.max_scan_x[comp],
+                                            tu.max_scan_y[comp])
+                        if cu.lfnst_idx:
+                            deq = apply_inv_lfnst(cs, deq, tu, cu, comp,
+                                                  self.final_mode)
+                        hor, ver = get_tr_types(cs, tu, cu, comp)
+                        resi = inverse_transform(deq, hor, ver, self.bit_depth)
                 out = np.clip(pred + resi, 0, self.pel_max)
             else:
                 out = np.clip(pred, 0, self.pel_max)

@@ -150,8 +150,9 @@ class CodingStructure:
         self.comp_size = [(self.w, self.h), (cw, chh), (cw, chh)][: self.num_comp]
         self.coef = [np.zeros((h, w), dtype=np.int32) for (w, h) in self.comp_size]
         self.cu_map = np.full((self.h >> 2, self.w >> 2), -1, dtype=np.int32)
-        # chroma CU map indexed in chroma 4x4 units (only used for dual tree)
-        self.cu_map_c = np.full((chh >> 2, cw >> 2), -1, dtype=np.int32) \
+        # chroma CU map in 2x2 chroma units (local dual tree produces chroma
+        # blocks aligned only to the 2-sample grid)
+        self.cu_map_c = np.full((chh >> 1, cw >> 1), -1, dtype=np.int32) \
             if self.num_comp > 1 else None
         self.qp_map = np.zeros((self.h >> 2, self.w >> 2), dtype=np.int8)
         self.cus: list[CodingUnit] = []
@@ -179,12 +180,9 @@ class CodingStructure:
                         cu.x >> 2 : (cu.x + cu.w) >> 2] = cu.qp
             self.slice_map[cu.y >> 2 : (cu.y + cu.h) >> 2,
                            cu.x >> 2 : (cu.x + cu.w) >> 2] = cu.slice_idx
-        if cu.has_chroma and not cu.has_luma and self.cu_map_c is not None:
-            self.cu_map_c[cu.cy >> 2 : (cu.cy + cu.ch) >> 2,
-                          cu.cx >> 2 : (cu.cx + cu.cw) >> 2] = cu.idx
-        elif cu.has_chroma and self.cu_map_c is not None and cu.tree_type != TREE_L:
-            self.cu_map_c[cu.cy >> 2 : (cu.cy + cu.ch) >> 2,
-                          cu.cx >> 2 : (cu.cx + cu.cw) >> 2] = cu.idx
+        if cu.has_chroma and self.cu_map_c is not None and cu.tree_type != TREE_L:
+            self.cu_map_c[cu.cy >> 1 : (cu.cy + cu.ch) >> 1,
+                          cu.cx >> 1 : (cu.cx + cu.cw) >> 1] = cu.idx
         return cu
 
     def cu_at(self, x: int, y: int, ch_type: int = 0) -> CodingUnit | None:
@@ -198,7 +196,7 @@ class CodingStructure:
         else:
             if self.cu_map_c is None or x >= self.comp_size[1][0] or y >= self.comp_size[1][1]:
                 return None
-            idx = int(self.cu_map_c[y >> 2, x >> 2])
+            idx = int(self.cu_map_c[y >> 1, x >> 1])
         return self.cus[idx] if idx >= 0 else None
 
     def cu_at_restricted(self, x: int, y: int, cur: CodingUnit,

@@ -115,9 +115,41 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
         if tu.blocks[1] is not None:
             comps += [c for c in (1, 2) if tu.cbf[c]]
         for comp in comps:
-            if tu.mts_idx[comp] == MTS_SKIP:
-                raise NotImplementedError("TS on device path")
             x, y, w, h = tu.blocks[comp]
+            if tu.mts_idx[comp] == MTS_SKIP:
+                # transform skip / BDPCM: host dequant only (no matmul)
+                from vvdec_tpu.frame.recon_np import ts_residual
+                resi[comp][y: y + h, x: x + w] = ts_residual(cs, tu, cu, comp)
+                continue
+            if cu.lfnst_idx:
+                # LFNST TUs go through the host path (dequant + secondary
+                # transform are interleaved); device LFNST stage planned
+                from vvdec_tpu.frame.recon_np import (
+                    apply_inv_lfnst, dequant_block, get_tr_types as gtt,
+                    inverse_transform)
+                qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
+                    else tu.chroma_qp[comp - 1]
+                levels = cs.coef[comp][y: y + h, x: x + w]
+                deq = dequant_block(levels, qp, w.bit_length() - 1,
+                                    h.bit_length() - 1, cs.sps.bit_depth,
+                                    bool(cs.sh.dep_quant_used),
+                                    tu.max_scan_x[comp], tu.max_scan_y[comp])
+                from vvdec_tpu.frame.recon_np import IntraReconstructor
+
+                def fm(cu_, comp_):
+                    from vvdec_tpu.frame.recon_np import co_located_luma_mode_of
+                    from vvdec_tpu.frame.structure import DM_CHROMA_IDX
+                    if comp_ == 0:
+                        return cu_.intra_dir[0]
+                    m = cu_.intra_dir[1]
+                    if m == DM_CHROMA_IDX:
+                        return co_located_luma_mode_of(cs, cu_)
+                    return m
+                deq = apply_inv_lfnst(cs, deq, tu, cu, comp, fm)
+                hor, ver = gtt(cs, tu, cu, comp)
+                resi[comp][y: y + h, x: x + w] = inverse_transform(
+                    deq, hor, ver, cs.sps.bit_depth)
+                continue
             hor, ver = get_tr_types(cs, tu, cu, comp)
             qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 else tu.chroma_qp[comp - 1]
             key = (comp != 0, w, h, hor, ver)

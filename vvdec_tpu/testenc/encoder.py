@@ -119,6 +119,10 @@ class RandomDecisions(Decisions):
             return 0
         return self.rnd.randint(-self.qp_delta_range, self.qp_delta_range)
 
+    def mts_idx(self, cu):
+        # only consulted when MTS signalling conditions hold
+        return self.rnd.choice([0, 0, 2, 3, 4, 5])
+
     def coeffs(self, tu, cu, comp):
         if self.rnd.random() > self.cbf_prob:
             return None
@@ -138,7 +142,7 @@ class RandomDecisions(Decisions):
 
 
 def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
-                 poc: int = 0, idr: bool = True,
+                 poc: int = 0, idr: bool = True, sh_kw: dict | None = None,
                  ) -> tuple[bytes, CodingStructure]:
     """Encode one intra frame; returns (slice NAL unit bytes, the CS built
     during encoding — i.e. the expected parse result)."""
@@ -159,6 +163,8 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
     sh.slice_type = I_SLICE
     sh.qp_y = qp
     sh.poc = poc
+    for k, v in (sh_kw or {}).items():
+        setattr(sh, k, v)
     nal_type = NalUnitType.IDR_N_LP if idr else NalUnitType.TRAIL
     sh.nal_type = nal_type
     sh.ctu_addrs = list(range(pps.pic_width_in_ctu * pps.pic_height_in_ctu))
@@ -194,7 +200,7 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
 def generate_stream(width: int = 64, height: int = 64, n_frames: int = 1,
                     seed: int = 0, qp: int = 32, ctu: int = 32,
                     sps_kw: dict | None = None, pps_kw: dict | None = None,
-                    dec_kw: dict | None = None,
+                    dec_kw: dict | None = None, sh_kw: dict | None = None,
                     ) -> tuple[bytes, list[CodingStructure]]:
     """Generate a full Annex-B stream of all-intra frames."""
     sps = make_sps(width, height, ctu=ctu, **(sps_kw or {}))
@@ -210,7 +216,8 @@ def generate_stream(width: int = 64, height: int = 64, n_frames: int = 1,
     css = []
     for f in range(n_frames):
         decisions = RandomDecisions(seed=seed * 1000 + f, **(dec_kw or {}))
-        nal, cs = encode_frame(sps, pps, decisions, qp=qp, poc=f, idr=True)
+        nal, cs = encode_frame(sps, pps, decisions, qp=qp, poc=f, idr=True,
+                               sh_kw=sh_kw)
         out += nal
         css.append(cs)
     return out, css
