@@ -132,3 +132,38 @@ class TestToolsBitExact:
         ref = ref_decode(stream, tmp_path)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestMrlCclmBitExact:
+    """MRL and CCLM intra tools vs the reference decoder."""
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_mrl(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc.encoder import generate_stream
+
+        stream, _ = generate_stream(width=64, height=64, seed=seed,
+                                    sps_kw=dict(mrl_enabled=True),
+                                    dec_kw=dict(split_prob=0.5, mrl_prob=0.5))
+        ref = ref_decode(stream, tmp_path)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+    @pytest.mark.parametrize("seed,collocated", [(0, True), (1, True),
+                                                 (2, False), (3, False)])
+    def test_cclm(self, seed, collocated, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc.encoder import generate_stream
+
+        stream, _ = generate_stream(
+            width=64, height=64, seed=seed,
+            sps_kw=dict(cclm_enabled=True,
+                        chroma_ver_collocated=collocated),
+            dec_kw=dict(split_prob=0.5))
+        ref = ref_decode(stream, tmp_path)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

@@ -92,10 +92,14 @@ class Decisions:
     def split(self, node: PartNode, allowed: dict[int, bool]) -> int:
         return CU_DONT_SPLIT
 
-    def intra_luma_mode(self, cu: CodingUnit) -> int:
+    def intra_luma_mode(self, cu: CodingUnit, mpm: list[int]) -> int:
         return DC_IDX
 
-    def intra_chroma_mode(self, cu: CodingUnit, cand_modes: list[int]) -> int:
+    def multi_ref_line(self, cu: CodingUnit) -> int:
+        return 0
+
+    def intra_chroma_mode(self, cu: CodingUnit, cand_modes: list[int],
+                          cclm_allowed: bool = False) -> int:
         return DM_CHROMA_IDX
 
     def qp_delta(self, cu: CodingUnit) -> int:
@@ -656,7 +660,9 @@ class CtuDecoder:
         mpm = self.get_intra_mpms(cu)
         target = None
         if self.enc is not None:
-            target = self.decisions.intra_luma_mode(cu)
+            target = self.decisions.intra_luma_mode(cu, mpm)
+            if cu.multi_ref_idx:
+                assert target in mpm[1:], (target, mpm)
         if cu.multi_ref_idx:
             mpm_flag = True
         else:
@@ -701,11 +707,12 @@ class CtuDecoder:
         if cu.color_transform:
             cu.intra_dir[1] = DM_CHROMA_IDX
             return
+        cclm_on = self.sps.cclm_enabled and self.check_cclm_allowed(cu)
         target = None
         if self.enc is not None:
             target = self.decisions.intra_chroma_mode(
-                cu, self.get_intra_chroma_cand_modes(cu))
-        if self.sps.cclm_enabled and self.check_cclm_allowed(cu):
+                cu, self.get_intra_chroma_cand_modes(cu), cclm_on)
+        if cclm_on:
             is_lm = bool(self._bin(ctx("CclmModeFlag"),
                                    want=None if target is None else
                                    int(target in (LM_CHROMA_IDX, MDLM_L_IDX, MDLM_T_IDX))))
@@ -771,10 +778,15 @@ class CtuDecoder:
             return
         if (cu.y & (self.sps.ctu_size - 1)) == 0:
             return
+        want = None
+        if self.enc is not None:
+            want = self.decisions.multi_ref_line(cu)
         idx = 0
-        if self._bin(ctx("MultiRefLineIdx", 0), want=0):
+        if self._bin(ctx("MultiRefLineIdx", 0),
+                     want=None if want is None else int(want > 0)):
             idx = 1
-            if self._bin(ctx("MultiRefLineIdx", 1)):
+            if self._bin(ctx("MultiRefLineIdx", 1),
+                         want=None if want is None else int(want > 1)):
                 idx = 2
         cu.multi_ref_idx = idx
 

@@ -112,3 +112,38 @@ def decode_to_yuv(data: bytes, use_jax: bool = False) -> bytes:
         for p in planes:
             out += p.astype("<u2").tobytes()
     return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI decoder: the vvdecapp equivalent (vvdecapp.cpp:main).
+
+    Usage: python -m vvdec_tpu.decoder BITSTREAM [OUT.yuv] [--jax]
+    Prints per-stream summary; OUT.yuv is 16-bit LE planar (vvdecapp format).
+    """
+    import argparse
+    import sys
+    import time
+
+    ap = argparse.ArgumentParser(prog="vvdec_tpu",
+                                 description="TPU-native VVC decoder")
+    ap.add_argument("bitstream", help="Annex-B .266 input")
+    ap.add_argument("output", nargs="?", help="YUV output (16-bit LE planar)")
+    ap.add_argument("--jax", action="store_true",
+                    help="run the device (JAX) reconstruction pipeline")
+    args = ap.parse_args(argv)
+
+    data = open(args.bitstream, "rb").read()
+    t0 = time.monotonic()
+    yuv = decode_to_yuv(data, use_jax=args.jax)
+    dt = time.monotonic() - t0
+    if args.output:
+        with open(args.output, "wb") as f:
+            f.write(yuv)
+    n = sum(1 for _ in parse_annexb(data))
+    print(f"vvdec_tpu: {n} frames decoded in {dt:.3f}s "
+          f"({n / dt:.2f} fps)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -23,6 +23,7 @@ from vvdec_tpu.frame.structure import (
     DM_CHROMA_IDX,
     HOR_IDX,
     LM_CHROMA_IDX,
+    MDLM_L_IDX,
     MDLM_T_IDX,
     MODE_INTRA,
     MTS_SKIP,
@@ -300,10 +301,10 @@ class IntraReconstructor:
         return True
 
     # ---------------- reference sample fill ----------------
-    def fill_reference(self, tu: TransformUnit, cu: CodingUnit, comp: int
-                       ) -> tuple[np.ndarray, np.ndarray]:
-        """Returns (top_ref[2w+1], left_ref[2h+1]); index 0 is the corner in
-        both (shared).  Parity: xFillReferenceSamples."""
+    def fill_reference(self, tu: TransformUnit, cu: CodingUnit, comp: int,
+                       mrl: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (top_ref[2w+1+mrl], left_ref[2h+1+mrl]); index 0 is the
+        corner sample at (x-1-mrl, y-1-mrl).  Parity: xFillReferenceSamples."""
         cs = self.cs
         x, y, w, h = tu.blocks[comp]
         reco = self.reco[comp]
@@ -315,8 +316,8 @@ class IntraReconstructor:
         unit_h = 4 // sy
         tu_order = tu.order
 
-        top = np.zeros(pred_size + 1, dtype=np.int32)
-        left = np.zeros(pred_h + 1, dtype=np.int32)
+        top = np.zeros(pred_size + 1 + mrl, dtype=np.int32)
+        left = np.zeros(pred_h + 1 + mrl, dtype=np.int32)
 
         total_above_units = (pred_size + unit_w - 1) // unit_w
         total_left_units = (pred_h + unit_h - 1) // unit_h
@@ -346,45 +347,50 @@ class IntraReconstructor:
             left[:] = dc_val
             return top, left
         if num_avail == total_units:
-            top[0] = reco[y - 1, x - 1]
-            n = min(pred_size, reco.shape[1] - x)
-            top[1: 1 + n] = reco[y - 1, x: x + n]
-            if n < pred_size:  # clip at picture edge: replicate
-                top[1 + n:] = top[n]
+            # top row from line y-1-mrl starting at x-1-mrl
+            n = min(pred_size + 1 + mrl, reco.shape[1] - (x - 1 - mrl))
+            top[:n] = reco[y - 1 - mrl, x - 1 - mrl: x - 1 - mrl + n]
+            if n < len(top):  # clip at picture edge: replicate
+                top[n:] = top[n - 1]
+            n = min(pred_h + mrl, reco.shape[0] - (y - mrl))
             left[0] = top[0]
-            n = min(pred_h, reco.shape[0] - y)
-            left[1: 1 + n] = reco[y: y + n, x - 1]
-            if n < pred_h:
+            left[1: 1 + n] = reco[y - mrl: y - mrl + n, x - 1 - mrl]
+            if 1 + n < len(left):
                 left[1 + n:] = left[n]
             return top, left
 
-        # partial availability (vvdec scheme)
+        # partial availability (vvdec scheme, xFillReferenceSamples :1161)
         if n_left > 0:
+            # left column: rows y.. from column x-1-mrl
             n = min(n_left * unit_h, pred_h)
             n = min(n, reco.shape[0] - y)
-            left[1: 1 + n] = reco[y: y + n, x - 1]
-            left[1 + n:] = left[n]
+            left[1 + mrl: 1 + mrl + n] = reco[y: y + n, x - 1 - mrl]
+            left[1 + mrl + n:] = left[mrl + n]
             if n_topleft:
-                corner = reco[y - 1, x - 1]
+                # corner sample(s) from the reference line(s)
+                top[0: mrl + 1] = reco[y - 1 - mrl, x - 1 - mrl: x - 1 - mrl + mrl + 1]
+                for i in range(1, mrl + 1):
+                    left[i] = reco[y - 1 - mrl + i, x - 1 - mrl]
+                left[0] = top[0]
             else:
-                corner = reco[y, x - 1]
-            top[0] = corner
-            left[0] = corner
+                corner = reco[y, x - 1 - mrl]
+                top[0: mrl + 1] = corner
+                left[0: mrl + 1] = corner
             if n_above > 0:
                 n = min(n_above * unit_w, pred_size)
                 n = min(n, reco.shape[1] - x)
-                top[1: 1 + n] = reco[y - 1, x: x + n]
-                top[1 + n:] = top[n]
+                top[1 + mrl: 1 + mrl + n] = reco[y - 1 - mrl, x: x + n]
+                top[1 + mrl + n:] = top[mrl + n]
             else:
-                top[1:] = corner
+                top[1 + mrl:] = top[mrl]
         else:
             # left unavailable -> top must be available
             n = min(n_above * unit_w, pred_size)
             n = min(n, reco.shape[1] - x)
-            top[1: 1 + n] = reco[y - 1, x: x + n]
-            top[1 + n:] = top[n]
-            corner = reco[y - 1, x]
-            top[0] = corner
+            top[1 + mrl: 1 + mrl + n] = reco[y - 1 - mrl, x: x + n]
+            top[1 + mrl + n:] = top[mrl + n]
+            corner = reco[y - 1 - mrl, x]
+            top[0: mrl + 1] = corner
             left[:] = corner
         return top, left
 
@@ -420,20 +426,21 @@ class IntraReconstructor:
         offset = 1 << (log2w + log2h)
         return ((hor << log2h) + (ver << log2w) + offset) >> (1 + log2w + log2h)
 
-    def pred_dc(self, top: np.ndarray, left: np.ndarray, w: int, h: int
-                ) -> np.ndarray:
+    def pred_dc(self, top: np.ndarray, left: np.ndarray, w: int, h: int,
+                mrl: int = 0) -> np.ndarray:
         s = 0
         denom = (w << 1) if w == h else max(w, h)
         if w >= h:
-            s += int(np.sum(top[1: w + 1]))
+            s += int(np.sum(top[mrl + 1: mrl + 1 + w]))
         if w <= h:
-            s += int(np.sum(left[1: h + 1]))
+            s += int(np.sum(left[mrl + 1: mrl + 1 + h]))
         dc = (s + (denom >> 1)) >> (denom.bit_length() - 1)
         return np.full((h, w), dc, dtype=np.int64)
 
     def pred_angular(self, top: np.ndarray, left: np.ndarray, w: int, h: int,
-                     mode: int, comp: int, filtered_used: bool) -> np.ndarray:
-        """Parity: xPredIntraAng (multiRefIdx == 0, no ISP)."""
+                     mode: int, comp: int, filtered_used: bool,
+                     mrl: int = 0) -> np.ndarray:
+        """Parity: xPredIntraAng (no ISP)."""
         pred_mode = wide_angle(w, h, mode)
         is_ver = pred_mode >= DIA_IDX
         ang_mode = (pred_mode - VER_IDX) if is_ver else -(pred_mode - HOR_IDX)
@@ -450,26 +457,32 @@ class IntraReconstructor:
 
         if angle < 0:
             size_side = h
-            ref_main = np.zeros(size_side + 2 * w + 2, dtype=np.int64)
-            off = size_side  # index of sample 0
-            n = min(w + 2, len(main_src))
+            ref_main = np.zeros(size_side + 2 * w + 3 + mrl, dtype=np.int64)
+            off = size_side  # index of sample 0 (pre-mrl shift)
+            n = min(w + 2 + mrl, len(main_src))
             ref_main[off: off + n] = main_src[:n]
             for k in range(-size_side, 0):
                 idx = min((-k * inv_angle + 256) >> 9, size_side)
                 ref_main[off + k] = side_src[idx]
         else:
-            ref_main = np.zeros(2 * w + 3, dtype=np.int64)
+            log2_ratio = (w.bit_length() - 1) - (h.bit_length() - 1)
+            s_ext = max(0, log2_ratio)
+            max_index = (mrl << s_ext) + 2
+            ref_main = np.zeros(2 * w + 1 + mrl + max_index + 1, dtype=np.int64)
             off = 0
-            n = min(2 * w + 1, len(main_src))
+            n = min(2 * w + 1 + mrl, len(main_src))
             ref_main[:n] = main_src[:n]
-            # extend right by replication (maxIndex = 2 for mrl 0)
-            ref_main[n: n + 2] = ref_main[n - 1]
+            # extend right by replication of refMain[refLength + mrl]
+            val = ref_main[2 * w + mrl]
+            ref_main[2 * w + mrl + 1: 2 * w + mrl + 1 + max_index] = val
+        # compensate for the reference line offset (refMain += mrl)
+        off += mrl
 
         dst = np.zeros((h, w), dtype=np.int64)
         if angle == 0:
             dst[:, :] = ref_main[off + 1: off + 1 + w][None, :]
             # PDPC for pure hor/ver (xPredIntraAng angle==0 branch)
-            if self._pdpc_enabled(w, h):
+            if self._pdpc_enabled(w, h) and mrl == 0:
                 scale = ((w.bit_length() - 3) + (h.bit_length() - 3) + 2) >> 2
                 lev = (min(3, w), min(6, w), min(12, w), min(24, w))[scale]
                 corner = int(side_src[0])
@@ -490,10 +503,10 @@ class IntraReconstructor:
                     log2_size = ((w.bit_length() - 1) + (h.bit_length() - 1)) >> 1
                     filter_flag = diff > INTRA_FILTER_THRESH[0][log2_size]
                     interpolation = filter_flag  # isRefFilter false when frac != 0
-                    use_cubic = not interpolation
+                    use_cubic = (not interpolation) or mrl > 0
                     f = CHROMA_FILTER if use_cubic else GAUSS_FILTER
                     for yy in range(h):
-                        delta = angle * (yy + 1)
+                        delta = angle * (yy + 1 + mrl)
                         di = delta >> 5
                         frac = delta & 31
                         co = f[frac]
@@ -509,7 +522,7 @@ class IntraReconstructor:
                         dst[yy] = val
                 else:
                     for yy in range(h):
-                        delta = angle * (yy + 1)
+                        delta = angle * (yy + 1 + mrl)
                         di = delta >> 5
                         frac = delta & 31
                         base = off + di + 1
@@ -518,13 +531,13 @@ class IntraReconstructor:
                         dst[yy] = ((32 - frac) * p0 + frac * p1 + 16) >> 5
             else:
                 for yy in range(h):
-                    delta = angle * (yy + 1)
+                    delta = angle * (yy + 1 + mrl)
                     di = delta >> 5
                     dst[yy] = ref_main[off + di + 1: off + di + 1 + w]
 
             # PDPC for positive angles.  Reference uses pDst.height (ver) or
             # pDst.width (hor) of the *unswapped* block — both equal local h.
-            if self._pdpc_enabled(w, h) and angle > 0:
+            if self._pdpc_enabled(w, h) and mrl == 0 and angle > 0:
                 side_size = h
                 max_scale = 2
                 angular_scale = min(max_scale, (side_size.bit_length() - 1)
@@ -598,6 +611,206 @@ class IntraReconstructor:
         abs_ang = int(ANG_TABLE[abs(ang_mode)])
         return diff > INTRA_FILTER_THRESH[0][log2_size] and (abs_ang & 0x1F) == 0
 
+    # ---------------- CCLM ----------------
+    def pred_cclm(self, tu: TransformUnit, cu: CodingUnit, comp: int,
+                  mode: int) -> np.ndarray:
+        """Cross-component linear model chroma prediction (420).
+        Parity: xGetLumaRecPixels :1400, xGetLMParameters :1691,
+        predIntraChromaLM :516."""
+        cs = self.cs
+        cx, cy, cw, chh = tu.blocks[comp]
+        luma = self.reco[0]
+        collocated = cs.sps.chroma_ver_collocated
+        ctu_c = cs.sps.ctu_size // cs.sub_h
+
+        unit = 2  # chroma unit size (4 >> scale)
+        tu_w_units = cw // unit
+        tu_h_units = chh // unit
+
+        # CU-level neighbor availability (cu.above / cu.left analogs).
+        # The luma downsample edge handling uses these CU-level flags
+        # (xGetLumaRecPixels bAbove/bLeftAvaillable), while the LM parameter
+        # sampling uses the per-mode template availability below.
+        cu_above = self._avail(cu.cx, cu.cy - 1, comp, cu, tu.order)
+        cu_left = self._avail(cu.cx - 1, cu.cy, comp, cu, tu.order)
+        above_flag = cu_above or cy > cu.cy
+        left_flag = cu_left or cx > cu.cx
+        build_above = bool(above_flag)
+        build_left = bool(left_flag)
+
+        above_avail = left_avail = False
+        actual_top = actual_left = 0
+        if mode == MDLM_T_IDX:
+            avai_above = 0
+            if above_flag:
+                avai_above = tu_w_units
+                ar_units = min((2 * cw) // unit - tu_w_units, chh // unit)
+                for u in range(ar_units):
+                    if self._avail(cx + cw + u * unit, cy - 1, comp, cu, tu.order):
+                        avai_above += 1
+                    else:
+                        break
+            above_avail = avai_above >= tu_w_units
+            actual_top = unit * avai_above
+        elif mode == MDLM_L_IDX:
+            avai_left = 0
+            if left_flag:
+                avai_left = tu_h_units
+                lb_units = min((2 * chh) // unit - tu_h_units, cw // unit)
+                for u in range(lb_units):
+                    if self._avail(cx - 1, cy + chh + u * unit, comp, cu, tu.order):
+                        avai_left += 1
+                    else:
+                        break
+            left_avail = avai_left >= tu_h_units
+            actual_left = unit * avai_left
+        else:  # LM_CHROMA
+            above_avail = bool(above_flag)
+            left_avail = bool(left_flag)
+            actual_top = cw if above_avail else 0
+            actual_left = chh if left_avail else 0
+
+        lx, ly = cx * cs.sub_w, cy * cs.sub_h
+        first_row_of_ctu = (ly & (cs.sps.ctu_size - 1)) == 0
+
+        def ds_top(i: int) -> int:
+            """Downsampled luma above the block at template position i."""
+            xx = lx + 2 * i
+            if first_row_of_ctu:
+                r = ly - 1
+                left_tap = xx if (i == 0 and not build_left) else xx - 1
+                return (2 * int(luma[r, xx]) + int(luma[r, left_tap])
+                        + int(luma[r, xx + 1]) + 2) >> 2
+            if collocated:
+                r = ly - 2
+                left_tap = xx if (i == 0 and not build_left) else xx - 1
+                return (int(luma[r - 1, xx]) + 4 * int(luma[r, xx])
+                        + int(luma[r, left_tap]) + int(luma[r, xx + 1])
+                        + int(luma[r + 1, xx]) + 4) >> 3
+            r = ly - 2
+            left_tap = xx if (i == 0 and not build_left) else xx - 1
+            return (2 * int(luma[r, xx]) + int(luma[r, left_tap])
+                    + int(luma[r, xx + 1])
+                    + 2 * int(luma[r + 1, xx]) + int(luma[r + 1, left_tap])
+                    + int(luma[r + 1, xx + 1]) + 4) >> 3
+
+        def ds_left(j: int) -> int:
+            yy = ly + 2 * j
+            if collocated:
+                top_tap = yy if (j == 0 and not build_above) else yy - 1
+                return (int(luma[top_tap, lx - 2]) + 4 * int(luma[yy, lx - 2])
+                        + int(luma[yy, lx - 3]) + int(luma[yy, lx - 1])
+                        + int(luma[yy + 1, lx - 2]) + 4) >> 3
+            return (2 * int(luma[yy, lx - 2]) + int(luma[yy, lx - 3])
+                    + int(luma[yy, lx - 1])
+                    + 2 * int(luma[yy + 1, lx - 2]) + int(luma[yy + 1, lx - 3])
+                    + int(luma[yy + 1, lx - 1]) + 4) >> 3
+
+        # chroma reference samples (unfiltered)
+        top_ref, left_ref = self.fill_reference(tu, cu, comp)
+
+        above_is4 = 0 if left_avail else 1
+        left_is4 = 0 if above_avail else 1
+        start_t = actual_top >> (2 + above_is4)
+        step_t = max(1, actual_top >> (1 + above_is4))
+        start_l = actual_left >> (2 + left_is4)
+        step_l = max(1, actual_left >> (1 + left_is4))
+
+        sel_luma = [0, 0, 0, 0]
+        sel_chroma = [0, 0, 0, 0]
+        cnt_t = cnt_l = 0
+        cnt = 0
+        if above_avail:
+            cnt_t = min(actual_top, (1 + above_is4) << 1)
+            pos = start_t
+            while cnt < cnt_t:
+                sel_luma[cnt] = ds_top(pos)
+                sel_chroma[cnt] = int(top_ref[1 + pos])
+                pos += step_t
+                cnt += 1
+        if left_avail:
+            cnt_l = min(actual_left, (1 + left_is4) << 1)
+            pos = start_l
+            k = 0
+            while k < cnt_l:
+                sel_luma[k + cnt_t] = ds_left(pos)
+                sel_chroma[k + cnt_t] = int(left_ref[1 + pos])
+                pos += step_l
+                k += 1
+        cnt = cnt_l + cnt_t
+
+        if cnt == 2:
+            sel_luma[3], sel_chroma[3] = sel_luma[0], sel_chroma[0]
+            sel_luma[2], sel_chroma[2] = sel_luma[1], sel_chroma[1]
+            sel_luma[0], sel_chroma[0] = sel_luma[1], sel_chroma[1]
+            sel_luma[1], sel_chroma[1] = sel_luma[3], sel_chroma[3]
+
+        min_grp = [0, 2]
+        max_grp = [1, 3]
+        if sel_luma[min_grp[0]] > sel_luma[min_grp[1]]:
+            min_grp[0], min_grp[1] = min_grp[1], min_grp[0]
+        if sel_luma[max_grp[0]] > sel_luma[max_grp[1]]:
+            max_grp[0], max_grp[1] = max_grp[1], max_grp[0]
+        if sel_luma[min_grp[0]] > sel_luma[max_grp[1]]:
+            min_grp, max_grp = max_grp, min_grp
+        if sel_luma[min_grp[1]] > sel_luma[max_grp[0]]:
+            min_grp[1], max_grp[0] = max_grp[0], min_grp[1]
+
+        min_l = (sel_luma[min_grp[0]] + sel_luma[min_grp[1]] + 1) >> 1
+        min_c = (sel_chroma[min_grp[0]] + sel_chroma[min_grp[1]] + 1) >> 1
+        max_l = (sel_luma[max_grp[0]] + sel_luma[max_grp[1]] + 1) >> 1
+        max_c = (sel_chroma[max_grp[0]] + sel_chroma[max_grp[1]] + 1) >> 1
+
+        if left_avail or above_avail:
+            diff = max_l - min_l
+            if diff > 0:
+                diff_c = max_c - min_c
+                xsh = diff.bit_length() - 1
+                div_sig = (0, 7, 6, 5, 5, 4, 4, 3, 3, 2, 2, 1, 1, 1, 1, 0)
+                norm_diff = ((diff << 4) >> xsh) & 15
+                v = div_sig[norm_diff] | 8
+                xsh += int(norm_diff != 0)
+                ysh = 0 if diff_c == 0 else (abs(diff_c).bit_length() - 1) + 1
+                add = (1 << ysh) >> 1
+                a = (diff_c * v + add) >> ysh
+                shift = 3 + xsh - ysh
+                if shift < 1:
+                    shift = 1
+                    a = 0 if a == 0 else (-15 if a < 0 else 15)
+                b = min_c - ((a * min_l) >> shift)
+            else:
+                a, b, shift = 0, min_c, 0
+        else:
+            a, b, shift = 0, 1 << (self.bit_depth - 1), 0
+
+        # interior downsampled luma + linear transform
+        ds = np.zeros((chh, cw), dtype=np.int64)
+        if collocated:
+            for j in range(chh):
+                yy = ly + 2 * j
+                for i in range(cw):
+                    xx = lx + 2 * i
+                    left_tap = xx if (i == 0 and not build_left) else xx - 1
+                    top_tap = yy if (j == 0 and not build_above) else yy - 1
+                    ds[j, i] = (int(luma[top_tap, xx]) + 4 * int(luma[yy, xx])
+                                + int(luma[yy, left_tap]) + int(luma[yy, xx + 1])
+                                + int(luma[yy + 1, xx]) + 4) >> 3
+        else:
+            l64 = luma.astype(np.int64)
+            r0 = l64[ly: ly + 2 * chh: 2, :]
+            r1 = l64[ly + 1: ly + 1 + 2 * chh: 2, :]
+            xs = np.arange(cw) * 2 + lx
+            left_xs = np.maximum(xs - 1, 0)
+            if build_left:
+                lx0 = xs - 1
+            else:
+                lx0 = left_xs.copy()
+                lx0[0] = xs[0]
+            ds = (2 * r0[:, xs] + r0[:, lx0] + r0[:, xs + 1]
+                  + 2 * r1[:, xs] + r1[:, lx0] + r1[:, xs + 1] + 4) >> 3
+        pred = b + ((a * ds) >> shift)
+        return np.clip(pred, 0, self.pel_max)
+
     def predict_tu(self, tu: TransformUnit, cu: CodingUnit, comp: int
                    ) -> np.ndarray:
         x, y, w, h = tu.blocks[comp]
@@ -611,19 +824,23 @@ class IntraReconstructor:
                 pred[:, :] = top[1: w + 1][None, :]
             return pred
         mode = self.final_mode(cu, comp)
-        top, left = self.fill_reference(tu, cu, comp)
+        if comp != 0 and LM_CHROMA_IDX <= mode <= MDLM_T_IDX:
+            return self.pred_cclm(tu, cu, comp, mode)
+        mrl = cu.multi_ref_idx if comp == 0 else 0
+        top, left = self.fill_reference(tu, cu, comp, mrl=mrl)
         filtered = self.use_filtered_refs(cu, comp, w, h)
         if filtered:
             ftop, fleft = self.filter_reference(top, left)
         else:
             ftop, fleft = top, left
-        do_pdpc = self._pdpc_enabled(w, h)
+        do_pdpc = self._pdpc_enabled(w, h) and mrl == 0
         if mode == PLANAR_IDX:
             pred = self.pred_planar(ftop, fleft, w, h)
         elif mode == DC_IDX:
-            pred = self.pred_dc(ftop, fleft, w, h)
+            pred = self.pred_dc(ftop, fleft, w, h, mrl=mrl)
         else:
-            return self.pred_angular(ftop, fleft, w, h, mode, comp, filtered)
+            return self.pred_angular(ftop, fleft, w, h, mode, comp, filtered,
+                                     mrl=mrl)
         if do_pdpc:
             pred = self.pdpc_dc_planar(pred, ftop, fleft)
         return pred

@@ -84,7 +84,8 @@ class RandomDecisions(Decisions):
     def __init__(self, seed: int = 0, split_prob: float = 0.4,
                  cbf_prob: float = 0.7, max_level: int = 40,
                  modes: list[int] | None = None,
-                 density: float = 0.25, qp_delta_range: int = 0):
+                 density: float = 0.25, qp_delta_range: int = 0,
+                 mrl_prob: float = 0.0):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -92,6 +93,7 @@ class RandomDecisions(Decisions):
         self.density = density
         self.modes = modes  # None -> any of 0..66
         self.qp_delta_range = qp_delta_range
+        self.mrl_prob = mrl_prob
 
     def split(self, node, allowed):
         choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
@@ -103,13 +105,23 @@ class RandomDecisions(Decisions):
             return CU_DONT_SPLIT
         return self.rnd.choice(choices)
 
-    def intra_luma_mode(self, cu):
+    def intra_luma_mode(self, cu, mpm):
+        if cu.multi_ref_idx:
+            return self.rnd.choice(mpm[1:])
         if self.modes is not None:
             return self.rnd.choice(self.modes)
         return self.rnd.randrange(0, 67)
 
-    def intra_chroma_mode(self, cu, cand_modes):
-        # DM half the time; otherwise one of the four list modes
+    def multi_ref_line(self, cu):
+        if not getattr(self, "mrl_prob", 0):
+            return 0
+        if self.rnd.random() < self.mrl_prob:
+            return self.rnd.choice([1, 2])
+        return 0
+
+    def intra_chroma_mode(self, cu, cand_modes, cclm_allowed=False):
+        if cclm_allowed and self.rnd.random() < 0.5:
+            return self.rnd.choice([67, 68, 69])  # LM / MDLM_L / MDLM_T
         if self.rnd.random() < 0.5:
             return DM_CHROMA_IDX
         return self.rnd.choice(cand_modes[:4])
