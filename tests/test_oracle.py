@@ -167,3 +167,65 @@ class TestMrlCclmBitExact:
         ref = ref_decode(stream, tmp_path)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestIspBitExact:
+    """ISP (intra sub-partitions) incl. sub-4x4 partitions, pred regions,
+    implicit DST7, LFNST-with-ISP, and deblocking of sub-grid TU edges."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_isp(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc.encoder import generate_stream
+
+        stream, _ = generate_stream(width=64, height=64, seed=seed,
+                                    sps_kw=dict(isp_enabled=True),
+                                    dec_kw=dict(split_prob=0.5, isp_prob=0.6))
+        ref = ref_decode(stream, tmp_path)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_isp_all_tools(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions
+        from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+        class AllDec(RandomDecisions):
+            def bdpcm_mode(self, cu, ch):
+                return self.rnd.choice([0, 0, 0, 1, 2])
+
+            def use_ts(self, tu, cu, comp):
+                return self.rnd.random() < 0.25
+
+            def lfnst_idx(self, cu):
+                return self.rnd.choice([0, 1, 2])
+
+        sps = E.make_sps(96, 64, isp_enabled=True, lfnst_enabled=True,
+                         mts_enabled=True, transform_skip_enabled=True,
+                         bdpcm_enabled=True, log2_max_ts_size=4,
+                         explicit_mts_intra=seed % 3 == 0,
+                         mrl_enabled=True, cclm_enabled=True,
+                         dep_quant_enabled=seed % 2 == 0)
+        pps = E.make_pps(sps)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        dec = AllDec(seed=seed, split_prob=0.5, density=0.2, max_level=30,
+                     isp_prob=0.5, mrl_prob=0.3)
+        nal, _ = E.encode_frame(sps, pps, dec, qp=28 + seed % 10,
+                                sh_kw=dict(dep_quant_used=seed % 2 == 0))
+        stream += nal
+        ref = ref_decode(stream, tmp_path)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

@@ -39,6 +39,9 @@ from vvdec_tpu.cabac.partitioner import (
     SplitConstraints,
     can_split,
     split_areas,
+    can_use_isp_split,
+    isp_split_dim,
+    can_use_lfnst_with_isp,
 )
 from vvdec_tpu.frame.structure import (
     CodingStructure,
@@ -46,6 +49,8 @@ from vvdec_tpu.frame.structure import (
     DC_IDX,
     DM_CHROMA_IDX,
     HOR_IDX,
+    HOR_INTRA_SUBPARTITIONS,
+    VER_INTRA_SUBPARTITIONS,
     LM_CHROMA_IDX,
     MDLM_L_IDX,
     MDLM_T_IDX,
@@ -116,6 +121,11 @@ class Decisions:
 
     def bdpcm_mode(self, cu: CodingUnit, comp_ch: int) -> int:
         return 0  # 0 off, 1 horizontal, 2 vertical
+
+    def isp_mode(self, cu: CodingUnit, allowed: int) -> int:
+        """0 off, 1 horizontal, 2 vertical; `allowed` is the permitted set
+        (1 = hor only, 2 = ver only, 3 = both)."""
+        return 0
 
     def coeffs(self, tu: TransformUnit, cu: CodingUnit, comp: int) -> np.ndarray | None:
         """Quantized levels for the TU component (h x w int array) or None."""
@@ -791,10 +801,30 @@ class CtuDecoder:
         cu.multi_ref_idx = idx
 
     def isp_mode(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::isp_mode (CABACReader.cpp:2541) +
+        CU::canUseISPSplit (UnitTools.cpp:343)."""
         if cu.multi_ref_idx or not self.sps.isp_enabled or cu.bdpcm_mode \
                 or cu.color_transform:
             return
-        raise NotImplementedError("ISP")
+        allowed = can_use_isp_split(cu.w, cu.h, 1 << self.sps.log2_max_tb_size)
+        if allowed == 0:
+            return
+        want = None
+        if self.enc is not None:
+            want = self.decisions.isp_mode(cu, allowed)
+            if want and not (allowed & want if allowed != 3 else True):
+                want = allowed  # clamp to the only permitted split
+        symbol = self._bin(ctx("ISPMode", 0),
+                           want=None if want is None else int(want > 0))
+        if symbol:
+            if allowed == HOR_INTRA_SUBPARTITIONS:
+                cu.isp_mode = HOR_INTRA_SUBPARTITIONS
+            elif allowed == VER_INTRA_SUBPARTITIONS:
+                cu.isp_mode = VER_INTRA_SUBPARTITIONS
+            else:
+                cu.isp_mode = 1 + self._bin(
+                    ctx("ISPMode", 1),
+                    want=None if want is None else int(want == 2))
 
     # ==================================================================
     # residual
@@ -817,8 +847,31 @@ class CtuDecoder:
         max_tr = 1 << self.sps.log2_max_tb_size
         a = node.area
         split = a.w > max_tr or a.h > max_tr
-        if cu.isp_mode or cu.sbt_info:
-            raise NotImplementedError("ISP/SBT transform splits")
+        if cu.sbt_info:
+            raise NotImplementedError("SBT transform splits")
+        if cu.isp_mode:
+            # ISP 1-D TU split (PartitionerImpl::getTUIntraSubPartitions,
+            # UnitPartitioner.cpp:628): luma split into nTus strips; chroma
+            # rides only the LAST partition, at the full CU area.
+            horiz = cu.isp_mode == HOR_INTRA_SUBPARTITIONS
+            dim = isp_split_dim(a.w, a.h, horiz)
+            n = (a.h if horiz else a.w) // dim
+            for i in range(n):
+                tu = TransformUnit()
+                tu.cu_idx = cu.idx
+                tu.part_idx = i
+                if horiz:
+                    tu.blocks[0] = (a.x, a.y + i * dim, a.w, dim)
+                else:
+                    tu.blocks[0] = (a.x + i * dim, a.y, dim, a.h)
+                if i == n - 1 and cu.has_chroma and self.cs.num_comp > 1:
+                    cx, cy, cw, chh = a.chroma(self.cs.sub_w, self.cs.sub_h)
+                    tu.blocks[1] = (cx, cy, cw, chh)
+                    tu.blocks[2] = (cx, cy, cw, chh)
+                cu.tus.append(tu)
+                self.cs.add_tu(tu)
+                self.transform_unit(tu, cu, node, isp_idx=i, isp_n=n)
+            return
         if split:
             for i, sub in enumerate(split_areas(a, TU_MAX_TR_SPLIT, max_tr)):
                 child = node.child(sub, TU_MAX_TR_SPLIT, i, 0)
@@ -844,7 +897,8 @@ class CtuDecoder:
         return self.decisions.coeffs(tu, cu, comp)
 
     def transform_unit(self, tu: TransformUnit, cu: CodingUnit,
-                       node: PartNode) -> None:
+                       node: PartNode, isp_idx: int = 0,
+                       isp_n: int = 1) -> None:
         cbf_cb = cbf_cr = False
         sep_tree = cu.tree_type != TREE_D
         enc_coeffs = {}
@@ -869,7 +923,24 @@ class CtuDecoder:
             if self.enc is not None:
                 want_y = int(enc_coeffs.get(0) is not None
                              and np.any(enc_coeffs[0]))
-            tu.cbf[0] = self.cbf_comp(cu, 0, prev_cbf=False, want=want_y)
+            if cu.isp_mode:
+                # last ISP partition's luma cbf is inferred to 1 when no
+                # earlier partition had one (CABACReader.cpp transform_unit)
+                prev = cu.tus[-2].cbf[0] if isp_idx > 0 else False
+                root_so_far = any(t.cbf[0] for t in cu.tus[:-1])
+                if isp_idx == isp_n - 1 and not root_so_far:
+                    tu.cbf[0] = True
+                    if self.enc is not None and not want_y:
+                        # generator must honor the inference: force a level
+                        _, _, w_, h_ = tu.blocks[0]
+                        blk = np.zeros((h_, w_), dtype=np.int32)
+                        blk[0, 0] = 1
+                        enc_coeffs[0] = blk
+                else:
+                    tu.cbf[0] = self.cbf_comp(cu, 0, prev_cbf=bool(prev),
+                                              use_isp=True, want=want_y)
+            else:
+                tu.cbf[0] = self.cbf_comp(cu, 0, prev_cbf=False, want=want_y)
 
         cu.plane_cbf[0] = cu.plane_cbf[0] or tu.cbf[0]
         cu.plane_cbf[1] = cu.plane_cbf[1] or tu.cbf[1]
@@ -999,7 +1070,7 @@ class CtuDecoder:
             return False
         if comp != 0 and cu.bdpcm_mode_chroma:
             return False
-        if cu.isp_mode or cu.sbt_info:
+        if (cu.isp_mode and comp == 0) or cu.sbt_info:
             return False
         max_ts = 1 << self.sps.log2_max_ts_size
         _, _, w, h = tu.blocks[comp]
@@ -1043,8 +1114,8 @@ class CtuDecoder:
             return
         sep_tree = cu.tree_type != TREE_D
         ch_idx = 1 if (sep_tree and cu.ch_type == 1) else 0
-        if cu.isp_mode:
-            raise NotImplementedError("LFNST with ISP")
+        if cu.isp_mode and not can_use_lfnst_with_isp(cu.w, cu.h, cu.isp_mode):
+            return
         if cu.mip_flag and not (cu.w >= 16 and cu.h >= 16):
             return
         if cu.ch_type == 1 and min(cu.cw, cu.ch) < 4:

@@ -216,3 +216,43 @@ def can_split(node: PartNode, c: SplitConstraints, pic_w: int, pic_h: int,
 
     return {CU_DONT_SPLIT: True, CU_QUAD_SPLIT: can_qt, CU_HORZ_SPLIT: can_bh,
             CU_VERT_SPLIT: can_bv, CU_TRIH_SPLIT: can_th, CU_TRIV_SPLIT: can_tv}
+
+
+# ---------------------------------------------------------------------------
+# ISP (intra sub-partitions) geometry
+# Parity: CU::canUseISPSplit / CU::getISPSplitDim (UnitTools.cpp:343,360)
+# ---------------------------------------------------------------------------
+MIN_TB_SIZE = 4
+
+
+def can_use_isp_split(w: int, h: int, max_tr_size: int) -> int:
+    """Returns the permitted ISP split set: 0 none, 1 hor-only, 2 ver-only,
+    3 both (matches the ISPType enum semantics of the reference)."""
+    log2_min = MIN_TB_SIZE.bit_length() - 1
+    not_enough = (w.bit_length() - 1) + (h.bit_length() - 1) <= (log2_min << 1)
+    too_large = w > max_tr_size or h > max_tr_size
+    width_ok = 4 if (not too_large and not not_enough) else 2
+    height_ok = 0 if (not too_large and not not_enough) else 2
+    return width_ok >> height_ok
+
+
+def isp_split_dim(w: int, h: int, horizontal: bool) -> int:
+    """Size of the split dimension of each ISP partition."""
+    split_size, non_split = (h, w) if horizontal else (w, h)
+    min_samples = 1 << ((MIN_TB_SIZE.bit_length() - 1) << 1)  # 16
+    factor = (min_samples >> (non_split.bit_length() - 1)) \
+        if non_split < min_samples else 1
+    part = split_size >> 2
+    return factor if part < factor else part
+
+
+def can_use_lfnst_with_isp(cu_w: int, cu_h: int, isp_mode: int) -> bool:
+    """Parity: CU::canUseLfnstWithISP (UnitTools.cpp:319) — every ISP
+    partition must be at least 4x4."""
+    if isp_mode == 0:
+        return False
+    if isp_mode == 1:  # horizontal
+        tw, th = cu_w, isp_split_dim(cu_w, cu_h, True)
+    else:
+        tw, th = isp_split_dim(cu_w, cu_h, False), cu_h
+    return tw >= MIN_TB_SIZE and th >= MIN_TB_SIZE

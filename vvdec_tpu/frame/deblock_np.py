@@ -122,8 +122,10 @@ class Deblocker:
             x, y = cx * cs.sub_w, cy * cs.sub_h
             w, h = cw * cs.sub_w, chh * cs.sub_h
         # edge at TU start; interior CU edges always filtered, CU-boundary
-        # edges subject to availability
-        at_cu_edge = (x == cu.x) if dir_ == 0 else (y == cu.y)
+        # edges subject to availability.  Sub-4x4 ISP partition edges round
+        # down to the 4x4 lfp grid (vvdec maskBlkX/Y, LoopFilter.cpp:545),
+        # so an edge inside the CU's first grid row/col counts as boundary.
+        at_cu_edge = ((x & ~3) == cu.x) if dir_ == 0 else ((y & ~3) == cu.y)
         if at_cu_edge:
             if not self._cu_filter_edge_allowed(cu, dir_):
                 filter_edge = False
@@ -140,15 +142,23 @@ class Deblocker:
         if tu.blocks[0] is None:
             luma_edge = False
         if luma_edge:
-            n_cells = (h if dir_ == 0 else w) >> 2
+            # one lfp cell per 4 samples along the edge; TUs narrower than 4
+            # (ISP partitions) still claim their containing cell, and later
+            # TUs overwrite earlier ones — mirroring vvdec's per-TU writes
+            # into the shared 4x4 lfp map (xSetMaxFilterLengthPQFromTransform-
+            # Sizes, LoopFilter.cpp:780).
+            n_cells = max(1, (h if dir_ == 0 else w) >> 2)
             for d in range(n_cells):
                 if dir_ == 0:
                     cx4, cy4 = x >> 2, (y >> 2) + d
                     px, py = x - 1, y + 4 * d
+                    # BS/QP derive at the grid-aligned edge position
+                    bx, by = (cx4 << 2) - 1, cy4 << 2
                 else:
                     cx4, cy4 = (x >> 2) + d, y >> 2
                     px, py = x + 4 * d, y - 1
-                cu_p = cs.cu_at(px, py, 0)
+                    bx, by = cx4 << 2, (cy4 << 2) - 1
+                cu_p = cs.cu_at(bx, by, 0)
                 tu_p = cs.tus[int(self.tu_map[py >> 2, px >> 2])]
                 size_q = w if dir_ == 0 else h
                 pblk = tu_p.blocks[0]

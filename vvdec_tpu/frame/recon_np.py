@@ -31,6 +31,7 @@ from vvdec_tpu.frame.structure import (
     TransformUnit,
     VDIA_IDX,
     VER_IDX,
+    HOR_INTRA_SUBPARTITIONS,
 )
 from vvdec_tpu.ops import rom
 from vvdec_tpu.ops.tables import (
@@ -139,7 +140,18 @@ def apply_inv_lfnst(cs: CodingStructure, deq: np.ndarray, tu: TransformUnit,
             intra_mode = co_located_luma_mode_of(cs, cu)
         else:
             intra_mode = final_mode_fn(cu, comp)
-    wide = wide_angle(w, h, intra_mode)
+    # LFNST wide-angle remap (PU::getWideAngIntraMode, UnitTools.cpp:617):
+    # differs from the prediction remap — the h>w branch subtracts VDIA+1
+    # (67, yielding negative modes), and ISP uses the CU dims.
+    ww, wh = (cu.w, cu.h) if (cu.isp_mode and comp == 0) else (w, h)
+    wide = intra_mode
+    if intra_mode >= 2:
+        mode_shift = (0, 6, 10, 12, 14, 15)
+        delta = abs((ww.bit_length() - 1) - (wh.bit_length() - 1))
+        if ww > wh and intra_mode < 2 + mode_shift[delta]:
+            wide = intra_mode + (VDIA_IDX - 1)
+        elif wh > ww and intra_mode > VDIA_IDX - mode_shift[delta]:
+            wide = intra_mode - (VDIA_IDX + 1)
     if wide < 0:
         lfnst_mode = wide + 14 + 67
     elif wide >= 67:
@@ -221,9 +233,12 @@ def get_tr_types(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
     is_implicit = (cu.pred_mode == MODE_INTRA and comp == 0
                    and sps.mts_enabled and not sps.explicit_mts_intra
                    and cu.lfnst_idx == 0 and not cu.mip_flag)
+    if cu.isp_mode and comp == 0 and cu.lfnst_idx:
+        return "DCT2", "DCT2"
     if is_implicit or (cu.isp_mode and comp == 0):
-        hor = "DST7" if 4 <= cu.w <= 16 else "DCT2"
-        ver = "DST7" if 4 <= cu.h <= 16 else "DCT2"
+        _, _, tw, th = tu.blocks[comp]
+        hor = "DST7" if 4 <= tw <= 16 else "DCT2"
+        ver = "DST7" if 4 <= th <= 16 else "DCT2"
         return hor, ver
     mts = tu.mts_idx[0] if comp == 0 else 0
     if comp != 0 or mts <= 1:
@@ -262,6 +277,8 @@ class IntraReconstructor:
         # per-4x4 luma map of TU parse order (for intra availability)
         self.tu_order_map = np.full((cs.h >> 2, cs.w >> 2), -1, dtype=np.int32)
         self.ctu_log2 = cs.sps.ctu_log2
+        # per-CU ISP state: base reference arrays + prediction-region cache
+        self._isp_cache: dict[int, dict] = {}
 
     # ---------------- availability ----------------
     def _avail(self, px: int, py: int, comp: int, cu: CodingUnit,
@@ -439,9 +456,21 @@ class IntraReconstructor:
 
     def pred_angular(self, top: np.ndarray, left: np.ndarray, w: int, h: int,
                      mode: int, comp: int, filtered_used: bool,
-                     mrl: int = 0) -> np.ndarray:
-        """Parity: xPredIntraAng (no ISP)."""
-        pred_mode = wide_angle(w, h, mode)
+                     mrl: int = 0, use_isp: bool = False,
+                     cu_size: tuple[int, int] | None = None,
+                     top_len: int | None = None,
+                     left_len: int | None = None) -> np.ndarray:
+        """Parity: xPredIntraAng.  For ISP: wide-angle mapping uses the CU
+        dims, the 4-tap filter is always cubic, and the main reference length
+        is the (shorter) ISP length instead of 2*size."""
+        if use_isp and cu_size is not None:
+            pred_mode = wide_angle(cu_size[0], cu_size[1], mode)
+        else:
+            pred_mode = wide_angle(w, h, mode)
+        if top_len is None:
+            top_len = 2 * w
+        if left_len is None:
+            left_len = 2 * h
         is_ver = pred_mode >= DIA_IDX
         ang_mode = (pred_mode - VER_IDX) if is_ver else -(pred_mode - HOR_IDX)
         abs_ang = int(ANG_TABLE[abs(ang_mode)])
@@ -468,13 +497,15 @@ class IntraReconstructor:
             log2_ratio = (w.bit_length() - 1) - (h.bit_length() - 1)
             s_ext = max(0, log2_ratio)
             max_index = (mrl << s_ext) + 2
-            ref_main = np.zeros(2 * w + 1 + mrl + max_index + 1, dtype=np.int64)
+            ref_len = top_len if is_ver else left_len
+            ref_main = np.zeros(ref_len + 1 + mrl + max_index + 1,
+                                dtype=np.int64)
             off = 0
-            n = min(2 * w + 1 + mrl, len(main_src))
+            n = min(ref_len + 1 + mrl, len(main_src))
             ref_main[:n] = main_src[:n]
             # extend right by replication of refMain[refLength + mrl]
-            val = ref_main[2 * w + mrl]
-            ref_main[2 * w + mrl + 1: 2 * w + mrl + 1 + max_index] = val
+            val = ref_main[ref_len + mrl]
+            ref_main[ref_len + mrl + 1: ref_len + mrl + 1 + max_index] = val
         # compensate for the reference line offset (refMain += mrl)
         off += mrl
 
@@ -503,7 +534,8 @@ class IntraReconstructor:
                     log2_size = ((w.bit_length() - 1) + (h.bit_length() - 1)) >> 1
                     filter_flag = diff > INTRA_FILTER_THRESH[0][log2_size]
                     interpolation = filter_flag  # isRefFilter false when frac != 0
-                    use_cubic = (not interpolation) or mrl > 0
+                    use_cubic = True if use_isp else \
+                        ((not interpolation) or mrl > 0)
                     f = CHROMA_FILTER if use_cubic else GAUSS_FILTER
                     for yy in range(h):
                         delta = angle * (yy + 1 + mrl)
@@ -574,6 +606,108 @@ class IntraReconstructor:
                 v = int(out[y, x])
                 out[y, x] = v + ((wl * (lv - v) + wt * (tv - v) + 32) >> 6)
         return out
+
+
+    # ---------------- ISP (intra sub-partitions) ----------------
+    def _isp_base(self, cu: CodingUnit) -> dict:
+        """Whole-CU reference fill shared by all ISP subpartitions.
+        Parity: initIntraPatternChTypeISP first-partition path
+        (IntraPrediction.cpp:963)."""
+        cache = self._isp_cache.get(cu.idx)
+        if cache is None:
+            first = cu.tus[0]
+            base = TransformUnit()
+            base.blocks[0] = (cu.x, cu.y, cu.w, cu.h)
+            base.order = first.order
+            bt, bl = self.fill_reference(base, cu, 0)
+            above = self._avail(cu.x, cu.y - 1, 0, cu, first.order)
+            left = self._avail(cu.x - 1, cu.y, 0, cu, first.order)
+            cache = dict(top=bt, left=bl, above=above, left_avail=left,
+                         regions={})
+            self._isp_cache[cu.idx] = cache
+        return cache
+
+    def _isp_refs(self, cu: CodingUnit, px: int, py: int, pw: int, ph: int
+                  ) -> tuple[np.ndarray, np.ndarray, int, int]:
+        """References for one ISP prediction block at (px, py, pw, ph).
+        Returns (top, left, top_len, left_len); index 0 is the corner.
+        Parity: initIntraPatternChTypeISP subsequent-partition path."""
+        cache = self._isp_base(cu)
+        horiz = cu.isp_mode == HOR_INTRA_SUBPARTITIONS
+        reco = self.reco[0]
+        top_len = cu.w + pw
+        left_len = cu.h + ph
+        if px == cu.x and py == cu.y:
+            return cache["top"], cache["left"], top_len, left_len
+        if horiz:
+            ty = py - cu.y
+            top = np.zeros(top_len + 1, dtype=np.int32)
+            row = reco[py - 1, px: px + pw]
+            top[1: 1 + pw] = row
+            top[1 + pw:] = row[-1]
+            top[0] = cache["left"][ty]
+            left = np.zeros(left_len + 1, dtype=np.int32)
+            n = min(left_len, len(cache["left"]) - 1 - ty)
+            left[1: 1 + n] = cache["left"][ty + 1: ty + 1 + n]
+            if 1 + n < len(left):
+                left[1 + n:] = left[n]
+            left[0] = top[0]
+            if not cache["left_avail"]:
+                s = int(reco[py - 1, px])
+                left[:] = s
+                top[0] = s
+            return top, left, top_len, left_len
+        tx = px - cu.x
+        left = np.zeros(left_len + 1, dtype=np.int32)
+        col = reco[py: py + ph, px - 1]
+        left[1: 1 + ph] = col
+        left[1 + ph:] = col[-1]
+        left[0] = cache["top"][tx]
+        top = np.zeros(top_len + 1, dtype=np.int32)
+        n = min(top_len, len(cache["top"]) - 1 - tx)
+        top[1: 1 + n] = cache["top"][tx + 1: tx + 1 + n]
+        if 1 + n < len(top):
+            top[1 + n:] = top[n]
+        top[0] = left[0]
+        if not cache["above"]:
+            s = int(reco[py, px - 1])
+            top[:] = s
+            left[0] = s
+        return top, left, top_len, left_len
+
+    def _isp_pred_block(self, cu: CodingUnit, top: np.ndarray,
+                        left: np.ndarray, w: int, h: int,
+                        top_len: int, left_len: int) -> np.ndarray:
+        mode = cu.intra_dir[0]
+        if mode == PLANAR_IDX:
+            pred = self.pred_planar(top, left, w, h)
+        elif mode == DC_IDX:
+            pred = self.pred_dc(top, left, w, h)
+        else:
+            return self.pred_angular(top, left, w, h, mode, 0, False,
+                                     use_isp=True, cu_size=(cu.w, cu.h),
+                                     top_len=top_len, left_len=left_len)
+        if self._pdpc_enabled(w, h):
+            pred = self.pdpc_dc_planar(pred, top, left)
+        return pred
+
+    def _predict_isp(self, tu: TransformUnit, cu: CodingUnit) -> np.ndarray:
+        """Luma prediction for one ISP subpartition.  Narrow vertical
+        partitions predict on a shared 4-wide region (CU::isPredRegDiffFromTB,
+        UnitTools.cpp:3404; DecCu.cpp:333)."""
+        x, y, w, h = tu.blocks[0]
+        horiz = cu.isp_mode == HOR_INTRA_SUBPARTITIONS
+        pred_reg = (not horiz) and ((cu.w == 8 and cu.h > 4) or cu.w == 4)
+        if pred_reg and w < 4:
+            regions = self._isp_base(cu)["regions"]
+            rx = cu.x + ((x - cu.x) >> 2 << 2)
+            if rx not in regions:
+                top, left, tl, ll = self._isp_refs(cu, rx, y, 4, h)
+                regions[rx] = self._isp_pred_block(cu, top, left, 4, h,
+                                                   tl, ll)
+            return regions[rx][:, x - rx: x - rx + w]
+        top, left, tl, ll = self._isp_refs(cu, x, y, w, h)
+        return self._isp_pred_block(cu, top, left, w, h, tl, ll)
 
     # ---------------- per-TU prediction + reconstruction ----------------
     def final_mode(self, cu: CodingUnit, comp: int) -> int:
@@ -823,6 +957,8 @@ class IntraReconstructor:
             else:  # vertical: replicate top row
                 pred[:, :] = top[1: w + 1][None, :]
             return pred
+        if comp == 0 and cu.isp_mode:
+            return self._predict_isp(tu, cu)
         mode = self.final_mode(cu, comp)
         if comp != 0 and LM_CHROMA_IDX <= mode <= MDLM_T_IDX:
             return self.pred_cclm(tu, cu, comp, mode)

@@ -85,7 +85,7 @@ class RandomDecisions(Decisions):
                  cbf_prob: float = 0.7, max_level: int = 40,
                  modes: list[int] | None = None,
                  density: float = 0.25, qp_delta_range: int = 0,
-                 mrl_prob: float = 0.0):
+                 mrl_prob: float = 0.0, isp_prob: float = 0.0):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -94,6 +94,7 @@ class RandomDecisions(Decisions):
         self.modes = modes  # None -> any of 0..66
         self.qp_delta_range = qp_delta_range
         self.mrl_prob = mrl_prob
+        self.isp_prob = isp_prob
 
     def split(self, node, allowed):
         choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
@@ -111,6 +112,13 @@ class RandomDecisions(Decisions):
         if self.modes is not None:
             return self.rnd.choice(self.modes)
         return self.rnd.randrange(0, 67)
+
+    def isp_mode(self, cu, allowed):
+        if not self.isp_prob or self.rnd.random() >= self.isp_prob:
+            return 0
+        if allowed == 3:
+            return self.rnd.choice([1, 2])
+        return allowed
 
     def multi_ref_line(self, cu):
         if not getattr(self, "mrl_prob", 0):
