@@ -229,3 +229,21 @@ class TestIspBitExact:
         ref = ref_decode(stream, tmp_path)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestMipBitExact:
+    """MIP (matrix intra prediction) vs the reference decoder."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_mip(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc.encoder import generate_stream
+
+        stream, _ = generate_stream(width=64, height=64, seed=seed,
+                                    sps_kw=dict(mip_enabled=True),
+                                    dec_kw=dict(split_prob=0.5, mip_prob=0.6))
+        ref = ref_decode(stream, tmp_path)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

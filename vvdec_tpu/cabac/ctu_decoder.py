@@ -127,6 +127,13 @@ class Decisions:
         (1 = hor only, 2 = ver only, 3 = both)."""
         return 0
 
+    def mip(self, cu: CodingUnit) -> bool:
+        return False
+
+    def mip_mode(self, cu: CodingUnit, n_modes: int) -> tuple[int, bool]:
+        """(mode index in [0, n_modes), transpose flag)."""
+        return 0, False
+
     def coeffs(self, tu: TransformUnit, cu: CodingUnit, comp: int) -> np.ndarray | None:
         """Quantized levels for the TU component (h x w int array) or None."""
         return None
@@ -775,13 +782,31 @@ class CtuDecoder:
         raise NotImplementedError("CCLM with dual tree")
 
     def mip_flag(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::mip_flag (CABACReader.cpp:3123) +
+        DeriveCtx::CtxMipFlag (ContextModelling.cpp:495)."""
         if not self.sps.mip_enabled:
             cu.mip_flag = False
             return
-        raise NotImplementedError("MIP")
+        cu_left = self.cs.cu_at_restricted(cu.x - 1, cu.y, cu, 0)
+        cu_above = self.cs.cu_at_restricted(cu.x, cu.y - 1, cu, 0)
+        ctx_id = (1 if (cu_left and cu_left.mip_flag) else 0) +             (1 if (cu_above and cu_above.mip_flag) else 0)
+        if cu.w > 2 * cu.h or cu.h > 2 * cu.w:
+            ctx_id = 3
+        want = None
+        if self.enc is not None:
+            want = int(bool(self.decisions.mip(cu)))
+        cu.mip_flag = bool(self._bin(ctx("MipFlag", ctx_id), want=want))
 
     def mip_pred_mode(self, cu: CodingUnit) -> None:
-        raise NotImplementedError("MIP")
+        """Parity: CABACReader::mip_pred_mode (CABACReader.cpp:3136)."""
+        from vvdec_tpu.frame.recon_np import num_mip_modes
+        n = num_mip_modes(cu.w, cu.h)
+        want_mode = want_tr = None
+        if self.enc is not None:
+            want_mode, want_tr = self.decisions.mip_mode(cu, n)
+        cu.mip_transpose = bool(self._ep(want=want_tr))
+        mode = self.trunc_bin(n, want=want_mode)
+        cu.intra_dir[0] = mode
 
     def extend_ref_line(self, cu: CodingUnit) -> None:
         if cu.bdpcm_mode or not self.sps.mrl_enabled:
@@ -1626,7 +1651,9 @@ class CtuDecoder:
                         if pos <= last_pass1:
                             want_rem = (int(coded[blk]) - int(coeff[blk])) >> 1
                         else:
-                            want_rem = int(coded[blk])
+                            # bypass-coded positions carry the RAW absolute
+                            # level (no level mapping applies there)
+                            want_rem = abs(int(enc_block.reshape(-1)[blk]))
                     rem = self._rem(rice, COEF_REMAIN_BIN_REDUCTION,
                                     self.max_log2_tr_range, want=want_rem)
                     coeff[blk] += (rem << 1) if pos <= last_pass1 else rem

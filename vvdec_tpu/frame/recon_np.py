@@ -213,6 +213,20 @@ def ts_residual(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
                          internal_minus_input=cs.sps.internal_minus_input_bit_depth)
 
 
+
+def mip_size_id(w: int, h: int) -> int:
+    """Parity: getMipSizeId (UnitTools.cpp:3748)."""
+    if w == 4 and h == 4:
+        return 0
+    if w == 4 or h == 4 or (w == 8 and h == 8):
+        return 1
+    return 2
+
+
+def num_mip_modes(w: int, h: int) -> int:
+    return (16, 8, 6)[mip_size_id(w, h)]
+
+
 def co_located_luma_mode_of(cs: CodingStructure, cu: CodingUnit) -> int:
     if cu.tree_type == 2 or not cu.has_luma:
         lx = (cu.cx + (cu.cw >> 1)) * cs.sub_w
@@ -608,6 +622,95 @@ class IntraReconstructor:
         return out
 
 
+
+    def pred_mip(self, tu: TransformUnit, cu: CodingUnit, comp: int
+                 ) -> np.ndarray:
+        """Matrix intra prediction.  Parity: Mip::PredictorMIP
+        (MatrixIntraPrediction.cpp:60): Haar boundary downsample, rebased
+        affine matrix product, linear upsampling."""
+        from vvdec_tpu.ops.tables import MIP_4x4, MIP_8x8, MIP_16x16
+
+        x, y, w, h = tu.blocks[comp]
+        top, left = self.fill_reference(tu, cu, comp)
+        ref_top = top[1: 1 + w].astype(np.int64)
+        ref_left = left[1: 1 + h].astype(np.int64)
+        size_id = mip_size_id(w, h)
+        bdry = 2 if size_id == 0 else 4
+        red = 4 if size_id < 2 else 8
+        up_h, up_v = w // red, h // red
+        bd = self.bit_depth
+
+        def down(srcv: np.ndarray, n: int) -> np.ndarray:
+            if n < len(srcv):
+                f = len(srcv) // n
+                lg = f.bit_length() - 1
+                return (srcv.reshape(n, f).sum(axis=1) + (1 << (lg - 1))) >> lg
+            return srcv[:n].copy()
+
+        t_red = down(ref_top, bdry)
+        l_red = down(ref_left, bdry)
+        bound = np.concatenate([t_red, l_red])
+        bound_t = np.concatenate([l_red, t_red])
+        inp = (bound_t if cu.mip_transpose else bound).copy()
+        in_off = int(inp[0])
+        inp[0] = ((1 << (bd - 1)) - in_off) if size_id < 2 else 0
+        inp[1:] -= in_off
+        input_size = 2 * bdry
+
+        mat = (MIP_4x4, MIP_8x8, MIP_16x16)[size_id][cu.intra_dir[0]]
+        red_size = 1 if size_id == 2 else 0
+        offset = (1 << 5) - 32 * int(inp.sum())
+        out = np.zeros(red * red, dtype=np.int64)
+        for pos in range(red * red):
+            wrow = mat[pos]
+            acc = 0 if red_size else int(inp[0]) * int(wrow[0])
+            for i in range(1, input_size):
+                acc += int(inp[i]) * int(wrow[i - red_size])
+            out[pos] = ((acc + offset) >> 6) + in_off
+        out = np.clip(out, 0, self.pel_max)
+        pred = out.reshape(red, red)
+        if cu.mip_transpose:
+            pred = pred.T.copy()
+
+        if up_h == 1 and up_v == 1:
+            return pred
+        # horizontal upsampling (rows land at y = (k+1)*up_v - 1)
+        if up_h > 1:
+            lg = up_h.bit_length() - 1
+            ro = 1 << (lg - 1)
+            hor = np.zeros((red, w), dtype=np.int64)
+            for k in range(red):
+                prev = int(ref_left[(k + 1) * up_v - 1])
+                pos = 0
+                for j in range(red):
+                    behind = int(pred[k, j])
+                    diff = behind - prev
+                    scaled = prev * up_h + ro
+                    for _ in range(up_h):
+                        scaled += diff
+                        hor[k, pos] = scaled >> lg
+                        pos += 1
+                    prev = behind
+            ver_src = hor
+        else:
+            ver_src = pred
+        if up_v == 1:
+            return ver_src
+        lg = up_v.bit_length() - 1
+        ro = 1 << (lg - 1)
+        res = np.zeros((h, w), dtype=np.int64)
+        for c in range(w):
+            prev = int(ref_top[c])
+            for j in range(red):
+                behind = int(ver_src[j, c])
+                diff = behind - prev
+                scaled = prev * up_v + ro
+                for i in range(up_v):
+                    scaled += diff
+                    res[j * up_v + i, c] = scaled >> lg
+                prev = behind
+        return res
+
     # ---------------- ISP (intra sub-partitions) ----------------
     def _isp_base(self, cu: CodingUnit) -> dict:
         """Whole-CU reference fill shared by all ISP subpartitions.
@@ -957,6 +1060,8 @@ class IntraReconstructor:
             else:  # vertical: replicate top row
                 pred[:, :] = top[1: w + 1][None, :]
             return pred
+        if comp == 0 and cu.mip_flag:
+            return self.pred_mip(tu, cu, comp)
         if comp == 0 and cu.isp_mode:
             return self._predict_isp(tu, cu)
         mode = self.final_mode(cu, comp)

@@ -21,6 +21,11 @@ LFNST_8x8 = _NPZ["LFNST8x8"].astype(np.int32)  # [4][2][48][16]
 LFNST_4x4 = _NPZ["LFNST4x4"].astype(np.int32)  # [4][2][16][16]
 LFNST_LUT = _NPZ["LFNST_LUT"].astype(np.int32)  # intra mode -> transform set
 
+_MIP_NPZ = np.load(os.path.join(os.path.dirname(__file__), "tables_mip.npz"))
+MIP_4x4 = _MIP_NPZ["MIP4x4"].astype(np.int32)      # [16][16][4]
+MIP_8x8 = _MIP_NPZ["MIP8x8"].astype(np.int32)      # [8][16][8]
+MIP_16x16 = _MIP_NPZ["MIP16x16"].astype(np.int32)  # [6][64][7]
+
 
 def tr_matrix(kind: str, n: int) -> np.ndarray:
     """Transform matrix rows=frequency, cols=spatial, int32 [n, n]."""

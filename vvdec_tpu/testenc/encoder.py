@@ -85,7 +85,8 @@ class RandomDecisions(Decisions):
                  cbf_prob: float = 0.7, max_level: int = 40,
                  modes: list[int] | None = None,
                  density: float = 0.25, qp_delta_range: int = 0,
-                 mrl_prob: float = 0.0, isp_prob: float = 0.0):
+                 mrl_prob: float = 0.0, isp_prob: float = 0.0,
+                 mip_prob: float = 0.0):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -95,6 +96,7 @@ class RandomDecisions(Decisions):
         self.qp_delta_range = qp_delta_range
         self.mrl_prob = mrl_prob
         self.isp_prob = isp_prob
+        self.mip_prob = mip_prob
 
     def split(self, node, allowed):
         choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
@@ -112,6 +114,14 @@ class RandomDecisions(Decisions):
         if self.modes is not None:
             return self.rnd.choice(self.modes)
         return self.rnd.randrange(0, 67)
+
+    def mip(self, cu):
+        if not getattr(self, "mip_prob", 0):
+            return False
+        return self.rnd.random() < self.mip_prob
+
+    def mip_mode(self, cu, n_modes):
+        return self.rnd.randrange(n_modes), self.rnd.random() < 0.5
 
     def isp_mode(self, cu, allowed):
         if not self.isp_prob or self.rnd.random() >= self.isp_prob:
