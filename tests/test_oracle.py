@@ -247,3 +247,65 @@ class TestMipBitExact:
         ref = ref_decode(stream, tmp_path)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestDualTreeJccrBitExact:
+    """Global dual-tree intra, joint Cb-Cr, and their interaction with the
+    full intra toolset (CTU 32 and 64)."""
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_jccr(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc.encoder import generate_stream
+
+        stream, _ = generate_stream(width=64, height=64, seed=seed,
+                                    sps_kw=dict(joint_cbcr_enabled=True),
+                                    ph_kw=dict(joint_cbcr_sign=bool(seed % 2)),
+                                    dec_kw=dict(split_prob=0.5, jccr_prob=0.6))
+        ref = ref_decode(stream, tmp_path)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+    @pytest.mark.parametrize("seed,ctu", [(0, 32), (1, 64), (2, 32), (3, 64)])
+    def test_dual_tree_all_tools(self, seed, ctu, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions
+        from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+        class AllDec(RandomDecisions):
+            def use_ts(self, tu, cu, comp):
+                return self.rnd.random() < 0.2
+
+            def lfnst_idx(self, cu):
+                return self.rnd.choice([0, 1, 2])
+
+        sps = E.make_sps(96, 64, ctu=ctu, dual_tree_intra=True,
+                         cclm_enabled=True, mip_enabled=True, isp_enabled=True,
+                         lfnst_enabled=True, mts_enabled=True,
+                         transform_skip_enabled=True, log2_max_ts_size=4,
+                         mrl_enabled=True, joint_cbcr_enabled=True,
+                         min_qt_size=[8, 8, 8], max_mtt_depth=[2, 2, 2],
+                         max_bt_size=[32, 32, 32], max_tt_size=[32, 32, 32])
+        pps = E.make_pps(sps)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        dec = AllDec(seed=seed, split_prob=0.5, density=0.2, max_level=30,
+                     isp_prob=0.35, mrl_prob=0.25, mip_prob=0.35,
+                     jccr_prob=0.4)
+        nal, _ = E.encode_frame(sps, pps, dec, qp=30,
+                                ph_kw=dict(joint_cbcr_sign=bool(seed % 2)))
+        stream += nal
+        ref = ref_decode(stream, tmp_path)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

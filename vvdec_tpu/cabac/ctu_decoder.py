@@ -130,6 +130,10 @@ class Decisions:
     def mip(self, cu: CodingUnit) -> bool:
         return False
 
+    def joint_cbcr(self, tu: TransformUnit, cu: CodingUnit,
+                   cbf_mask: int) -> bool:
+        return False
+
     def mip_mode(self, cu: CodingUnit, n_modes: int) -> tuple[int, bool]:
         """(mode index in [0, n_modes), transpose flag)."""
         return 0, False
@@ -501,11 +505,16 @@ class CtuDecoder:
         cu.depth = node.depth
         cu.slice_idx = self.slice_idx
         cu.tile_idx = self._tile_at(a.x, a.y)
-        if node.tree_type == TREE_C:
+        cu.split_hist = node.split_hist
+        # global dual tree: CUs of the luma pass are TREE_L, of the chroma
+        # pass TREE_C (CABACReader getArea, CABACReader.cpp:550); only the
+        # partitioner stays TREE_D
+        if self.dual_tree and node.tree_type == TREE_D:
+            cu.tree_type = TREE_L if node.ch_type == 0 else TREE_C
+        if cu.tree_type == TREE_C:
             cu.has_luma = False
             cu.ch_type = 1
-        if node.tree_type == TREE_L or cs.num_comp == 1 or \
-                (node.ch_type == 0 and self.dual_tree):
+        if cu.tree_type == TREE_L or cs.num_comp == 1:
             cu.has_chroma = False
 
         if self.qg_start:
@@ -777,9 +786,28 @@ class CtuDecoder:
         return PLANAR_IDX if cu.mip_flag else cu.intra_dir[0]
 
     def check_cclm_allowed(self, cu: CodingUnit) -> bool:
+        """Parity: CU::checkCCLMAllowed (UnitTools.cpp:3439)."""
         if not self.dual_tree:
             return True
-        raise NotImplementedError("CCLM with dual tree")
+        if self.sps.ctu_size <= 32:
+            return True
+        d64 = 1 if self.sps.ctu_size == 128 else 0
+        hist = cu.split_hist
+        s1 = hist[d64] if len(hist) > d64 else CU_DONT_SPLIT
+        s2 = hist[d64 + 1] if len(hist) > d64 + 1 else CU_DONT_SPLIT
+        allow = (s1 == CU_QUAD_SPLIT
+                 or (s1 == CU_HORZ_SPLIT and s2 == CU_VERT_SPLIT)
+                 or s1 == CU_DONT_SPLIT
+                 or (s1 == CU_HORZ_SPLIT and s2 == CU_DONT_SPLIT))
+        if allow:
+            luma_cu = self.cs.cu_at(cu.cx * self.cs.sub_w,
+                                    cu.cy * self.cs.sub_h, 0)
+            if luma_cu is not None:
+                if luma_cu.depth > d64 and luma_cu.qt_depth == d64:
+                    allow = False
+                elif luma_cu.depth == d64 and luma_cu.isp_mode:
+                    allow = False
+        return allow
 
     def mip_flag(self, cu: CodingUnit) -> None:
         """Parity: CABACReader::mip_flag (CABACReader.cpp:3123) +
@@ -1074,7 +1102,10 @@ class CtuDecoder:
         if not self.sps.joint_cbcr_enabled:
             return
         if (cu.pred_mode == MODE_INTRA and cbf_mask) or cbf_mask == 3:
-            if self._bin(ctx("JointCbCrFlag", cbf_mask - 1), want=0):
+            want = None
+            if self.enc is not None:
+                want = int(bool(self.decisions.joint_cbcr(tu, cu, cbf_mask)))
+            if self._bin(ctx("JointCbCrFlag", cbf_mask - 1), want=want):
                 tu.joint_cbcr = cbf_mask
 
     def ts_flag(self, tu: TransformUnit, cu: CodingUnit, comp: int) -> None:

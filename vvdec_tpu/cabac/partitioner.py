@@ -57,6 +57,8 @@ class PartNode:
     # quantization-group tracking
     qg_enable: bool = True
     qg_chroma_enable: bool = True
+    # coding-split history from the CTU root (CU::getSplitAtDepth source)
+    split_hist: tuple = ()
 
     def child(self, area: Area, split: int, idx: int, n_parts: int) -> "PartNode":
         qt = self.qt_depth + (1 if split == CU_QUAD_SPLIT else 0)
@@ -72,9 +74,13 @@ class PartNode:
             subdiv = self.subdiv + (1 if idx == 1 else 2)
         else:
             subdiv = self.subdiv
+        hist = self.split_hist
+        if split != TU_MAX_TR_SPLIT:
+            hist = hist + (split,)
         return replace(
             self, area=area, qt_depth=qt, mt_depth=mt, tr_depth=tr,
-            depth=self.depth + 1, subdiv=subdiv, last_split=split, part_idx=idx)
+            depth=self.depth + 1, subdiv=subdiv, last_split=split,
+            part_idx=idx, split_hist=hist)
 
 
 def split_areas(area: Area, split: int, max_tr_size: int = 64) -> list[Area]:

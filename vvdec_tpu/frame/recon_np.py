@@ -316,9 +316,11 @@ class IntraReconstructor:
             return False
         if xdiff > (0 if self.wpp else 1):
             return False
-        # position in luma coords for the CU map
+        # neighbor CU in the channel's own map (getCURestricted is queried
+        # with the prediction's chType; essential for dual-tree chroma where
+        # the luma tree's CUs have unrelated decode order)
         lx, ly = px * sx, py * sy
-        cu2 = cs.cu_at(lx, ly, 0)
+        cu2 = cs.cu_at(px, py, 1) if comp else cs.cu_at(lx, ly, 0)
         if cu2 is None:
             return False
         if cu2.slice_idx != cu.slice_idx or cu2.tile_idx != cu.tile_idx:
@@ -1086,6 +1088,31 @@ class IntraReconstructor:
             pred = self.pdpc_dc_planar(pred, ftop, fleft)
         return pred
 
+    def tu_residual(self, tu: TransformUnit, cu: CodingUnit, comp: int
+                    ) -> np.ndarray:
+        """Residual of one coded TU component (dequant + LFNST + ITX or TS)."""
+        cs = self.cs
+        x, y, w, h = tu.blocks[comp]
+        if self.residual_planes is not None:
+            return self.residual_planes[comp][y: y + h, x: x + w]
+        levels = cs.coef[comp][y: y + h, x: x + w]
+        # luma: QpParam baseQp = qp + QpBdOffset (Quant.cpp:79);
+        # chroma qp already includes the offset (_set_chroma_qp)
+        qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
+            else tu.chroma_qp[comp - 1]
+        dep_quant = cs.sh.dep_quant_used
+        if tu.mts_idx[comp] == MTS_SKIP:
+            # transform skip / BDPCM: residual = dequantized levels
+            return ts_residual(cs, tu, cu, comp)
+        deq = dequant_block(levels, qp, w.bit_length() - 1,
+                            h.bit_length() - 1, self.bit_depth,
+                            dep_quant, tu.max_scan_x[comp],
+                            tu.max_scan_y[comp])
+        if cu.lfnst_idx:
+            deq = apply_inv_lfnst(cs, deq, tu, cu, comp, self.final_mode)
+        hor, ver = get_tr_types(cs, tu, cu, comp)
+        return inverse_transform(deq, hor, ver, self.bit_depth)
+
     def reconstruct_tu(self, tu: TransformUnit, cu: CodingUnit) -> None:
         cs = self.cs
         comps = []
@@ -1096,31 +1123,28 @@ class IntraReconstructor:
         for comp in comps:
             x, y, w, h = tu.blocks[comp]
             pred = self.predict_tu(tu, cu, comp)
-            if tu.cbf[comp] or (comp == 2 and tu.joint_cbcr):
-                if tu.joint_cbcr:
-                    raise NotImplementedError("joint CbCr recon")
-                if self.residual_planes is not None:
-                    resi = self.residual_planes[comp][y: y + h, x: x + w]
-                else:
-                    levels = cs.coef[comp][y: y + h, x: x + w]
-                    # luma: QpParam baseQp = qp + QpBdOffset (Quant.cpp:79);
-                    # chroma qp already includes the offset (_set_chroma_qp)
-                    qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
-                        else tu.chroma_qp[comp - 1]
-                    dep_quant = cs.sh.dep_quant_used
-                    if tu.mts_idx[comp] == MTS_SKIP:
-                        # transform skip / BDPCM: residual = dequantized levels
-                        resi = ts_residual(cs, tu, cu, comp)
-                    else:
-                        deq = dequant_block(levels, qp, w.bit_length() - 1,
-                                            h.bit_length() - 1, self.bit_depth,
-                                            dep_quant, tu.max_scan_x[comp],
-                                            tu.max_scan_y[comp])
-                        if cu.lfnst_idx:
-                            deq = apply_inv_lfnst(cs, deq, tu, cu, comp,
-                                                  self.final_mode)
-                        hor, ver = get_tr_types(cs, tu, cu, comp)
-                        resi = inverse_transform(deq, hor, ver, self.bit_depth)
+            if comp == 1 and tu.joint_cbcr:
+                # joint Cb-Cr: one coded plane, the other derived by the
+                # inverse color transform (TU::getICTMode UnitTools.cpp:3613,
+                # invTransformCbCr TrQuant.cpp:108)
+                coded = 1 if (tu.joint_cbcr >> 1) else 2
+                resi = self.tu_residual(tu, cu, coded).astype(np.int64)
+                neg = bool(cs.ph.joint_cbcr_sign)
+                if tu.joint_cbcr == 1:      # coded Cr, Cb = (±Cr) >> 1
+                    resi_cr = resi
+                    resi_cb = ((-resi_cr) >> 1) if neg else (resi_cr >> 1)
+                elif tu.joint_cbcr == 2:    # coded Cb, Cr = (±Cb) >> 1
+                    resi_cb = resi
+                    resi_cr = ((-resi_cb) >> 1) if neg else (resi_cb >> 1)
+                else:                       # coded Cb, Cr = ±Cb
+                    resi_cb = resi
+                    resi_cr = -resi_cb if neg else resi_cb
+                self._jccr_cr = resi_cr
+                out = np.clip(pred + resi_cb, 0, self.pel_max)
+            elif comp == 2 and tu.joint_cbcr:
+                out = np.clip(pred + self._jccr_cr, 0, self.pel_max)
+            elif tu.cbf[comp]:
+                resi = self.tu_residual(tu, cu, comp)
                 out = np.clip(pred + resi, 0, self.pel_max)
             else:
                 out = np.clip(pred, 0, self.pel_max)

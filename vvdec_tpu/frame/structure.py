@@ -113,6 +113,7 @@ class CodingUnit:
     merge_flag: bool = False
     inter_dir: int = 0
     mv: list = field(default_factory=list)
+    split_hist: tuple = ()
     tus: list[TransformUnit] = field(default_factory=list)
     slice_idx: int = 0
     tile_idx: int = 0

@@ -113,7 +113,12 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
         if tu.blocks[0] is not None and tu.cbf[0]:
             comps.append(0)
         if tu.blocks[1] is not None:
-            comps += [c for c in (1, 2) if tu.cbf[c]]
+            if tu.joint_cbcr:
+                # joint Cb-Cr: only the coded plane runs the transform;
+                # the other is derived during reconstruction
+                comps.append(1 if (tu.joint_cbcr >> 1) else 2)
+            else:
+                comps += [c for c in (1, 2) if tu.cbf[c]]
         for comp in comps:
             x, y, w, h = tu.blocks[comp]
             if tu.mts_idx[comp] == MTS_SKIP:

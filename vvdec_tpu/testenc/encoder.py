@@ -86,7 +86,7 @@ class RandomDecisions(Decisions):
                  modes: list[int] | None = None,
                  density: float = 0.25, qp_delta_range: int = 0,
                  mrl_prob: float = 0.0, isp_prob: float = 0.0,
-                 mip_prob: float = 0.0):
+                 mip_prob: float = 0.0, jccr_prob: float = 0.0):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -97,6 +97,7 @@ class RandomDecisions(Decisions):
         self.mrl_prob = mrl_prob
         self.isp_prob = isp_prob
         self.mip_prob = mip_prob
+        self.jccr_prob = jccr_prob
 
     def split(self, node, allowed):
         choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
@@ -114,6 +115,11 @@ class RandomDecisions(Decisions):
         if self.modes is not None:
             return self.rnd.choice(self.modes)
         return self.rnd.randrange(0, 67)
+
+    def joint_cbcr(self, tu, cu, cbf_mask):
+        if not getattr(self, "jccr_prob", 0):
+            return False
+        return self.rnd.random() < self.jccr_prob
 
     def mip(self, cu):
         if not getattr(self, "mip_prob", 0):
@@ -173,6 +179,7 @@ class RandomDecisions(Decisions):
 
 def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
                  poc: int = 0, idr: bool = True, sh_kw: dict | None = None,
+                 ph_kw: dict | None = None,
                  ) -> tuple[bytes, CodingStructure]:
     """Encode one intra frame; returns (slice NAL unit bytes, the CS built
     during encoding — i.e. the expected parse result)."""
@@ -187,6 +194,8 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
     ph.max_mtt_depth = list(sps.max_mtt_depth)
     ph.max_bt_size = list(sps.max_bt_size)
     ph.max_tt_size = list(sps.max_tt_size)
+    for k, v in (ph_kw or {}).items():
+        setattr(ph, k, v)
 
     sh = SliceHeader()
     sh.picture_header_in_slice_header = True
@@ -231,6 +240,7 @@ def generate_stream(width: int = 64, height: int = 64, n_frames: int = 1,
                     seed: int = 0, qp: int = 32, ctu: int = 32,
                     sps_kw: dict | None = None, pps_kw: dict | None = None,
                     dec_kw: dict | None = None, sh_kw: dict | None = None,
+                    ph_kw: dict | None = None,
                     ) -> tuple[bytes, list[CodingStructure]]:
     """Generate a full Annex-B stream of all-intra frames."""
     sps = make_sps(width, height, ctu=ctu, **(sps_kw or {}))
@@ -247,7 +257,7 @@ def generate_stream(width: int = 64, height: int = 64, n_frames: int = 1,
     for f in range(n_frames):
         decisions = RandomDecisions(seed=seed * 1000 + f, **(dec_kw or {}))
         nal, cs = encode_frame(sps, pps, decisions, qp=qp, poc=f, idr=True,
-                               sh_kw=sh_kw)
+                               sh_kw=sh_kw, ph_kw=ph_kw)
         out += nal
         css.append(cs)
     return out, css
