@@ -309,3 +309,24 @@ class TestDualTreeJccrBitExact:
         ref = ref_decode(stream, tmp_path)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestSaoBitExact:
+    """SAO (band + all 4 edge-offset classes, merges) vs the reference."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_sao(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc.encoder import generate_stream
+
+        stream, _ = generate_stream(
+            width=96, height=64, seed=seed,
+            sps_kw=dict(sao_enabled=True),
+            sh_kw=dict(sao_enabled_luma=True,
+                       sao_enabled_chroma=seed % 3 != 0),
+            dec_kw=dict(split_prob=0.4, sao_prob=0.7))
+        ref = ref_decode(stream, tmp_path)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

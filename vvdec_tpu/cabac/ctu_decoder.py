@@ -134,6 +134,15 @@ class Decisions:
                    cbf_mask: int) -> bool:
         return False
 
+    def sao(self, cx: int, cy: int, luma_on: bool, chroma_on: bool,
+            coder) -> dict:
+        """SAO params for one CTU: {"merge": -1/0/1, "mode": [0|1|2]*3
+        (0 off, 1 EO, 2 BO), "offsets": [[4 signed]*3], "band": [3],
+        "eo_class": [3]}.  Offsets for EO are magnitudes."""
+        return {"merge": -1, "mode": [0, 0, 0],
+                "offsets": [[0] * 4] * 3, "band": [0] * 3,
+                "eo_class": [0] * 3}
+
     def mip_mode(self, cu: CodingUnit, n_modes: int) -> tuple[int, bool]:
         """(mode index in [0, n_modes), transpose flag)."""
         return 0, False
@@ -1808,8 +1817,108 @@ class CtuDecoder:
         return want
 
     # SAO / ALF CTU syntax (later rounds)
+    def unary_max_eqprob(self, max_symbol: int, want: int | None = None) -> int:
+        """EP-coded truncated unary (CABACReader::unary_max_eqprob :3078)."""
+        if self.enc is not None:
+            v = min(want, max_symbol)
+            for k in range(v):
+                self._ep(want=1)
+            if v < max_symbol:
+                self._ep(want=0)
+            return v
+        for k in range(max_symbol):
+            if not self._ep():
+                return k
+        return max_symbol
+
     def sao_ctu(self, cx: int, cy: int) -> None:
-        raise NotImplementedError("SAO CTU syntax")
+        """SAO CTU parameters (parity: CABACReader::sao, CABACReader.cpp:855).
+        Params are merge-resolved immediately (raster parse order)."""
+        cs = self.cs
+        w_ctu = self.pps.pic_width_in_ctu
+        rx, ry = cx // self.sps.ctu_size, cy // self.sps.ctu_size
+        addr = ry * w_ctu + rx
+        params = [{"mode": 0, "type": 0, "offsets": None, "band": 0}
+                  for _ in range(3)]
+        cs.sao_params[addr] = params
+        luma_on = self.sh.sao_enabled_luma
+        chroma_on = self.sh.sao_enabled_chroma and cs.num_comp > 1
+        if not luma_on and not chroma_on:
+            return
+
+        want = None
+        if self.enc is not None:
+            want = self.decisions.sao(cx, cy, luma_on, chroma_on, self)
+
+        left_ok = rx > 0 and self._sao_nb_avail(cx - 1, cy, cx, cy)
+        above_ok = ry > 0 and self._sao_nb_avail(cx, cy - 1, cx, cy)
+        merge = -1
+        if left_ok:
+            w = None if want is None else int(want.get("merge") == 0)
+            merge += self._bin(ctx("SaoMergeFlag"), want=w)
+        if merge < 0 and above_ok:
+            w = None if want is None else int(want.get("merge") == 1)
+            merge += self._bin(ctx("SaoMergeFlag"), want=w) << 1
+        if merge >= 0:
+            src_addr = addr - 1 if merge == 0 else addr - w_ctu
+            src = cs.sao_params[src_addr]
+            for c in range(3):
+                if (c == 0 and luma_on) or (c > 0 and chroma_on):
+                    params[c] = dict(src[c])
+            return
+
+        max_q = (1 << (min(self.sps.bit_depth, 10) - 5)) - 1
+        for comp in (list(range(0, 1)) if not chroma_on else
+                     (list(range(0, 3)) if luma_on else [1, 2])):
+            p = params[comp]
+            if comp != 2:
+                w = None if want is None else int(want["mode"][comp] != 0)
+                if self._bin(ctx("SaoTypeIdx"), want=w):
+                    p["mode"] = 1
+                    we = None if want is None else int(want["mode"][comp] == 1)
+                    p["type"] = 0 if self._ep(want=we) else 4
+            else:
+                p["mode"] = params[1]["mode"]
+                p["type"] = params[1]["type"]
+            if p["mode"] == 0:
+                continue
+            offs = []
+            for k in range(4):
+                wo = None if want is None else abs(int(want["offsets"][comp][k]))
+                offs.append(self.unary_max_eqprob(max_q, want=wo))
+            if p["type"] == 4:  # band offset
+                for k in range(4):
+                    if offs[k]:
+                        ws = None if want is None else \
+                            int(want["offsets"][comp][k] < 0)
+                        if self._ep(want=ws):
+                            offs[k] = -offs[k]
+                wb = None if want is None else int(want["band"][comp])
+                p["band"] = self._eps(5, want=wb)
+                table = np.zeros(32, dtype=np.int32)
+                for k in range(4):
+                    table[(p["band"] + k) % 32] = offs[k]
+                p["offsets"] = table
+            else:  # edge offset
+                if comp != 2:
+                    wc = None if want is None else int(want["eo_class"][comp])
+                    p["type"] = self._eps(2, want=wc)
+                else:
+                    p["type"] = params[1]["type"]
+                p["offsets"] = np.array(
+                    [offs[0], offs[1], 0, -offs[2], -offs[3]], dtype=np.int32)
+
+    def _sao_nb_avail(self, nx: int, ny: int, cx: int, cy: int) -> bool:
+        """Neighbor CTU usable as SAO merge source (getCURestricted on the
+        CTU position: parsed, same slice, same tile)."""
+        cs = self.cs
+        if nx < 0 or ny < 0:
+            return False
+        cu = cs.cu_at(nx, ny, 0)
+        if cu is None:
+            return False
+        return (cu.slice_idx == self.slice_idx
+                and self._tile_at(nx, ny) == self._tile_at(cx, cy))
 
     def alf_ctu(self, cx: int, cy: int) -> None:
         raise NotImplementedError("ALF CTU syntax")

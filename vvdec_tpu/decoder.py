@@ -101,6 +101,8 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
         else:
             planes = IntraReconstructor(f.cs).run()
             deblock_frame(f.cs, planes)
+        from vvdec_tpu.frame.sao_np import sao_frame
+        sao_frame(f.cs, planes)
         frames.append([p.astype(np.uint16) for p in planes])
     return frames
 

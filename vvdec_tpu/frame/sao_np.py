@@ -1,0 +1,112 @@
+"""Numpy golden SAO filter (H.266 clause 8.8.2).
+
+Behavioral parity: vvdec SampleAdaptiveOffset::offsetBlock_core
+(SampleAdaptiveOffset.cpp:64) and offsetCTU (:661) — vectorized per-CTU with
+edge-availability trimming instead of the reference's scalar line walkers.
+SAO reads the deblocked picture and writes the output picture; all neighbor
+samples (including across CTU boundaries) come from the pre-SAO source.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vvdec_tpu.frame.structure import CodingStructure
+
+
+def _sgn(a: np.ndarray) -> np.ndarray:
+    return np.sign(a).astype(np.int32)
+
+
+def sao_frame(cs: CodingStructure, planes: list[np.ndarray]) -> None:
+    """In-place SAO over reconstructed (deblocked) planes."""
+    if not (cs.sh.sao_enabled_luma or cs.sh.sao_enabled_chroma):
+        return
+    bd = cs.sps.bit_depth
+    pel_max = (1 << bd) - 1
+    ctu = cs.sps.ctu_size
+    w_ctu = cs.pps.pic_width_in_ctu
+    h_ctu = cs.pps.pic_height_in_ctu
+    srcs = [p.copy() for p in planes]
+
+    for ry in range(h_ctu):
+        for rx in range(w_ctu):
+            params = cs.sao_params[ry * w_ctu + rx]
+            if params is None or all(p["mode"] == 0 for p in params):
+                continue
+            # CTU boundary availability (deriveLoopFilterBoundaryAvailibility;
+            # single slice/tile: trimmed only at picture borders)
+            av = {
+                "L": rx > 0, "R": rx + 1 < w_ctu,
+                "A": ry > 0, "B": ry + 1 < h_ctu,
+            }
+            av["AL"] = av["A"] and av["L"]
+            av["AR"] = av["A"] and av["R"]
+            av["BL"] = av["B"] and av["L"]
+            av["BR"] = av["B"] and av["R"]
+            for comp in range(cs.num_comp):
+                p = params[comp]
+                if p["mode"] == 0:
+                    continue
+                sx = cs.sub_w if comp else 1
+                sy = cs.sub_h if comp else 1
+                cw, chh = cs.comp_size[comp]
+                x0 = (rx * ctu) // sx
+                y0 = (ry * ctu) // sy
+                bw = min(ctu // sx, cw - x0)
+                bh = min(ctu // sy, chh - y0)
+                _apply(srcs[comp], planes[comp], x0, y0, bw, bh,
+                       int(p["type"]), p["offsets"], av, bd, pel_max)
+
+
+def _apply(src, res, x0, y0, w, h, type_idc, offsets, av, bd, pel_max):
+    if type_idc == 4:  # band offset
+        blk = src[y0:y0 + h, x0:x0 + w].astype(np.int32)
+        band = blk >> (bd - 5)
+        res[y0:y0 + h, x0:x0 + w] = np.clip(
+            blk + offsets[band], 0, pel_max)
+        return
+
+    # edge offset: compute edge class on a padded copy, apply where the
+    # per-class trimming mask allows
+    pad = np.pad(src.astype(np.int32), 1, mode="edge")
+    c = pad[1 + y0: 1 + y0 + h, 1 + x0: 1 + x0 + w]
+    if type_idc == 0:    # EO 0 deg: left/right
+        n1 = pad[1 + y0: 1 + y0 + h, x0: x0 + w]
+        n2 = pad[1 + y0: 1 + y0 + h, 2 + x0: 2 + x0 + w]
+    elif type_idc == 1:  # EO 90: above/below
+        n1 = pad[y0: y0 + h, 1 + x0: 1 + x0 + w]
+        n2 = pad[2 + y0: 2 + y0 + h, 1 + x0: 1 + x0 + w]
+    elif type_idc == 2:  # EO 135: above-left/below-right
+        n1 = pad[y0: y0 + h, x0: x0 + w]
+        n2 = pad[2 + y0: 2 + y0 + h, 2 + x0: 2 + x0 + w]
+    else:                # EO 45: above-right/below-left
+        n1 = pad[y0: y0 + h, 2 + x0: 2 + x0 + w]
+        n2 = pad[2 + y0: 2 + y0 + h, x0: x0 + w]
+    edge = _sgn(c - n1) + _sgn(c - n2) + 2
+
+    mask = np.zeros((h, w), dtype=bool)
+    s_x = 0 if av["L"] else 1
+    e_x = w if av["R"] else w - 1
+    s_y = 0 if av["A"] else 1
+    e_y = h if av["B"] else h - 1
+    if type_idc == 0:
+        mask[:, s_x:e_x] = True
+    elif type_idc == 1:
+        mask[s_y:e_y, :] = True
+    elif type_idc == 2:
+        mask[1:h - 1, s_x:e_x] = True
+        # first line: [AL?0:1, A?endX:1)
+        mask[0, (0 if av["AL"] else 1): (e_x if av["A"] else 1)] = True
+        # last line: [B?startX:w-1, BR?w:w-1)
+        mask[h - 1, (s_x if av["B"] else w - 1): (w if av["BR"] else w - 1)] = True
+    else:
+        mask[1:h - 1, s_x:e_x] = True
+        # first line: [A?startX:w-1, AR?w:w-1)
+        mask[0, (s_x if av["A"] else w - 1): (w if av["AR"] else w - 1)] = True
+        # last line: [BL?0:1, B?endX:1)
+        mask[h - 1, (0 if av["BL"] else 1): (e_x if av["B"] else 1)] = True
+
+    out = np.clip(c + offsets[edge], 0, pel_max)
+    region = res[y0:y0 + h, x0:x0 + w]
+    region[mask] = out[mask]

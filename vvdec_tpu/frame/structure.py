@@ -157,6 +157,8 @@ class CodingStructure:
             if self.num_comp > 1 else None
         self.qp_map = np.zeros((self.h >> 2, self.w >> 2), dtype=np.int8)
         self.cus: list[CodingUnit] = []
+        self.sao_params: list = [None] * (pps.pic_width_in_ctu *
+                                          pps.pic_height_in_ctu)
         self.tus: list[TransformUnit] = []
         self.chroma_qp_adj = 0
         # per-4x4 slice/tile index for availability checks

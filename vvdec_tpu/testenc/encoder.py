@@ -86,7 +86,8 @@ class RandomDecisions(Decisions):
                  modes: list[int] | None = None,
                  density: float = 0.25, qp_delta_range: int = 0,
                  mrl_prob: float = 0.0, isp_prob: float = 0.0,
-                 mip_prob: float = 0.0, jccr_prob: float = 0.0):
+                 mip_prob: float = 0.0, jccr_prob: float = 0.0,
+                 sao_prob: float = 0.0):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -98,6 +99,7 @@ class RandomDecisions(Decisions):
         self.isp_prob = isp_prob
         self.mip_prob = mip_prob
         self.jccr_prob = jccr_prob
+        self.sao_prob = sao_prob
 
     def split(self, node, allowed):
         choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
@@ -115,6 +117,28 @@ class RandomDecisions(Decisions):
         if self.modes is not None:
             return self.rnd.choice(self.modes)
         return self.rnd.randrange(0, 67)
+
+    def sao(self, cx, cy, luma_on, chroma_on, coder):
+        prob = getattr(self, "sao_prob", 0)
+        r = self.rnd
+        out = {"merge": -1, "mode": [0, 0, 0],
+               "offsets": [[0] * 4 for _ in range(3)],
+               "band": [0] * 3, "eo_class": [0] * 3}
+        if not prob:
+            return out
+        if (cx or cy) and r.random() < 0.3:
+            out["merge"] = r.choice([0, 1])
+            return out
+        for c in range(3):
+            if r.random() < prob:
+                out["mode"][c] = r.choice([1, 1, 2])
+                out["offsets"][c] = [r.randint(-31, 31) if out["mode"][c] == 2
+                                     else r.randint(0, 31) for _ in range(4)]
+                out["band"][c] = r.randrange(32)
+                out["eo_class"][c] = r.randrange(4)
+        out["mode"][2] = out["mode"][1]
+        out["eo_class"][2] = out["eo_class"][1]
+        return out
 
     def joint_cbcr(self, tu, cu, cbf_mask):
         if not getattr(self, "jccr_prob", 0):
