@@ -54,6 +54,7 @@ from vvdec_tpu.frame.structure import (
     LM_CHROMA_IDX,
     MDLM_L_IDX,
     MDLM_T_IDX,
+    MODE_INTER,
     MODE_INTRA,
     MODE_TYPE_ALL,
     MODE_TYPE_INTER,
@@ -150,6 +151,37 @@ class Decisions:
     def coeffs(self, tu: TransformUnit, cu: CodingUnit, comp: int) -> np.ndarray | None:
         """Quantized levels for the TU component (h x w int array) or None."""
         return None
+
+    # ---- inter decisions ----
+    def cu_skip(self, cu: CodingUnit) -> bool:
+        return False
+
+    def pred_mode(self, cu: CodingUnit) -> int:
+        return MODE_INTRA
+
+    def merge_flag(self, cu: CodingUnit) -> bool:
+        return False
+
+    def merge_idx(self, cu: CodingUnit, n_cands: int) -> int:
+        return 0
+
+    def inter_dir(self, cu: CodingUnit) -> int:
+        return 1  # 1 L0, 2 L1, 3 bi
+
+    def ref_idx(self, cu: CodingUnit, lst: int, num_ref: int) -> int:
+        return 0
+
+    def mvd(self, cu: CodingUnit, lst: int) -> list[int]:
+        return [0, 0]
+
+    def mvp_idx(self, cu: CodingUnit, lst: int) -> int:
+        return 0
+
+    def root_cbf(self, cu: CodingUnit) -> bool:
+        return False
+
+    def mode_cons_intra(self, node: PartNode) -> bool:
+        return True
 
 
 class CtuDecoder:
@@ -493,8 +525,206 @@ class CtuDecoder:
         cu_left, cu_above = self._neighbors(node)
         ctx_id = 1 if ((cu_above and cu_above.pred_mode == MODE_INTRA)
                        or (cu_left and cu_left.pred_mode == MODE_INTRA)) else 0
-        flag = self._bin(ctx("ModeConsFlag", ctx_id), want=1)
+        want = None
+        if self.enc is not None:
+            want = int(self.decisions.mode_cons_intra(node))
+        flag = self._bin(ctx("ModeConsFlag", ctx_id), want=want)
         return MODE_TYPE_INTRA if flag else MODE_TYPE_INTER
+
+
+    # ==================================================================
+    # inter prediction syntax (minimal toolset: no IBC/affine/MMVD/GPM/
+    # CIIP/SMVD/AMVR/BCW/SBT; gated by SPS flags)
+    # ==================================================================
+    def _skip_ctx(self, cu: CodingUnit) -> int:
+        """DeriveCtx::CtxSkipFlag (ContextModelling.cpp:255)."""
+        cs = self.cs
+        left = cs.cu_at_restricted(cu.x - 1, cu.y, cu, 0)
+        above = cs.cu_at_restricted(cu.x, cu.y - 1, cu, 0)
+        return int(bool(left and left.skip)) + int(bool(above and above.skip))
+
+    def prediction_unit(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::prediction_unit (CABACReader.cpp:1568)."""
+        if cu.skip:
+            cu.merge_flag = True
+        else:
+            want = None
+            if self.enc is not None:
+                want = int(self.decisions.merge_flag(cu))
+            cu.merge_flag = bool(self._bin(ctx("MergeFlag"), want=want))
+        cu.mv = [[0, 0], [0, 0]]
+        cu.mvd = [[0, 0], [0, 0]]
+        cu.ref_idx = [-1, -1]
+        cu.mvp_idx = [0, 0]
+        if cu.merge_flag:
+            self.merge_data(cu)
+            return
+        self.inter_pred_idc(cu)
+        if self.sps.affine_enabled and cu.w >= 16 and cu.h >= 16:
+            raise NotImplementedError("affine")
+        if self.sps.smvd_enabled and cu.inter_dir == 3 \
+                and not self.ph.mvd_l1_zero:
+            raise NotImplementedError("SMVD")
+        if cu.inter_dir != 2:
+            cu.ref_idx[0] = self.ref_idx(cu, 0)
+            cu.mvd[0] = self.mvd_coding(cu, 0)
+            cu.mvp_idx[0] = self.mvp_flag(cu, 0)
+        if cu.inter_dir != 1:
+            cu.ref_idx[1] = self.ref_idx(cu, 1)
+            if self.ph.mvd_l1_zero and cu.inter_dir == 3:
+                cu.mvd[1] = [0, 0]
+            else:
+                cu.mvd[1] = self.mvd_coding(cu, 1)
+            cu.mvp_idx[1] = self.mvp_flag(cu, 1)
+
+    def merge_data(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::merge_data (CABACReader.cpp:1732)."""
+        if self.ph.max_num_affine_merge_cand > 0 and cu.w >= 8 and cu.h >= 8:
+            raise NotImplementedError("subblock merge")
+        ciip_ok = (self.sps.ciip_enabled and not cu.skip and cu.w < 128
+                   and cu.h < 128 and cu.w * cu.h >= 64)
+        geo_ok = (self.sps.gpm_enabled and self.sh.is_b
+                  and 8 <= cu.w <= 64 and 8 <= cu.h <= 64
+                  and cu.w < 8 * cu.h and cu.h < 8 * cu.w)
+        if geo_ok or ciip_ok:
+            raise NotImplementedError("CIIP/GPM merge")
+        if self.sps.mmvd_enabled:
+            raise NotImplementedError("MMVD")
+        self.merge_idx(cu)
+
+    def merge_idx(self, cu: CodingUnit) -> None:
+        n_minus1 = self.sps.max_num_merge_cand - 1
+        want = None
+        if self.enc is not None:
+            want = min(self.decisions.merge_idx(cu, n_minus1 + 1), n_minus1)
+        idx = 0
+        if n_minus1 > 0 and self._bin(ctx("MergeIdx"),
+                                      want=None if want is None
+                                      else int(want > 0)):
+            idx = 1
+            while idx < n_minus1 and self._ep(want=None if want is None
+                                              else int(want > idx)):
+                idx += 1
+        cu.merge_idx = idx
+
+    def inter_pred_idc(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::inter_pred_idc (CABACReader.cpp:1917)."""
+        if self.sh.is_p:
+            cu.inter_dir = 1
+            return
+        want = None if self.enc is None else self.decisions.inter_dir(cu)
+        bipred_ok = not (cu.w + cu.h == 12)  # PU::isBipredRestriction
+        if bipred_ok:
+            # CtxInterDir: 7 - ((log2w + log2h + 1) >> 1)
+            ctx_id = 7 - (((cu.w.bit_length() - 1)
+                           + (cu.h.bit_length() - 1) + 1) >> 1)
+            if self._bin(ctx("InterDir", ctx_id),
+                         want=None if want is None else int(want == 3)):
+                cu.inter_dir = 3
+                return
+        if self._bin(ctx("InterDir", 5),
+                     want=None if want is None else int(want == 2)):
+            cu.inter_dir = 2
+            return
+        cu.inter_dir = 1
+
+    def ref_idx(self, cu: CodingUnit, lst: int) -> int:
+        num_ref = self.sh.num_ref_idx_active[lst]
+        want = None
+        if self.enc is not None:
+            want = min(self.decisions.ref_idx(cu, lst, num_ref), num_ref - 1)
+        if num_ref <= 1:
+            return 0
+        if not self._bin(ctx("RefPic", 0),
+                         want=None if want is None else int(want > 0)):
+            return 0
+        if num_ref <= 2 or not self._bin(ctx("RefPic", 1),
+                                         want=None if want is None
+                                         else int(want > 1)):
+            return 1
+        idx = 3
+        while True:
+            if num_ref <= idx or not self._ep(want=None if want is None
+                                              else int(want > idx - 1)):
+                return idx - 1
+            idx += 1
+
+    def mvd_coding(self, cu: CodingUnit, lst: int) -> list[int]:
+        """Parity: CABACReader::mvd_coding (CABACReader.cpp:2095)."""
+        want = None
+        if self.enc is not None:
+            want = self.decisions.mvd(cu, lst)
+        out = []
+        comps = []
+        for i in range(2):
+            wv = None if want is None else abs(int(want[i]))
+            v = self._bin(ctx("Mvd", 0),
+                          want=None if wv is None else int(wv > 0))
+            comps.append((v, wv))
+        for i in range(2):
+            v, wv = comps[i]
+            if v:
+                v += self._bin(ctx("Mvd", 1),
+                               want=None if wv is None else int(wv > 1))
+            comps[i] = (v, wv)
+        for i in range(2):
+            v, wv = comps[i]
+            if v:
+                if v > 1:
+                    v += self._rem(1, 0, 17,  # MV_BITS-1 = 17
+                                   want=None if wv is None else wv - 2)
+                neg = self._ep(want=None if want is None
+                               else int(want[i] < 0))
+                if neg:
+                    v = -v
+            out.append(v)
+        return out
+
+    def mvp_flag(self, cu: CodingUnit, lst: int) -> int:
+        want = None
+        if self.enc is not None:
+            want = int(self.decisions.mvp_idx(cu, lst))
+        return self._bin(ctx("MVPIdx"), want=want)
+
+    def amvr_mode(self, cu: CodingUnit) -> None:
+        if not self.sps.amvr_enabled:
+            return
+        if cu.mvd[0] == [0, 0] and cu.mvd[1] == [0, 0]:
+            return
+        raise NotImplementedError("AMVR")
+
+    def rqt_root_cbf(self, cu: CodingUnit) -> bool:
+        want = None
+        if self.enc is not None:
+            want = int(self.decisions.root_cbf(cu))
+        return bool(self._bin(ctx("QtRootCbf"), want=want))
+
+    def _add_empty_tus(self, cu: CodingUnit, node: PartNode) -> None:
+        """cs.addEmptyTUs: TU structure without coefficients (for deblock/
+        QP maps)."""
+        max_tr = 1 << self.sps.log2_max_tb_size
+        a = node.area
+        areas = split_areas(a, TU_MAX_TR_SPLIT, max_tr) \
+            if (a.w > max_tr or a.h > max_tr) else [a]
+        for i, sub in enumerate(areas):
+            tu = TransformUnit()
+            tu.cu_idx = cu.idx
+            tu.part_idx = i
+            if cu.has_luma:
+                tu.blocks[0] = (sub.x, sub.y, sub.w, sub.h)
+            if cu.has_chroma and self.cs.num_comp > 1:
+                cx, cy, cw, chh = sub.chroma(self.cs.sub_w, self.cs.sub_h)
+                tu.blocks[1] = (cx, cy, cw, chh)
+                tu.blocks[2] = (cx, cy, cw, chh)
+            tu.qp = cu.qp
+            self._set_chroma_qp(tu, cu)
+            cu.tus.append(tu)
+            self.cs.add_tu(tu)
+
+    def _update_hmvp(self, cu: CodingUnit) -> None:
+        # motion derivation (incl. the HMVP table) lives in the recon stage;
+        # nothing in the CABAC syntax depends on derived MVs
+        pass
 
     # ==================================================================
     # coding unit
@@ -532,9 +762,44 @@ class CtuDecoder:
         cu.qp = self.qps[0]
         cu.chroma_qp_adj = cs.chroma_qp_adj
 
-        if not self.is_intra_slice or self.sps.ibc_enabled:
-            raise NotImplementedError("inter/IBC slices not yet supported")
-        cu.pred_mode = MODE_INTRA
+        if self.sps.ibc_enabled:
+            raise NotImplementedError("IBC")
+        if not self.is_intra_slice:
+            # skip flag + prediction mode (CABACReader::coding_unit :856)
+            skip = False
+            if cu.has_luma and not (cu.w == 4 and cu.h == 4) \
+                    and node.mode_type != MODE_TYPE_INTRA:
+                want = None
+                if self.enc is not None:
+                    want = int(self.decisions.cu_skip(cu))
+                skip = bool(self._bin(ctx("SkipFlag", self._skip_ctx(cu)),
+                                      want=want))
+            if skip:
+                cu.skip = True
+                cu.merge_flag = True
+                cu.pred_mode = MODE_INTER
+                cs.add_cu(cu)
+                self.prediction_unit(cu)
+                self._add_empty_tus(cu, node)
+                self._update_hmvp(cu)
+                return
+            # pred_mode_flag
+            if node.mode_type == MODE_TYPE_INTER:
+                cu.pred_mode = MODE_INTER
+            elif (cu.w == 4 and cu.h == 4) or node.mode_type == MODE_TYPE_INTRA:
+                cu.pred_mode = MODE_INTRA
+            else:
+                cu_left, cu_above = self._neighbors(node)
+                ctx_pm = 1 if ((cu_above and cu_above.pred_mode == MODE_INTRA)
+                               or (cu_left and cu_left.pred_mode == MODE_INTRA)) \
+                    else 0
+                want = None
+                if self.enc is not None:
+                    want = int(self.decisions.pred_mode(cu) == MODE_INTRA)
+                cu.pred_mode = MODE_INTRA if self._bin(ctx("PredMode", ctx_pm),
+                                                       want=want) else MODE_INTER
+        else:
+            cu.pred_mode = MODE_INTRA
 
         cs.add_cu(cu)
 
@@ -548,8 +813,14 @@ class CtuDecoder:
             if cu.has_chroma and cs.num_comp > 1:
                 self.bdpcm_mode(cu, 1)
                 self.intra_chroma_pred_mode(cu)
+        else:
+            self.prediction_unit(cu)
+            if not cu.merge_flag:
+                self.amvr_mode(cu)
 
         self.cu_residual(cu, node)
+        if cu.pred_mode == MODE_INTER:
+            self._update_hmvp(cu)
 
     def predict_qp(self, cu: CodingUnit, prev_qp: int) -> int:
         cs = self.cs
@@ -892,6 +1163,16 @@ class CtuDecoder:
     # residual
     # ==================================================================
     def cu_residual(self, cu: CodingUnit, node: PartNode) -> None:
+        if cu.pred_mode != MODE_INTRA:
+            if not cu.merge_flag:
+                cu.root_cbf = self.rqt_root_cbf(cu)
+            else:
+                cu.root_cbf = True
+            if cu.root_cbf and self.sps.sbt_enabled:
+                raise NotImplementedError("SBT")
+            if not cu.root_cbf:
+                self._add_empty_tus(cu, node)
+                return
         cu.root_cbf = True
         self.violates_lfnst = [False, False]
         self.lfnst_last_scan_pos = False
@@ -985,7 +1266,16 @@ class CtuDecoder:
             if self.enc is not None:
                 want_y = int(enc_coeffs.get(0) is not None
                              and np.any(enc_coeffs[0]))
-            if cu.isp_mode:
+            if cu.pred_mode != MODE_INTRA and node.tr_depth == 0 \
+                    and not (cbf_cb or cbf_cr):
+                # inter root TU with no chroma cbf: luma cbf inferred 1
+                tu.cbf[0] = True
+                if self.enc is not None and not want_y:
+                    _, _, w_, h_ = tu.blocks[0]
+                    blk = np.zeros((h_, w_), dtype=np.int32)
+                    blk[0, 0] = 1
+                    enc_coeffs[0] = blk
+            elif cu.isp_mode:
                 # last ISP partition's luma cbf is inferred to 1 when no
                 # earlier partition had one (CABACReader.cpp transform_unit)
                 prev = cu.tus[-2].cbf[0] if isp_idx > 0 else False

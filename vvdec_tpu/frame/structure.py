@@ -109,10 +109,14 @@ class CodingUnit:
     root_cbf: bool = True
     plane_cbf: list[bool] = field(default_factory=lambda: [False, False, False])
     sbt_info: int = 0
-    # inter (filled in round 2+ scope)
+    # inter
     merge_flag: bool = False
+    merge_idx: int = 0
     inter_dir: int = 0
-    mv: list = field(default_factory=list)
+    mv: list = field(default_factory=list)       # [[x,y] L0, [x,y] L1] 1/16 pel
+    mvd: list = field(default_factory=list)      # quarter-pel units
+    ref_idx: list = field(default_factory=lambda: [-1, -1])
+    mvp_idx: list = field(default_factory=lambda: [0, 0])
     split_hist: tuple = ()
     tus: list[TransformUnit] = field(default_factory=list)
     slice_idx: int = 0

@@ -32,7 +32,10 @@ from vvdec_tpu.frame.structure import (
     PLANAR_IDX,
     VER_IDX,
 )
-from vvdec_tpu.hls.params import SPS, PPS, ChromaQpTable, I_SLICE, PicHeader, SliceHeader
+from vvdec_tpu.hls.params import (
+    SPS, PPS, ChromaQpTable, B_SLICE, I_SLICE, P_SLICE, PicHeader,
+    RefPicEntry, RefPicList, SliceHeader,
+)
 from vvdec_tpu.testenc.bitwriter import BitWriter
 from vvdec_tpu.testenc.hls_writer import (
     make_nal,
@@ -203,13 +206,16 @@ class RandomDecisions(Decisions):
 
 def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
                  poc: int = 0, idr: bool = True, sh_kw: dict | None = None,
-                 ph_kw: dict | None = None,
+                 ph_kw: dict | None = None, slice_type: int = I_SLICE,
+                 ref_deltas: tuple = ((), ()),
                  ) -> tuple[bytes, CodingStructure]:
-    """Encode one intra frame; returns (slice NAL unit bytes, the CS built
-    during encoding — i.e. the expected parse result)."""
+    """Encode one frame; returns (slice NAL unit bytes, the CS built
+    during encoding — i.e. the expected parse result).  For P/B slices,
+    ref_deltas[lst] lists positive POC deltas to past pictures (or negative
+    for future)."""
     ph = PicHeader()
     ph.gdr_or_irap_pic = idr
-    ph.inter_slice_allowed = False
+    ph.inter_slice_allowed = slice_type != I_SLICE
     ph.intra_slice_allowed = True
     ph.pps_id = pps.pps_id
     ph.poc_lsb = poc & (sps.max_poc_lsb - 1)
@@ -223,9 +229,21 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
 
     sh = SliceHeader()
     sh.picture_header_in_slice_header = True
-    sh.slice_type = I_SLICE
+    sh.slice_type = slice_type
     sh.qp_y = qp
     sh.poc = poc
+    if slice_type != I_SLICE:
+        sh.rpl_idx = [-1, -1]
+        for lst in (0, 1):
+            rpl = RefPicList()
+            for d in ref_deltas[lst]:
+                # positive d = d pictures in the past (RefPicPocList =
+                # poc + DeltaPocValSt, so past refs carry negative deltas)
+                rpl.entries.append(RefPicEntry(value=-d))
+            sh.rpl[lst] = rpl
+        sh.num_ref_idx_active = [max(1, len(ref_deltas[0])),
+                                 len(ref_deltas[1]) if slice_type == B_SLICE
+                                 else 0]
     for k, v in (sh_kw or {}).items():
         setattr(sh, k, v)
     nal_type = NalUnitType.IDR_N_LP if idr else NalUnitType.TRAIL
