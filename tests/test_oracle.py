@@ -330,3 +330,84 @@ class TestSaoBitExact:
         ref = ref_decode(stream, tmp_path)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+def _inter_stream(seed, n_frames, slice_type, deltas_fn, dec_kw, qp=32,
+                  sao=False):
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import RandomDecisions
+    from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+    sps = E.make_sps(96, 64, sao_enabled=sao)
+    pps = E.make_pps(sps)
+    w = BitWriter()
+    write_sps(w, sps)
+    stream = make_nal(NalUnitType.SPS, w.bytes())
+    w = BitWriter()
+    write_pps(w, pps, sps)
+    stream += make_nal(NalUnitType.PPS, w.bytes())
+    sh_kw = dict(sao_enabled_luma=True, sao_enabled_chroma=True) if sao else {}
+    for f in range(n_frames):
+        dec = RandomDecisions(seed=seed * 100 + f, **dec_kw)
+        if f == 0:
+            nal, _ = E.encode_frame(sps, pps, dec, qp=qp, poc=0, idr=True,
+                                    sh_kw=sh_kw)
+        else:
+            nal, _ = E.encode_frame(sps, pps, dec, qp=qp, poc=f, idr=False,
+                                    slice_type=slice_type,
+                                    ref_deltas=deltas_fn(f), sh_kw=sh_kw)
+        stream += nal
+    return stream
+
+
+class TestInterBitExact:
+    """P/B slices: merge/skip/AMVP motion, MC interpolation, HMVP,
+    inter deblocking, SAO on inter frames."""
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_p_slices(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.hls.params import P_SLICE
+
+        stream = _inter_stream(
+            seed, 4, P_SLICE, lambda f: ((1,), ()),
+            dict(split_prob=0.4, inter_prob=0.7, skip_prob=0.2, mv_range=40))
+        ref = ref_decode(stream, tmp_path, expect_frames=4)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_b_slices(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.hls.params import B_SLICE
+
+        stream = _inter_stream(
+            seed, 4, B_SLICE,
+            lambda f: (tuple(range(1, min(f, 2) + 1)),
+                       tuple(range(1, min(f, 2) + 1))),
+            dict(split_prob=0.4, inter_prob=0.7, skip_prob=0.2,
+                 mv_range=32, bi_prob=0.5))
+        ref = ref_decode(stream, tmp_path, expect_frames=4)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+    @pytest.mark.parametrize("seed", range(2))
+    def test_p_with_sao(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.hls.params import P_SLICE
+
+        stream = _inter_stream(
+            seed, 3, P_SLICE, lambda f: ((1,), ()),
+            dict(split_prob=0.4, inter_prob=0.7, skip_prob=0.2,
+                 mv_range=32, sao_prob=0.6), sao=True)
+        ref = ref_decode(stream, tmp_path, expect_frames=3)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

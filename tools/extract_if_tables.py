@@ -1,0 +1,35 @@
+#!/usr/bin/env python3
+"""Dev-time extraction of the MC interpolation filter coefficients (ITU-T
+H.266 Tables 27/28/29/33).  Standard numeric constants parsed from the
+reference decoder's data file — no code extracted.
+Run: python tools/extract_if_tables.py"""
+
+import re
+
+import numpy as np
+
+SRC = "/root/reference/source/Lib/CommonLib/InterpolationFilter.cpp"
+DST = "vvdec_tpu/ops/tables_if.npz"
+
+
+def grab(text, name, shape):
+    m = re.search(re.escape(name) + r"[^=]*=\s*\{(.*?)\};", text, re.S)
+    nums = [int(v) for v in re.findall(r"-?\d+", m.group(1))]
+    return np.array(nums, dtype=np.int32).reshape(shape)
+
+
+def main():
+    text = open(SRC).read()
+    out = {
+        "LUMA_IF": grab(text, "InterpolationFilter::m_lumaFilter[", (16, 8)),
+        "CHROMA_IF": grab(text, "InterpolationFilter::m_chromaFilter[", (32, 4)),
+    }
+    for k, v in out.items():
+        print(k, v.shape, "rowsum0", v[0].sum(), "rowsum1", v[1].sum())
+        assert np.all(v.sum(axis=1) == 64)
+    np.savez_compressed(DST, **out)
+    print("wrote", DST)
+
+
+if __name__ == "__main__":
+    main()

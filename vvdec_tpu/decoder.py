@@ -94,15 +94,35 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
     from vvdec_tpu.frame.recon_np import IntraReconstructor
 
     frames = []
+    dpb: dict[int, list] = {}  # poc -> reconstructed planes (pre-output)
     for f in parse_annexb(data):
+        cs = f.cs
+        # resolve reference picture lists (RefPicPocList = poc + delta)
+        cs.ref_pocs = [[], []]
+        cs.ref_planes = [[], []]
+        if not cs.sh.is_intra:
+            for lst in range(2):
+                rpl = cs.sh.rpl[lst]
+                if rpl is None:
+                    continue
+                n = cs.sh.num_ref_idx_active[lst]
+                for e in rpl.entries:
+                    if e.is_long_term:
+                        raise NotImplementedError("long-term refs")
+                    ref_poc = f.poc + e.value
+                    cs.ref_pocs[lst].append(ref_poc)
+                    if ref_poc not in dpb:
+                        raise ValueError(f"missing reference POC {ref_poc}")
+                    cs.ref_planes[lst].append(dpb[ref_poc])
         if use_jax:
             from vvdec_tpu.ops.pipeline import reconstruct_frame_jax
-            planes = reconstruct_frame_jax(f.cs)
+            planes = reconstruct_frame_jax(cs)
         else:
-            planes = IntraReconstructor(f.cs).run()
-            deblock_frame(f.cs, planes)
+            planes = IntraReconstructor(cs).run()
+            deblock_frame(cs, planes)
         from vvdec_tpu.frame.sao_np import sao_frame
-        sao_frame(f.cs, planes)
+        sao_frame(cs, planes)
+        dpb[f.poc] = planes
         frames.append([p.astype(np.uint16) for p in planes])
     return frames
 

@@ -85,8 +85,6 @@ class Deblocker:
             return
         for tu in cs.tus:
             cu = cs.cus[tu.cu_idx]
-            if cu.pred_mode != MODE_INTRA:
-                raise NotImplementedError("inter deblocking strengths")
             self._tu_edges(tu, cu, 0)  # EDGE_VER
             self._tu_edges(tu, cu, 1)  # EDGE_HOR
 
@@ -163,8 +161,14 @@ class Deblocker:
                 size_q = w if dir_ == 0 else h
                 pblk = tu_p.blocks[0]
                 size_p = pblk[2] if dir_ == 0 else pblk[3]
-                # BS (intra): 2 unless both-side BDPCM
-                bs = 0 if (cu.bdpcm_mode and cu_p.bdpcm_mode) else 2
+                if cu.pred_mode == MODE_INTRA or cu_p.pred_mode == MODE_INTRA:
+                    # intra: BS 2 unless both-side BDPCM
+                    bs = 0 if (cu.bdpcm_mode and cu_p.bdpcm_mode) else 2
+                else:
+                    if tu.cbf[0] or tu_p.cbf[0]:
+                        bs = 1
+                    else:
+                        bs = self._mv_bs(cu, cu_p)
                 ep.bs_y[cy4, cx4] = bs
                 ep.qp_y[cy4, cx4] = (cu.qp + cu_p.qp + 1) >> 1
                 if size_p <= 4 or size_q <= 4:
@@ -198,15 +202,56 @@ class Deblocker:
             plx, ply = pcx * sub_w, pcy * sub_h
             cu_p = cs.cu_at(pcx, pcy, 1) or cs.cu_at(plx, ply, 0)
             tu_p = cs.tus[int(self.tu_map_c[ply >> 2, plx >> 2])]
-            bs = 0 if (cu.bdpcm_mode_chroma and cu_p.bdpcm_mode_chroma) else 2
-            ep.bs_cb[cy4, cx4] = bs
-            ep.bs_cr[cy4, cx4] = bs
+            if cu.pred_mode == MODE_INTRA or cu_p.pred_mode == MODE_INTRA:
+                bs = 0 if (cu.bdpcm_mode_chroma and cu_p.bdpcm_mode_chroma) \
+                    else 2
+                bs_cb = bs_cr = bs
+            else:
+                # inter-inter chroma BS is cbf/jointCbCr-based only
+                jc = bool(tu.joint_cbcr or tu_p.joint_cbcr)
+                bs_cb = int(tu.cbf[1] or tu_p.cbf[1] or jc)
+                bs_cr = int(tu.cbf[2] or tu_p.cbf[2] or jc)
+            ep.bs_cb[cy4, cx4] = bs_cb
+            ep.bs_cr[cy4, cx4] = bs_cr
             ep.qp_cb[cy4, cx4] = (tu_p.chroma_qp[0] + tu.chroma_qp[0] - qp_bd2 + 1) >> 1
             ep.qp_cr[cy4, cx4] = (tu_p.chroma_qp[1] + tu.chroma_qp[1] - qp_bd2 + 1) >> 1
             size_q = cw if dir_ == 0 else chh
             pblk = tu_p.blocks[1]
             size_p = pblk[2] if dir_ == 0 else pblk[3]
             ep.cmfl[cy4, cx4] = 1 if (size_p >= 8 and size_q >= 8) else 0
+
+    def _ref_poc(self, cu, lst: int):
+        if cu.ref_idx[lst] < 0:
+            return None
+        return self.cs.ref_pocs[lst][cu.ref_idx[lst]]
+
+    def _mv_bs(self, cu_q, cu_p) -> int:
+        """MV/reference-based BS for inter-inter edges
+        (xGetBoundaryStrengthSingle tail, LoopFilter.cpp)."""
+        thr = 8  # half-pel in 1/16 units
+
+        def diff(a, b):
+            return abs(a[0] - b[0]) >= thr or abs(a[1] - b[1]) >= thr
+
+        if self.cs.sh.is_b:
+            p0, p1 = self._ref_poc(cu_p, 0), self._ref_poc(cu_p, 1)
+            q0, q1 = self._ref_poc(cu_q, 0), self._ref_poc(cu_q, 1)
+            if not ((p0 == q0 and p1 == q1) or (p0 == q1 and p1 == q0)):
+                return 1
+            zero = (0, 0)
+            mv_p = [tuple(cu_p.mv[0]) if p0 is not None else zero,
+                    tuple(cu_p.mv[1]) if p1 is not None else zero]
+            mv_q = [tuple(cu_q.mv[0]) if q0 is not None else zero,
+                    tuple(cu_q.mv[1]) if q1 is not None else zero]
+            if p0 != p1:
+                if p0 == q0:
+                    return int(diff(mv_q[0], mv_p[0]) or diff(mv_q[1], mv_p[1]))
+                return int(diff(mv_q[1], mv_p[0]) or diff(mv_q[0], mv_p[1]))
+            return int((diff(mv_q[0], mv_p[0]) or diff(mv_q[1], mv_p[1]))
+                       and (diff(mv_q[1], mv_p[0]) or diff(mv_q[0], mv_p[1])))
+        if self._ref_poc(cu_p, 0) != self._ref_poc(cu_q, 0):
+            return 1
+        return int(diff(tuple(cu_q.mv[0]), tuple(cu_p.mv[0])))
 
     # ---------------- application ----------------
     def apply(self) -> None:

@@ -293,6 +293,11 @@ class IntraReconstructor:
         self.ctu_log2 = cs.sps.ctu_log2
         # per-CU ISP state: base reference arrays + prediction-region cache
         self._isp_cache: dict[int, dict] = {}
+        # inter state: reference planes per list (set by the decoder for
+        # P/B slices) and per-CU prediction cache
+        self._inter_pred: dict[int, list] = {}
+        self._seen_cu = -1
+        self._hist = None
 
     # ---------------- availability ----------------
     def _avail(self, px: int, py: int, comp: int, cu: CodingUnit,
@@ -1053,6 +1058,10 @@ class IntraReconstructor:
     def predict_tu(self, tu: TransformUnit, cu: CodingUnit, comp: int
                    ) -> np.ndarray:
         x, y, w, h = tu.blocks[comp]
+        if cu.pred_mode != MODE_INTRA:
+            ox = x - (cu.x if comp == 0 else cu.cx)
+            oy = y - (cu.y if comp == 0 else cu.cy)
+            return self._inter_pred[cu.idx][comp][oy: oy + h, ox: ox + w]
         bdpcm = cu.bdpcm_mode if comp == 0 else cu.bdpcm_mode_chroma
         if bdpcm:
             top, left = self.fill_reference(tu, cu, comp)
@@ -1159,14 +1168,83 @@ class IntraReconstructor:
         self.tu_order_map[y >> 2: (y + h) >> 2, x >> 2: (x + w) >> 2] = tu.order
 
     def run(self) -> list[np.ndarray]:
+        from vvdec_tpu.frame.inter_np import MotionHist
         for i, tu in enumerate(self.cs.tus):
             tu.order = i
+        self._hist = MotionHist()
+        last_ctu_row = -1
         for tu in self.cs.tus:
             cu = self.cs.cus[tu.cu_idx]
-            if cu.pred_mode != MODE_INTRA:
-                raise NotImplementedError("inter recon")
+            if cu.idx != self._seen_cu:
+                self._seen_cu = cu.idx
+                row = cu.y >> self.ctu_log2
+                if row != last_ctu_row:
+                    # HMVP resets at each CTU row start
+                    self._hist.reset()
+                    last_ctu_row = row
+                if cu.pred_mode != MODE_INTRA:
+                    self._derive_motion(cu)
             self.reconstruct_tu(tu, cu)
         return self.reco
+
+    def _derive_motion(self, cu: CodingUnit) -> None:
+        """Resolve merge/AMVP motion, run MC, update HMVP (DecCu.cpp:820)."""
+        from vvdec_tpu.frame import inter_np as I
+        cs = self.cs
+        is_b = cs.sh.is_b
+        if cu.merge_flag:
+            cands = I.derive_merge(cs, cu, self._hist, is_b)
+            d, mv0, mv1, r0, r1 = cands[cu.merge_idx]
+            cu.inter_dir = d
+            cu.mv = [list(mv0), list(mv1)]
+            cu.ref_idx = [r0 if d & 1 else -1, r1 if d & 2 else -1]
+        else:
+            mv = [[0, 0], [0, 0]]
+            for lst in range(2):
+                if not (cu.inter_dir & (1 << lst)):
+                    cu.ref_idx[lst] = -1
+                    continue
+                amvp = I.fill_mvp(cs, cu, lst, cu.ref_idx[lst], self._hist)
+                base = amvp[cu.mvp_idx[lst]]
+                # MVD is quarter-pel; internal precision is 1/16
+                mx = base[0] + (cu.mvd[lst][0] << 2)
+                my = base[1] + (cu.mvd[lst][1] << 2)
+                clip17 = (1 << 17)
+                mx = ((mx + clip17) & (2 * clip17 - 1)) - clip17
+                my = ((my + clip17) & (2 * clip17 - 1)) - clip17
+                mv[lst] = [mx, my]
+            cu.mv = mv
+        # motion compensation
+        preds = [None, None, None]
+        parts = []
+        for lst in range(2):
+            if not (cu.inter_dir & (1 << lst)):
+                continue
+            planes = cs.ref_planes[lst][cu.ref_idx[lst]]
+            mvc = I.clip_mv(tuple(cu.mv[lst]), cu.x, cu.y, cs)
+            bi = cu.inter_dir == 3
+            part = []
+            for comp in range(cs.num_comp):
+                if comp == 0:
+                    part.append(I.mc_block(planes[0], cu.x, cu.y, cu.w, cu.h,
+                                           mvc, 0, self.bit_depth,
+                                           (cs.sub_w, cs.sub_h), bi))
+                else:
+                    part.append(I.mc_block(planes[comp], cu.cx, cu.cy,
+                                           cu.cw, cu.ch, mvc, comp,
+                                           self.bit_depth,
+                                           (cs.sub_w, cs.sub_h), bi))
+            parts.append(part)
+        if cu.inter_dir == 3:
+            for comp in range(cs.num_comp):
+                preds[comp] = I.bi_average(parts[0][comp], parts[1][comp],
+                                           self.bit_depth)
+        else:
+            for comp in range(cs.num_comp):
+                preds[comp] = parts[0][comp]
+        self._inter_pred[cu.idx] = preds
+        # HMVP update (parallel merge level 2 -> always eligible here)
+        self._hist.add(I._mi_of(cu))
 
 
 def reconstruct_frame(cs: CodingStructure) -> list[np.ndarray]:

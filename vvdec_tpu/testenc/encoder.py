@@ -90,7 +90,9 @@ class RandomDecisions(Decisions):
                  density: float = 0.25, qp_delta_range: int = 0,
                  mrl_prob: float = 0.0, isp_prob: float = 0.0,
                  mip_prob: float = 0.0, jccr_prob: float = 0.0,
-                 sao_prob: float = 0.0):
+                 sao_prob: float = 0.0, inter_prob: float = 0.0,
+                 skip_prob: float = 0.0, bi_prob: float = 0.0,
+                 mv_range: int = 32):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -103,6 +105,10 @@ class RandomDecisions(Decisions):
         self.mip_prob = mip_prob
         self.jccr_prob = jccr_prob
         self.sao_prob = sao_prob
+        self.inter_prob = inter_prob
+        self.skip_prob = skip_prob
+        self.bi_prob = bi_prob
+        self.mv_range = mv_range
 
     def split(self, node, allowed):
         choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
@@ -120,6 +126,39 @@ class RandomDecisions(Decisions):
         if self.modes is not None:
             return self.rnd.choice(self.modes)
         return self.rnd.randrange(0, 67)
+
+    def cu_skip(self, cu):
+        return self.rnd.random() < getattr(self, "skip_prob", 0)
+
+    def pred_mode(self, cu):
+        from vvdec_tpu.frame.structure import MODE_INTER, MODE_INTRA
+        if self.rnd.random() < getattr(self, "inter_prob", 0):
+            return MODE_INTER
+        return MODE_INTRA
+
+    def merge_flag(self, cu):
+        return self.rnd.random() < 0.4
+
+    def merge_idx(self, cu, n_cands):
+        return self.rnd.randrange(n_cands)
+
+    def inter_dir(self, cu):
+        if getattr(self, "bi_prob", 0) and self.rnd.random() < self.bi_prob:
+            return 3
+        return self.rnd.choice([1, 2]) if getattr(self, "bi_prob", 0) else 1
+
+    def ref_idx(self, cu, lst, num_ref):
+        return self.rnd.randrange(max(1, num_ref))
+
+    def mvd(self, cu, lst):
+        r = getattr(self, "mv_range", 32)
+        return [self.rnd.randint(-r, r), self.rnd.randint(-r, r)]
+
+    def mvp_idx(self, cu, lst):
+        return self.rnd.randrange(2)
+
+    def root_cbf(self, cu):
+        return self.rnd.random() < self.cbf_prob
 
     def sao(self, cx, cy, luma_on, chroma_on, coder):
         prob = getattr(self, "sao_prob", 0)
@@ -224,6 +263,13 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
     ph.max_mtt_depth = list(sps.max_mtt_depth)
     ph.max_bt_size = list(sps.max_bt_size)
     ph.max_tt_size = list(sps.max_tt_size)
+    # inferred PH fields (mirror parse_picture_header derivations)
+    ph.temporal_mvp_enabled = False
+    if sps.affine_enabled:
+        ph.max_num_affine_merge_cand = sps.max_num_affine_merge_cand
+    else:
+        ph.max_num_affine_merge_cand = int(sps.sbtmvp_enabled
+                                           and ph.temporal_mvp_enabled)
     for k, v in (ph_kw or {}).items():
         setattr(ph, k, v)
 
