@@ -411,3 +411,43 @@ class TestInterBitExact:
         ref = ref_decode(stream, tmp_path, expect_frames=3)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestTmvpBitExact:
+    """Temporal MVP (collocated MV scaling, C0/C1 positions)."""
+
+    @pytest.mark.parametrize("seed,slice_type", [(0, 1), (1, 1), (2, 0), (3, 0)])
+    def test_tmvp(self, seed, slice_type, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions
+        from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+        sps = E.make_sps(96, 64, temporal_mvp_enabled=True)
+        pps = E.make_pps(sps)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        for f in range(5):
+            dec = RandomDecisions(seed=seed * 100 + f, split_prob=0.4,
+                                  inter_prob=0.75, skip_prob=0.25,
+                                  mv_range=48, bi_prob=0.5)
+            if f == 0:
+                nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=0, idr=True)
+            else:
+                d = tuple(range(1, min(f, 2) + 1))
+                nal, _ = E.encode_frame(
+                    sps, pps, dec, qp=32, poc=f, idr=False,
+                    slice_type=slice_type,
+                    ref_deltas=(d, d if slice_type == 0 else ()))
+            stream += nal
+        ref = ref_decode(stream, tmp_path, expect_frames=5)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

@@ -95,11 +95,13 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
 
     frames = []
     dpb: dict[int, list] = {}  # poc -> reconstructed planes (pre-output)
+    dpb_mot: dict[int, object] = {}  # poc -> ColMotion
     for f in parse_annexb(data):
         cs = f.cs
         # resolve reference picture lists (RefPicPocList = poc + delta)
         cs.ref_pocs = [[], []]
         cs.ref_planes = [[], []]
+        cs.ref_cols = [[], []]
         if not cs.sh.is_intra:
             for lst in range(2):
                 rpl = cs.sh.rpl[lst]
@@ -114,6 +116,12 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
                     if ref_poc not in dpb:
                         raise ValueError(f"missing reference POC {ref_poc}")
                     cs.ref_planes[lst].append(dpb[ref_poc])
+                    cs.ref_cols[lst].append(dpb_mot[ref_poc])
+            # low-delay check: every active reference precedes this picture
+            cs.check_ldc = all(
+                p <= f.poc
+                for lst in range(2)
+                for p in cs.ref_pocs[lst][: cs.sh.num_ref_idx_active[lst]])
         if use_jax:
             from vvdec_tpu.ops.pipeline import reconstruct_frame_jax
             planes = reconstruct_frame_jax(cs)
@@ -123,6 +131,8 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
         from vvdec_tpu.frame.sao_np import sao_frame
         sao_frame(cs, planes)
         dpb[f.poc] = planes
+        from vvdec_tpu.frame.inter_np import ColMotion
+        dpb_mot[f.poc] = ColMotion(cs, f.poc)
         frames.append([p.astype(np.uint16) for p in planes])
     return frames
 

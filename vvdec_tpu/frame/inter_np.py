@@ -70,6 +70,118 @@ def _nb(cs: CodingStructure, cu: CodingUnit, x: int, y: int):
     return nb
 
 
+
+class ColMotion:
+    """Collocated (temporal) motion field of a decoded picture: the 4x4
+    motion grid subsampled to 8x8 (DecCu.cpp:218) plus the slice's ref POC
+    lists for scaling."""
+
+    def __init__(self, cs: CodingStructure, poc: int) -> None:
+        self.poc = poc
+        self.ref_pocs = [list(cs.ref_pocs[0]), list(cs.ref_pocs[1])]
+        h8 = (cs.h + 7) >> 3
+        w8 = (cs.w + 7) >> 3
+        self.ref_idx = np.full((h8, w8, 2), -1, dtype=np.int8)
+        self.mv = np.zeros((h8, w8, 2, 2), dtype=np.int32)
+        for y8 in range(h8):
+            for x8 in range(w8):
+                cu = cs.cu_at(x8 << 3, y8 << 3, 0)
+                if cu is None or cu.pred_mode != MODE_INTER:
+                    continue
+                for lst in range(2):
+                    if cu.ref_idx[lst] >= 0:
+                        self.ref_idx[y8, x8, lst] = cu.ref_idx[lst]
+                        self.mv[y8, x8, lst] = cu.mv[lst]
+
+
+def _round_mv_comp(v: int) -> int:
+    """18-bit MV mantissa/exponent compression round trip
+    (convertMvFixedToFloat/convertMvFloatToFixed, UnitTools.cpp:1332)."""
+    sign = -1 if v < 0 else 0
+    scale = max(((v ^ sign) | 31).bit_length() - 1 - 5, -1)
+    if scale >= 0:
+        rnd = (1 << scale) >> 1
+        n = (v + rnd) >> scale
+        exponent = scale + ((n ^ sign) >> 5)
+        mantissa = (n & 31) | (sign * 32)
+    else:
+        exponent = 0
+        mantissa = v
+    if exponent == 0:
+        return mantissa
+    return (mantissa ^ 32) * (1 << (exponent - 1))
+
+
+def _scale_mv(mv: tuple, scale: int) -> tuple:
+    """Mv::scaleMv (Mv.h:170)."""
+    out = []
+    for v in mv:
+        p = scale * v
+        out.append(max(-131072, min(131071, (p + 128 - (p >= 0)) >> 8)))
+    return tuple(out)
+
+
+def _dist_scale(cur_poc, cur_ref_poc, col_poc, col_ref_poc) -> int:
+    dd = col_poc - col_ref_poc
+    db = cur_poc - cur_ref_poc
+    if dd == db:
+        return 4096
+    tdb = max(-128, min(127, db))
+    tdd = max(-128, min(127, dd))
+
+    def cdiv(a, b):  # C integer division (truncate toward zero)
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    ix = cdiv(0x4000 + abs(cdiv(tdd, 2)), tdd)
+    return max(-4096, min(4095, (tdb * ix + 32) >> 6))
+
+
+def get_colocated_mvp(cs: CodingStructure, cu: CodingUnit, lst: int,
+                      pos: tuple, ref_idx: int):
+    """PU::getColocatedMVP (UnitTools.cpp:1396).  Returns scaled MV tuple
+    or None."""
+    sh = cs.sh
+    col_lst = (1 - int(sh.collocated_from_l0)) if sh.is_b else 0
+    col = cs.ref_cols[col_lst][sh.collocated_ref_idx]
+    px, py = pos
+    if px >= cs.w or py >= cs.h or px < 0 or py < 0:
+        return None
+    x8, y8 = px >> 3, py >> 3
+    e_col = lst if cs.check_ldc else int(sh.collocated_from_l0)
+    if col.ref_idx[y8, x8, 0] < 0 and col.ref_idx[y8, x8, 1] < 0:
+        return None
+    col_ref = int(col.ref_idx[y8, x8, e_col])
+    if col_ref < 0:
+        e_col = 1 - e_col
+        col_ref = int(col.ref_idx[y8, x8, e_col])
+        if col_ref < 0:
+            return None
+    mv = (int(col.mv[y8, x8, e_col, 0]), int(col.mv[y8, x8, e_col, 1]))
+    mv = (_round_mv_comp(mv[0]), _round_mv_comp(mv[1]))
+    cur_poc = sh.poc
+    cur_ref_poc = cs.ref_pocs[lst][ref_idx]
+    col_poc = col.poc
+    col_ref_poc = col.ref_pocs[e_col][col_ref]
+    scale = _dist_scale(cur_poc, cur_ref_poc, col_poc, col_ref_poc)
+    if scale == 4096:
+        return (max(-(1 << 17), min((1 << 17) - 1, mv[0])),
+                max(-(1 << 17), min((1 << 17) - 1, mv[1])))
+    return _scale_mv(mv, scale)
+
+
+def tmvp_positions(cs: CodingStructure, cu: CodingUnit):
+    """(c0_avail, posC0, posC1) — the bottom-right and center collocated
+    positions with the CTU-row restriction."""
+    ctu = cs.sps.ctu_size
+    rb = (cu.x + cu.w - 1 - 3, cu.y + cu.h - 1 - 3)
+    boundary = (rb[0] + 4 < cs.w) and (rb[1] + 4 < cs.h)
+    c0_avail = boundary and ((rb[1] & (ctu - 1)) + 4 < ctu)
+    pos_c0 = (rb[0] + 4, rb[1] + 4)
+    pos_c1 = (cu.x + (cu.w >> 1), cu.y + (cu.h >> 1))
+    return c0_avail, pos_c0, pos_c1
+
+
 def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
                  is_b: bool) -> list[tuple]:
     """Regular merge candidate list (full list; idx selection by caller).
@@ -119,7 +231,25 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
             return cands
 
     if cs.ph.temporal_mvp_enabled and (w + h > 12):
-        raise NotImplementedError("TMVP merge candidate")
+        c0_avail, pos_c0, pos_c1 = tmvp_positions(cs, cu)
+        d = 0
+        mv0 = mv1 = (0, 0)
+        m = (get_colocated_mvp(cs, cu, 0, pos_c0, 0) if c0_avail else None) \
+            or get_colocated_mvp(cs, cu, 0, pos_c1, 0)
+        if m is not None:
+            d |= 1
+            mv0 = m
+        if is_b:
+            m = (get_colocated_mvp(cs, cu, 1, pos_c0, 0) if c0_avail
+                 else None) or get_colocated_mvp(cs, cu, 1, pos_c1, 0)
+            if m is not None:
+                d |= 2
+                mv1 = m
+        if d:
+            cands.append((d, mv0, mv1, 0 if d & 1 else -1,
+                          0 if d & 2 else -1))
+            if len(cands) == max_cand:
+                return cands
 
     # HMVP (newest first), pruned vs the first spatial candidates
     if len(cands) != max_cand - 1:
@@ -242,7 +372,11 @@ def fill_mvp(cs: CodingStructure, cu: CodingUnit, lst: int, ref_idx: int,
     if len(cands) == 2 and cands[0] == cands[1]:
         cands.pop()
     if cs.ph.temporal_mvp_enabled and len(cands) < AMVP_MAX and (w + h > 12):
-        raise NotImplementedError("TMVP AMVP candidate")
+        c0_avail, pos_c0, pos_c1 = tmvp_positions(cs, cu)
+        m = (get_colocated_mvp(cs, cu, lst, pos_c0, ref_idx) if c0_avail
+             else None) or get_colocated_mvp(cs, cu, lst, pos_c1, ref_idx)
+        if m is not None:
+            cands.append(round_amvr(m))
     if len(cands) < AMVP_MAX:
         for e in hist.lut[:MAX_NUM_HMVP_AMVP]:
             if len(cands) >= AMVP_MAX:

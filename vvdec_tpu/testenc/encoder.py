@@ -264,7 +264,8 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
     ph.max_bt_size = list(sps.max_bt_size)
     ph.max_tt_size = list(sps.max_tt_size)
     # inferred PH fields (mirror parse_picture_header derivations)
-    ph.temporal_mvp_enabled = False
+    ph.temporal_mvp_enabled = bool(sps.temporal_mvp_enabled
+                                   and slice_type != I_SLICE)
     if sps.affine_enabled:
         ph.max_num_affine_merge_cand = sps.max_num_affine_merge_cand
     else:
