@@ -451,3 +451,47 @@ class TestTmvpBitExact:
         ref = ref_decode(stream, tmp_path, expect_frames=5)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestInterToolsBitExact:
+    """AMVR (incl. alt half-pel IF), MMVD, BCW, SMVD, TMVP combined."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_inter_tools(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.hls.params import B_SLICE, P_SLICE
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions
+        from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+        st = B_SLICE if seed % 2 else P_SLICE
+        sps = E.make_sps(96, 64, amvr_enabled=True, mmvd_enabled=True,
+                         bcw_enabled=True, smvd_enabled=st == B_SLICE,
+                         temporal_mvp_enabled=True)
+        pps = E.make_pps(sps)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        for f in range(5):
+            dec = RandomDecisions(seed=seed * 100 + f, split_prob=0.4,
+                                  inter_prob=0.75, skip_prob=0.25,
+                                  mv_range=48, bi_prob=0.5, amvr_prob=0.4,
+                                  mmvd_prob=0.3, bcw_prob=0.4, smvd_prob=0.4)
+            if f == 0:
+                nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=0, idr=True)
+            else:
+                d = tuple(range(1, min(f, 2) + 1))
+                nal, _ = E.encode_frame(
+                    sps, pps, dec, qp=32, poc=f, idr=False, slice_type=st,
+                    ref_deltas=(d, d if st == B_SLICE else ()))
+            stream += nal
+        ref = ref_decode(stream, tmp_path, expect_frames=5)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

@@ -183,6 +183,23 @@ class Decisions:
     def mode_cons_intra(self, node: PartNode) -> bool:
         return True
 
+    def smvd(self, cu: CodingUnit) -> bool:
+        return False
+
+    def mmvd(self, cu: CodingUnit) -> bool:
+        return False
+
+    def mmvd_idx(self, cu: CodingUnit) -> tuple[int, int, int]:
+        """(base 0-1, step 0-7, direction 0-3)."""
+        return 0, 0, 0
+
+    def imv(self, cu: CodingUnit) -> int:
+        return 0
+
+    def bcw_idx(self, cu: CodingUnit) -> int:
+        """Parsing-order index 0..numBcw-1 (0 = equal weights)."""
+        return 0
+
 
 class CtuDecoder:
     """Parses (or writes) the slice data of one slice."""
@@ -215,6 +232,48 @@ class CtuDecoder:
                 max_tr_size=1 << sps.log2_max_tb_size,
                 min_cb_size=1 << sps.log2_min_cb_size,
             )
+        # slice-level reference derivations needed during parsing
+        # (DecLibParser.cpp:820 checkLDC / :851 SMVD sym refs)
+        if not sh.is_intra:
+            cs.ref_pocs = [
+                [sh.poc + e.value for e in sh.rpl[lst].entries]
+                if sh.rpl[lst] is not None else []
+                for lst in range(2)]
+            cs.check_ldc = all(
+                p <= sh.poc
+                for lst in range(2)
+                for p in cs.ref_pocs[lst][: sh.num_ref_idx_active[lst]])
+        else:
+            cs.ref_pocs = [[], []]
+            cs.check_ldc = False
+        cs.bi_dir_pred = False
+        cs.sym_ref_idx = [-1, -1]
+        if sps.smvd_enabled and sh.is_b and not cs.check_ldc \
+                and not ph.mvd_l1_zero:
+            fwd = bwd = sh.poc
+            r0 = r1 = -1
+            for ref in range(sh.num_ref_idx_active[0]):
+                p = cs.ref_pocs[0][ref]
+                if p < sh.poc and (p > fwd or r0 == -1):
+                    fwd, r0 = p, ref
+            for ref in range(sh.num_ref_idx_active[1]):
+                p = cs.ref_pocs[1][ref]
+                if p > sh.poc and (p < bwd or r1 == -1):
+                    bwd, r1 = p, ref
+            if not (fwd < sh.poc and bwd > sh.poc):
+                fwd = bwd = sh.poc
+                r0 = r1 = -1
+                for ref in range(sh.num_ref_idx_active[0]):
+                    p = cs.ref_pocs[0][ref]
+                    if p > sh.poc and (p < bwd or r0 == -1):
+                        bwd, r0 = p, ref
+                for ref in range(sh.num_ref_idx_active[1]):
+                    p = cs.ref_pocs[1][ref]
+                    if p < sh.poc and (p > fwd or r1 == -1):
+                        fwd, r1 = p, ref
+            if fwd < sh.poc and bwd > sh.poc:
+                cs.bi_dir_pred = True
+                cs.sym_ref_idx = [r0, r1]
         self.qps = [sh.qp_y, sh.qp_y]
         self.max_log2_tr_range = 15
         self.qg_start = False
@@ -562,20 +621,38 @@ class CtuDecoder:
         self.inter_pred_idc(cu)
         if self.sps.affine_enabled and cu.w >= 16 and cu.h >= 16:
             raise NotImplementedError("affine")
-        if self.sps.smvd_enabled and cu.inter_dir == 3 \
-                and not self.ph.mvd_l1_zero:
-            raise NotImplementedError("SMVD")
+        self.smvd_mode(cu)
         if cu.inter_dir != 2:
-            cu.ref_idx[0] = self.ref_idx(cu, 0)
+            if cu.smvd_mode:
+                cu.ref_idx[0] = self.cs.sym_ref_idx[0]
+            else:
+                cu.ref_idx[0] = self.ref_idx(cu, 0)
             cu.mvd[0] = self.mvd_coding(cu, 0)
             cu.mvp_idx[0] = self.mvp_flag(cu, 0)
         if cu.inter_dir != 1:
-            cu.ref_idx[1] = self.ref_idx(cu, 1)
-            if self.ph.mvd_l1_zero and cu.inter_dir == 3:
-                cu.mvd[1] = [0, 0]
-            else:
-                cu.mvd[1] = self.mvd_coding(cu, 1)
+            if cu.smvd_mode != 1:
+                cu.ref_idx[1] = self.ref_idx(cu, 1)
+                if self.ph.mvd_l1_zero and cu.inter_dir == 3:
+                    cu.mvd[1] = [0, 0]
+                else:
+                    cu.mvd[1] = self.mvd_coding(cu, 1)
             cu.mvp_idx[1] = self.mvp_flag(cu, 1)
+        if cu.smvd_mode:
+            cu.ref_idx[1] = self.cs.sym_ref_idx[1]
+            cu.mvd[1] = [-cu.mvd[0][0], -cu.mvd[0][1]]
+
+    def smvd_mode(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::smvd_mode (CABACReader.cpp:1662)."""
+        cu.smvd_mode = 0
+        if cu.inter_dir != 3 or not self.sps.smvd_enabled \
+                or self.ph.mvd_l1_zero:
+            return
+        if not self.cs.bi_dir_pred:
+            return
+        want = None
+        if self.enc is not None:
+            want = int(self.decisions.smvd(cu))
+        cu.smvd_mode = self._bin(ctx("SmvdFlag"), want=want)
 
     def merge_data(self, cu: CodingUnit) -> None:
         """Parity: CABACReader::merge_data (CABACReader.cpp:1732)."""
@@ -589,8 +666,39 @@ class CtuDecoder:
         if geo_ok or ciip_ok:
             raise NotImplementedError("CIIP/GPM merge")
         if self.sps.mmvd_enabled:
-            raise NotImplementedError("MMVD")
-        self.merge_idx(cu)
+            want = None
+            if self.enc is not None:
+                want = int(self.decisions.mmvd(cu))
+            cu.mmvd_flag = bool(self._bin(ctx("MmvdFlag", 0), want=want))
+        if cu.mmvd_flag:
+            self.mmvd_merge_idx(cu)
+        else:
+            self.merge_idx(cu)
+
+    def mmvd_merge_idx(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::mmvd_merge_idx (CABACReader.cpp:1846)."""
+        want = None
+        if self.enc is not None:
+            want = self.decisions.mmvd_idx(cu)  # (base, step, pos)
+        n_base = 1 if self.sps.max_num_merge_cand > 1 else 0
+        var0 = 0
+        if n_base > 0 and self._bin(ctx("MmvdMergeIdx"),
+                                    want=None if want is None
+                                    else int(want[0] > 0)):
+            var0 = 1
+        var1 = 0
+        if self._bin(ctx("MmvdStepMvpIdx"),
+                     want=None if want is None else int(want[1] > 0)):
+            var1 = 1
+            while var1 < 7 and self._ep(want=None if want is None
+                                        else int(want[1] > var1)):
+                var1 += 1
+        var2 = 0
+        if self._ep(want=None if want is None else (want[2] >> 1) & 1):
+            var2 += 2
+        if self._ep(want=None if want is None else want[2] & 1):
+            var2 += 1
+        cu.mmvd_idx = var0 * 32 + var1 * 4 + var2
 
     def merge_idx(self, cu: CodingUnit) -> None:
         n_minus1 = self.sps.max_num_merge_cand - 1
@@ -687,11 +795,53 @@ class CtuDecoder:
         return self._bin(ctx("MVPIdx"), want=want)
 
     def amvr_mode(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::amvr_mode (CABACReader.cpp:991).
+        imv: 0 quarter, 1 full, 2 four-pel, 3 half-pel."""
         if not self.sps.amvr_enabled:
             return
-        if cu.mvd[0] == [0, 0] and cu.mvd[1] == [0, 0]:
+        has_mvd = any(cu.mvd[lst] != [0, 0] for lst in range(2)
+                      if cu.inter_dir & (1 << lst))
+        if not has_mvd:
             return
-        raise NotImplementedError("AMVR")
+        want = None
+        if self.enc is not None:
+            want = int(self.decisions.imv(cu))
+        v = self._bin(ctx("ImvFlag", 0),
+                      want=None if want is None else int(want > 0))
+        if not v:
+            return
+        cu.imv = 1
+        v = self._bin(ctx("ImvFlag", 4),
+                      want=None if want is None else int(want != 3))
+        cu.imv = 1 if v else 3  # IMV_HPEL
+        if v:
+            v = self._bin(ctx("ImvFlag", 1),
+                          want=None if want is None else int(want == 2))
+            cu.imv = v + 1
+
+    def cu_bcw_flag(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::cu_bcw_flag (CABACReader.cpp:1180)."""
+        if not (self.sps.bcw_enabled and cu.pred_mode == MODE_INTER
+                and cu.inter_dir == 3 and cu.w * cu.h >= 256):
+            return
+        # weighted prediction would disable BCW; WP unsupported here
+        want = None
+        if self.enc is not None:
+            want = int(self.decisions.bcw_idx(cu))  # parsing-order index
+        num_bcw = 5 if self.cs.check_ldc else 3
+        idx = 0
+        if self._bin(ctx("BcwIdx", 0),
+                     want=None if want is None else int(want > 0)):
+            idx = 1
+            for ui in range(num_bcw - 2):
+                if not self._ep(want=None if want is None
+                                else int(want > idx)):
+                    break
+                idx += 1
+        # parsing order -> forward-form index (g_BcwParsingOrder/InternFwd)
+        parsing_order = (2, 3, 1, 4, 0)
+        intern_fwd = (1, 2, 0, 3, 4)
+        cu.bcw_idx = intern_fwd[parsing_order[idx]]
 
     def rqt_root_cbf(self, cu: CodingUnit) -> bool:
         want = None
@@ -817,6 +967,7 @@ class CtuDecoder:
             self.prediction_unit(cu)
             if not cu.merge_flag:
                 self.amvr_mode(cu)
+                self.cu_bcw_flag(cu)
 
         self.cu_residual(cu, node)
         if cu.pred_mode == MODE_INTER:

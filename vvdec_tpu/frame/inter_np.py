@@ -55,9 +55,22 @@ class MotionHist:
 
 
 def _mi_of(cu: CodingUnit) -> tuple:
+    """(inter_dir, mv0, mv1, ref0, ref1, bcw_fwd, alt_hpel)."""
     mv = cu.mv if cu.mv else [[0, 0], [0, 0]]
     return (cu.inter_dir, tuple(mv[0]), tuple(mv[1]),
-            cu.ref_idx[0], cu.ref_idx[1])
+            cu.ref_idx[0], cu.ref_idx[1], cu.bcw_idx, cu.alt_hpel)
+
+
+def _mi_eq(a: tuple, b: tuple) -> bool:
+    """MotionInfo operator== (MotionInfo.h:127): refIdx match; MVs compared
+    only on lists with a valid reference."""
+    if a[3] != b[3] or a[4] != b[4]:
+        return False
+    if a[3] >= 0 and a[1] != b[1]:
+        return False
+    if a[4] >= 0 and a[2] != b[2]:
+        return False
+    return True
 
 
 def _nb(cs: CodingStructure, cu: CodingUnit, x: int, y: int):
@@ -191,7 +204,9 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
     x, y, w, h = cu.x, cu.y, cu.w, cu.h
 
     def mi(nb):
-        return _mi_of(nb)
+        e = _mi_of(nb)
+        bcw = e[5] if e[0] == 3 else 0
+        return (e[0], e[1], e[2], e[3], e[4], bcw, nb.imv == 3)
 
     b1 = _nb(cs, cu, x + w - 1, y - 1)
     mi_b1 = mi(b1) if b1 else None
@@ -201,7 +216,7 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
         return cands
     a1 = _nb(cs, cu, x - 1, y + h - 1)
     mi_a1 = mi(a1) if a1 else None
-    if a1 and (mi_b1 is None or mi_a1 != mi_b1):
+    if a1 and (mi_b1 is None or not _mi_eq(mi_a1, mi_b1)):
         cands.append(mi_a1)
     if len(cands) == max_cand:
         return cands
@@ -209,14 +224,14 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
     b0 = _nb(cs, cu, x + w, y - 1)
     if b0:
         mi_b0 = mi(b0)
-        if mi_b1 is None or mi_b0 != mi_b1:
+        if mi_b1 is None or not _mi_eq(mi_b0, mi_b1):
             cands.append(mi_b0)
         if len(cands) == max_cand:
             return cands
     a0 = _nb(cs, cu, x - 1, y + h)
     if a0:
         mi_a0 = mi(a0)
-        if mi_a1 is None or mi_a0 != mi_a1:
+        if mi_a1 is None or not _mi_eq(mi_a0, mi_a1):
             cands.append(mi_a0)
         if len(cands) == max_cand:
             return cands
@@ -224,8 +239,8 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
         b2 = _nb(cs, cu, x - 1, y - 1)
         if b2:
             mi_b2 = mi(b2)
-            if (mi_a1 is None or mi_b2 != mi_a1) and \
-                    (mi_b1 is None or mi_b2 != mi_b1):
+            if (mi_a1 is None or not _mi_eq(mi_b2, mi_a1)) and \
+                    (mi_b1 is None or not _mi_eq(mi_b2, mi_b1)):
                 cands.append(mi_b2)
         if len(cands) == max_cand:
             return cands
@@ -247,7 +262,7 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
                 mv1 = m
         if d:
             cands.append((d, mv0, mv1, 0 if d & 1 else -1,
-                          0 if d & 2 else -1))
+                          0 if d & 2 else -1, 0, False))
             if len(cands) == max_cand:
                 return cands
 
@@ -274,7 +289,12 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
             return False
 
         for k, e in enumerate(reversed(hist.lut)):
-            cand = e if is_b else (1, e[1], (0, 0), e[3], -1)
+            if is_b:
+                cand = e
+            else:
+                cand = (1, e[1], (0, 0), e[3], -1, 0, e[6])
+            cand = (cand[0], cand[1], cand[2], cand[3], cand[4],
+                    cand[5] if cand[0] == 3 else 0, cand[6])
             if k + 1 > 2 or not similar(cand):
                 cands.append(cand)
                 if len(cands) == max_cand - 1:
@@ -305,8 +325,9 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
                 mv_out[lst] = cands[1][1 + lst]
                 ref_out[lst] = rj
         if inter_dir > 0:
+            alt = cands[0][6] if cands[0][6] == cands[1][6] else False
             cands.append((inter_dir, mv_out[0], mv_out[1],
-                          ref_out[0], ref_out[1]))
+                          ref_out[0], ref_out[1], 0, alt))
 
     # zero candidates
     n0 = cs.sh.num_ref_idx_active[0]
@@ -316,9 +337,9 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
     refcnt = 0
     while len(cands) < max_cand:
         if is_b:
-            cands.append((3, (0, 0), (0, 0), r, r))
+            cands.append((3, (0, 0), (0, 0), r, r, 0, False))
         else:
-            cands.append((1, (0, 0), (0, 0), r, -1))
+            cands.append((1, (0, 0), (0, 0), r, -1, 0, False))
         if refcnt == n_ref - 1:
             r = 0
         else:
@@ -341,9 +362,13 @@ def round_amvr(mv: tuple, shift: int = 2) -> tuple:
     return tuple(out)
 
 
+AMVR_SHIFT = {0: 2, 1: 4, 2: 6, 3: 3}  # imv -> internal-precision shift
+
+
 def fill_mvp(cs: CodingStructure, cu: CodingUnit, lst: int, ref_idx: int,
              hist: MotionHist) -> list[tuple]:
     """AMVP candidate pair (PU::fillMvpCand)."""
+    shift = AMVR_SHIFT[cu.imv]
     cands: list[tuple] = []
     x, y, w, h = cu.x, cu.y, cu.w, cu.h
     cur_ref_poc = cs.ref_pocs[lst][ref_idx]
@@ -368,7 +393,7 @@ def fill_mvp(cs: CodingStructure, cu: CodingUnit, lst: int, ref_idx: int,
         if not try_add(x + w - 1, y - 1):
             try_add(x - 1, y - 1)
 
-    cands = [round_amvr(c) for c in cands]
+    cands = [round_amvr(c, shift) for c in cands]
     if len(cands) == 2 and cands[0] == cands[1]:
         cands.pop()
     if cs.ph.temporal_mvp_enabled and len(cands) < AMVP_MAX and (w + h > 12):
@@ -376,7 +401,7 @@ def fill_mvp(cs: CodingStructure, cu: CodingUnit, lst: int, ref_idx: int,
         m = (get_colocated_mvp(cs, cu, lst, pos_c0, ref_idx) if c0_avail
              else None) or get_colocated_mvp(cs, cu, lst, pos_c1, ref_idx)
         if m is not None:
-            cands.append(round_amvr(m))
+            cands.append(round_amvr(m, shift))
     if len(cands) < AMVP_MAX:
         for e in hist.lut[:MAX_NUM_HMVP_AMVP]:
             if len(cands) >= AMVP_MAX:
@@ -385,7 +410,7 @@ def fill_mvp(cs: CodingStructure, cu: CodingUnit, lst: int, ref_idx: int,
                 li = lst if src == 0 else 1 - lst
                 nri = e[3 + li]
                 if nri >= 0 and cur_ref_poc == cs.ref_pocs[li][nri]:
-                    cands.append(round_amvr(e[1 + li]))
+                    cands.append(round_amvr(e[1 + li], shift))
                     if len(cands) >= AMVP_MAX:
                         break
     while len(cands) < AMVP_MAX:
@@ -419,9 +444,12 @@ def _filter_1d(arr: np.ndarray, coeffs: np.ndarray, axis: int) -> np.ndarray:
     return out
 
 
+ALT_HPEL_IF = np.array([0, 3, 9, 20, 20, 9, 3, 0], dtype=np.int32)
+
+
 def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
              mv: tuple, comp: int, bit_depth: int, sub: tuple[int, int],
-             intermediate: bool) -> np.ndarray:
+             intermediate: bool, alt_hpel: bool = False) -> np.ndarray:
     """Motion-compensated prediction of one block.
 
     ref: reference plane (this component).  (x, y, w, h) in component coords.
@@ -462,13 +490,18 @@ def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
             return (blk << head) - IF_INTERNAL_OFFS
         return blk
 
+    def coeffs(frac):
+        if comp == 0 and alt_hpel and frac == 8:
+            return ALT_HPEL_IF
+        return table[frac]
+
     if fx and fy:
         # pass 1 horizontal (isFirst, !isLast): shift = 6 - head,
         # offset = -IF_INTERNAL_OFFS << shift
-        tmp = _filter_1d(win, table[fx], axis=1)    # [h+taps-1, w]
+        tmp = _filter_1d(win, coeffs(fx), axis=1)   # [h+taps-1, w]
         s1 = IF_FILTER_PREC - head
         tmp = (tmp - (IF_INTERNAL_OFFS << s1)) >> s1
-        blk = _filter_1d(tmp, table[fy], axis=0)    # [h, w]
+        blk = _filter_1d(tmp, coeffs(fy), axis=0)   # [h, w]
         if intermediate:
             # pass 2 (!isFirst, !isLast): shift = 6, offset = 0
             return blk >> IF_FILTER_PREC
@@ -481,10 +514,10 @@ def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
 
     if fx:
         row = win[half: half + h, :]
-        blk = _filter_1d(row, table[fx], axis=1)
+        blk = _filter_1d(row, coeffs(fx), axis=1)
     else:
         col = win[:, half: half + w]
-        blk = _filter_1d(col, table[fy], axis=0)
+        blk = _filter_1d(col, coeffs(fy), axis=0)
     if intermediate:
         # single pass (isFirst, !isLast): shift = 6 - head,
         # offset = -IF_INTERNAL_OFFS << shift
@@ -494,6 +527,66 @@ def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
     s = IF_FILTER_PREC
     out = (blk + (1 << (s - 1))) >> s
     return np.clip(out, 0, (1 << bd) - 1)
+
+
+
+
+BCW_WEIGHTS = (-2, 3, 4, 5, 10)
+BCW_INTERN = (2, 0, 1, 3, 4)  # forward-form index -> weight-table index
+
+
+def derive_mmvd(cs: CodingStructure, cu: CodingUnit, cands: list) -> tuple:
+    """MMVD motion (MergeCtx::setMmvdMergeCandiInfo, ContextModelling.cpp).
+    Returns a merge-style candidate tuple."""
+    bases = []
+    for c in cands:
+        bases.append(c)
+        if len(bases) == 2:
+            break
+    base_idx = cu.mmvd_idx // 32
+    tmp = cu.mmvd_idx - base_idx * 32
+    step = tmp // 4
+    pos = tmp - step * 4
+    offset = (1 << step) << 2  # MV_FRACTIONAL_BITS_DIFF = 2
+    if cs.ph.fpel_mmvd:
+        offset <<= 2
+    base = bases[base_idx]
+    r0, r1 = base[3], base[4]
+    off_mv = ((offset, 0), (-offset, 0), (0, offset), (0, -offset))[pos]
+    if r0 >= 0 and r1 >= 0:
+        poc0 = cs.ref_pocs[0][r0]
+        poc1 = cs.ref_pocs[1][r1]
+        cur = cs.sh.poc
+        mv0 = off_mv
+        if (poc0 - cur) == (poc1 - cur):
+            mv1 = off_mv
+        elif abs(poc1 - cur) > abs(poc0 - cur):
+            mv1 = off_mv
+            scale = _dist_scale(cur, poc0, cur, poc1)
+            mv0 = _scale_mv(mv1, scale)
+        else:
+            mv1_scale = _dist_scale(cur, poc1, cur, poc0)
+            mv0 = off_mv
+            mv1 = _scale_mv(mv0, mv1_scale)
+        return (3, (base[1][0] + mv0[0], base[1][1] + mv0[1]),
+                (base[2][0] + mv1[0], base[2][1] + mv1[1]), r0, r1,
+                base[5], base[6])
+    if r0 >= 0:
+        return (1, (base[1][0] + off_mv[0], base[1][1] + off_mv[1]),
+                (0, 0), r0, -1, base[5], base[6])
+    return (2, (0, 0), (base[2][0] + off_mv[0], base[2][1] + off_mv[1]),
+            -1, r1, base[5], base[6])
+
+
+def bi_weighted(a: np.ndarray, b: np.ndarray, bit_depth: int,
+                bcw_fwd: int) -> np.ndarray:
+    """AreaBuf::addWeightedAvg (Buffer.cpp) with BCW weights."""
+    w1 = BCW_WEIGHTS[BCW_INTERN[bcw_fwd]]
+    w0 = 8 - w1
+    shift = max(2, IF_INTERNAL_PREC - bit_depth) + 3
+    offset = (1 << (shift - 1)) + (IF_INTERNAL_OFFS << 3)
+    return np.clip((a * w0 + b * w1 + offset) >> shift,
+                   0, (1 << bit_depth) - 1)
 
 
 def bi_average(a: np.ndarray, b: np.ndarray, bit_depth: int) -> np.ndarray:

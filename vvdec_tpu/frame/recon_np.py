@@ -1194,21 +1194,29 @@ class IntraReconstructor:
         is_b = cs.sh.is_b
         if cu.merge_flag:
             cands = I.derive_merge(cs, cu, self._hist, is_b)
-            d, mv0, mv1, r0, r1 = cands[cu.merge_idx]
+            if cu.mmvd_flag:
+                d, mv0, mv1, r0, r1, bcw, alt = I.derive_mmvd(cs, cu, cands)
+            else:
+                d, mv0, mv1, r0, r1, bcw, alt = cands[cu.merge_idx]
             cu.inter_dir = d
             cu.mv = [list(mv0), list(mv1)]
             cu.ref_idx = [r0 if d & 1 else -1, r1 if d & 2 else -1]
+            cu.bcw_idx = bcw
+            cu.alt_hpel = alt
+            cu.imv = 3 if alt else 0  # propagate IMV_HPEL to neighbors
         else:
             mv = [[0, 0], [0, 0]]
+            sh_amvr = I.AMVR_SHIFT[cu.imv]
+            cu.alt_hpel = cu.imv == 3
             for lst in range(2):
                 if not (cu.inter_dir & (1 << lst)):
                     cu.ref_idx[lst] = -1
                     continue
                 amvp = I.fill_mvp(cs, cu, lst, cu.ref_idx[lst], self._hist)
                 base = amvp[cu.mvp_idx[lst]]
-                # MVD is quarter-pel; internal precision is 1/16
-                mx = base[0] + (cu.mvd[lst][0] << 2)
-                my = base[1] + (cu.mvd[lst][1] << 2)
+                # MVD is signalled at the AMVR precision
+                mx = base[0] + (cu.mvd[lst][0] << sh_amvr)
+                my = base[1] + (cu.mvd[lst][1] << sh_amvr)
                 clip17 = (1 << 17)
                 mx = ((mx + clip17) & (2 * clip17 - 1)) - clip17
                 my = ((my + clip17) & (2 * clip17 - 1)) - clip17
@@ -1228,7 +1236,8 @@ class IntraReconstructor:
                 if comp == 0:
                     part.append(I.mc_block(planes[0], cu.x, cu.y, cu.w, cu.h,
                                            mvc, 0, self.bit_depth,
-                                           (cs.sub_w, cs.sub_h), bi))
+                                           (cs.sub_w, cs.sub_h), bi,
+                                           alt_hpel=cu.alt_hpel))
                 else:
                     part.append(I.mc_block(planes[comp], cu.cx, cu.cy,
                                            cu.cw, cu.ch, mvc, comp,
@@ -1237,8 +1246,14 @@ class IntraReconstructor:
             parts.append(part)
         if cu.inter_dir == 3:
             for comp in range(cs.num_comp):
-                preds[comp] = I.bi_average(parts[0][comp], parts[1][comp],
-                                           self.bit_depth)
+                if cu.bcw_idx != 0:
+                    preds[comp] = I.bi_weighted(parts[0][comp],
+                                                parts[1][comp],
+                                                self.bit_depth, cu.bcw_idx)
+                else:
+                    preds[comp] = I.bi_average(parts[0][comp],
+                                               parts[1][comp],
+                                               self.bit_depth)
         else:
             for comp in range(cs.num_comp):
                 preds[comp] = parts[0][comp]

@@ -117,6 +117,12 @@ class CodingUnit:
     mvd: list = field(default_factory=list)      # quarter-pel units
     ref_idx: list = field(default_factory=lambda: [-1, -1])
     mvp_idx: list = field(default_factory=lambda: [0, 0])
+    smvd_mode: int = 0
+    mmvd_flag: bool = False
+    mmvd_idx: int = 0
+    imv: int = 0            # 0 quarter, 1 full, 2 four-pel, 3 half-pel
+    bcw_idx: int = 0        # forward form; 0 = default (equal weights)
+    alt_hpel: bool = False
     split_hist: tuple = ()
     tus: list[TransformUnit] = field(default_factory=list)
     slice_idx: int = 0

@@ -92,7 +92,9 @@ class RandomDecisions(Decisions):
                  mip_prob: float = 0.0, jccr_prob: float = 0.0,
                  sao_prob: float = 0.0, inter_prob: float = 0.0,
                  skip_prob: float = 0.0, bi_prob: float = 0.0,
-                 mv_range: int = 32):
+                 mv_range: int = 32, smvd_prob: float = 0.0,
+                 mmvd_prob: float = 0.0, amvr_prob: float = 0.0,
+                 bcw_prob: float = 0.0):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -109,6 +111,10 @@ class RandomDecisions(Decisions):
         self.skip_prob = skip_prob
         self.bi_prob = bi_prob
         self.mv_range = mv_range
+        self.smvd_prob = smvd_prob
+        self.mmvd_prob = mmvd_prob
+        self.amvr_prob = amvr_prob
+        self.bcw_prob = bcw_prob
 
     def split(self, node, allowed):
         choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
@@ -159,6 +165,28 @@ class RandomDecisions(Decisions):
 
     def root_cbf(self, cu):
         return self.rnd.random() < self.cbf_prob
+
+    def smvd(self, cu):
+        return self.rnd.random() < getattr(self, "smvd_prob", 0)
+
+    def mmvd(self, cu):
+        return self.rnd.random() < getattr(self, "mmvd_prob", 0)
+
+    def mmvd_idx(self, cu):
+        return (self.rnd.randrange(2), self.rnd.randrange(8),
+                self.rnd.randrange(4))
+
+    def imv(self, cu):
+        if not getattr(self, "amvr_prob", 0) or \
+                self.rnd.random() >= self.amvr_prob:
+            return 0
+        return self.rnd.choice([1, 2, 3])
+
+    def bcw_idx(self, cu):
+        if not getattr(self, "bcw_prob", 0) or \
+                self.rnd.random() >= self.bcw_prob:
+            return 0
+        return self.rnd.randrange(3)
 
     def sao(self, cx, cy, luma_on, chroma_on, coder):
         prob = getattr(self, "sao_prob", 0)
