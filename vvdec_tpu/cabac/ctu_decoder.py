@@ -200,6 +200,17 @@ class Decisions:
         """Parsing-order index 0..numBcw-1 (0 = equal weights)."""
         return 0
 
+    def ciip(self, cu: CodingUnit) -> bool:
+        return False
+
+    def regular_merge(self, cu: CodingUnit, ciip_ok: bool) -> bool:
+        return True
+
+    def sbt(self, cu: CodingUnit) -> tuple[int, int]:
+        """(sbt_idx 0=off/1=ver-half/2=hor-half/3=ver-quad/4=hor-quad,
+        pos 0/1)."""
+        return 0, 0
+
 
 class CtuDecoder:
     """Parses (or writes) the slice data of one slice."""
@@ -663,8 +674,29 @@ class CtuDecoder:
         geo_ok = (self.sps.gpm_enabled and self.sh.is_b
                   and 8 <= cu.w <= 64 and 8 <= cu.h <= 64
                   and cu.w < 8 * cu.h and cu.h < 8 * cu.w)
+        regular = True
         if geo_ok or ciip_ok:
-            raise NotImplementedError("CIIP/GPM merge")
+            want = None
+            if self.enc is not None:
+                want = int(not (self.decisions.ciip(cu) if ciip_ok else True)
+                           ) if not geo_ok else \
+                    int(self.decisions.regular_merge(cu, ciip_ok))
+            regular = bool(self._bin(ctx("RegularMergeFlag",
+                                         0 if cu.skip else 1), want=want))
+        if not regular:
+            if geo_ok and ciip_ok:
+                want = None
+                if self.enc is not None:
+                    want = int(self.decisions.ciip(cu))
+                cu.ciip_flag = bool(self._bin(ctx("CiipFlag"), want=want))
+            elif ciip_ok:
+                cu.ciip_flag = True
+            if cu.ciip_flag:
+                cu.intra_dir = [PLANAR_IDX, DM_CHROMA_IDX]
+            else:
+                raise NotImplementedError("GPM merge")
+            self.merge_idx(cu)
+            return
         if self.sps.mmvd_enabled:
             want = None
             if self.enc is not None:
@@ -848,6 +880,61 @@ class CtuDecoder:
         if self.enc is not None:
             want = int(self.decisions.root_cbf(cu))
         return bool(self._bin(ctx("QtRootCbf"), want=want))
+
+    def sbt_mode(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::sbt_mode (CABACReader.cpp:1489)."""
+        sps = self.sps
+        if not sps.sbt_enabled or cu.pred_mode != MODE_INTER or cu.ciip_flag:
+            return
+        max_sbt = 1 << sps.log2_max_tb_size
+        if cu.w > max_sbt or cu.h > max_sbt:
+            return
+        ver_half = cu.w >= 8
+        hor_half = cu.h >= 8
+        ver_quad = cu.w >= 16
+        hor_quad = cu.h >= 16
+        if not (ver_half or hor_half):
+            return
+        want = None
+        if self.enc is not None:
+            want = self.decisions.sbt(cu)
+            # clamp to allowed set
+            wi, wp = want
+            allowed = {0}
+            if ver_half:
+                allowed.add(1)
+            if hor_half:
+                allowed.add(2)
+            if ver_quad:
+                allowed.add(3)
+            if hor_quad:
+                allowed.add(4)
+            if wi not in allowed:
+                wi = 0
+            want = (wi, wp)
+        if not self._bin(ctx("SbtFlag", 1 if cu.w * cu.h <= 256 else 0),
+                         want=None if want is None else int(want[0] > 0)):
+            return
+        quad = False
+        if (hor_half or ver_half) and (hor_quad or ver_quad):
+            quad = bool(self._bin(ctx("SbtQuadFlag"),
+                                  want=None if want is None
+                                  else int(want[0] >= 3)))
+        if quad:
+            v_ok, h_ok = ver_quad, hor_quad
+        else:
+            v_ok, h_ok = ver_half, hor_half
+        if v_ok and h_ok:
+            ctx_hv = 0 if cu.w == cu.h else (1 if cu.w < cu.h else 2)
+            hor = bool(self._bin(ctx("SbtHorFlag", ctx_hv),
+                                 want=None if want is None
+                                 else int(want[0] in (2, 4))))
+        else:
+            hor = h_ok
+        idx = (2 if hor else 1) + (2 if quad else 0)
+        pos = self._bin(ctx("SbtPosFlag"),
+                        want=None if want is None else int(want[1]))
+        cu.sbt_info = idx | (pos << 4)
 
     def _add_empty_tus(self, cu: CodingUnit, node: PartNode) -> None:
         """cs.addEmptyTUs: TU structure without coefficients (for deblock/
@@ -1319,8 +1406,8 @@ class CtuDecoder:
                 cu.root_cbf = self.rqt_root_cbf(cu)
             else:
                 cu.root_cbf = True
-            if cu.root_cbf and self.sps.sbt_enabled:
-                raise NotImplementedError("SBT")
+            if cu.root_cbf:
+                self.sbt_mode(cu)
             if not cu.root_cbf:
                 self._add_empty_tus(cu, node)
                 return
@@ -1342,7 +1429,36 @@ class CtuDecoder:
         a = node.area
         split = a.w > max_tr or a.h > max_tr
         if cu.sbt_info:
-            raise NotImplementedError("SBT transform splits")
+            # SBT: two TUs, one carries all residual
+            # (PartitionerImpl::getSbtTuTiling, UnitPartitioner.cpp)
+            sbt_idx = cu.sbt_info & 0xF
+            pos = (cu.sbt_info >> 4) & 3
+            hor = sbt_idx in (2, 4)
+            quad = sbt_idx in (3, 4)
+            if hor:
+                h0 = a.h // 4 if quad else a.h // 2
+                sizes = [h0, a.h - h0] if pos == 0 else [a.h - h0, h0]
+                subs = [Area(a.x, a.y, a.w, sizes[0]),
+                        Area(a.x, a.y + sizes[0], a.w, sizes[1])]
+            else:
+                w0 = a.w // 4 if quad else a.w // 2
+                sizes = [w0, a.w - w0] if pos == 0 else [a.w - w0, w0]
+                subs = [Area(a.x, a.y, sizes[0], a.h),
+                        Area(a.x + sizes[0], a.y, sizes[1], a.h)]
+            for i, sub in enumerate(subs):
+                tu = TransformUnit()
+                tu.cu_idx = cu.idx
+                tu.part_idx = i
+                tu.blocks[0] = (sub.x, sub.y, sub.w, sub.h)
+                if cu.has_chroma and self.cs.num_comp > 1:
+                    cx, cy, cw, chh = sub.chroma(self.cs.sub_w, self.cs.sub_h)
+                    tu.blocks[1] = (cx, cy, cw, chh)
+                    tu.blocks[2] = (cx, cy, cw, chh)
+                cu.tus.append(tu)
+                self.cs.add_tu(tu)
+                no_resi = (pos == 0 and i == 1) or (pos == 1 and i == 0)
+                self.transform_unit(tu, cu, node, sbt_no_resi=no_resi)
+            return
         if cu.isp_mode:
             # ISP 1-D TU split (PartitionerImpl::getTUIntraSubPartitions,
             # UnitPartitioner.cpp:628): luma split into nTus strips; chroma
@@ -1392,7 +1508,7 @@ class CtuDecoder:
 
     def transform_unit(self, tu: TransformUnit, cu: CodingUnit,
                        node: PartNode, isp_idx: int = 0,
-                       isp_n: int = 1) -> None:
+                       isp_n: int = 1, sbt_no_resi: bool = False) -> None:
         cbf_cb = cbf_cr = False
         sep_tree = cu.tree_type != TREE_D
         enc_coeffs = {}
@@ -1401,7 +1517,8 @@ class CtuDecoder:
                 if tu.blocks[comp] is not None:
                     enc_coeffs[comp] = self._tu_coeffs(tu, cu, comp)
 
-        if tu.blocks[1] is not None and (not sep_tree or node.ch_type == 1):
+        if tu.blocks[1] is not None and (not sep_tree or node.ch_type == 1) \
+                and not (cu.sbt_info and sbt_no_resi):
             want_cb = want_cr = None
             if self.enc is not None:
                 want_cb = int(enc_coeffs.get(1) is not None
@@ -1417,8 +1534,17 @@ class CtuDecoder:
             if self.enc is not None:
                 want_y = int(enc_coeffs.get(0) is not None
                              and np.any(enc_coeffs[0]))
-            if cu.pred_mode != MODE_INTRA and node.tr_depth == 0 \
-                    and not (cbf_cb or cbf_cr):
+            if cu.sbt_info and sbt_no_resi:
+                tu.cbf[0] = False
+            elif cu.sbt_info and not (cbf_cb or cbf_cr):
+                tu.cbf[0] = True
+                if self.enc is not None and not want_y:
+                    _, _, w_, h_ = tu.blocks[0]
+                    blk = np.zeros((h_, w_), dtype=np.int32)
+                    blk[0, 0] = 1
+                    enc_coeffs[0] = blk
+            elif cu.pred_mode != MODE_INTRA and node.tr_depth == 0 \
+                    and not cu.sbt_info and not (cbf_cb or cbf_cr):
                 # inter root TU with no chroma cbf: luma cbf inferred 1
                 tu.cbf[0] = True
                 if self.enc is not None and not want_y:

@@ -164,6 +164,8 @@ class Deblocker:
                 if cu.pred_mode == MODE_INTRA or cu_p.pred_mode == MODE_INTRA:
                     # intra: BS 2 unless both-side BDPCM
                     bs = 0 if (cu.bdpcm_mode and cu_p.bdpcm_mode) else 2
+                elif cu.ciip_flag or cu_p.ciip_flag:
+                    bs = 2
                 else:
                     if tu.cbf[0] or tu_p.cbf[0]:
                         bs = 1
@@ -206,6 +208,8 @@ class Deblocker:
                 bs = 0 if (cu.bdpcm_mode_chroma and cu_p.bdpcm_mode_chroma) \
                     else 2
                 bs_cb = bs_cr = bs
+            elif cu.ciip_flag or cu_p.ciip_flag:
+                bs_cb = bs_cr = 2
             else:
                 # inter-inter chroma BS is cbf/jointCbCr-based only
                 jc = bool(tu.joint_cbcr or tu_p.joint_cbcr)

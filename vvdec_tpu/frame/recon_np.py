@@ -254,6 +254,18 @@ def get_tr_types(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
         hor = "DST7" if 4 <= tw <= 16 else "DCT2"
         ver = "DST7" if 4 <= th <= 16 else "DCT2"
         return hor, ver
+    if cu.sbt_info and comp == 0:
+        # implicit SBT transforms (TrQuant::getTrTypes SBT branch)
+        sbt_idx = cu.sbt_info & 0xF
+        pos = (cu.sbt_info >> 4) & 3
+        _, _, tw, th = tu.blocks[0]
+        if sbt_idx in (1, 3):  # vertical split
+            if th > 32:
+                return "DCT2", "DCT2"
+            return ("DCT8", "DST7") if pos == 0 else ("DST7", "DST7")
+        if tw > 32:
+            return "DCT2", "DCT2"
+        return ("DST7", "DCT8") if pos == 0 else ("DST7", "DST7")
     mts = tu.mts_idx[0] if comp == 0 else 0
     if comp != 0 or mts <= 1:
         return "DCT2", "DCT2"
@@ -1246,7 +1258,7 @@ class IntraReconstructor:
             parts.append(part)
         if cu.inter_dir == 3:
             for comp in range(cs.num_comp):
-                if cu.bcw_idx != 0:
+                if cu.bcw_idx != 0 and not cu.ciip_flag:
                     preds[comp] = I.bi_weighted(parts[0][comp],
                                                 parts[1][comp],
                                                 self.bit_depth, cu.bcw_idx)
@@ -1257,9 +1269,48 @@ class IntraReconstructor:
         else:
             for comp in range(cs.num_comp):
                 preds[comp] = parts[0][comp]
+        if cu.ciip_flag:
+            self._ciip_blend(cu, preds)
         self._inter_pred[cu.idx] = preds
         # HMVP update (parallel merge level 2 -> always eligible here)
         self._hist.add(I._mi_of(cu))
+
+    def _ciip_blend(self, cu: CodingUnit, preds: list) -> None:
+        """CIIP: blend the inter prediction with planar intra
+        (predBlendIntraCiip, IntraPrediction.cpp:884)."""
+        cs = self.cs
+        left = cs.cu_at_restricted(cu.x - 1, cu.y + cu.h - 1, cu, 0)
+        above = cs.cu_at_restricted(cu.x + cu.w - 1, cu.y - 1, cu, 0)
+        n0 = bool(left and left.pred_mode == MODE_INTRA
+                  and left.idx < cu.idx)
+        n1 = bool(above and above.pred_mode == MODE_INTRA
+                  and above.idx < cu.idx)
+        w_intra = 3 - (not n0) - (not n1)
+        w_merge = 3 - n0 - n1
+        max_comp = cs.num_comp if (cs.num_comp > 1 and cu.cw > 2) else 1
+        tu0 = cu.tus[0]
+        for comp in range(max_comp):
+            # temp TU covering the CU for reference construction
+            t = TransformUnit()
+            t.cu_idx = cu.idx
+            t.order = tu0.order
+            if comp == 0:
+                t.blocks[0] = (cu.x, cu.y, cu.w, cu.h)
+                w, h = cu.w, cu.h
+            else:
+                t.blocks[comp] = (cu.cx, cu.cy, cu.cw, cu.ch)
+                if t.blocks[1] is None:
+                    t.blocks[1] = t.blocks[comp]
+                w, h = cu.cw, cu.ch
+            top, left_r = self.fill_reference(t, cu, comp)
+            filtered = comp == 0 and not cu.multi_ref_idx and w * h > 32
+            if filtered:
+                top, left_r = self.filter_reference(top, left_r)
+            intra = self.pred_planar(top, left_r, w, h)
+            if self._pdpc_enabled(w, h):
+                intra = self.pdpc_dc_planar(intra, top, left_r)
+            preds[comp] = (w_merge * preds[comp].astype(np.int64)
+                           + w_intra * intra + 2) >> 2
 
 
 def reconstruct_frame(cs: CodingStructure) -> list[np.ndarray]:

@@ -123,6 +123,7 @@ class CodingUnit:
     imv: int = 0            # 0 quarter, 1 full, 2 four-pel, 3 half-pel
     bcw_idx: int = 0        # forward form; 0 = default (equal weights)
     alt_hpel: bool = False
+    ciip_flag: bool = False
     split_hist: tuple = ()
     tus: list[TransformUnit] = field(default_factory=list)
     slice_idx: int = 0

@@ -94,7 +94,8 @@ class RandomDecisions(Decisions):
                  skip_prob: float = 0.0, bi_prob: float = 0.0,
                  mv_range: int = 32, smvd_prob: float = 0.0,
                  mmvd_prob: float = 0.0, amvr_prob: float = 0.0,
-                 bcw_prob: float = 0.0):
+                 bcw_prob: float = 0.0, ciip_prob: float = 0.0,
+                 sbt_prob: float = 0.0):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -115,6 +116,8 @@ class RandomDecisions(Decisions):
         self.mmvd_prob = mmvd_prob
         self.amvr_prob = amvr_prob
         self.bcw_prob = bcw_prob
+        self.ciip_prob = ciip_prob
+        self.sbt_prob = sbt_prob
 
     def split(self, node, allowed):
         choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
@@ -168,6 +171,20 @@ class RandomDecisions(Decisions):
 
     def smvd(self, cu):
         return self.rnd.random() < getattr(self, "smvd_prob", 0)
+
+    def ciip(self, cu):
+        return self.rnd.random() < getattr(self, "ciip_prob", 0)
+
+    def regular_merge(self, cu, ciip_ok):
+        if ciip_ok and self.rnd.random() < getattr(self, "ciip_prob", 0):
+            return False
+        return True
+
+    def sbt(self, cu):
+        if not getattr(self, "sbt_prob", 0) or \
+                self.rnd.random() >= self.sbt_prob:
+            return 0, 0
+        return self.rnd.randint(1, 4), self.rnd.randrange(2)
 
     def mmvd(self, cu):
         return self.rnd.random() < getattr(self, "mmvd_prob", 0)
@@ -261,6 +278,9 @@ class RandomDecisions(Decisions):
         n = max(1, int(w * h * self.density * self.rnd.random()))
         # keep energy in low frequencies and inside the zero-out region
         wmax, hmax = min(w, 32), min(h, 32)
+        if cu.sbt_info and comp == 0:
+            # implicit DST7/DCT8-32 zero-out: stay within 16 samples
+            wmax, hmax = min(wmax, 16), min(hmax, 16)
         for _ in range(n):
             cx = min(int(self.rnd.expovariate(0.25)), wmax - 1)
             cy = min(int(self.rnd.expovariate(0.25)), hmax - 1)
