@@ -538,3 +538,43 @@ class TestCiipSbtBitExact:
         ref = ref_decode(stream, tmp_path, expect_frames=4)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestGpmBitExact:
+    """GPM: split modes, uni candidate list, blending masks, motion field."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_gpm(self, seed, tmp_path):
+        import hashlib
+
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.hls.params import B_SLICE
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions
+        from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+        sps = E.make_sps(96, 64, gpm_enabled=True, max_num_gpm_cand=4)
+        pps = E.make_pps(sps)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        for f in range(4):
+            dec = RandomDecisions(seed=seed * 100 + f, split_prob=0.4,
+                                  inter_prob=0.8, skip_prob=0.2, mv_range=32,
+                                  bi_prob=0.5, geo_prob=0.5, max_gpm_cand=4)
+            if f == 0:
+                nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=0, idr=True)
+            else:
+                d = tuple(range(1, min(f, 2) + 1))
+                nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=f,
+                                        idr=False, slice_type=B_SLICE,
+                                        ref_deltas=(d, d))
+            stream += nal
+        ref = ref_decode(stream, tmp_path, expect_frames=4)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

@@ -203,6 +203,10 @@ class Decisions:
     def ciip(self, cu: CodingUnit) -> bool:
         return False
 
+    def geo(self, cu: CodingUnit) -> tuple[int, int, int]:
+        """(split_dir 0..63, cand0, cand1) with cand0 != cand1."""
+        return 0, 0, 1
+
     def regular_merge(self, cu: CodingUnit, ciip_ok: bool) -> bool:
         return True
 
@@ -675,27 +679,27 @@ class CtuDecoder:
                   and 8 <= cu.w <= 64 and 8 <= cu.h <= 64
                   and cu.w < 8 * cu.h and cu.h < 8 * cu.w)
         regular = True
+        kind = "regular"
         if geo_ok or ciip_ok:
-            want = None
             if self.enc is not None:
-                want = int(not (self.decisions.ciip(cu) if ciip_ok else True)
-                           ) if not geo_ok else \
-                    int(self.decisions.regular_merge(cu, ciip_ok))
+                kind = self.decisions.merge_kind(cu, ciip_ok, geo_ok)
             regular = bool(self._bin(ctx("RegularMergeFlag",
-                                         0 if cu.skip else 1), want=want))
+                                         0 if cu.skip else 1),
+                                     want=None if self.enc is None
+                                     else int(kind == "regular")))
         if not regular:
             if geo_ok and ciip_ok:
-                want = None
-                if self.enc is not None:
-                    want = int(self.decisions.ciip(cu))
-                cu.ciip_flag = bool(self._bin(ctx("CiipFlag"), want=want))
+                cu.ciip_flag = bool(self._bin(ctx("CiipFlag"),
+                                              want=None if self.enc is None
+                                              else int(kind == "ciip")))
             elif ciip_ok:
                 cu.ciip_flag = True
             if cu.ciip_flag:
                 cu.intra_dir = [PLANAR_IDX, DM_CHROMA_IDX]
-            else:
-                raise NotImplementedError("GPM merge")
-            self.merge_idx(cu)
+                self.merge_idx(cu)
+                return
+            cu.geo_flag = True
+            self.geo_merge_idx(cu)
             return
         if self.sps.mmvd_enabled:
             want = None
@@ -731,6 +735,32 @@ class CtuDecoder:
         if self._ep(want=None if want is None else want[2] & 1):
             var2 += 1
         cu.mmvd_idx = var0 * 32 + var1 * 4 + var2
+
+    def geo_merge_idx(self, cu: CodingUnit) -> None:
+        """GPM split dir + two uni candidate indices (merge_idx geo path,
+        CABACReader.cpp:1808)."""
+        want = None
+        if self.enc is not None:
+            want = self.decisions.geo(cu)  # (split_dir, cand0, cand1)
+        cu.geo_split_dir = self.trunc_bin(
+            64, want=None if want is None else want[0])
+        n_minus2 = self.sps.max_num_gpm_cand - 2
+        cand0 = 0
+        if self._bin(ctx("MergeIdx"),
+                     want=None if want is None else int(want[1] > 0)):
+            cand0 = self.unary_max_eqprob(
+                n_minus2, want=None if want is None else want[1] - 1) + 1
+        cand1 = 0
+        if n_minus2 > 0:
+            w1 = None
+            if want is not None:
+                w1 = want[2] - (want[2] > cand0)
+            if self._bin(ctx("MergeIdx"),
+                         want=None if w1 is None else int(w1 > 0)):
+                cand1 = self.unary_max_eqprob(
+                    n_minus2 - 1, want=None if w1 is None else w1 - 1) + 1
+        cand1 += int(cand1 >= cand0)
+        cu.geo_idx = [cand0, cand1]
 
     def merge_idx(self, cu: CodingUnit) -> None:
         n_minus1 = self.sps.max_num_merge_cand - 1

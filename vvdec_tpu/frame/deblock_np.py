@@ -170,7 +170,14 @@ class Deblocker:
                     if tu.cbf[0] or tu_p.cbf[0]:
                         bs = 1
                     else:
-                        bs = self._mv_bs(cu, cu_p)
+                        # motion at the two 4x4 cells adjacent to the edge
+                        if dir_ == 0:
+                            qx, qy = cx4 << 2, cy4 << 2
+                            px_m, py_m = qx - 1, qy
+                        else:
+                            qx, qy = cx4 << 2, cy4 << 2
+                            px_m, py_m = qx, qy - 1
+                        bs = self._mv_bs(cu, cu_p, (qx, qy), (px_m, py_m))
                 ep.bs_y[cy4, cx4] = bs
                 ep.qp_y[cy4, cx4] = (cu.qp + cu_p.qp + 1) >> 1
                 if size_p <= 4 or size_q <= 4:
@@ -229,33 +236,49 @@ class Deblocker:
             return None
         return self.cs.ref_pocs[lst][cu.ref_idx[lst]]
 
-    def _mv_bs(self, cu_q, cu_p) -> int:
+    def _mi_at(self, x: int, y: int):
+        cs = self.cs
+        y4, x4 = y >> 2, x >> 2
+        r0 = int(cs.mi_ref[y4, x4, 0])
+        r1 = int(cs.mi_ref[y4, x4, 1])
+        return ((int(cs.mi_mv[y4, x4, 0, 0]), int(cs.mi_mv[y4, x4, 0, 1])),
+                (int(cs.mi_mv[y4, x4, 1, 0]), int(cs.mi_mv[y4, x4, 1, 1])),
+                r0, r1)
+
+    def _mv_bs(self, cu_q, cu_p, pos_q, pos_p) -> int:
         """MV/reference-based BS for inter-inter edges
         (xGetBoundaryStrengthSingle tail, LoopFilter.cpp)."""
         thr = 8  # half-pel in 1/16 units
+        cs = self.cs
 
         def diff(a, b):
             return abs(a[0] - b[0]) >= thr or abs(a[1] - b[1]) >= thr
 
+        mvq0, mvq1, rq0, rq1 = self._mi_at(*pos_q)
+        mvp0, mvp1, rp0, rp1 = self._mi_at(*pos_p)
+
+        def poc(lst, ri):
+            return cs.ref_pocs[lst][ri] if ri >= 0 else None
+
         if self.cs.sh.is_b:
-            p0, p1 = self._ref_poc(cu_p, 0), self._ref_poc(cu_p, 1)
-            q0, q1 = self._ref_poc(cu_q, 0), self._ref_poc(cu_q, 1)
+            p0, p1 = poc(0, rp0), poc(1, rp1)
+            q0, q1 = poc(0, rq0), poc(1, rq1)
             if not ((p0 == q0 and p1 == q1) or (p0 == q1 and p1 == q0)):
                 return 1
             zero = (0, 0)
-            mv_p = [tuple(cu_p.mv[0]) if p0 is not None else zero,
-                    tuple(cu_p.mv[1]) if p1 is not None else zero]
-            mv_q = [tuple(cu_q.mv[0]) if q0 is not None else zero,
-                    tuple(cu_q.mv[1]) if q1 is not None else zero]
+            mv_p = [mvp0 if p0 is not None else zero,
+                    mvp1 if p1 is not None else zero]
+            mv_q = [mvq0 if q0 is not None else zero,
+                    mvq1 if q1 is not None else zero]
             if p0 != p1:
                 if p0 == q0:
                     return int(diff(mv_q[0], mv_p[0]) or diff(mv_q[1], mv_p[1]))
                 return int(diff(mv_q[1], mv_p[0]) or diff(mv_q[0], mv_p[1]))
             return int((diff(mv_q[0], mv_p[0]) or diff(mv_q[1], mv_p[1]))
                        and (diff(mv_q[1], mv_p[0]) or diff(mv_q[0], mv_p[1])))
-        if self._ref_poc(cu_p, 0) != self._ref_poc(cu_q, 0):
+        if poc(0, rp0) != poc(0, rq0):
             return 1
-        return int(diff(tuple(cu_q.mv[0]), tuple(cu_p.mv[0])))
+        return int(diff(mvq0, mvp0))
 
     # ---------------- application ----------------
     def apply(self) -> None:

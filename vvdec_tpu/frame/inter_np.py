@@ -83,6 +83,34 @@ def _nb(cs: CodingStructure, cu: CodingUnit, x: int, y: int):
     return nb
 
 
+def mi_at(cs: CodingStructure, nb: CodingUnit, x: int, y: int) -> tuple:
+    """Motion info at a position from the 4x4 field (getMotionInfo(pos));
+    bcw/alt taken from the owning CU (CU-level attributes)."""
+    y4, x4 = y >> 2, x >> 2
+    r0 = int(cs.mi_ref[y4, x4, 0])
+    r1 = int(cs.mi_ref[y4, x4, 1])
+    d = (1 if r0 >= 0 else 0) + (2 if r1 >= 0 else 0)
+    return (d,
+            (int(cs.mi_mv[y4, x4, 0, 0]), int(cs.mi_mv[y4, x4, 0, 1])),
+            (int(cs.mi_mv[y4, x4, 1, 0]), int(cs.mi_mv[y4, x4, 1, 1])),
+            r0, r1, nb.bcw_idx if nb is not None else 0,
+            (nb.imv == 3) if nb is not None else False)
+
+
+def span_motion(cs: CodingStructure, cu: CodingUnit) -> None:
+    """spanMotionInfo for uniform-motion CUs (UnitTools.cpp:3005)."""
+    y4a, y4b = cu.y >> 2, (cu.y + cu.h) >> 2
+    x4a, x4b = cu.x >> 2, (cu.x + cu.w) >> 2
+    for lst in range(2):
+        if cu.ref_idx[lst] >= 0:
+            cs.mi_ref[y4a:y4b, x4a:x4b, lst] = cu.ref_idx[lst]
+            cs.mi_mv[y4a:y4b, x4a:x4b, lst, 0] = cu.mv[lst][0]
+            cs.mi_mv[y4a:y4b, x4a:x4b, lst, 1] = cu.mv[lst][1]
+        else:
+            cs.mi_ref[y4a:y4b, x4a:x4b, lst] = -1
+            cs.mi_mv[y4a:y4b, x4a:x4b, lst] = 0
+
+
 
 class ColMotion:
     """Collocated (temporal) motion field of a decoded picture: the 4x4
@@ -96,15 +124,11 @@ class ColMotion:
         w8 = (cs.w + 7) >> 3
         self.ref_idx = np.full((h8, w8, 2), -1, dtype=np.int8)
         self.mv = np.zeros((h8, w8, 2, 2), dtype=np.int32)
-        for y8 in range(h8):
-            for x8 in range(w8):
-                cu = cs.cu_at(x8 << 3, y8 << 3, 0)
-                if cu is None or cu.pred_mode != MODE_INTER:
-                    continue
-                for lst in range(2):
-                    if cu.ref_idx[lst] >= 0:
-                        self.ref_idx[y8, x8, lst] = cu.ref_idx[lst]
-                        self.mv[y8, x8, lst] = cu.mv[lst]
+        self.ref_idx = cs.mi_ref[::2, ::2].copy()
+        self.mv = cs.mi_mv[::2, ::2].copy()
+        if self.ref_idx.shape[0] != h8 or self.ref_idx.shape[1] != w8:
+            self.ref_idx = self.ref_idx[:h8, :w8]
+            self.mv = self.mv[:h8, :w8]
 
 
 def _round_mv_comp(v: int) -> int:
@@ -203,19 +227,19 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
     cands: list[tuple] = []
     x, y, w, h = cu.x, cu.y, cu.w, cu.h
 
-    def mi(nb):
-        e = _mi_of(nb)
+    def mi(nb, nx, ny):
+        e = mi_at(cs, nb, nx, ny)
         bcw = e[5] if e[0] == 3 else 0
-        return (e[0], e[1], e[2], e[3], e[4], bcw, nb.imv == 3)
+        return (e[0], e[1], e[2], e[3], e[4], bcw, e[6])
 
     b1 = _nb(cs, cu, x + w - 1, y - 1)
-    mi_b1 = mi(b1) if b1 else None
+    mi_b1 = mi(b1, x + w - 1, y - 1) if b1 else None
     if b1:
         cands.append(mi_b1)
     if len(cands) == max_cand:
         return cands
     a1 = _nb(cs, cu, x - 1, y + h - 1)
-    mi_a1 = mi(a1) if a1 else None
+    mi_a1 = mi(a1, x - 1, y + h - 1) if a1 else None
     if a1 and (mi_b1 is None or not _mi_eq(mi_a1, mi_b1)):
         cands.append(mi_a1)
     if len(cands) == max_cand:
@@ -223,14 +247,14 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
     spatial_cnt_pos = len(cands)
     b0 = _nb(cs, cu, x + w, y - 1)
     if b0:
-        mi_b0 = mi(b0)
+        mi_b0 = mi(b0, x + w, y - 1)
         if mi_b1 is None or not _mi_eq(mi_b0, mi_b1):
             cands.append(mi_b0)
         if len(cands) == max_cand:
             return cands
     a0 = _nb(cs, cu, x - 1, y + h)
     if a0:
-        mi_a0 = mi(a0)
+        mi_a0 = mi(a0, x - 1, y + h)
         if mi_a1 is None or not _mi_eq(mi_a0, mi_a1):
             cands.append(mi_a0)
         if len(cands) == max_cand:
@@ -238,7 +262,7 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
     if len(cands) < 4:
         b2 = _nb(cs, cu, x - 1, y - 1)
         if b2:
-            mi_b2 = mi(b2)
+            mi_b2 = mi(b2, x - 1, y - 1)
             if (mi_a1 is None or not _mi_eq(mi_b2, mi_a1)) and \
                     (mi_b1 is None or not _mi_eq(mi_b2, mi_b1)):
                 cands.append(mi_b2)
@@ -377,11 +401,12 @@ def fill_mvp(cs: CodingStructure, cu: CodingUnit, lst: int, ref_idx: int,
         nb = _nb(cs, cu, nx, ny)
         if nb is None:
             return False
+        e = mi_at(cs, nb, nx, ny)
         for src in range(2):
             li = lst if src == 0 else 1 - lst
-            nri = nb.ref_idx[li]
+            nri = e[3 + li]
             if nri >= 0 and cur_ref_poc == cs.ref_pocs[li][nri]:
-                cands.append(tuple(nb.mv[li]))
+                cands.append(e[1 + li])
                 return True
         return False
 
@@ -593,3 +618,68 @@ def bi_average(a: np.ndarray, b: np.ndarray, bit_depth: int) -> np.ndarray:
     shift = max(2, IF_INTERNAL_PREC - bit_depth) + 1
     offset = (1 << (shift - 1)) + 2 * IF_INTERNAL_OFFS
     return np.clip((a + b + offset) >> shift, 0, (1 << bit_depth) - 1)
+
+
+def derive_geo(cs: CodingStructure, cu: CodingUnit, cands: list) -> list:
+    """Uni-prediction GPM candidate list from the regular merge list
+    (PU::getGeoMergeCandidates, UnitTools.cpp:3125)."""
+    out = []
+    for i, c in enumerate(cands):
+        parity = i & 1
+        if c[0] & (1 + parity):
+            mv = [(0, 0), (0, 0)]
+            ref = [-1, -1]
+            mv[parity] = c[1 + parity]
+            ref[parity] = c[3 + parity]
+            out.append((1 + parity, mv[0], mv[1], ref[0], ref[1], 0, False))
+        elif c[0] & (2 - parity):
+            mv = [(0, 0), (0, 0)]
+            ref = [-1, -1]
+            mv[1 - parity] = c[2 - parity]
+            ref[1 - parity] = c[4 - parity]
+            out.append((2 - parity, mv[0], mv[1], ref[0], ref[1], 0, False))
+        if len(out) == 6:
+            break
+    return out
+
+
+def span_geo_motion(cs: CodingStructure, cu: CodingUnit, geo_cands: list
+                    ) -> None:
+    """Per-4x4 GPM motion storage (PU::spanGeoMotionInfo, UnitTools.cpp:3184)."""
+    from vvdec_tpu.frame.geo_np import DIS, GEO_NUM_ANGLES, GEO_PARAMS
+    c0 = geo_cands[cu.geo_idx[0]]
+    c1 = geo_cands[cu.geo_idx[1]]
+    d0, d1 = c0[0], c1[0]
+    if d0 == 1 and d1 == 2:
+        bi = (c0[1], c1[2], c0[3], c1[4])
+    elif d0 == 2 and d1 == 1:
+        bi = (c1[1], c0[2], c1[3], c0[4])
+    elif d0 == 1 and d1 == 1:
+        bi = (c1[1], (0, 0), c1[3], -1)
+    else:
+        bi = ((0, 0), c1[2], -1, c1[4])
+    mi0 = (c0[1], c0[2], c0[3], c0[4])
+    mi1 = (c1[1], c1[2], c1[3], c1[4])
+
+    angle, dist = GEO_PARAMS[cu.geo_split_dir]
+    dx = angle
+    dy = (dx + (GEO_NUM_ANGLES >> 2)) % GEO_NUM_ANGLES
+    off_x = (-cu.w) >> 1
+    off_y = (-cu.h) >> 1
+    if dist > 0:
+        if angle % 16 == 8 or (angle % 16 != 0 and cu.h >= cu.w):
+            off_y += (dist * cu.h) >> 3 if angle < 16 else -((dist * cu.h) >> 3)
+        else:
+            off_x += (dist * cu.w) >> 3 if angle < 16 else -((dist * cu.w) >> 3)
+    is_flip = 13 <= angle <= 27
+    for y in range(cu.h >> 2):
+        look_y = (((4 * y + off_y) * 2) + 5) * DIS[dy]
+        for x in range(cu.w >> 2):
+            midx = (((4 * x + off_x) * 2) + 5) * DIS[dx] + look_y
+            mask = 2 if abs(midx) < 32 else \
+                ((1 - is_flip) if midx <= 0 else int(is_flip))
+            mi = bi if mask == 2 else (mi0 if mask == 0 else mi1)
+            y4, x4 = (cu.y >> 2) + y, (cu.x >> 2) + x
+            for lst in range(2):
+                cs.mi_ref[y4, x4, lst] = mi[2 + lst]
+                cs.mi_mv[y4, x4, lst] = mi[lst] if mi[2 + lst] >= 0 else (0, 0)

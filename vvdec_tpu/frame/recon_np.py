@@ -1204,6 +1204,9 @@ class IntraReconstructor:
         from vvdec_tpu.frame import inter_np as I
         cs = self.cs
         is_b = cs.sh.is_b
+        if cu.geo_flag:
+            self._derive_geo_motion(cu)
+            return
         if cu.merge_flag:
             cands = I.derive_merge(cs, cu, self._hist, is_b)
             if cu.mmvd_flag:
@@ -1269,11 +1272,60 @@ class IntraReconstructor:
         else:
             for comp in range(cs.num_comp):
                 preds[comp] = parts[0][comp]
+        I.span_motion(cs, cu)
         if cu.ciip_flag:
             self._ciip_blend(cu, preds)
         self._inter_pred[cu.idx] = preds
         # HMVP update (parallel merge level 2 -> always eligible here)
         self._hist.add(I._mi_of(cu))
+
+    def _derive_geo_motion(self, cu: CodingUnit) -> None:
+        """GPM: two uni-predicted parts blended with the geometric mask
+        (motionCompensationGeo, InterPrediction.cpp:1461)."""
+        from vvdec_tpu.frame import inter_np as I
+        from vvdec_tpu.frame.geo_np import geo_weight_block
+        cs = self.cs
+        merge = I.derive_merge(cs, cu, self._hist, cs.sh.is_b)
+        geo_cands = I.derive_geo(cs, cu, merge)
+        parts = []
+        for k in range(2):
+            c = geo_cands[cu.geo_idx[k]]
+            lst = 0 if c[0] == 1 else 1
+            ref = c[3 + lst]
+            planes = cs.ref_planes[lst][ref]
+            mvc = I.clip_mv(c[1 + lst], cu.x, cu.y, cs)
+            part = []
+            for comp in range(cs.num_comp):
+                if comp == 0:
+                    part.append(I.mc_block(planes[0], cu.x, cu.y, cu.w, cu.h,
+                                           mvc, 0, self.bit_depth,
+                                           (cs.sub_w, cs.sub_h), True))
+                else:
+                    part.append(I.mc_block(planes[comp], cu.cx, cu.cy,
+                                           cu.cw, cu.ch, mvc, comp,
+                                           self.bit_depth,
+                                           (cs.sub_w, cs.sub_h), True))
+            parts.append(part)
+        shift = max(2, I.IF_INTERNAL_PREC - self.bit_depth) + 3
+        offset = (1 << (shift - 1)) + (I.IF_INTERNAL_OFFS << 3)
+        preds = [None] * cs.num_comp
+        for comp in range(cs.num_comp):
+            sx = (self.cs.sub_w - 1) if comp else 0
+            sy = (self.cs.sub_h - 1) if comp else 0
+            wgt = geo_weight_block(cu.geo_split_dir,
+                                   cu.cw if comp else cu.w,
+                                   cu.ch if comp else cu.h, sx, sy)
+            blk = (wgt * parts[0][comp] + (8 - wgt) * parts[1][comp]
+                   + offset) >> shift
+            preds[comp] = np.clip(blk, 0, self.pel_max)
+        self._inter_pred[cu.idx] = preds
+        # motion field + CU-level fields (for availability/BS bookkeeping)
+        I.span_geo_motion(cs, cu, geo_cands)
+        c0 = geo_cands[cu.geo_idx[0]]
+        cu.inter_dir = c0[0]
+        cu.mv = [list(c0[1]), list(c0[2])]
+        cu.ref_idx = [c0[3], c0[4]]
+        # GPM CUs do not update the HMVP table (DecCu.cpp:884 geoFlag)
 
     def _ciip_blend(self, cu: CodingUnit, preds: list) -> None:
         """CIIP: blend the inter prediction with planar intra

@@ -124,6 +124,9 @@ class CodingUnit:
     bcw_idx: int = 0        # forward form; 0 = default (equal weights)
     alt_hpel: bool = False
     ciip_flag: bool = False
+    geo_flag: bool = False
+    geo_split_dir: int = 0
+    geo_idx: list = field(default_factory=lambda: [0, 1])
     split_hist: tuple = ()
     tus: list[TransformUnit] = field(default_factory=list)
     slice_idx: int = 0
@@ -167,6 +170,10 @@ class CodingStructure:
         self.cu_map_c = np.full((chh >> 1, cw >> 1), -1, dtype=np.int32) \
             if self.num_comp > 1 else None
         self.qp_map = np.zeros((self.h >> 2, self.w >> 2), dtype=np.int8)
+        # 4x4 motion field (filled during reconstruction, spanMotionInfo):
+        # mi_mv in 1/16 luma units; mi_ref -1 = invalid
+        self.mi_mv = np.zeros((self.h >> 2, self.w >> 2, 2, 2), dtype=np.int32)
+        self.mi_ref = np.full((self.h >> 2, self.w >> 2, 2), -1, dtype=np.int8)
         self.cus: list[CodingUnit] = []
         self.sao_params: list = [None] * (pps.pic_width_in_ctu *
                                           pps.pic_height_in_ctu)

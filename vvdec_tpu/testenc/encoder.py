@@ -95,7 +95,8 @@ class RandomDecisions(Decisions):
                  mv_range: int = 32, smvd_prob: float = 0.0,
                  mmvd_prob: float = 0.0, amvr_prob: float = 0.0,
                  bcw_prob: float = 0.0, ciip_prob: float = 0.0,
-                 sbt_prob: float = 0.0):
+                 sbt_prob: float = 0.0, geo_prob: float = 0.0,
+                 max_gpm_cand: int = 2):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -118,6 +119,8 @@ class RandomDecisions(Decisions):
         self.bcw_prob = bcw_prob
         self.ciip_prob = ciip_prob
         self.sbt_prob = sbt_prob
+        self.geo_prob = geo_prob
+        self.max_gpm_cand = max_gpm_cand
 
     def split(self, node, allowed):
         choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
@@ -172,13 +175,23 @@ class RandomDecisions(Decisions):
     def smvd(self, cu):
         return self.rnd.random() < getattr(self, "smvd_prob", 0)
 
-    def ciip(self, cu):
-        return self.rnd.random() < getattr(self, "ciip_prob", 0)
+    def merge_kind(self, cu, ciip_ok, geo_ok):
+        r = self.rnd.random()
+        gp = getattr(self, "geo_prob", 0) if geo_ok else 0
+        cp = getattr(self, "ciip_prob", 0) if ciip_ok else 0
+        if r < gp:
+            return "geo"
+        if r < gp + cp:
+            return "ciip"
+        return "regular"
 
-    def regular_merge(self, cu, ciip_ok):
-        if ciip_ok and self.rnd.random() < getattr(self, "ciip_prob", 0):
-            return False
-        return True
+    def geo(self, cu):
+        n = 2  # candidates constrained by caller clamping
+        c0 = self.rnd.randrange(self.max_gpm_cand)
+        c1 = self.rnd.randrange(self.max_gpm_cand)
+        if c1 == c0:
+            c1 = (c0 + 1) % self.max_gpm_cand
+        return self.rnd.randrange(64), c0, c1
 
     def sbt(self, cu):
         if not getattr(self, "sbt_prob", 0) or \
