@@ -183,6 +183,18 @@ class Decisions:
     def mode_cons_intra(self, node: PartNode) -> bool:
         return True
 
+    def affine(self, cu: CodingUnit) -> bool:
+        return False
+
+    def affine_type(self, cu: CodingUnit) -> int:
+        return 0
+
+    def subblock_merge(self, cu: CodingUnit) -> bool:
+        return False
+
+    def affine_imv(self, cu: CodingUnit) -> int:
+        return 0
+
     def smvd(self, cu: CodingUnit) -> bool:
         return False
 
@@ -628,14 +640,14 @@ class CtuDecoder:
             cu.merge_flag = bool(self._bin(ctx("MergeFlag"), want=want))
         cu.mv = [[0, 0], [0, 0]]
         cu.mvd = [[0, 0], [0, 0]]
+        cu.mvd_aff = [[[0, 0], [0, 0]], [[0, 0], [0, 0]]]
         cu.ref_idx = [-1, -1]
         cu.mvp_idx = [0, 0]
         if cu.merge_flag:
             self.merge_data(cu)
             return
         self.inter_pred_idc(cu)
-        if self.sps.affine_enabled and cu.w >= 16 and cu.h >= 16:
-            raise NotImplementedError("affine")
+        self.affine_flag(cu)
         self.smvd_mode(cu)
         if cu.inter_dir != 2:
             if cu.smvd_mode:
@@ -643,6 +655,10 @@ class CtuDecoder:
             else:
                 cu.ref_idx[0] = self.ref_idx(cu, 0)
             cu.mvd[0] = self.mvd_coding(cu, 0)
+            if cu.affine_flag:
+                cu.mvd_aff[0][0] = self.mvd_coding(cu, 0)
+                if cu.affine_type == 1:
+                    cu.mvd_aff[0][1] = self.mvd_coding(cu, 0)
             cu.mvp_idx[0] = self.mvp_flag(cu, 0)
         if cu.inter_dir != 1:
             if cu.smvd_mode != 1:
@@ -651,15 +667,69 @@ class CtuDecoder:
                     cu.mvd[1] = [0, 0]
                 else:
                     cu.mvd[1] = self.mvd_coding(cu, 1)
+                    if cu.affine_flag:
+                        cu.mvd_aff[1][0] = self.mvd_coding(cu, 1)
+                        if cu.affine_type == 1:
+                            cu.mvd_aff[1][1] = self.mvd_coding(cu, 1)
             cu.mvp_idx[1] = self.mvp_flag(cu, 1)
         if cu.smvd_mode:
             cu.ref_idx[1] = self.cs.sym_ref_idx[1]
             cu.mvd[1] = [-cu.mvd[0][0], -cu.mvd[0][1]]
 
+    def _affine_ctx(self, cu: CodingUnit) -> int:
+        """DeriveCtx::CtxAffineFlag (ContextModelling.cpp:243)."""
+        cs = self.cs
+        left = cs.cu_at_restricted(cu.x - 1, cu.y, cu, 0)
+        above = cs.cu_at_restricted(cu.x, cu.y - 1, cu, 0)
+        return int(bool(left and left.affine_flag)) + \
+            int(bool(above and above.affine_flag))
+
+    def affine_flag(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::affine_flag (CABACReader.cpp:1694)."""
+        if not (self.sps.affine_enabled and cu.w >= 16 and cu.h >= 16):
+            return
+        want = None
+        if self.enc is not None:
+            want = int(self.decisions.affine(cu))
+        cu.affine_flag = bool(self._bin(ctx("AffineFlag",
+                                            self._affine_ctx(cu)), want=want))
+        if cu.affine_flag and self.sps.affine_6param:
+            want = None
+            if self.enc is not None:
+                want = int(self.decisions.affine_type(cu))
+            cu.affine_type = self._bin(ctx("AffineType"), want=want)
+
+    def subblock_merge_flag(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::subblock_merge_flag (CABACReader.cpp:1681)."""
+        if self.sh.is_intra or self.ph.max_num_affine_merge_cand <= 0 \
+                or cu.w < 8 or cu.h < 8:
+            return
+        want = None
+        if self.enc is not None:
+            want = int(self.decisions.subblock_merge(cu))
+        cu.affine_flag = bool(self._bin(ctx("SubblockMergeFlag",
+                                            self._affine_ctx(cu)), want=want))
+
+    def affine_merge_idx(self, cu: CodingUnit) -> None:
+        """merge_idx affine path (CABACReader.cpp:1855)."""
+        n_minus1 = self.ph.max_num_affine_merge_cand - 1
+        want = None
+        if self.enc is not None:
+            want = min(self.decisions.merge_idx(cu, n_minus1 + 1), n_minus1)
+        idx = 0
+        if n_minus1 > 0 and self._bin(ctx("AffMergeIdx"),
+                                      want=None if want is None
+                                      else int(want > 0)):
+            idx = 1
+            while idx < n_minus1 and self._ep(want=None if want is None
+                                              else int(want > idx)):
+                idx += 1
+        cu.merge_idx = idx
+
     def smvd_mode(self, cu: CodingUnit) -> None:
         """Parity: CABACReader::smvd_mode (CABACReader.cpp:1662)."""
         cu.smvd_mode = 0
-        if cu.inter_dir != 3 or not self.sps.smvd_enabled \
+        if cu.inter_dir != 3 or cu.affine_flag or not self.sps.smvd_enabled \
                 or self.ph.mvd_l1_zero:
             return
         if not self.cs.bi_dir_pred:
@@ -671,8 +741,10 @@ class CtuDecoder:
 
     def merge_data(self, cu: CodingUnit) -> None:
         """Parity: CABACReader::merge_data (CABACReader.cpp:1732)."""
-        if self.ph.max_num_affine_merge_cand > 0 and cu.w >= 8 and cu.h >= 8:
-            raise NotImplementedError("subblock merge")
+        self.subblock_merge_flag(cu)
+        if cu.affine_flag:
+            self.affine_merge_idx(cu)
+            return
         ciip_ok = (self.sps.ciip_enabled and not cu.skip and cu.w < 128
                    and cu.h < 128 and cu.w * cu.h >= 64)
         geo_ok = (self.sps.gpm_enabled and self.sh.is_b
@@ -881,6 +953,34 @@ class CtuDecoder:
                           want=None if want is None else int(want == 2))
             cu.imv = v + 1
 
+    def affine_amvr_mode(self, cu: CodingUnit) -> None:
+        """Parity: CABACReader::affine_amvr_mode (CABACReader.cpp:1031).
+        imv: 0 quarter, 1 sixteenth (internal), 2 full-pel."""
+        if not self.sps.affine_amvr:
+            return
+        # CU::hasSubCUNonZeroAffineMVd
+        has_mvd = False
+        for lst in range(2):
+            if not (cu.inter_dir & (1 << lst)):
+                continue
+            if lst == 1 and self.ph.mvd_l1_zero and cu.inter_dir == 3:
+                continue
+            cps = [cu.mvd[lst]] + cu.mvd_aff[lst][:1 + cu.affine_type]
+            if any(v != 0 for cp in cps for v in cp):
+                has_mvd = True
+        if not has_mvd:
+            return
+        want = None
+        if self.enc is not None:
+            want = int(self.decisions.affine_imv(cu))
+        v = self._bin(ctx("ImvFlag", 2),
+                      want=None if want is None else int(want > 0))
+        if v:
+            v = self._bin(ctx("ImvFlag", 3),
+                          want=None if want is None else int(want == 2))
+            v += 1
+        cu.imv = v
+
     def cu_bcw_flag(self, cu: CodingUnit) -> None:
         """Parity: CABACReader::cu_bcw_flag (CABACReader.cpp:1180)."""
         if not (self.sps.bcw_enabled and cu.pred_mode == MODE_INTER
@@ -1083,7 +1183,10 @@ class CtuDecoder:
         else:
             self.prediction_unit(cu)
             if not cu.merge_flag:
-                self.amvr_mode(cu)
+                if cu.affine_flag:
+                    self.affine_amvr_mode(cu)
+                else:
+                    self.amvr_mode(cu)
                 self.cu_bcw_flag(cu)
 
         self.cu_residual(cu, node)

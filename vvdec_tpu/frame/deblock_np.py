@@ -54,6 +54,9 @@ class EdgeParams:
         self.max_fl_p = np.zeros((h4, w4), dtype=np.int8)
         self.max_fl_q = np.zeros((h4, w4), dtype=np.int8)
         self.cmfl = np.zeros((h4, w4), dtype=np.int8)  # chroma long filter flag
+        # transform-edge flag (the "128" bit of sideMaxFiltLength) used by
+        # the subblock-CU refinement pass (LoopFilter.cpp:707)
+        self.te = np.zeros((h4, w4), dtype=np.int8)
 
 
 class Deblocker:
@@ -87,6 +90,12 @@ class Deblocker:
             cu = cs.cus[tu.cu_idx]
             self._tu_edges(tu, cu, 0)  # EDGE_VER
             self._tu_edges(tu, cu, 1)  # EDGE_HOR
+        # subblock-motion CUs (affine / SbTMVP): internal 8x8 motion edges +
+        # max-filter-length refinement (LoopFilter.cpp:567-604,707)
+        for cu in cs.cus:
+            if cu.affine_flag or cu.merge_type == 1:
+                self._subblock_edges(cu, 0)
+                self._subblock_edges(cu, 1)
 
     def _cu_filter_edge_allowed(self, cu, dir_: int) -> bool:
         """CU-boundary edge filterable? (xGetLoopfilterParam)."""
@@ -161,6 +170,11 @@ class Deblocker:
                 size_q = w if dir_ == 0 else h
                 pblk = tu_p.blocks[0]
                 size_p = pblk[2] if dir_ == 0 else pblk[3]
+                # marker semantics (BsSet(x, MAX_NUM_COMPONENT) in
+                # LoopFilter.cpp:900): motion-based BS applies only on TU
+                # edges coinciding with the CU edge; internal TU edges are
+                # cbf-only.
+                same_cu_tu = (x == cu.x) if dir_ == 0 else (y == cu.y)
                 if cu.pred_mode == MODE_INTRA or cu_p.pred_mode == MODE_INTRA:
                     # intra: BS 2 unless both-side BDPCM
                     bs = 0 if (cu.bdpcm_mode and cu_p.bdpcm_mode) else 2
@@ -169,7 +183,7 @@ class Deblocker:
                 else:
                     if tu.cbf[0] or tu_p.cbf[0]:
                         bs = 1
-                    else:
+                    elif same_cu_tu:
                         # motion at the two 4x4 cells adjacent to the edge
                         if dir_ == 0:
                             qx, qy = cx4 << 2, cy4 << 2
@@ -178,12 +192,15 @@ class Deblocker:
                             qx, qy = cx4 << 2, cy4 << 2
                             px_m, py_m = qx, qy - 1
                         bs = self._mv_bs(cu, cu_p, (qx, qy), (px_m, py_m))
+                    else:
+                        bs = 0
                 ep.bs_y[cy4, cx4] = bs
                 ep.qp_y[cy4, cx4] = (cu.qp + cu_p.qp + 1) >> 1
+                ep.te[cy4, cx4] = 1
                 if size_p <= 4 or size_q <= 4:
                     flp = flq = 1
                 else:
-                    flp = 7 if size_p >= 32 else 3
+                    flp = (5 if cu_p.affine_flag else 7) if size_p >= 32 else 3
                     flq = 7 if size_q >= 32 else 3
                 ep.max_fl_p[cy4, cx4] = flp
                 ep.max_fl_q[cy4, cx4] = flq
@@ -230,6 +247,58 @@ class Deblocker:
             pblk = tu_p.blocks[1]
             size_p = pblk[2] if dir_ == 0 else pblk[3]
             ep.cmfl[cy4, cx4] = 1 if (size_p >= 8 and size_q >= 8) else 0
+
+    def _subblock_edges(self, cu, dir_: int) -> None:
+        """Internal 8x8 subblock motion edges of affine/SbTMVP CUs
+        (xSetEdgeFilterInsidePu LoopFilter.cpp:1032 + marker upgrade :567,
+        maxFilterLength refinement xSetMaxFilterLengthPQForCodingSubBlocks
+        :707)."""
+        ep = self.edges[dir_]
+        perp_size = cu.w if dir_ == 0 else cu.h
+        parl_size = cu.h if dir_ == 0 else cu.w
+
+        # internal 8-grid edges: filter-edge + BS from the motion field
+        for off in range(8, perp_size, 8):
+            for par in range(0, parl_size, 4):
+                x = cu.x + (off if dir_ == 0 else par)
+                y = cu.y + (par if dir_ == 0 else off)
+                cx4, cy4 = x >> 2, y >> 2
+                if ep.te[cy4, cx4]:
+                    # TU edge upgraded to motion-checking (marker 1 -> 3)
+                    if ep.bs_y[cy4, cx4] != 0:
+                        continue
+                else:
+                    ep.qp_y[cy4, cx4] = cu.qp
+                pos_p = (x - 1, y) if dir_ == 0 else (x, y - 1)
+                ep.bs_y[cy4, cx4] = self._mv_bs(cu, cu, (x, y), pos_p)
+
+        # max-filter-length refinement over the (8-perp x 4-parl) grid
+        for off in range(0, perp_size, 8):
+            for par in range(0, parl_size, 4):
+                x = cu.x + (off if dir_ == 0 else par)
+                y = cu.y + (par if dir_ == 0 else off)
+                cx4, cy4 = x >> 2, y >> 2
+
+                def te_at(k):
+                    if dir_ == 0:
+                        return bool(ep.te[cy4, cx4 + k])
+                    return bool(ep.te[cy4 + k, cx4])
+
+                if ep.te[cy4, cx4]:
+                    q = min(int(ep.max_fl_q[cy4, cx4]), 5)
+                    p = int(ep.max_fl_p[cy4, cx4])
+                    if off > 0:
+                        p = min(p, 5)
+                elif off > 0 and (te_at(-1) or off + 4 >= perp_size
+                                  or te_at(1)):
+                    p = q = 1
+                elif off > 0 and (off == 8 or te_at(-2)
+                                  or off + 8 >= perp_size or te_at(2)):
+                    p = q = 2
+                else:
+                    p = q = 3
+                ep.max_fl_p[cy4, cx4] = p
+                ep.max_fl_q[cy4, cx4] = q
 
     def _ref_poc(self, cu, lst: int):
         if cu.ref_idx[lst] < 0:

@@ -23,8 +23,10 @@ from vvdec_tpu.frame.structure import CodingStructure, CodingUnit, MODE_INTER
 
 _IF = np.load(os.path.join(os.path.dirname(__file__), "..", "ops",
                            "tables_if.npz"))
-LUMA_IF = _IF["LUMA_IF"]      # [16][8]
-CHROMA_IF = _IF["CHROMA_IF"]  # [32][4]
+LUMA_IF = _IF["LUMA_IF"]          # [16][8]
+CHROMA_IF = _IF["CHROMA_IF"]      # [32][4]
+LUMA_IF_4X4 = _IF["LUMA_IF_4X4"]  # [16][8] 6-tap (affine 4x4 blocks)
+BILINEAR_IF = _IF["BILINEAR_IF"]  # [16][2] (DMVR pre-search)
 
 IF_INTERNAL_PREC = 14
 IF_FILTER_PREC = 6
@@ -175,9 +177,9 @@ def _dist_scale(cur_poc, cur_ref_poc, col_poc, col_ref_poc) -> int:
 
 
 def get_colocated_mvp(cs: CodingStructure, cu: CodingUnit, lst: int,
-                      pos: tuple, ref_idx: int):
-    """PU::getColocatedMVP (UnitTools.cpp:1396).  Returns scaled MV tuple
-    or None."""
+                      pos: tuple, ref_idx: int, sb_flag: bool = False):
+    """PU::getColocatedMVP (UnitTools.cpp:1410).  Returns scaled MV tuple
+    or None.  sb_flag selects the SbTMVP list-derivation variant."""
     sh = cs.sh
     col_lst = (1 - int(sh.collocated_from_l0)) if sh.is_b else 0
     col = cs.ref_cols[col_lst][sh.collocated_ref_idx]
@@ -188,12 +190,18 @@ def get_colocated_mvp(cs: CodingStructure, cu: CodingUnit, lst: int,
     e_col = lst if cs.check_ldc else int(sh.collocated_from_l0)
     if col.ref_idx[y8, x8, 0] < 0 and col.ref_idx[y8, x8, 1] < 0:
         return None
-    col_ref = int(col.ref_idx[y8, x8, e_col])
-    if col_ref < 0:
-        e_col = 1 - e_col
+    if sb_flag and not cs.check_ldc:
+        e_col = lst
         col_ref = int(col.ref_idx[y8, x8, e_col])
         if col_ref < 0:
             return None
+    else:
+        col_ref = int(col.ref_idx[y8, x8, e_col])
+        if col_ref < 0:
+            e_col = 1 - e_col
+            col_ref = int(col.ref_idx[y8, x8, e_col])
+            if col_ref < 0:
+                return None
     mv = (int(col.mv[y8, x8, e_col, 0]), int(col.mv[y8, x8, e_col, 1]))
     mv = (_round_mv_comp(mv[0]), _round_mv_comp(mv[1]))
     cur_poc = sh.poc
@@ -474,7 +482,8 @@ ALT_HPEL_IF = np.array([0, 3, 9, 20, 20, 9, 3, 0], dtype=np.int32)
 
 def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
              mv: tuple, comp: int, bit_depth: int, sub: tuple[int, int],
-             intermediate: bool, alt_hpel: bool = False) -> np.ndarray:
+             intermediate: bool, alt_hpel: bool = False,
+             luma_table: np.ndarray | None = None) -> np.ndarray:
     """Motion-compensated prediction of one block.
 
     ref: reference plane (this component).  (x, y, w, h) in component coords.
@@ -518,6 +527,8 @@ def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
     def coeffs(frac):
         if comp == 0 and alt_hpel and frac == 8:
             return ALT_HPEL_IF
+        if comp == 0 and luma_table is not None:
+            return luma_table[frac]
         return table[frac]
 
     if fx and fy:

@@ -1207,6 +1207,9 @@ class IntraReconstructor:
         if cu.geo_flag:
             self._derive_geo_motion(cu)
             return
+        if cu.affine_flag:
+            self._derive_affine_motion(cu)
+            return
         if cu.merge_flag:
             cands = I.derive_merge(cs, cu, self._hist, is_b)
             if cu.mmvd_flag:
@@ -1278,6 +1281,134 @@ class IntraReconstructor:
         self._inter_pred[cu.idx] = preds
         # HMVP update (parallel merge level 2 -> always eligible here)
         self._hist.add(I._mi_of(cu))
+
+    def _derive_affine_motion(self, cu: CodingUnit) -> None:
+        """Affine merge/AMVP motion + subblock MC (DecCu.cpp:746-849;
+        InterPrediction.cpp:934 xPredAffineBlk, :438 xSubPuMC)."""
+        from vvdec_tpu.frame import affine_np as A
+        from vvdec_tpu.frame import inter_np as I
+        cs = self.cs
+        cu.cpmv = [[(0, 0)] * 3, [(0, 0)] * 3]
+        if cu.merge_flag:
+            cands = A.derive_affine_merge(cs, cu, cu.merge_idx)
+            cand = cands[cu.merge_idx]
+            cu.inter_dir = cand.inter_dir
+            cu.affine_type = cand.aff_type
+            cu.bcw_idx = cand.bcw
+            cu.merge_type = 1 if cand.subpu else 0
+            if cand.subpu:
+                cu.ref_idx = list(cand.ref)
+            else:
+                for lst in range(2):
+                    if cs.sh.num_ref_idx_active[lst] > 0:
+                        cu.ref_idx[lst] = cand.ref[lst]
+                        A.set_all_affine_mv(cs, cu, cand.mvf[lst][0],
+                                            cand.mvf[lst][1],
+                                            cand.mvf[lst][2], lst)
+                A.span_affine_motion(cs, cu)
+        else:
+            for lst in range(2):
+                if not (cs.sh.num_ref_idx_active[lst] > 0
+                        and (cu.inter_dir & (1 << lst))):
+                    cu.ref_idx[lst] = -1
+                    continue
+                amvp = A.fill_affine_mvp(cs, cu, lst, cu.ref_idx[lst])
+                plt, prt, plb = amvp[cu.mvp_idx[lst]]
+                sh_imv = 2 if cu.imv == 2 else 0
+                d0 = (cu.mvd[lst][0] << sh_imv, cu.mvd[lst][1] << sh_imv)
+                d1 = (cu.mvd_aff[lst][0][0] << sh_imv,
+                      cu.mvd_aff[lst][0][1] << sh_imv)
+                lt = (plt[0] + d0[0], plt[1] + d0[1])
+                rt = (prt[0] + d1[0] + d0[0], prt[1] + d1[1] + d0[1])
+                if cu.imv != 1:
+                    lt = (lt[0] << 2, lt[1] << 2)
+                    rt = (rt[0] << 2, rt[1] << 2)
+                lb = (0, 0)
+                if cu.affine_type == 1:
+                    d2 = (cu.mvd_aff[lst][1][0] << sh_imv,
+                          cu.mvd_aff[lst][1][1] << sh_imv)
+                    lb = (plb[0] + d2[0] + d0[0], plb[1] + d2[1] + d0[1])
+                    if cu.imv != 1:
+                        lb = (lb[0] << 2, lb[1] << 2)
+                A.set_all_affine_mv(cs, cu, lt, rt, lb, lst, clip_cpmvs=True)
+            A.span_affine_motion(cs, cu)
+
+        # motion compensation
+        if cu.merge_type == 1:
+            preds = self._sbtmvp_mc(cu)
+        else:
+            parts = []
+            for lst in range(2):
+                if cu.inter_dir & (1 << lst):
+                    parts.append(A.affine_pred(cs, cu, lst, self.bit_depth))
+            if cu.inter_dir == 3:
+                preds = []
+                for comp in range(cs.num_comp):
+                    if cu.bcw_idx != 0:
+                        preds.append(I.bi_weighted(parts[0][comp],
+                                                   parts[1][comp],
+                                                   self.bit_depth,
+                                                   cu.bcw_idx))
+                    else:
+                        preds.append(I.bi_average(parts[0][comp],
+                                                  parts[1][comp],
+                                                  self.bit_depth))
+            else:
+                preds = parts[0]
+        while len(preds) < 3:
+            preds.append(None)
+        self._inter_pred[cu.idx] = preds
+        # affine CUs never update the HMVP table (DecCu.cpp:884)
+
+    def _sbtmvp_mc(self, cu: CodingUnit) -> list:
+        """SbTMVP MC: regular MC per 8x8 subblock with the spanned motion
+        field (xSubPuMC, InterPrediction.cpp:438)."""
+        from vvdec_tpu.frame import inter_np as I
+        cs = self.cs
+        out = [np.zeros((cu.h, cu.w), dtype=np.int64)]
+        if cs.num_comp > 1:
+            out += [np.zeros((cu.ch, cu.cw), dtype=np.int64)
+                    for _ in range(2)]
+        for by in range(0, cu.h, 8):
+            for bx in range(0, cu.w, 8):
+                y4, x4 = (cu.y + by) >> 2, (cu.x + bx) >> 2
+                r0 = int(cs.mi_ref[y4, x4, 0])
+                r1 = int(cs.mi_ref[y4, x4, 1])
+                d = (1 if r0 >= 0 else 0) + (2 if r1 >= 0 else 0)
+                bi = d == 3
+                parts = []
+                for lst in range(2):
+                    if not (d & (1 << lst)):
+                        continue
+                    mv = (int(cs.mi_mv[y4, x4, lst, 0]),
+                          int(cs.mi_mv[y4, x4, lst, 1]))
+                    mvc = I.clip_mv(mv, cu.x + bx, cu.y + by, cs)
+                    planes = cs.ref_planes[lst][r0 if lst == 0 else r1]
+                    part = [I.mc_block(planes[0], cu.x + bx, cu.y + by, 8, 8,
+                                       mvc, 0, self.bit_depth,
+                                       (cs.sub_w, cs.sub_h), bi)]
+                    if cs.num_comp > 1:
+                        cbx = (cu.x + bx) // cs.sub_w - cu.cx
+                        cby = (cu.y + by) // cs.sub_h - cu.cy
+                        for comp in (1, 2):
+                            part.append(I.mc_block(
+                                planes[comp], cu.cx + cbx, cu.cy + cby,
+                                8 // cs.sub_w, 8 // cs.sub_h, mvc, comp,
+                                self.bit_depth, (cs.sub_w, cs.sub_h), bi))
+                    parts.append(part)
+                for comp in range(cs.num_comp):
+                    if comp == 0:
+                        sx, sy, sw, sh_ = bx, by, 8, 8
+                    else:
+                        sx, sy = bx // cs.sub_w, by // cs.sub_h
+                        sw, sh_ = 8 // cs.sub_w, 8 // cs.sub_h
+                    if bi:
+                        blk = I.bi_average(parts[0][comp], parts[1][comp],
+                                           self.bit_depth)
+                    else:
+                        blk = parts[0][comp]
+                    out[comp][sy:sy + sh_, sx:sx + sw] = blk
+        return out
 
     def _derive_geo_motion(self, cu: CodingUnit) -> None:
         """GPM: two uni-predicted parts blended with the geometric mask

@@ -115,6 +115,8 @@ class CodingUnit:
     inter_dir: int = 0
     mv: list = field(default_factory=list)       # [[x,y] L0, [x,y] L1] 1/16 pel
     mvd: list = field(default_factory=list)      # quarter-pel units
+    # affine CPMV differences [lst][cp 1..2] (cp 0 lives in mvd)
+    mvd_aff: list = field(default_factory=list)
     ref_idx: list = field(default_factory=lambda: [-1, -1])
     mvp_idx: list = field(default_factory=lambda: [0, 0])
     smvd_mode: int = 0
@@ -123,6 +125,11 @@ class CodingUnit:
     imv: int = 0            # 0 quarter, 1 full, 2 four-pel, 3 half-pel
     bcw_idx: int = 0        # forward form; 0 = default (equal weights)
     alt_hpel: bool = False
+    affine_flag: bool = False
+    affine_type: int = 0    # 0 = 4-param, 1 = 6-param
+    merge_type: int = 0     # 0 = regular, 1 = SbTMVP (MRG_TYPE_SUBPU_ATMVP)
+    # control-point MVs [lst][cp 0..2][x,y], 1/16-pel (affine CUs only)
+    cpmv: list = field(default_factory=list)
     ciip_flag: bool = False
     geo_flag: bool = False
     geo_split_dir: int = 0

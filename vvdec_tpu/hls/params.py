@@ -624,3 +624,7 @@ class SliceHeader:
     @property
     def is_p(self) -> bool:
         return self.slice_type == P_SLICE
+
+    @property
+    def is_irap(self) -> bool:
+        return 7 <= int(self.nal_type) <= 9  # IDR_W_RADL..CRA

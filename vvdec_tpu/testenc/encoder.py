@@ -96,7 +96,9 @@ class RandomDecisions(Decisions):
                  mmvd_prob: float = 0.0, amvr_prob: float = 0.0,
                  bcw_prob: float = 0.0, ciip_prob: float = 0.0,
                  sbt_prob: float = 0.0, geo_prob: float = 0.0,
-                 max_gpm_cand: int = 2):
+                 max_gpm_cand: int = 2, affine_prob: float = 0.0,
+                 affine_merge_prob: float = 0.0, affine_6p_prob: float = 0.5,
+                 affine_imv_prob: float = 0.0, aff_mv_range: int = 16):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -121,6 +123,11 @@ class RandomDecisions(Decisions):
         self.sbt_prob = sbt_prob
         self.geo_prob = geo_prob
         self.max_gpm_cand = max_gpm_cand
+        self.affine_prob = affine_prob
+        self.affine_merge_prob = affine_merge_prob
+        self.affine_6p_prob = affine_6p_prob
+        self.affine_imv_prob = affine_imv_prob
+        self.aff_mv_range = aff_mv_range
 
     def split(self, node, allowed):
         choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
@@ -174,6 +181,21 @@ class RandomDecisions(Decisions):
 
     def smvd(self, cu):
         return self.rnd.random() < getattr(self, "smvd_prob", 0)
+
+    def affine(self, cu):
+        return self.rnd.random() < getattr(self, "affine_prob", 0)
+
+    def affine_type(self, cu):
+        return int(self.rnd.random() < getattr(self, "affine_6p_prob", 0.5))
+
+    def subblock_merge(self, cu):
+        return self.rnd.random() < getattr(self, "affine_merge_prob", 0)
+
+    def affine_imv(self, cu):
+        if not getattr(self, "affine_imv_prob", 0) or \
+                self.rnd.random() >= self.affine_imv_prob:
+            return 0
+        return self.rnd.choice([1, 2])
 
     def merge_kind(self, cu, ciip_ok, geo_ok):
         r = self.rnd.random()
