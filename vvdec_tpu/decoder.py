@@ -30,6 +30,7 @@ from vvdec_tpu.hls.reader import (
 class ParsedFrame:
     cs: CodingStructure
     poc: int = 0
+    is_idr: bool = False
 
 
 class FrameParser:
@@ -75,7 +76,7 @@ class FrameParser:
         dec.reset(sh.qp_y, sh.slice_type)
         coder = CtuDecoder(cs, dec=dec)
         coder.decode_slice()
-        return ParsedFrame(cs=cs, poc=sh.poc)
+        return ParsedFrame(cs=cs, poc=sh.poc, is_idr=nal.is_idr)
 
 
 def t_is_ref(nal_type) -> bool:
@@ -94,9 +95,18 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
     from vvdec_tpu.frame.recon_np import IntraReconstructor
 
     frames = []
+    segment = []  # (poc, planes) of the current IRAP period, decode order
     dpb: dict[int, list] = {}  # poc -> reconstructed planes (pre-output)
     dpb_mot: dict[int, object] = {}  # poc -> ColMotion
+
+    def flush_segment():
+        segment.sort(key=lambda e: e[0])
+        frames.extend(p for _, p in segment)
+        segment.clear()
+
     for f in parse_annexb(data):
+        if f.is_idr:
+            flush_segment()
         cs = f.cs
         # resolve reference picture lists (RefPicPocList = poc + delta)
         cs.ref_pocs = [[], []]
@@ -130,10 +140,16 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
             deblock_frame(cs, planes)
         from vvdec_tpu.frame.sao_np import sao_frame
         sao_frame(cs, planes)
+        # DMVR-refined MVs enter the motion field only after deblocking
+        # strength derivation (TaskFinishMotionInfo, DecCu.cpp:161-213)
+        for x2, y2, mv0, mv1 in getattr(cs, "dmvr_fixups", ()):
+            cs.mi_mv[y2 >> 2, x2 >> 2, 0] = mv0
+            cs.mi_mv[y2 >> 2, x2 >> 2, 1] = mv1
         dpb[f.poc] = planes
         from vvdec_tpu.frame.inter_np import ColMotion
         dpb_mot[f.poc] = ColMotion(cs, f.poc)
-        frames.append([p.astype(np.uint16) for p in planes])
+        segment.append((f.poc, [p.astype(np.uint16) for p in planes]))
+    flush_segment()
     return frames
 
 

@@ -1240,7 +1240,27 @@ class IntraReconstructor:
                 my = ((my + clip17) & (2 * clip17 - 1)) - clip17
                 mv[lst] = [mx, my]
             cu.mv = mv
-        # motion compensation
+        # motion compensation (DMVR / BDOF take dedicated paths,
+        # motionCompensation InterPrediction.cpp:1412-1459)
+        from vvdec_tpu.frame import dmvr_np as D
+        cs_bio = D.bdof_condition(cs, cu)
+        cs_dmvr = D.dmvr_condition(cs, cu)
+        if cs_dmvr:
+            preds = self._dmvr_mc(cu, cs_bio)
+            while len(preds) < 3:
+                preds.append(None)
+            I.span_motion(cs, cu)
+            self._inter_pred[cu.idx] = preds
+            self._hist.add(I._mi_of(cu))
+            return
+        if cs_bio:
+            preds = self._bdof_mc(cu)
+            while len(preds) < 3:
+                preds.append(None)
+            I.span_motion(cs, cu)
+            self._inter_pred[cu.idx] = preds
+            self._hist.add(I._mi_of(cu))
+            return
         preds = [None, None, None]
         parts = []
         for lst in range(2):
@@ -1281,6 +1301,171 @@ class IntraReconstructor:
         self._inter_pred[cu.idx] = preds
         # HMVP update (parallel merge level 2 -> always eligible here)
         self._hist.add(I._mi_of(cu))
+
+    def _bdof_mc(self, cu: CodingUnit) -> list:
+        """BDOF bi-prediction over 16x16 application regions
+        (xSubPuBio, InterPrediction.cpp:551)."""
+        from vvdec_tpu.frame import dmvr_np as D
+        from vvdec_tpu.frame import inter_np as I
+        cs = self.cs
+        bd = self.bit_depth
+        out = [np.zeros((cu.h, cu.w), dtype=np.int64)]
+        if cs.num_comp > 1:
+            out += [np.zeros((cu.ch, cu.cw), dtype=np.int64)
+                    for _ in range(2)]
+        tw = min(D.BDOF_REGION, cu.w)
+        th = min(D.BDOF_REGION, cu.h)
+        alt = cu.alt_hpel
+        for ty in range(0, cu.h, th):
+            for tx in range(0, cu.w, tw):
+                exts = []
+                chroma = []
+                for lst in range(2):
+                    plane = cs.ref_planes[lst][cu.ref_idx[lst]]
+                    # clipMv uses the FULL CU area (m_currCuArea)
+                    mvc = I.clip_mv(tuple(cu.mv[lst]), cu.x, cu.y, cs)
+                    view = D.RefView(plane[0])
+                    _, ext = D.mc_from_view(
+                        view, cu.x + tx, cu.y + ty, tw, th,
+                        mvc[0] >> 4, mvc[1] >> 4, mvc[0] & 15, mvc[1] & 15,
+                        0, bd, True, bio_ext=True, alt_hpel=alt)
+                    exts.append(ext)
+                    if cs.num_comp > 1:
+                        cpart = []
+                        for comp in (1, 2):
+                            sx = 4 + (cs.sub_w - 1)
+                            sy = 4 + (cs.sub_h - 1)
+                            fx = (mvc[0] & ((1 << sx) - 1)) << (5 - sx)
+                            fy = (mvc[1] & ((1 << sy) - 1)) << (5 - sy)
+                            cpart.append(D.mc_from_view(
+                                D.RefView(plane[comp]),
+                                (cu.x + tx) // cs.sub_w,
+                                (cu.y + ty) // cs.sub_h,
+                                tw // cs.sub_w, th // cs.sub_h,
+                                mvc[0] >> sx, mvc[1] >> sy, fx, fy,
+                                comp, bd, True))
+                        chroma.append(cpart)
+                out[0][ty:ty + th, tx:tx + tw] = D.bdof_blend(
+                    exts[0], exts[1], tw, th, bd)
+                if cs.num_comp > 1:
+                    for k, comp in enumerate((1, 2)):
+                        cy0, cx0 = ty // cs.sub_h, tx // cs.sub_w
+                        out[comp][cy0:cy0 + th // cs.sub_h,
+                                  cx0:cx0 + tw // cs.sub_w] = I.bi_average(
+                            chroma[0][k], chroma[1][k], bd)
+        return out
+
+    def _dmvr_mc(self, cu: CodingUnit, bio_applied: bool) -> list:
+        """DMVR: bilinear pre-MC, 25-point SAD search per 16x16 subblock,
+        padded final MC, optional per-subblock BDOF
+        (xProcessDMVR, InterPrediction.cpp:1847)."""
+        from vvdec_tpu.frame import dmvr_np as D
+        from vvdec_tpu.frame import inter_np as I
+        cs = self.cs
+        bd = self.bit_depth
+        merge_mv = (tuple(cu.mv[0]), tuple(cu.mv[1]))
+        # CU-wide bilinear buffers with 2-sample margin (xinitMC)
+        bl = []
+        for lst in range(2):
+            plane = cs.ref_planes[lst][cu.ref_idx[lst]][0]
+            mvc = I.clip_mv(merge_mv[lst], cu.x, cu.y, cs)
+            mvc = (mvc[0] - (D.DMVR_ITER << 4), mvc[1] - (D.DMVR_ITER << 4))
+            bl.append(D.bilinear_pred(D.RefView(plane), cu.x, cu.y,
+                                      cu.w + 2 * D.DMVR_ITER,
+                                      cu.h + 2 * D.DMVR_ITER, mvc, bd))
+        dx = min(cu.w, D.DMVR_SUBCU)
+        dy = min(cu.h, D.DMVR_SUBCU)
+        out = [np.zeros((cu.h, cu.w), dtype=np.int64)]
+        if cs.num_comp > 1:
+            out += [np.zeros((cu.ch, cu.cw), dtype=np.int64)
+                    for _ in range(2)]
+        bio_thres = 2 * dx * dy
+        for ys in range(0, cu.h, dy):
+            for xs in range(0, cu.w, dx):
+                dmv, min_cost = D.dmvr_search(bl[0], bl[1], xs, ys, dx, dy)
+                mv0 = (D._clip18(merge_mv[0][0] + dmv[0]),
+                       D._clip18(merge_mv[0][1] + dmv[1]))
+                mv1 = (D._clip18(merge_mv[1][0] - dmv[0]),
+                       D._clip18(merge_mv[1][1] - dmv[1]))
+                bio_sub = bio_applied and min_cost >= bio_thres
+                sx_abs, sy_abs = cu.x + xs, cu.y + ys
+                exts = []
+                parts = []
+                for lst, rmv in ((0, mv0), (1, mv1)):
+                    planes = cs.ref_planes[lst][cu.ref_idx[lst]]
+                    mvc = I.clip_mv(rmv, sx_abs, sy_abs, cs)
+                    part = []
+                    ext = None
+                    for comp in range(cs.num_comp):
+                        if comp == 0:
+                            shx = shy = 4
+                            bx, by = sx_abs, sy_abs
+                            bw, bh = dx, dy
+                            taps = 8
+                        else:
+                            shx = 4 + (cs.sub_w - 1)
+                            shy = 4 + (cs.sub_h - 1)
+                            bx, by = sx_abs // cs.sub_w, sy_abs // cs.sub_h
+                            bw, bh = dx // cs.sub_w, dy // cs.sub_h
+                            taps = 4
+                        d_int_x = (rmv[0] >> shx) - (merge_mv[lst][0] >> shx)
+                        d_int_y = (rmv[1] >> shy) - (merge_mv[lst][1] >> shy)
+                        fx = mvc[0] & ((1 << shx) - 1)
+                        fy = mvc[1] & ((1 << shy) - 1)
+                        if comp:
+                            fx <<= 5 - shx
+                            fy <<= 5 - shy
+                        if d_int_x or d_int_y:
+                            # padded prefetch window from the merge MV
+                            # (xPrefetchPad + altSrc MC)
+                            half = taps // 2 - 1
+                            wmv = (merge_mv[lst][0] - (half << shx),
+                                   merge_mv[lst][1] - (half << shy))
+                            wmv = I.clip_mv(wmv, sx_abs, sy_abs, cs)
+                            wx = bx + (wmv[0] >> shx)
+                            wy = by + (wmv[1] >> shy)
+                            view = D.RefView.window(
+                                planes[comp], wx, wy,
+                                bw + taps - 1, bh + taps - 1)
+                            int_x = (wmv[0] >> shx) + d_int_x + half
+                            int_y = (wmv[1] >> shy) + d_int_y + half
+                        else:
+                            view = D.RefView(planes[comp])
+                            int_x = mvc[0] >> shx
+                            int_y = mvc[1] >> shy
+                        if comp == 0 and bio_sub:
+                            blk, ext = D.mc_from_view(
+                                view, bx, by, bw, bh, int_x, int_y, fx, fy,
+                                0, bd, True, bio_ext=True,
+                                alt_hpel=cu.alt_hpel)
+                        else:
+                            blk = D.mc_from_view(view, bx, by, bw, bh,
+                                                 int_x, int_y, fx, fy,
+                                                 comp, bd, True,
+                                                 alt_hpel=cu.alt_hpel)
+                        part.append(blk)
+                    parts.append(part)
+                    exts.append(ext)
+                if bio_sub:
+                    out[0][ys:ys + dy, xs:xs + dx] = D.bdof_blend(
+                        exts[0], exts[1], dx, dy, bd)
+                else:
+                    out[0][ys:ys + dy, xs:xs + dx] = I.bi_average(
+                        parts[0][0], parts[1][0], bd)
+                for comp in range(1, cs.num_comp):
+                    cy0, cx0 = ys // cs.sub_h, xs // cs.sub_w
+                    out[comp][cy0:cy0 + dy // cs.sub_h,
+                              cx0:cx0 + dx // cs.sub_w] = I.bi_average(
+                        parts[0][comp], parts[1][comp], bd)
+                # refined-MV writeback positions (TaskFinishMotionInfo)
+                y2 = ((sy_abs - 1) & ~7) + 8
+                while y2 < sy_abs + dy:
+                    x2 = ((sx_abs - 1) & ~7) + 8
+                    while x2 < sx_abs + dx:
+                        cs.dmvr_fixups.append((x2, y2, mv0, mv1))
+                        x2 += 8
+                    y2 += 8
+        return out
 
     def _derive_affine_motion(self, cu: CodingUnit) -> None:
         """Affine merge/AMVP motion + subblock MC (DecCu.cpp:746-849;

@@ -182,6 +182,8 @@ class CodingStructure:
         self.mi_mv = np.zeros((self.h >> 2, self.w >> 2, 2, 2), dtype=np.int32)
         self.mi_ref = np.full((self.h >> 2, self.w >> 2, 2), -1, dtype=np.int8)
         self.cus: list[CodingUnit] = []
+        # DMVR refined-MV writeback records: (x, y, mv0, mv1) per 8x8 cell
+        self.dmvr_fixups: list = []
         self.sao_params: list = [None] * (pps.pic_width_in_ctu *
                                           pps.pic_height_in_ctu)
         self.tus: list[TransformUnit] = []
