@@ -55,7 +55,8 @@ class FrameParser:
                 r = BitReader(full_rbsp, pos=16)
                 self.cur_ph = parse_picture_header(r, self.psman)
             elif t in (NalUnitType.PREFIX_APS, NalUnitType.SUFFIX_APS):
-                raise NotImplementedError("APS parsing")
+                from vvdec_tpu.hls.reader import parse_aps
+                self.psman.store_aps(parse_aps(full_rbsp))
             elif nal.is_vcl:
                 frames.append(self._parse_slice(full_rbsp, nal))
             # SEI / AUD / EOS / EOB / FD: ignored at this stage
@@ -71,6 +72,13 @@ class FrameParser:
         pps = self.psman.get_pps(ph.pps_id)
         sps = self.psman.get_sps(pps.sps_id)
         cs = CodingStructure(sps, pps, ph, sh)
+        cs.lmcs_info = None
+        if ph.lmcs_enabled:
+            from vvdec_tpu.hls.params import LMCS_APS
+            aps = self.psman.get_aps(LMCS_APS, ph.lmcs_aps_id)
+            if aps is None:
+                raise ValueError(f"missing LMCS APS {ph.lmcs_aps_id}")
+            cs.lmcs_info = aps.lmcs
         start_byte = sh.data_offset_bits // 8
         dec = CabacDecoder(full_rbsp, start_byte)
         dec.reset(sh.qp_y, sh.slice_type)

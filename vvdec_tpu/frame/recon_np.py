@@ -310,6 +310,15 @@ class IntraReconstructor:
         self._inter_pred: dict[int, list] = {}
         self._seen_cu = -1
         self._hist = None
+        # LMCS reshaper model (Reshape::initSlice, Reshape.cpp:118)
+        self.reshaper = None
+        if cs.ph.lmcs_enabled and cs.sh.lmcs_enabled \
+                and getattr(cs, "lmcs_info", None) is not None:
+            from vvdec_tpu.frame.lmcs_np import Reshaper
+            self.reshaper = Reshaper(cs.lmcs_info, self.bit_depth,
+                                     cs.ph.chroma_residual_scale)
+        # forward-map inter predictions only outside I slices (getCTUFlag)
+        self.lmcs_fwd = self.reshaper is not None and not cs.sh.is_intra
 
     # ---------------- availability ----------------
     def _avail(self, px: int, py: int, comp: int, cu: CodingUnit,
@@ -1141,6 +1150,26 @@ class IntraReconstructor:
             comps.append(0)
         if tu.blocks[1] is not None and cu.has_chroma:
             comps += [1, 2]
+        # LMCS chroma residual scaling (DecCu.cpp:381-395, :489-508)
+        chroma_scale_inv = None
+        if self.reshaper is not None and cs.ph.chroma_residual_scale \
+                and tu.blocks[1] is not None and cu.has_chroma \
+                and cs.num_comp > 1:
+            _, _, cw_, ch_ = tu.blocks[1]
+            if cw_ * ch_ > 4 and (tu.cbf[1] or tu.cbf[2] or tu.joint_cbcr):
+                if tu.blocks[0] is not None:
+                    lx, ly = tu.blocks[0][0], tu.blocks[0][1]
+                else:
+                    lx = tu.blocks[1][0] * cs.sub_w
+                    ly = tu.blocks[1][1] * cs.sub_h
+                chroma_scale_inv = self.reshaper.chroma_adj_vpdu(
+                    self.reco, cs, lx, ly)
+
+        def chr_scale(resi):
+            if chroma_scale_inv is None:
+                return resi
+            return self.reshaper.scale_signal(resi, chroma_scale_inv)
+
         for comp in comps:
             x, y, w, h = tu.blocks[comp]
             pred = self.predict_tu(tu, cu, comp)
@@ -1160,12 +1189,14 @@ class IntraReconstructor:
                 else:                       # coded Cb, Cr = ±Cb
                     resi_cb = resi
                     resi_cr = -resi_cb if neg else resi_cb
-                self._jccr_cr = resi_cr
-                out = np.clip(pred + resi_cb, 0, self.pel_max)
+                self._jccr_cr = chr_scale(resi_cr)
+                out = np.clip(pred + chr_scale(resi_cb), 0, self.pel_max)
             elif comp == 2 and tu.joint_cbcr:
                 out = np.clip(pred + self._jccr_cr, 0, self.pel_max)
             elif tu.cbf[comp]:
                 resi = self.tu_residual(tu, cu, comp)
+                if comp:
+                    resi = chr_scale(resi)
                 out = np.clip(pred + resi, 0, self.pel_max)
             else:
                 out = np.clip(pred, 0, self.pel_max)
@@ -1197,6 +1228,11 @@ class IntraReconstructor:
                 if cu.pred_mode != MODE_INTRA:
                     self._derive_motion(cu)
             self.reconstruct_tu(tu, cu)
+        if self.reshaper is not None:
+            # RSP stage: inverse-map the reconstructed luma back to the
+            # original domain before deblocking (rspCtuBcw, Reshape.cpp:377)
+            self.reco[0] = self.reshaper.inv_map(self.reco[0]) \
+                .astype(self.reco[0].dtype)
         return self.reco
 
     def _derive_motion(self, cu: CodingUnit) -> None:
@@ -1250,7 +1286,7 @@ class IntraReconstructor:
             while len(preds) < 3:
                 preds.append(None)
             I.span_motion(cs, cu)
-            self._inter_pred[cu.idx] = preds
+            self._store_inter_pred(cu, preds)
             self._hist.add(I._mi_of(cu))
             return
         if cs_bio:
@@ -1258,7 +1294,7 @@ class IntraReconstructor:
             while len(preds) < 3:
                 preds.append(None)
             I.span_motion(cs, cu)
-            self._inter_pred[cu.idx] = preds
+            self._store_inter_pred(cu, preds)
             self._hist.add(I._mi_of(cu))
             return
         preds = [None, None, None]
@@ -1296,9 +1332,7 @@ class IntraReconstructor:
             for comp in range(cs.num_comp):
                 preds[comp] = parts[0][comp]
         I.span_motion(cs, cu)
-        if cu.ciip_flag:
-            self._ciip_blend(cu, preds)
-        self._inter_pred[cu.idx] = preds
+        self._store_inter_pred(cu, preds)
         # HMVP update (parallel merge level 2 -> always eligible here)
         self._hist.add(I._mi_of(cu))
 
@@ -1542,7 +1576,7 @@ class IntraReconstructor:
                 preds = parts[0]
         while len(preds) < 3:
             preds.append(None)
-        self._inter_pred[cu.idx] = preds
+        self._store_inter_pred(cu, preds)
         # affine CUs never update the HMVP table (DecCu.cpp:884)
 
     def _sbtmvp_mc(self, cu: CodingUnit) -> list:
@@ -1634,7 +1668,7 @@ class IntraReconstructor:
             blk = (wgt * parts[0][comp] + (8 - wgt) * parts[1][comp]
                    + offset) >> shift
             preds[comp] = np.clip(blk, 0, self.pel_max)
-        self._inter_pred[cu.idx] = preds
+        self._store_inter_pred(cu, preds)
         # motion field + CU-level fields (for availability/BS bookkeeping)
         I.span_geo_motion(cs, cu, geo_cands)
         c0 = geo_cands[cu.geo_idx[0]]
@@ -1642,6 +1676,16 @@ class IntraReconstructor:
         cu.mv = [list(c0[1]), list(c0[2])]
         cu.ref_idx = [c0[3], c0[4]]
         # GPM CUs do not update the HMVP table (DecCu.cpp:884 geoFlag)
+
+    def _store_inter_pred(self, cu: CodingUnit, preds: list) -> None:
+        """Finish an inter prediction: LMCS forward mapping of luma
+        (DecCu.cpp:460-476 rspBufFwd) before the CIIP intra blend."""
+        from vvdec_tpu.frame.structure import MODE_IBC
+        if self.lmcs_fwd and cu.pred_mode != MODE_IBC:
+            preds[0] = self.reshaper.fwd_map(preds[0])
+        if cu.ciip_flag:
+            self._ciip_blend(cu, preds)
+        self._inter_pred[cu.idx] = preds
 
     def _ciip_blend(self, cu: CodingUnit, preds: list) -> None:
         """CIIP: blend the inter prediction with planar intra

@@ -14,6 +14,10 @@ from dataclasses import dataclass, field
 # Chroma format idc values
 CHROMA_400, CHROMA_420, CHROMA_422, CHROMA_444 = 0, 1, 2, 3
 
+# APS types (vvdec ApsType, Slice.h)
+ALF_APS, LMCS_APS, SCALING_LIST_APS = 0, 1, 2
+PIC_CODE_CW_BINS = 16
+
 MRG_MAX_NUM_CANDS = 6
 AFFINE_MRG_MAX_NUM_CANDS = 5
 IBC_MRG_MAX_NUM_CANDS = 6
@@ -100,6 +104,30 @@ class RefPicList:
             ltrp_in_header_flag=self.ltrp_in_header_flag,
             inter_layer_present=self.inter_layer_present,
         )
+
+
+@dataclass
+class LmcsInfo:
+    """LMCS (reshaper) model from an LMCS APS (vvdec SliceReshapeInfo,
+    Slice.h; parseLmcsAps HLSyntaxReader.cpp:1014)."""
+    min_bin_idx: int = 0
+    max_bin_idx: int = PIC_CODE_CW_BINS - 1
+    delta_cw_prec: int = 1  # maxNbitsNeededDeltaCW
+    cw_delta: list[int] = field(
+        default_factory=lambda: [0] * PIC_CODE_CW_BINS)
+    crs_offset: int = 0     # chroma residual scaling offset (lmcsDeltaCrs)
+
+
+@dataclass
+class APS:
+    """Adaptation parameter set container (vvdec APS, Slice.h:2168)."""
+    aps_type: int = 0
+    aps_id: int = 0
+    chroma_present: bool = False
+    lmcs: LmcsInfo | None = None
+    alf: object | None = None
+    cc_alf: object | None = None
+    scaling_list: object | None = None
 
 
 @dataclass

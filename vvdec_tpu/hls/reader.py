@@ -751,6 +751,50 @@ def parse_pic_or_slice_header_rpl(r: BitReader, header, sps: SPS, pps: PPS) -> N
                 e.delta_poc_msb_cycle = r.ue()
 
 
+def parse_aps(rbsp: bytes):
+    """APS NAL parse (HLSyntaxReader::parseAPS, HLSyntaxReader.cpp:855).
+    Payloads: LMCS (parseLmcsAps :1014); ALF/scaling-list arrive with their
+    subsystems."""
+    from vvdec_tpu.hls.params import (
+        ALF_APS, APS, LMCS_APS, LmcsInfo, PIC_CODE_CW_BINS, SCALING_LIST_APS,
+    )
+    r = BitReader(rbsp, pos=16)
+    aps = APS()
+    aps.aps_type = r.u(3)
+    aps.aps_id = r.u(5)
+    aps.chroma_present = bool(r.flag())
+    if aps.aps_type == LMCS_APS:
+        _check(aps.aps_id <= 3, "LMCS APS id out of range")
+        info = LmcsInfo()
+        info.min_bin_idx = r.ue()
+        _check(info.min_bin_idx <= 15, "lmcs_min_bin_idx out of range")
+        delta_max = r.ue()
+        _check(delta_max <= 15, "lmcs_delta_max_bin_idx out of range")
+        info.max_bin_idx = PIC_CODE_CW_BINS - 1 - delta_max
+        _check(info.max_bin_idx >= info.min_bin_idx,
+               "LmcsMaxBinIdx < lmcs_min_bin_idx")
+        info.delta_cw_prec = r.ue() + 1
+        _check(info.delta_cw_prec <= 15, "lmcs_delta_cw_prec out of range")
+        for i in range(info.min_bin_idx, info.max_bin_idx + 1):
+            v = r.u(info.delta_cw_prec)
+            if v and r.flag():
+                v = -v
+            info.cw_delta[i] = v
+        if aps.chroma_present:
+            v = r.u(3)
+            if v and r.flag():
+                v = -v
+            info.crs_offset = v
+        aps.lmcs = info
+    elif aps.aps_type == ALF_APS:
+        _check(aps.aps_id <= 7, "ALF APS id out of range")
+        from vvdec_tpu.hls.alf_aps import parse_alf_aps
+        parse_alf_aps(r, aps)
+    elif aps.aps_type == SCALING_LIST_APS:
+        raise NotImplementedError("scaling-list APS")
+    return aps
+
+
 def parse_picture_header(r: BitReader, psman, read_trailing: bool = True) -> PicHeader:
     ph = PicHeader()
     ph.gdr_or_irap_pic = r.flag()

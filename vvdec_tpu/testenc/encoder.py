@@ -326,6 +326,36 @@ class RandomDecisions(Decisions):
         return blk
 
 
+def make_lmcs_aps(seed: int, aps_id: int = 0, chroma: bool = True):
+    """Random legal LMCS model (constraints: Reshape.cpp:330-369) wrapped
+    in an APS; returns (APS object, NAL bytes)."""
+    from vvdec_tpu.hls.params import APS, LMCS_APS, LmcsInfo
+    from vvdec_tpu.testenc.hls_writer import write_lmcs_aps
+
+    rnd = random.Random(seed)
+    info = LmcsInfo()
+    info.min_bin_idx = rnd.randrange(0, 4)
+    info.max_bin_idx = 15 - rnd.randrange(0, 4)
+    # keep each in-range codeword in [32, 76] (satisfies the [OrgCW>>3,
+    # (OrgCW<<3)-1] range and the pivot 1<<(bd-5) crossing rule), then
+    # trim until sum(cw) <= (1<<bd)-1
+    cws = {i: 64 + rnd.randint(-32, 12)
+           for i in range(info.min_bin_idx, info.max_bin_idx + 1)}
+    while sum(cws.values()) > 1023:
+        i = rnd.choice([k for k, v in cws.items() if v > 32])
+        cws[i] -= 1
+    for i, cw in cws.items():
+        info.cw_delta[i] = cw - 64
+    info.delta_cw_prec = 6
+    if chroma:
+        info.crs_offset = rnd.randint(-7, 7)
+    aps = APS(aps_type=LMCS_APS, aps_id=aps_id, chroma_present=chroma,
+              lmcs=info)
+    w = BitWriter()
+    write_lmcs_aps(w, aps)
+    return aps, make_nal(NalUnitType.PREFIX_APS, w.bytes())
+
+
 def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
                  poc: int = 0, idr: bool = True, sh_kw: dict | None = None,
                  ph_kw: dict | None = None, slice_type: int = I_SLICE,

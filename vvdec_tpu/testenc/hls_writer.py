@@ -508,6 +508,30 @@ def write_slice_header(w: BitWriter, sh: SliceHeader, ph: PicHeader,
     w.byte_align(0)
 
 
+def write_lmcs_aps(w: BitWriter, aps) -> None:
+    """LMCS APS RBSP (mirrors parseAPS/parseLmcsAps,
+    HLSyntaxReader.cpp:855,1014)."""
+    info = aps.lmcs
+    w.u(aps.aps_type, 3)
+    w.u(aps.aps_id, 5)
+    w.flag(aps.chroma_present)
+    w.ue(info.min_bin_idx)
+    w.ue(15 - info.max_bin_idx)
+    w.ue(info.delta_cw_prec - 1)
+    for i in range(info.min_bin_idx, info.max_bin_idx + 1):
+        v = info.cw_delta[i]
+        w.u(abs(v), info.delta_cw_prec)
+        if v:
+            w.flag(v < 0)
+    if aps.chroma_present:
+        w.u(abs(info.crs_offset), 3)
+        if info.crs_offset:
+            w.flag(info.crs_offset < 0)
+    w.flag(False)  # aps_extension_flag
+    w.u(1, 1)      # rbsp_stop_one_bit
+    w.byte_align(0)
+
+
 def make_nal(nal_type: int, rbsp: bytes, temporal_id: int = 0,
              long_start_code: bool = True) -> bytes:
     """Wrap an RBSP payload into an Annex-B NAL unit."""
