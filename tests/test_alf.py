@@ -1,0 +1,148 @@
+"""Oracle bit-exactness tests for ALF + CC-ALF."""
+
+import os
+
+import pytest
+
+from tests.test_affine import _check
+
+VVDECAPP = os.environ.get("VVDECAPP", "/tmp/vvdec_bin/vvdecapp")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(VVDECAPP), reason="reference vvdecapp not built")
+
+
+def _alf_stream(seed, n_frames, slice_type, sps_kw, dec_kw, n_aps=2,
+                cc=True, ctu=32, wh=(96, 64)):
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import RandomDecisions, make_alf_aps
+    from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+    sps = E.make_sps(wh[0], wh[1], ctu=ctu, alf_enabled=True,
+                     ccalf_enabled=cc, **sps_kw)
+    pps = E.make_pps(sps)
+    w = BitWriter()
+    write_sps(w, sps)
+    stream = make_nal(NalUnitType.SPS, w.bytes())
+    w = BitWriter()
+    write_pps(w, pps, sps)
+    stream += make_nal(NalUnitType.PPS, w.bytes())
+    apss = {}
+    for i in range(n_aps):
+        aps, nal = make_alf_aps(seed * 10 + i, aps_id=i, cc=cc)
+        apss[i] = aps
+        stream += nal
+    sh_kw = dict(alf_enabled=[True, True, True],
+                 num_alf_aps_ids_luma=n_aps,
+                 alf_aps_ids_luma=list(range(n_aps)),
+                 alf_aps_id_chroma=0)
+    if cc:
+        cb_ok = apss[0].cc_alf.new_filter[0]
+        cr_ok = apss[n_aps - 1].cc_alf.new_filter[1]
+        sh_kw.update(ccalf_cb_enabled=cb_ok, ccalf_cb_aps_id=0,
+                     ccalf_cr_enabled=cr_ok, ccalf_cr_aps_id=n_aps - 1)
+    for f in range(n_frames):
+        dec = RandomDecisions(seed=seed * 100 + f, **dec_kw)
+        if f == 0 or slice_type == 2:
+            nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=f, idr=True,
+                                    sh_kw=sh_kw, alf_apss=apss)
+        else:
+            d = tuple(range(1, min(f, 2) + 1))
+            nal, _ = E.encode_frame(
+                sps, pps, dec, qp=32, poc=f, idr=False,
+                slice_type=slice_type, sh_kw=sh_kw, alf_apss=apss,
+                ref_deltas=(d, d if slice_type == 0 else ()))
+        stream += nal
+    return stream
+
+
+class TestAlfIntra:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_alf_luma_fixed_only(self, seed, tmp_path):
+        # no APS luma filters referenced -> only fixed filter sets
+        stream = _alf_stream(seed, 2, 2, {}, dict(split_prob=0.4),
+                             n_aps=1, cc=False)
+        _check(stream, tmp_path, 2)
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_alf_full(self, seed, tmp_path):
+        stream = _alf_stream(seed, 2, 2, {},
+                             dict(split_prob=0.4, jccr_prob=0.2), n_aps=3)
+        _check(stream, tmp_path, 2)
+
+    def test_alf_ctu128(self, tmp_path):
+        stream = _alf_stream(11, 2, 2, {}, dict(split_prob=0.4),
+                             n_aps=2, ctu=128, wh=(160, 128))
+        _check(stream, tmp_path, 2)
+
+    def test_alf_odd_size(self, tmp_path):
+        # picture not a CTU multiple: bottom/right partial CTUs
+        stream = _alf_stream(13, 2, 2, {}, dict(split_prob=0.4),
+                             n_aps=2, wh=(80, 48))
+        _check(stream, tmp_path, 2)
+
+
+class TestAlfInter:
+    @pytest.mark.parametrize("seed,st", [(0, 1), (1, 1), (2, 0), (3, 0)])
+    def test_alf_inter(self, seed, st, tmp_path):
+        stream = _alf_stream(
+            seed, 4, st, dict(temporal_mvp_enabled=True),
+            dict(split_prob=0.4, inter_prob=0.7, skip_prob=0.2,
+                 mv_range=40, bi_prob=0.5), n_aps=2)
+        _check(stream, tmp_path, 4)
+
+    @pytest.mark.parametrize("seed", range(2))
+    def test_alf_with_sao_lmcs(self, seed, tmp_path):
+        from vvdec_tpu.testenc.encoder import make_lmcs_aps
+        # combine the three in-loop stages: deblock + SAO + ALF, plus LMCS
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions, make_alf_aps
+        from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+        sps = E.make_sps(96, 64, alf_enabled=True, ccalf_enabled=True,
+                         sao_enabled=True, lmcs_enabled=True,
+                         temporal_mvp_enabled=True)
+        pps = E.make_pps(sps)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        apss = {}
+        for i in range(2):
+            aps, nal = make_alf_aps(seed * 10 + i, aps_id=i)
+            apss[i] = aps
+            stream += nal
+        _, lmcs_nal = make_lmcs_aps(seed)
+        stream += lmcs_nal
+        sh_kw = dict(alf_enabled=[True, True, True],
+                     num_alf_aps_ids_luma=2, alf_aps_ids_luma=[0, 1],
+                     alf_aps_id_chroma=1,
+                     ccalf_cb_enabled=apss[0].cc_alf.new_filter[0],
+                     ccalf_cb_aps_id=0,
+                     ccalf_cr_enabled=apss[0].cc_alf.new_filter[1],
+                     ccalf_cr_aps_id=0,
+                     sao_enabled_luma=True, sao_enabled_chroma=True)
+        ph_kw = dict(lmcs_enabled=True, lmcs_aps_id=0,
+                     chroma_residual_scale=True)
+        for f in range(4):
+            dec = RandomDecisions(seed=seed * 100 + f, split_prob=0.4,
+                                  inter_prob=0.7, skip_prob=0.2,
+                                  mv_range=40, bi_prob=0.5, sao_prob=0.4)
+            if f == 0:
+                nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=0,
+                                        idr=True, sh_kw=sh_kw, ph_kw=ph_kw,
+                                        alf_apss=apss)
+            else:
+                d = tuple(range(1, min(f, 2) + 1))
+                nal, _ = E.encode_frame(
+                    sps, pps, dec, qp=32, poc=f, idr=False, slice_type=1,
+                    sh_kw=sh_kw, ph_kw=ph_kw, alf_apss=apss,
+                    ref_deltas=(d, ()))
+            stream += nal
+        _check(stream, tmp_path, 4)

@@ -135,6 +135,10 @@ class Decisions:
                    cbf_mask: int) -> bool:
         return False
 
+    def alf(self, cx: int, cy: int, coder) -> dict:
+        return {"enable": [0, 0, 0], "filt_idx": 0, "alt": [0, 0],
+                "cc": [0, 0]}
+
     def sao(self, cx: int, cy: int, luma_on: bool, chroma_on: bool,
             coder) -> dict:
         """SAO params for one CTU: {"merge": -1/0/1, "mode": [0|1|2]*3
@@ -2621,4 +2625,81 @@ class CtuDecoder:
                 and self._tile_at(nx, ny) == self._tile_at(cx, cy))
 
     def alf_ctu(self, cx: int, cy: int) -> None:
-        raise NotImplementedError("ALF CTU syntax")
+        """ALF/CC-ALF CTU parameters (parity: CABACReader::readAlf,
+        CABACReader.cpp:391; readAlfCtuFilterIndex :217)."""
+        cs = self.cs
+        sh = self.sh
+        w_ctu = self.pps.pic_width_in_ctu
+        rx, ry = cx // self.sps.ctu_size, cy // self.sps.ctu_size
+        addr = ry * w_ctu + rx
+        cur = {"enable": [0, 0, 0], "filt_idx": 0, "alt": [0, 0],
+               "cc": [0, 0]}
+        cs.alf_params[addr] = cur
+        zero = {"enable": [0, 0, 0], "cc": [0, 0]}
+        left = cs.alf_params[addr - 1] \
+            if (rx > 0 and self._sao_nb_avail(cx - 1, cy, cx, cy)) else zero
+        above = cs.alf_params[addr - w_ctu] \
+            if (ry > 0 and self._sao_nb_avail(cx, cy - 1, cx, cy)) else zero
+
+        want = None
+        if self.enc is not None:
+            want = self.decisions.alf(cx, cy, self)
+
+        if sh.alf_enabled[0]:
+            for comp in range(3 if cs.num_comp > 1 else 1):
+                if not sh.alf_enabled[comp]:
+                    continue
+                ctx_inc = (left["enable"][comp] & 1) \
+                    + (above["enable"][comp] & 1)
+                w = None if want is None else int(want["enable"][comp])
+                cur["enable"][comp] = self._bin(
+                    ctx("ctbAlfFlag", comp * 3 + ctx_inc), want=w)
+                if comp == 0 and cur["enable"][0]:
+                    cur["filt_idx"] = self._alf_filter_idx(want)
+                if comp > 0 and cur["enable"][comp]:
+                    aps = cs.alf_apss[sh.alf_aps_id_chroma]
+                    n_alts = aps.alf.num_alternatives_chroma
+                    decoded = 0
+                    wa = None if want is None else \
+                        min(want["alt"][comp - 1], n_alts - 1)
+                    while decoded < n_alts - 1 and self._bin(
+                            ctx("ctbAlfAlternative", comp - 1),
+                            want=None if wa is None else int(wa > decoded)):
+                        decoded += 1
+                    cur["alt"][comp - 1] = decoded
+        for comp in range(1, cs.num_comp):
+            cc_on = sh.ccalf_cb_enabled if comp == 1 else sh.ccalf_cr_enabled
+            if not cc_on:
+                continue
+            ctx_inc = (1 if left["cc"][comp - 1] else 0) \
+                + (1 if above["cc"][comp - 1] else 0) \
+                + (3 if comp == 2 else 0)
+            aps_id = sh.ccalf_cb_aps_id if comp == 1 else sh.ccalf_cr_aps_id
+            count = cs.alf_apss[aps_id].cc_alf.filter_count[comp - 1]
+            wc = None if want is None else min(want["cc"][comp - 1], count)
+            idc = self._bin(ctx("CcAlfFilterControlFlag", ctx_inc),
+                            want=None if wc is None else int(wc > 0))
+            if idc:
+                while idc != count and self._ep(
+                        want=None if wc is None else int(wc > idc)):
+                    idc += 1
+            cur["cc"][comp - 1] = idc
+
+    def _alf_filter_idx(self, want) -> int:
+        """readAlfCtuFilterIndex (CABACReader.cpp:217)."""
+        sh = self.sh
+        num_aps = sh.num_alf_aps_ids_luma
+        w_idx = None if want is None else want["filt_idx"]
+        use_prev = False
+        if num_aps > 0:
+            wp = None if w_idx is None else int(w_idx >= 16)
+            use_prev = bool(self._bin(ctx("AlfUseTemporalFilt"), want=wp))
+        if use_prev:
+            idx = 0
+            if num_aps > 1:
+                idx = self.trunc_bin(num_aps,
+                                     want=None if w_idx is None
+                                     else min(w_idx - 16, num_aps - 1))
+            return idx + 16
+        return self.trunc_bin(16, want=None if w_idx is None
+                              else min(w_idx, 15))

@@ -72,6 +72,20 @@ class FrameParser:
         pps = self.psman.get_pps(ph.pps_id)
         sps = self.psman.get_sps(pps.sps_id)
         cs = CodingStructure(sps, pps, ph, sh)
+        if any(sh.alf_enabled) or sh.ccalf_cb_enabled or sh.ccalf_cr_enabled:
+            from vvdec_tpu.hls.params import ALF_APS
+            ids = set(sh.alf_aps_ids_luma if sh.alf_enabled[0] else [])
+            if sh.alf_enabled[1] or sh.alf_enabled[2]:
+                ids.add(sh.alf_aps_id_chroma)
+            if sh.ccalf_cb_enabled:
+                ids.add(sh.ccalf_cb_aps_id)
+            if sh.ccalf_cr_enabled:
+                ids.add(sh.ccalf_cr_aps_id)
+            for i in ids:
+                aps = self.psman.get_aps(ALF_APS, i)
+                if aps is None:
+                    raise ValueError(f"missing ALF APS {i}")
+                cs.alf_apss[i] = aps
         cs.lmcs_info = None
         if ph.lmcs_enabled:
             from vvdec_tpu.hls.params import LMCS_APS
@@ -148,6 +162,8 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
             deblock_frame(cs, planes)
         from vvdec_tpu.frame.sao_np import sao_frame
         sao_frame(cs, planes)
+        from vvdec_tpu.frame.alf_np import alf_frame
+        planes = alf_frame(cs, planes)
         # DMVR-refined MVs enter the motion field only after deblocking
         # strength derivation (TaskFinishMotionInfo, DecCu.cpp:161-213)
         for x2, y2, mv0, mv1 in getattr(cs, "dmvr_fixups", ()):

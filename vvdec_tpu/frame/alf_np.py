@@ -1,0 +1,406 @@
+"""Numpy golden ALF (adaptive loop filter) + CC-ALF.
+
+Behavioral parity (re-designed, not ported):
+  - coefficient reconstruction: AdaptiveLoopFilter::reconstructCoeff
+    (AdaptiveLoopFilter.cpp:888), fixed filter sets (ctor :82-117)
+  - classification: deriveClassificationBlk (:969)
+  - luma 7x7 / chroma 5x5 clipped diamond filters: filterBlk (:1176)
+  - CC-ALF: filterBlkCcAlf (:1348)
+  - per-CTU orchestration + virtual boundaries: filterCTU (:664),
+    prepareCTU border extension (:453), constants (create :389)
+
+ALF reads the post-SAO picture and writes a fresh buffer (the reference's
+m_alfBuf swap, DecLibRecon.cpp:423-427).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_T = np.load(os.path.join(os.path.dirname(__file__), "..", "ops",
+                          "tables_alf.npz"))
+FIXED_COEFF = _T["FIXED_FILTER_COEFF"]    # [64][13]
+CLASS_TO_FILTER = _T["CLASS_TO_FILTER"]   # [16][25]
+CLIP_VALUES = _T["CLIP_VALUES"]           # [bd-8][4]
+
+MAX_NUM_ALF_CLASSES = 25
+NUM_FIXED_FILTER_SETS = 16
+
+# transpose index permutations of the 13 diamond positions
+# (reconstructCoeff, AdaptiveLoopFilter.cpp:932-960)
+TRANSPOSE_PERM = (
+    tuple(range(13)),
+    (9, 4, 10, 8, 1, 5, 11, 7, 3, 0, 2, 6, 12),
+    (0, 3, 2, 1, 8, 7, 6, 5, 4, 9, 10, 11, 12),
+    (9, 8, 10, 4, 3, 7, 11, 5, 1, 0, 2, 6, 12),
+)
+
+ACT_TH = (0, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 4)
+TRANSPOSE_TABLE = (0, 1, 0, 2, 2, 3, 1, 3)
+
+
+def _transposed_sets(coeff25x13: np.ndarray) -> np.ndarray:
+    """[4][25][13] with the transpose permutations applied."""
+    out = np.zeros((4, 25, 13), dtype=np.int64)
+    for t, perm in enumerate(TRANSPOSE_PERM):
+        out[t] = coeff25x13[:, list(perm)]
+    return out
+
+
+def build_fixed_sets(bd: int):
+    """The 16 fixed luma filter sets + default clip table."""
+    sets = np.zeros((NUM_FIXED_FILTER_SETS, 4, 25, 13), dtype=np.int64)
+    for s in range(NUM_FIXED_FILTER_SETS):
+        base = FIXED_COEFF[CLASS_TO_FILTER[s]].astype(np.int64).copy()
+        base[:, 12] = 128
+        sets[s] = _transposed_sets(base)
+    clip = np.full((4, 25, 13), int(CLIP_VALUES[bd - 8][0]), dtype=np.int64)
+    return sets, clip
+
+
+def build_luma_coeff(alf, bd: int):
+    """reconstructCoeff luma: per-class coeff + clip, with transposes.
+    Returns ([4][25][13] coeff, [4][25][13] clip)."""
+    coeff = np.zeros((25, 13), dtype=np.int64)
+    clip = np.zeros((25, 13), dtype=np.int64)
+    vls = CLIP_VALUES[bd - 8]
+    for cls in range(MAX_NUM_ALF_CLASSES):
+        f = alf.filter_coeff_delta_idx[cls]
+        coeff[cls, :12] = alf.luma_coeff[f]
+        coeff[cls, 12] = 128
+        for j in range(12):
+            ci = alf.luma_clip_idx[f][j] if alf.non_linear_luma else 0
+            clip[cls, j] = vls[ci]
+        clip[cls, 12] = vls[0]
+    return _transposed_sets(coeff), _transposed_sets(clip)
+
+
+def build_chroma_coeff(alf, alt: int, bd: int):
+    """Chroma 5x5 coeff + clip for one alternative."""
+    coeff = np.array(alf.chroma_coeff[alt] + [128], dtype=np.int64)
+    vls = CLIP_VALUES[bd - 8]
+    clip = np.array(
+        [vls[alf.chroma_clip_idx[alt][j] if alf.non_linear_chroma else 0]
+         for j in range(6)] + [int(vls[0])], dtype=np.int64)
+    return coeff, clip
+
+
+def classify(src: np.ndarray, x0: int, y0: int, w: int, h: int, bd: int,
+             vb_ctu_h: int, vb_pos: int):
+    """deriveClassificationBlk over an area; returns (class, transpose)
+    int arrays of shape [h/4, w/4]."""
+    hh, ww = src.shape
+    s = src.astype(np.int64)
+
+    def row(r):
+        return np.clip(r, 0, hh - 1)
+
+    def col(c):
+        return np.clip(c, 0, ww - 1)
+
+    gh = (h + 4) // 2 + 1
+    gw = (w + 4) // 2 + 1
+    lap = np.zeros((4, gh, gw), dtype=np.int64)  # VER, HOR, D0, D1
+    for i in range(0, h + 4, 2):
+        yoff = y0 - 3 + i + 1
+        r0, r1, r2, r3 = yoff - 1, yoff, yoff + 1, yoff + 2
+        if (y0 - 2 + i) > 0 and (y0 - 2 + i) % vb_ctu_h == vb_pos - 2:
+            r3 = r2
+        elif (y0 - 2 + i) > 0 and (y0 - 2 + i) % vb_ctu_h == vb_pos:
+            r0 = r1
+        js = np.arange(0, w + 4, 2)
+        pix = js + 1 + x0 - 3
+        s0 = s[row(r0)]
+        s1 = s[row(r1)]
+        s2 = s[row(r2)]
+        s3 = s[row(r3)]
+        y0v = s1[col(pix)] * 2
+        yup1 = s2[col(pix + 1)] * 2
+        lap[0, i // 2, :len(js)] = (
+            np.abs(y0v - s0[col(pix)] - s2[col(pix)])
+            + np.abs(yup1 - s1[col(pix + 1)] - s3[col(pix + 1)]))
+        lap[1, i // 2, :len(js)] = (
+            np.abs(y0v - s1[col(pix + 1)] - s1[col(pix - 1)])
+            + np.abs(yup1 - s2[col(pix + 2)] - s2[col(pix)]))
+        lap[2, i // 2, :len(js)] = (
+            np.abs(y0v - s0[col(pix - 1)] - s2[col(pix + 1)])
+            + np.abs(yup1 - s1[col(pix)] - s3[col(pix + 2)]))
+        lap[3, i // 2, :len(js)] = (
+            np.abs(y0v - s2[col(pix - 1)] - s0[col(pix + 1)])
+            + np.abs(yup1 - s3[col(pix)] - s1[col(pix + 2)]))
+
+    # horizontal aggregation: 4 consecutive half-cells summed at even cells
+    agg = np.zeros_like(lap)
+    n_cells = (w + 4) // 2 + ((w + 4) % 2 > 0)
+    for j2 in range(0, gw - 3, 2):
+        agg[:, :, j2] = lap[:, :, j2] + lap[:, :, j2 + 1] \
+            + lap[:, :, j2 + 2] + lap[:, :, j2 + 3]
+
+    cls_out = np.zeros((h // 4, w // 4), dtype=np.int32)
+    tr_out = np.zeros((h // 4, w // 4), dtype=np.int32)
+    shift = bd + 4
+    for bi in range(0, h, 4):
+        for bj in range(0, w, 4):
+            r = bi // 2
+            c = bj // 2
+            ymod = (bi + y0) % vb_ctu_h
+            if ymod == vb_pos - 4:
+                rows = (r, r + 1, r + 2)
+            elif ymod == vb_pos:
+                rows = (r + 1, r + 2, r + 3)
+            else:
+                rows = (r, r + 1, r + 2, r + 3)
+            sum_v = int(sum(agg[0, rr, c] for rr in rows))
+            sum_h = int(sum(agg[1, rr, c] for rr in rows))
+            sum_d0 = int(sum(agg[2, rr, c] for rr in rows))
+            sum_d1 = int(sum(agg[3, rr, c] for rr in rows))
+            temp_act = sum_v + sum_h
+            if ymod == vb_pos - 4 or ymod == vb_pos:
+                activity = min(15, max(0, (temp_act * 96) >> shift))
+            else:
+                activity = min(15, max(0, (temp_act * 64) >> shift))
+            cls = ACT_TH[activity]
+            if sum_v > sum_h:
+                hv1, hv0, dir_hv = sum_v, sum_h, 1
+            else:
+                hv1, hv0, dir_hv = sum_h, sum_v, 3
+            if sum_d0 > sum_d1:
+                d1, d0, dir_d = sum_d0, sum_d1, 0
+            else:
+                d1, d0, dir_d = sum_d1, sum_d0, 2
+            if d1 * hv0 > hv1 * d0:
+                hvd1, hvd0 = d1, d0
+                main_dir, sec_dir = dir_d, dir_hv
+            else:
+                hvd1, hvd0 = hv1, hv0
+                main_dir, sec_dir = dir_hv, dir_d
+            strength = 0
+            if hvd1 > 2 * hvd0:
+                strength = 1
+            if hvd1 * 2 > 9 * hvd0:
+                strength = 2
+            if strength:
+                cls += (((main_dir & 1) << 1) + strength) * 5
+            tr = TRANSPOSE_TABLE[main_dir * 2 + (sec_dir >> 1)]
+            cls_out[bi // 4, bj // 4] = cls
+            tr_out[bi // 4, bj // 4] = tr
+    return cls_out, tr_out
+
+
+def _clip_diff(clip, curr, a, b):
+    return np.clip(a - curr, -clip, clip) + np.clip(b - curr, -clip, clip)
+
+
+# 7x7 diamond tap offsets (dy, dx) per coefficient pair (filterBlk 7x7)
+LUMA_TAPS = ((3, 0), (2, 1), (2, 0), (2, -1), (1, 2), (1, 1), (1, 0),
+             (1, -1), (1, -2), (0, 3), (0, 2), (0, 1))
+CHROMA_TAPS = ((2, 0), (1, 1), (1, 0), (1, -1), (0, 2), (0, 1))
+
+
+def _vb_row_offsets(y_abs: int, vb_ctu_h: int, vb_pos: int, chroma: bool):
+    """Per-row clipped vertical tap distances (filterBlk VB handling).
+    Returns (d1, d2, d3, near_vb): usable downward distances for nominal
+    1, 2, 3 (upward mirrored)."""
+    yvb = y_abs & (vb_ctu_h - 1)
+    d = [0, 1, 2, 3]
+    near = yvb == vb_pos - 1 or yvb == vb_pos
+    lim = 2 if chroma else 4
+    if yvb < vb_pos and yvb >= vb_pos - lim:
+        d[1] = 0 if yvb == vb_pos - 1 else 1
+        d[2] = d[1] if yvb >= vb_pos - 2 else 2
+        d[3] = d[2] if yvb >= vb_pos - 3 else 3
+    elif yvb >= vb_pos and yvb <= vb_pos + lim - 1:
+        d[1] = 0 if yvb == vb_pos else 1
+        d[2] = d[1] if yvb <= vb_pos + 1 else 2
+        d[3] = d[2] if yvb <= vb_pos + 2 else 3
+    return d[1], d[2], d[3], near
+
+
+def filter_luma_area(src: np.ndarray, dst: np.ndarray, cls, tr,
+                     coeff_sets: np.ndarray, clip_sets: np.ndarray,
+                     x0: int, y0: int, w: int, h: int, bd: int,
+                     vb_ctu_h: int, vb_pos: int) -> None:
+    """7x7 clipped diamond (filterBlk<ALF_FILTER_7>); cls/tr indexed by
+    absolute 4x4 position."""
+    hh, ww = src.shape
+    s = src.astype(np.int64)
+    pel_max = (1 << bd) - 1
+
+    def at(r, cdelta, base_cols):
+        return s[np.clip(r, 0, hh - 1)][np.clip(base_cols + cdelta, 0,
+                                                ww - 1)]
+
+    for bi in range(0, h, 4):
+        for bj in range(0, w, 4):
+            c_idx = int(cls[(y0 + bi) >> 2, (x0 + bj) >> 2])
+            t_idx = int(tr[(y0 + bi) >> 2, (x0 + bj) >> 2])
+            co = coeff_sets[t_idx, c_idx]
+            cl = clip_sets[t_idx, c_idx]
+            cols = np.arange(x0 + bj, x0 + bj + 4)
+            for ii in range(4):
+                y = y0 + bi + ii
+                d1, d2, d3, near = _vb_row_offsets(y, vb_ctu_h, vb_pos,
+                                                   False)
+                curr = at(y, 0, cols)
+                acc = np.zeros(4, dtype=np.int64)
+                dmap = (0, d1, d2, d3)
+                for k, (dy, dx) in enumerate(LUMA_TAPS):
+                    dd = dmap[dy]
+                    acc += co[k] * _clip_diff(cl[k], curr,
+                                              at(y + dd, dx, cols),
+                                              at(y - dd, -dx, cols))
+                if near:
+                    acc = (acc + (1 << 9)) >> 10
+                else:
+                    acc = (acc + 64) >> 7
+                dst[y, x0 + bj:x0 + bj + 4] = np.clip(acc + curr, 0,
+                                                      pel_max)
+
+
+def filter_chroma_area(src: np.ndarray, dst: np.ndarray, coeff, clip,
+                       x0: int, y0: int, w: int, h: int, bd: int,
+                       vb_ctu_h: int, vb_pos: int) -> None:
+    """5x5 clipped diamond (filterBlk<ALF_FILTER_5>)."""
+    hh, ww = src.shape
+    s = src.astype(np.int64)
+    pel_max = (1 << bd) - 1
+
+    def at(r, cdelta, base_cols):
+        return s[np.clip(r, 0, hh - 1)][np.clip(base_cols + cdelta, 0,
+                                                ww - 1)]
+
+    for bi in range(0, h, 4):
+        for bj in range(0, w, 4):
+            cols = np.arange(x0 + bj, x0 + bj + 4)
+            for ii in range(4):
+                y = y0 + bi + ii
+                d1, d2, _, near = _vb_row_offsets(y, vb_ctu_h, vb_pos, True)
+                curr = at(y, 0, cols)
+                acc = np.zeros(4, dtype=np.int64)
+                dmap = (0, d1, d2)
+                for k, (dy, dx) in enumerate(CHROMA_TAPS):
+                    dd = dmap[dy]
+                    acc += coeff[k] * _clip_diff(clip[k], curr,
+                                                 at(y + dd, dx, cols),
+                                                 at(y - dd, -dx, cols))
+                if near:
+                    acc = (acc + (1 << 9)) >> 10
+                else:
+                    acc = (acc + 64) >> 7
+                dst[y, x0 + bj:x0 + bj + 4] = np.clip(acc + curr, 0,
+                                                      pel_max)
+
+
+def filter_cc_area(luma_src: np.ndarray, dst: np.ndarray, coeff,
+                   cx0: int, cy0: int, cw: int, chh: int, bd: int,
+                   scale_x: int, scale_y: int, vb_ctu_h: int, vb_pos: int
+                   ) -> None:
+    """CC-ALF correction on one chroma area from the pre-ALF luma
+    (filterBlkCcAlf, AdaptiveLoopFilter.cpp:1348).  dst modified in place
+    (already contains the chroma-ALF output)."""
+    hh, ww = luma_src.shape
+    s = luma_src.astype(np.int64)
+    pel_max = (1 << bd) - 1
+    half = 1 << bd >> 1
+
+    def lat(r, c):
+        return s[np.clip(r, 0, hh - 1)][np.clip(c, 0, ww - 1)]
+
+    for ci in range(chh):
+        y = cy0 + ci
+        ly = y << scale_y
+        pos = (ly) & (vb_ctu_h - 1)
+        if scale_y == 0 and (pos == vb_pos or pos == vb_pos + 1):
+            continue
+        off1, off2, off3 = 1, -1, 2
+        if pos == vb_pos - 2 or pos == vb_pos + 1:
+            off3 = off1
+        elif pos == vb_pos - 1 or pos == vb_pos:
+            off1 = off2 = off3 = 0
+        cols = (np.arange(cx0, cx0 + cw) << scale_x)
+        curr = lat(ly, cols)
+        acc = (coeff[0] * (lat(ly + off2, cols) - curr)
+               + coeff[1] * (lat(ly, cols - 1) - curr)
+               + coeff[2] * (lat(ly, cols + 1) - curr)
+               + coeff[3] * (lat(ly + off1, cols - 1) - curr)
+               + coeff[4] * (lat(ly + off1, cols) - curr)
+               + coeff[5] * (lat(ly + off1, cols + 1) - curr)
+               + coeff[6] * (lat(ly + off3, cols) - curr))
+        acc = (acc + 64) >> 7
+        acc = np.clip(acc + half, 0, pel_max) - half
+        out = acc + dst[y, cx0:cx0 + cw].astype(np.int64)
+        dst[y, cx0:cx0 + cw] = np.clip(out, 0, pel_max)
+
+
+def alf_frame(cs, planes: list) -> list:
+    """Whole-frame ALF pass; returns new plane list (the m_alfBuf swap)."""
+    sh = cs.sh
+    if not (any(sh.alf_enabled) or sh.ccalf_cb_enabled
+            or sh.ccalf_cr_enabled):
+        return planes
+    bd = cs.sps.bit_depth
+    ctu = cs.sps.ctu_size
+    vb_luma_h, vb_luma_pos = ctu, ctu - 4
+    sub_y = cs.sub_h
+    vb_chma_h = ctu // sub_y
+    vb_chma_pos = vb_chma_h - 2
+
+    fixed_sets, fixed_clip = build_fixed_sets(bd)
+    luma_tables = {}  # aps position in slice list -> (coeff, clip)
+    for i, aps_id in enumerate(sh.alf_aps_ids_luma):
+        aps = cs.alf_apss[aps_id]
+        luma_tables[i] = build_luma_coeff(aps.alf, bd)
+
+    # whole-frame classification (position-local; identical to per-32x32)
+    cls = tr = None
+    if sh.alf_enabled[0]:
+        cls, tr = classify(planes[0], 0, 0, cs.w, cs.h, bd,
+                           vb_luma_h, vb_luma_pos)
+
+    out = [p.copy() for p in planes]
+    w_ctu = cs.pps.pic_width_in_ctu
+    h_ctu = cs.pps.pic_height_in_ctu
+    for ry in range(h_ctu):
+        for rx in range(w_ctu):
+            p = cs.alf_params[ry * w_ctu + rx]
+            if p is None:
+                continue
+            x0, y0 = rx * ctu, ry * ctu
+            w = min(ctu, cs.w - x0)
+            h = min(ctu, cs.h - y0)
+            if sh.alf_enabled[0] and p["enable"][0]:
+                idx = p["filt_idx"]
+                if idx < NUM_FIXED_FILTER_SETS:
+                    co, cl = fixed_sets[idx], fixed_clip
+                else:
+                    co, cl = luma_tables[idx - NUM_FIXED_FILTER_SETS]
+                filter_luma_area(planes[0], out[0], cls, tr, co, cl,
+                                 x0, y0, w, h, bd, vb_luma_h, vb_luma_pos)
+            if cs.num_comp > 1:
+                cx0, cy0 = x0 // cs.sub_w, y0 // cs.sub_h
+                cw = w // cs.sub_w
+                chh = h // cs.sub_h
+                for comp in (1, 2):
+                    if sh.alf_enabled[comp] and p["enable"][comp]:
+                        aps = cs.alf_apss[sh.alf_aps_id_chroma]
+                        alt = p["alt"][comp - 1]
+                        coeff, clip = build_chroma_coeff(aps.alf, alt, bd)
+                        filter_chroma_area(planes[comp], out[comp], coeff,
+                                           clip, cx0, cy0, cw, chh, bd,
+                                           vb_chma_h, vb_chma_pos)
+                for comp in (1, 2):
+                    cc_on = sh.ccalf_cb_enabled if comp == 1 \
+                        else sh.ccalf_cr_enabled
+                    fidx = p["cc"][comp - 1]
+                    if cc_on and fidx:
+                        aps_id = sh.ccalf_cb_aps_id if comp == 1 \
+                            else sh.ccalf_cr_aps_id
+                        coeff = cs.alf_apss[aps_id].cc_alf \
+                            .coeff[comp - 1][fidx - 1]
+                        filter_cc_area(planes[0], out[comp], coeff,
+                                       cx0, cy0, cw, chh, bd,
+                                       cs.sub_w - 1, cs.sub_h - 1,
+                                       vb_luma_h, vb_luma_pos)
+    return out

@@ -186,6 +186,9 @@ class CodingStructure:
         self.dmvr_fixups: list = []
         self.sao_params: list = [None] * (pps.pic_width_in_ctu *
                                           pps.pic_height_in_ctu)
+        self.alf_params: list = [None] * (pps.pic_width_in_ctu *
+                                          pps.pic_height_in_ctu)
+        self.alf_apss: dict = {}  # aps_id -> APS (ALF type)
         self.tus: list[TransformUnit] = []
         self.chroma_qp_adj = 0
         # per-4x4 slice/tile index for availability checks

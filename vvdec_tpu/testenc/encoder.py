@@ -262,6 +262,30 @@ class RandomDecisions(Decisions):
         out["eo_class"][2] = out["eo_class"][1]
         return out
 
+    def alf(self, cx, cy, coder):
+        r = self.rnd
+        prob = getattr(self, "alf_prob", 0.6)
+        sh = coder.sh
+        cs = coder.cs
+        out = {"enable": [0, 0, 0], "filt_idx": 0, "alt": [0, 0],
+               "cc": [0, 0]}
+        for c in range(3):
+            if sh.alf_enabled[c] and r.random() < prob:
+                out["enable"][c] = 1
+        n_aps = sh.num_alf_aps_ids_luma
+        out["filt_idx"] = r.randrange(16 + n_aps)
+        if sh.alf_enabled[1] or sh.alf_enabled[2]:
+            n_alts = cs.alf_apss[sh.alf_aps_id_chroma] \
+                .alf.num_alternatives_chroma
+            out["alt"] = [r.randrange(n_alts), r.randrange(n_alts)]
+        for k, (on, aid) in enumerate((
+                (sh.ccalf_cb_enabled, sh.ccalf_cb_aps_id),
+                (sh.ccalf_cr_enabled, sh.ccalf_cr_aps_id))):
+            if on and r.random() < prob:
+                cnt = cs.alf_apss[aid].cc_alf.filter_count[k]
+                out["cc"][k] = r.randint(1, cnt)
+        return out
+
     def joint_cbcr(self, tu, cu, cbf_mask):
         if not getattr(self, "jccr_prob", 0):
             return False
@@ -326,6 +350,53 @@ class RandomDecisions(Decisions):
         return blk
 
 
+def make_alf_aps(seed: int, aps_id: int = 0, luma: bool = True,
+                 chroma: bool = True, cc: bool = True,
+                 non_linear: bool = True):
+    """Random legal ALF/CC-ALF APS; returns (APS object, NAL bytes)."""
+    from vvdec_tpu.hls.alf_aps import AlfParam, CcAlfParam, write_alf_aps
+    from vvdec_tpu.hls.params import ALF_APS, APS
+
+    rnd = random.Random(seed ^ 0xA1F)
+    p = AlfParam()
+    ccp = CcAlfParam()
+    p.new_filter_luma = luma
+    p.new_filter_chroma = chroma
+    if luma:
+        p.non_linear_luma = non_linear and rnd.random() < 0.5
+        p.num_luma_filters = rnd.randint(1, 8)
+        if p.num_luma_filters > 1:
+            p.filter_coeff_delta_idx = [
+                rnd.randrange(p.num_luma_filters) for _ in range(25)]
+        for _ in range(p.num_luma_filters):
+            p.luma_coeff.append([rnd.randint(-24, 24) for _ in range(12)])
+            p.luma_clip_idx.append([rnd.randrange(4) for _ in range(12)])
+    if chroma:
+        p.non_linear_chroma = non_linear and rnd.random() < 0.5
+        p.num_alternatives_chroma = rnd.randint(1, 3)
+        for _ in range(p.num_alternatives_chroma):
+            p.chroma_coeff.append([rnd.randint(-24, 24) for _ in range(6)])
+            p.chroma_clip_idx.append([rnd.randrange(4) for _ in range(6)])
+    if cc:
+        for cc_idx in range(2):
+            ccp.new_filter[cc_idx] = rnd.random() < 0.8
+            if ccp.new_filter[cc_idx]:
+                ccp.filter_count[cc_idx] = rnd.randint(1, 4)
+                for _ in range(ccp.filter_count[cc_idx]):
+                    ccp.coeff[cc_idx].append(
+                        [rnd.choice([0, 1, 2, 4, 8, -1, -2, -4, -8])
+                         for _ in range(7)])
+    if not (luma or chroma or any(ccp.new_filter)):
+        p.new_filter_luma = True
+        p.luma_coeff.append([0] * 12)
+        p.luma_clip_idx.append([0] * 12)
+    aps = APS(aps_type=ALF_APS, aps_id=aps_id, chroma_present=chroma or cc,
+              alf=p, cc_alf=ccp)
+    w = BitWriter()
+    write_alf_aps(w, aps)
+    return aps, make_nal(NalUnitType.PREFIX_APS, w.bytes())
+
+
 def make_lmcs_aps(seed: int, aps_id: int = 0, chroma: bool = True):
     """Random legal LMCS model (constraints: Reshape.cpp:330-369) wrapped
     in an APS; returns (APS object, NAL bytes)."""
@@ -360,6 +431,7 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
                  poc: int = 0, idr: bool = True, sh_kw: dict | None = None,
                  ph_kw: dict | None = None, slice_type: int = I_SLICE,
                  ref_deltas: tuple = ((), ()),
+                 alf_apss: dict | None = None,
                  ) -> tuple[bytes, CodingStructure]:
     """Encode one frame; returns (slice NAL unit bytes, the CS built
     during encoding — i.e. the expected parse result).  For P/B slices,
@@ -416,6 +488,8 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
 
     # slice data (CABAC)
     cs = CodingStructure(sps, pps, ph, sh)
+    if alf_apss:
+        cs.alf_apss = alf_apss
     enc = CabacEncoder()
     init_id = sh.slice_type  # I_SLICE == 2
     enc.reset(qp, init_id)
