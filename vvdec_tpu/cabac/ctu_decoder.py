@@ -46,6 +46,7 @@ from vvdec_tpu.cabac.partitioner import (
 from vvdec_tpu.frame.structure import (
     CodingStructure,
     CodingUnit,
+    MODE_IBC,
     DC_IDX,
     DM_CHROMA_IDX,
     HOR_IDX,
@@ -187,6 +188,15 @@ class Decisions:
     def mode_cons_intra(self, node: PartNode) -> bool:
         return True
 
+    def ibc(self, cu: CodingUnit, coder) -> bool:
+        return False
+
+    def ibc_skip(self, cu: CodingUnit, coder) -> bool:
+        return False
+
+    def ibc_merge_idx(self, cu: CodingUnit, coder) -> int:
+        return 0
+
     def affine(self, cu: CodingUnit) -> bool:
         return False
 
@@ -247,6 +257,11 @@ class CtuDecoder:
         self.sps, self.pps, self.ph, self.sh = sps, pps, ph, sh
         self.is_intra_slice = sh.is_intra
         self.dual_tree = sh.is_intra and sps.dual_tree_intra
+        # encode-mode IBC candidate state (BV field lives in cs.mi_mv)
+        if enc is not None:
+            from vvdec_tpu.frame.inter_np import MotionHist
+            self.enc_hist = MotionHist()
+            self._enc_hist_row = -1
         self.constraints = {}
         for ch in (0, 1):
             if sh.is_intra:
@@ -376,6 +391,10 @@ class CtuDecoder:
         for i, addr in enumerate(ctu_addrs):
             cx = (addr % w_ctu) * ctu_size
             cy = (addr // w_ctu) * ctu_size
+            if self.enc is not None and (addr // w_ctu) != self._enc_hist_row:
+                # encode-mode IBC candidate state resets per CTU row
+                self._enc_hist_row = addr // w_ctu
+                self.enc_hist.reset()
             self.coding_tree_unit(cx, cy)
             if i == len(ctu_addrs) - 1:
                 trm = self._trm(want=1)
@@ -650,6 +669,15 @@ class CtuDecoder:
         if cu.merge_flag:
             self.merge_data(cu)
             return
+        if cu.pred_mode == MODE_IBC:
+            # IBC AMVP: BV difference + predictor flag (CABACReader.cpp:1583)
+            cu.inter_dir = 1
+            cu.mvd[0] = self.mvd_coding(cu, 0)
+            if self.sps.max_num_ibc_merge_cand == 1:
+                cu.mvp_idx[0] = 0
+            else:
+                cu.mvp_idx[0] = self.mvp_flag(cu, 0)
+            return
         self.inter_pred_idc(cu)
         self.affine_flag(cu)
         self.smvd_mode(cu)
@@ -745,6 +773,9 @@ class CtuDecoder:
 
     def merge_data(self, cu: CodingUnit) -> None:
         """Parity: CABACReader::merge_data (CABACReader.cpp:1732)."""
+        if cu.pred_mode == MODE_IBC:
+            self.ibc_merge_idx(cu)
+            return
         self.subblock_merge_flag(cu)
         if cu.affine_flag:
             self.affine_merge_idx(cu)
@@ -837,6 +868,74 @@ class CtuDecoder:
                     n_minus2 - 1, want=None if w1 is None else w1 - 1) + 1
         cand1 += int(cand1 >= cand0)
         cu.geo_idx = [cand0, cand1]
+
+    def ibc_merge_idx(self, cu: CodingUnit) -> None:
+        """merge_idx IBC path (CABACReader.cpp:1851)."""
+        n_minus1 = self.sps.max_num_ibc_merge_cand - 1
+        want = None
+        if self.enc is not None:
+            want = min(self.decisions.ibc_merge_idx(cu, self), n_minus1)
+        idx = 0
+        if n_minus1 > 0 and self._bin(ctx("MergeIdx"),
+                                      want=None if want is None
+                                      else int(want > 0)):
+            idx = 1
+            while idx < n_minus1 and self._ep(want=None if want is None
+                                              else int(want > idx)):
+                idx += 1
+        cu.merge_idx = idx
+
+    # ---- encode-mode IBC helpers: BV validity + candidate state ----
+    def ibc_bv_valid(self, cu: CodingUnit, bvx: int, bvy: int) -> bool:
+        """A BV (integer pel) is encoder-safe when the whole reference
+        block lies in the already-coded part of the current CTU."""
+        if bvx == 0 and bvy == 0:
+            return False
+        cs = self.cs
+        ctu = self.sps.ctu_size
+        rx, ry = cu.x + bvx, cu.y + bvy
+        if rx < 0 or ry < 0 or rx + cu.w > cs.w or ry + cu.h > cs.h:
+            return False
+        # stay within the current CTU (deterministic virtual-buffer content)
+        if rx < (cu.x // ctu) * ctu or rx + cu.w > (cu.x // ctu + 1) * ctu:
+            return False
+        if ry < (cu.y // ctu) * ctu or ry + cu.h > (cu.y // ctu + 1) * ctu:
+            return False
+        cur_idx = cu.idx if cu.idx >= 0 else len(cs.cus)
+        for y4 in range(ry >> 2, (ry + cu.h) >> 2):
+            for x4 in range(rx >> 2, (rx + cu.w) >> 2):
+                idx = int(cs.cu_map[y4, x4])
+                if idx < 0 or idx >= cur_idx:
+                    return False
+        return True
+
+    def _with_cu_idx(self, cu, fn):
+        """Run fn with a provisional cu.idx (candidate derivation happens
+        before add_cu during encode-time planning)."""
+        tmp = cu.idx
+        if tmp < 0:
+            cu.idx = len(self.cs.cus)
+        try:
+            return fn()
+        finally:
+            cu.idx = tmp
+
+    def ibc_valid_merge_indices(self, cu: CodingUnit) -> list[int]:
+        from vvdec_tpu.frame import inter_np as I
+        cands = self._with_cu_idx(
+            cu, lambda: I.derive_ibc_merge(self.cs, cu, self.enc_hist))
+        return [i for i, bv in enumerate(cands)
+                if self.ibc_bv_valid(cu, bv[0] >> 4, bv[1] >> 4)]
+
+    def ibc_merge_bv(self, cu: CodingUnit, idx: int) -> tuple:
+        from vvdec_tpu.frame import inter_np as I
+        return self._with_cu_idx(
+            cu, lambda: I.derive_ibc_merge(self.cs, cu, self.enc_hist))[idx]
+
+    def ibc_mvp(self, cu: CodingUnit) -> list[tuple]:
+        from vvdec_tpu.frame import inter_np as I
+        return self._with_cu_idx(
+            cu, lambda: I.fill_ibc_mvp(self.cs, cu, self.enc_hist))
 
     def merge_idx(self, cu: CodingUnit) -> None:
         n_minus1 = self.sps.max_num_merge_cand - 1
@@ -944,6 +1043,12 @@ class CtuDecoder:
         want = None
         if self.enc is not None:
             want = int(self.decisions.imv(cu))
+        if cu.pred_mode == MODE_IBC:
+            # IBC: full-pel baseline, only the 4-pel refinement signalled
+            v = self._bin(ctx("ImvFlag", 1),
+                          want=None if want is None else int(want == 2))
+            cu.imv = v + 1
+            return
         v = self._bin(ctx("ImvFlag", 0),
                       want=None if want is None else int(want > 0))
         if not v:
@@ -1092,6 +1197,30 @@ class CtuDecoder:
             cu.tus.append(tu)
             self.cs.add_tu(tu)
 
+    def _enc_ibc_update(self, cu: CodingUnit) -> None:
+        """Encode mode: resolve the coded IBC CU's final BV, span it into
+        the motion field and update the IBC HMVP LUT so later CUs derive
+        identical candidates to the decoder."""
+        if self.enc is None or cu.pred_mode != MODE_IBC:
+            return
+        from vvdec_tpu.frame import inter_np as I
+        cs = self.cs
+        if cu.merge_flag:
+            bv = self.ibc_merge_bv(cu, cu.merge_idx)
+        else:
+            preds = I.fill_ibc_mvp(cs, cu, self.enc_hist)
+            sh_amvr = 6 if cu.imv == 2 else 4
+            p = preds[cu.mvp_idx[0]]
+            bv = (p[0] + (cu.mvd[0][0] << sh_amvr),
+                  p[1] + (cu.mvd[0][1] << sh_amvr))
+        y4a, y4b = cu.y >> 2, (cu.y + cu.h) >> 2
+        x4a, x4b = cu.x >> 2, (cu.x + cu.w) >> 2
+        cs.mi_ref[y4a:y4b, x4a:x4b] = -1
+        cs.mi_mv[y4a:y4b, x4a:x4b, 0] = bv
+        cs.mi_mv[y4a:y4b, x4a:x4b, 1] = 0
+        if cu.w * cu.h > 16:
+            self.enc_hist.add_ibc(bv)
+
     def _update_hmvp(self, cu: CodingUnit) -> None:
         # motion derivation (incl. the HMVP table) lives in the recon stage;
         # nothing in the CABAC syntax depends on derived MVs
@@ -1133,42 +1262,23 @@ class CtuDecoder:
         cu.qp = self.qps[0]
         cu.chroma_qp_adj = cs.chroma_qp_adj
 
-        if self.sps.ibc_enabled:
-            raise NotImplementedError("IBC")
-        if not self.is_intra_slice:
+        if not self.is_intra_slice or self.sps.ibc_enabled:
             # skip flag + prediction mode (CABACReader::coding_unit :856)
             skip = False
-            if cu.has_luma and not (cu.w == 4 and cu.h == 4) \
-                    and node.mode_type != MODE_TYPE_INTRA:
-                want = None
-                if self.enc is not None:
-                    want = int(self.decisions.cu_skip(cu))
-                skip = bool(self._bin(ctx("SkipFlag", self._skip_ctx(cu)),
-                                      want=want))
+            if cu.has_luma:
+                skip = self.cu_skip_flag(cu, node)
             if skip:
                 cu.skip = True
                 cu.merge_flag = True
-                cu.pred_mode = MODE_INTER
+                if cu.pred_mode != MODE_IBC:
+                    cu.pred_mode = MODE_INTER
                 cs.add_cu(cu)
                 self.prediction_unit(cu)
                 self._add_empty_tus(cu, node)
+                self._enc_ibc_update(cu)
                 self._update_hmvp(cu)
                 return
-            # pred_mode_flag
-            if node.mode_type == MODE_TYPE_INTER:
-                cu.pred_mode = MODE_INTER
-            elif (cu.w == 4 and cu.h == 4) or node.mode_type == MODE_TYPE_INTRA:
-                cu.pred_mode = MODE_INTRA
-            else:
-                cu_left, cu_above = self._neighbors(node)
-                ctx_pm = 1 if ((cu_above and cu_above.pred_mode == MODE_INTRA)
-                               or (cu_left and cu_left.pred_mode == MODE_INTRA)) \
-                    else 0
-                want = None
-                if self.enc is not None:
-                    want = int(self.decisions.pred_mode(cu) == MODE_INTRA)
-                cu.pred_mode = MODE_INTRA if self._bin(ctx("PredMode", ctx_pm),
-                                                       want=want) else MODE_INTER
+            self.pred_mode_syntax(cu, node)
         else:
             cu.pred_mode = MODE_INTRA
 
@@ -1194,8 +1304,81 @@ class CtuDecoder:
                 self.cu_bcw_flag(cu)
 
         self.cu_residual(cu, node)
+        self._enc_ibc_update(cu)
         if cu.pred_mode == MODE_INTER:
             self._update_hmvp(cu)
+
+    def _ibc_ctx(self, cu: CodingUnit) -> int:
+        """DeriveCtx::CtxIBCFlag (ContextModelling.cpp:280)."""
+        cs = self.cs
+        left = cs.cu_at_restricted(cu.x - 1, cu.y, cu, 0)
+        above = cs.cu_at_restricted(cu.x, cu.y - 1, cu, 0)
+        return int(bool(left and left.pred_mode == MODE_IBC)) + \
+            int(bool(above and above.pred_mode == MODE_IBC))
+
+    def cu_skip_flag(self, cu: CodingUnit, node: PartNode) -> bool:
+        """Parity: CABACReader::cu_skip_flag (CABACReader.cpp:908)."""
+        ibc_ok = self.sps.ibc_enabled and cu.w <= 64 and cu.h <= 64
+        cons_intra = node.mode_type == MODE_TYPE_INTRA
+        cons_inter = node.mode_type == MODE_TYPE_INTER
+        if (self.is_intra_slice or cons_intra) and ibc_ok:
+            want = None
+            if self.enc is not None:
+                want = int(self.decisions.ibc_skip(cu, self))
+            skip = bool(self._bin(ctx("SkipFlag", self._skip_ctx(cu)),
+                                  want=want))
+            if skip:
+                cu.pred_mode = MODE_IBC
+            return skip
+        if not ibc_ok and ((cu.w == 4 and cu.h == 4) or cons_intra):
+            return False
+        want = None
+        if self.enc is not None:
+            want = int(self.decisions.cu_skip(cu))
+        skip = bool(self._bin(ctx("SkipFlag", self._skip_ctx(cu)),
+                              want=want))
+        if skip and ibc_ok and not cons_inter:
+            if cu.w == 4 and cu.h == 4:
+                cu.pred_mode = MODE_IBC
+                return True
+            want = None
+            if self.enc is not None:
+                want = int(self.decisions.ibc_skip(cu, self))
+            if self._bin(ctx("IBCFlag", self._ibc_ctx(cu)), want=want):
+                cu.pred_mode = MODE_IBC
+        return skip
+
+    def pred_mode_syntax(self, cu: CodingUnit, node: PartNode) -> None:
+        """Parity: CABACReader::pred_mode (CABACReader.cpp:1055)."""
+        if node.mode_type == MODE_TYPE_INTER:
+            cu.pred_mode = MODE_INTER
+            return
+        ibc_allowed = False
+        if self.is_intra_slice or (cu.w == 4 and cu.h == 4) \
+                or node.mode_type == MODE_TYPE_INTRA:
+            ibc_allowed = True
+            cu.pred_mode = MODE_INTRA
+        else:
+            cu_left, cu_above = self._neighbors(node)
+            ctx_pm = 1 if ((cu_above and cu_above.pred_mode == MODE_INTRA)
+                           or (cu_left and cu_left.pred_mode == MODE_INTRA)) \
+                else 0
+            want = None
+            if self.enc is not None:
+                want = int(self.decisions.pred_mode(cu) == MODE_INTRA)
+            if self._bin(ctx("PredMode", ctx_pm), want=want):
+                cu.pred_mode = MODE_INTRA
+            else:
+                cu.pred_mode = MODE_INTER
+                ibc_allowed = True
+        ibc_allowed = ibc_allowed and cu.ch_type == 0 \
+            and self.sps.ibc_enabled and cu.w <= 64 and cu.h <= 64
+        if ibc_allowed:
+            want = None
+            if self.enc is not None:
+                want = int(self.decisions.ibc(cu, self))
+            if self._bin(ctx("IBCFlag", self._ibc_ctx(cu)), want=want):
+                cu.pred_mode = MODE_IBC
 
     def predict_qp(self, cu: CodingUnit, prev_qp: int) -> int:
         cs = self.cs

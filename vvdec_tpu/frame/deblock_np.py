@@ -316,17 +316,25 @@ class Deblocker:
 
     def _mv_bs(self, cu_q, cu_p, pos_q, pos_p) -> int:
         """MV/reference-based BS for inter-inter edges
-        (xGetBoundaryStrengthSingle tail, LoopFilter.cpp)."""
+        (xGetBoundaryStrengthSingle tail, LoopFilter.cpp:1215)."""
+        from vvdec_tpu.frame.structure import MODE_IBC
         thr = 8  # half-pel in 1/16 units
         cs = self.cs
+
+        # prediction-mode mismatch (INTER vs IBC): BS 1 (LoopFilter.cpp:1219)
+        if cu_q.pred_mode != cu_p.pred_mode:
+            return 1
 
         def diff(a, b):
             return abs(a[0] - b[0]) >= thr or abs(a[1] - b[1]) >= thr
 
         mvq0, mvq1, rq0, rq1 = self._mi_at(*pos_q)
         mvp0, mvp1, rp0, rp1 = self._mi_at(*pos_p)
+        is_ibc = cu_q.pred_mode == MODE_IBC
 
         def poc(lst, ri):
+            if lst == 0 and is_ibc:
+                return "self"  # IBC references the current picture
             return cs.ref_pocs[lst][ri] if ri >= 0 else None
 
         if self.cs.sh.is_b:

@@ -37,23 +37,32 @@ MAX_NUM_HMVP_AMVP = 4
 
 
 class MotionHist:
-    """History-based MVP table (regular inter)."""
+    """History-based MVP tables (regular inter + IBC, MotionInfo.h:237)."""
 
     def __init__(self) -> None:
         self.lut: list[tuple] = []  # entries: (inter_dir, mv0, mv1, r0, r1)
+        self.lut_ibc: list[tuple] = []  # entries: (bvx, bvy)
 
     def reset(self) -> None:
         self.lut = []
+        self.lut_ibc = []
 
-    def add(self, mi: tuple) -> None:
-        for i, e in enumerate(self.lut):
+    @staticmethod
+    def _add(lut: list, mi) -> None:
+        for i, e in enumerate(lut):
             if e == mi:
-                del self.lut[i]
+                del lut[i]
                 break
         else:
-            if len(self.lut) == MAX_NUM_HMVP:
-                del self.lut[0]
-        self.lut.append(mi)
+            if len(lut) == MAX_NUM_HMVP:
+                del lut[0]
+        lut.append(mi)
+
+    def add(self, mi: tuple) -> None:
+        self._add(self.lut, mi)
+
+    def add_ibc(self, bv: tuple) -> None:
+        self._add(self.lut_ibc, bv)
 
 
 def _mi_of(cu: CodingUnit) -> tuple:
@@ -378,6 +387,70 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
             r += 1
             refcnt += 1
     return cands
+
+
+def derive_ibc_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist
+                     ) -> list[tuple]:
+    """IBC merge BV candidates (PU::getIBCMergeCandidates,
+    UnitTools.cpp:728).  Entries are BVs in 1/16 units (integer-pel <<4)."""
+    from vvdec_tpu.frame.structure import MODE_IBC
+    max_cand = cs.sps.max_num_ibc_merge_cand
+    cands: list[tuple] = []
+    x, y, w, h = cu.x, cu.y, cu.w, cu.h
+    gt4x4 = w * h > 16
+
+    def ibc_nb(px, py):
+        if px < 0 or py < 0 or px >= cs.w or py >= cs.h:
+            return None
+        nb = cs.cu_at_restricted(px, py, cu, 0)
+        if nb is None or nb.pred_mode != MODE_IBC or nb.idx >= cu.idx:
+            return None
+        return nb
+
+    bv_a1 = None
+    nb = ibc_nb(x - 1, y + h - 1)
+    if gt4x4 and nb is not None:
+        y4, x4 = (y + h - 1) >> 2, (x - 1) >> 2
+        bv_a1 = (int(cs.mi_mv[y4, x4, 0, 0]), int(cs.mi_mv[y4, x4, 0, 1]))
+        cands.append(bv_a1)
+    if len(cands) == max_cand:
+        return cands
+    nb = ibc_nb(x + w - 1, y - 1)
+    if gt4x4 and nb is not None:
+        y4, x4 = (y - 1) >> 2, (x + w - 1) >> 2
+        bv = (int(cs.mi_mv[y4, x4, 0, 0]), int(cs.mi_mv[y4, x4, 0, 1]))
+        if bv_a1 is None or bv != bv_a1:
+            cands.append(bv)
+    if len(cands) == max_cand:
+        return cands
+    spatial_cnt = len(cands)
+    # HMVP (newest first); only the first entry pruned, only when >16 pels
+    pruned = [False] * len(cands)
+    for k, bv in enumerate(reversed(hist.lut_ibc)):
+        skip_prune = (k + 1) > 2 or (k + 1) > 1 or not gt4x4
+        if not skip_prune:
+            sim = False
+            for ui in range(spatial_cnt):
+                if not pruned[ui] and cands[ui] == bv:
+                    pruned[ui] = True
+                    sim = True
+                    break
+            if sim:
+                continue
+        cands.append(bv)
+        if len(cands) == max_cand:
+            return cands
+    while len(cands) < max_cand:
+        cands.append((0, 0))
+    return cands
+
+
+def fill_ibc_mvp(cs: CodingStructure, cu: CodingUnit, hist: MotionHist
+                 ) -> list[tuple]:
+    """IBC AMVP pair (PU::fillIBCMvpCand, UnitTools.cpp:1537)."""
+    cands = derive_ibc_merge(cs, cu, hist)[:AMVP_MAX]
+    shift = 6 if cu.imv == 2 else 4  # 4-pel / full-pel rounding
+    return [round_amvr(bv, shift) for bv in cands]
 
 
 def round_amvr(mv: tuple, shift: int = 2) -> tuple:

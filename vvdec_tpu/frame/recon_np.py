@@ -25,6 +25,7 @@ from vvdec_tpu.frame.structure import (
     LM_CHROMA_IDX,
     MDLM_L_IDX,
     MDLM_T_IDX,
+    MODE_IBC,
     MODE_INTRA,
     MTS_SKIP,
     PLANAR_IDX,
@@ -1216,10 +1217,15 @@ class IntraReconstructor:
             tu.order = i
         self._hist = MotionHist()
         last_ctu_row = -1
+        prev_cu = None
+        ibc_on = self.cs.sps.ibc_enabled
         for tu in self.cs.tus:
             cu = self.cs.cus[tu.cu_idx]
             if cu.idx != self._seen_cu:
                 self._seen_cu = cu.idx
+                if ibc_on and prev_cu is not None:
+                    self._ibc_fill(prev_cu)
+                prev_cu = cu
                 row = cu.y >> self.ctu_log2
                 if row != last_ctu_row:
                     # HMVP resets at each CTU row start
@@ -1240,6 +1246,9 @@ class IntraReconstructor:
         from vvdec_tpu.frame import inter_np as I
         cs = self.cs
         is_b = cs.sh.is_b
+        if cu.pred_mode == MODE_IBC:
+            self._derive_ibc_motion(cu)
+            return
         if cu.geo_flag:
             self._derive_geo_motion(cu)
             return
@@ -1335,6 +1344,95 @@ class IntraReconstructor:
         self._store_inter_pred(cu, preds)
         # HMVP update (parallel merge level 2 -> always eligible here)
         self._hist.add(I._mi_of(cu))
+
+    def _derive_ibc_motion(self, cu: CodingUnit) -> None:
+        """IBC: BV derivation (DecCu.cpp:785,850) + copy from the virtual
+        IBC buffer (xIntraBlockCopy, InterPrediction.cpp:1998)."""
+        from vvdec_tpu.frame import inter_np as I
+        cs = self.cs
+        cu.inter_dir = 1
+        if cu.merge_flag:
+            cands = I.derive_ibc_merge(cs, cu, self._hist)
+            bv = cands[cu.merge_idx]
+        else:
+            preds = I.fill_ibc_mvp(cs, cu, self._hist)
+            sh_amvr = 6 if cu.imv == 2 else 4
+            p = preds[cu.mvp_idx[0]]
+            bv = (p[0] + (cu.mvd[0][0] << sh_amvr),
+                  p[1] + (cu.mvd[0][1] << sh_amvr))
+            clip17 = 1 << 17
+            bv = (((bv[0] + clip17) & (2 * clip17 - 1)) - clip17,
+                  ((bv[1] + clip17) & (2 * clip17 - 1)) - clip17)
+        cu.mv = [[bv[0], bv[1]], [0, 0]]
+        cu.ref_idx = [-1, -1]
+        # span BV into the motion field (spanMotionInfo IBC: refIdx invalid)
+        y4a, y4b = cu.y >> 2, (cu.y + cu.h) >> 2
+        x4a, x4b = cu.x >> 2, (cu.x + cu.w) >> 2
+        cs.mi_ref[y4a:y4b, x4a:x4b] = -1
+        cs.mi_mv[y4a:y4b, x4a:x4b, 0] = bv
+        cs.mi_mv[y4a:y4b, x4a:x4b, 1] = 0
+        # prediction: copy from the per-CTU-line virtual buffer
+        ctu = cs.sps.ctu_size
+        line = cu.y // ctu
+        bufs = self._ibc_line_buf(line)
+        preds_out = []
+        bvx, bvy = bv[0] >> 4, bv[1] >> 4
+        n_comp = cs.num_comp if cu.has_chroma else 1
+        for comp in range(n_comp):
+            if comp == 0:
+                bx, by, bw, bh = cu.x, cu.y, cu.w, cu.h
+                ox, oy = bvx, bvy
+            else:
+                bx, by = cu.cx, cu.cy
+                bw, bh = cu.cw, cu.ch
+                ox, oy = bvx >> (cs.sub_w - 1), bvy >> (cs.sub_h - 1)
+            buf = bufs[comp]
+            ibc_w = buf.shape[1]
+            ctu_h = buf.shape[0]
+            refx = (bx + ox) & (ibc_w - 1)
+            refy = (by + oy) & (ctu_h - 1)
+            cols = (refx + np.arange(bw)) & (ibc_w - 1)
+            preds_out.append(buf[refy:refy + bh][:, cols].astype(np.int64))
+        while len(preds_out) < 3:
+            preds_out.append(None)
+        self._inter_pred[cu.idx] = preds_out
+        # HMVP: IBC LUT, skipped for blocks <= 16 pels (DecCu.cpp:884)
+        if cu.w * cu.h > 16:
+            self._hist.add_ibc(bv)
+
+    def _ibc_line_buf(self, line: int) -> list:
+        if getattr(self, "_ibc_line", None) != line:
+            cs = self.cs
+            ctu = cs.sps.ctu_size
+            ibc_w = (256 * 128) // ctu  # g_IBCBufferSize / ctuSize (Rom.h:210)
+            self._ibc_line = line
+            self._ibc_buf = [np.zeros((ctu, ibc_w), dtype=np.int32)]
+            if cs.num_comp > 1:
+                self._ibc_buf += [
+                    np.zeros((ctu // cs.sub_h, ibc_w // cs.sub_w),
+                             dtype=np.int32) for _ in range(2)]
+        return self._ibc_buf
+
+    def _ibc_fill(self, cu: CodingUnit) -> None:
+        """fillIBCbuffer (CodingStructure.cpp:554): copy the reconstructed
+        CU into the virtual buffer at the wrapped position."""
+        cs = self.cs
+        ctu = cs.sps.ctu_size
+        bufs = self._ibc_line_buf(cu.y // ctu)
+        for comp in range(cs.num_comp):
+            if comp == 0:
+                if not cu.has_luma:
+                    continue
+                bx, by, bw, bh = cu.x, cu.y, cu.w, cu.h
+            else:
+                if not cu.has_chroma:
+                    continue
+                bx, by, bw, bh = cu.cx, cu.cy, cu.cw, cu.ch
+            buf = bufs[comp]
+            px = bx & (buf.shape[1] - 1)
+            py = by & (buf.shape[0] - 1)
+            buf[py:py + bh, px:px + bw] = \
+                self.reco[comp][by:by + bh, bx:bx + bw]
 
     def _bdof_mc(self, cu: CodingUnit) -> list:
         """BDOF bi-prediction over 16x16 application regions

@@ -94,8 +94,9 @@ class CodingUnit:
     skip: bool = False
     qp: int = 0
     chroma_qp_adj: int = 0
-    # intra
-    intra_dir: list[int] = field(default_factory=lambda: [PLANAR_IDX, PLANAR_IDX])
+    # intra; luma defaults to DC like the reference (CodingUnit::minInit,
+    # Unit.cpp:287) — the chroma DM of a co-located IBC/inter block reads it
+    intra_dir: list[int] = field(default_factory=lambda: [DC_IDX, PLANAR_IDX])
     bdpcm_mode: int = 0
     bdpcm_mode_chroma: int = 0
     mip_flag: bool = False

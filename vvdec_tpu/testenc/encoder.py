@@ -98,7 +98,8 @@ class RandomDecisions(Decisions):
                  sbt_prob: float = 0.0, geo_prob: float = 0.0,
                  max_gpm_cand: int = 2, affine_prob: float = 0.0,
                  affine_merge_prob: float = 0.0, affine_6p_prob: float = 0.5,
-                 affine_imv_prob: float = 0.0, aff_mv_range: int = 16):
+                 affine_imv_prob: float = 0.0, aff_mv_range: int = 16,
+                 ibc_prob: float = 0.0):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -128,6 +129,8 @@ class RandomDecisions(Decisions):
         self.affine_6p_prob = affine_6p_prob
         self.affine_imv_prob = affine_imv_prob
         self.aff_mv_range = aff_mv_range
+        self.ibc_prob = ibc_prob
+        self._ibc_plans = {}
 
     def split(self, node, allowed):
         choices = [s for s in (CU_QUAD_SPLIT, CU_HORZ_SPLIT, CU_VERT_SPLIT,
@@ -156,7 +159,55 @@ class RandomDecisions(Decisions):
         return MODE_INTRA
 
     def merge_flag(self, cu):
+        from vvdec_tpu.frame.structure import MODE_IBC
+        if cu.pred_mode == MODE_IBC:
+            plan = self._ibc_plans.get((cu.x, cu.y, cu.w, cu.h))
+            return plan is not None and plan["mode"] == "merge"
         return self.rnd.random() < 0.4
+
+    # ---- IBC planning: pick modes/BVs that reference coded samples ----
+    def _plan_ibc(self, cu, coder):
+        if not hasattr(self, "_ibc_plans"):
+            self._ibc_plans = {}
+        key = (cu.x, cu.y, cu.w, cu.h)
+        if key in self._ibc_plans:
+            return self._ibc_plans[key]
+        plan = None
+        r = self.rnd
+        if r.random() < getattr(self, "ibc_prob", 0):
+            merge_ok = coder.ibc_valid_merge_indices(cu)
+            bvs = []
+            cand = [(-cu.w, 0), (0, -cu.h), (-cu.w, -cu.h),
+                    (-2 * cu.w, 0), (0, -2 * cu.h), (-cu.w * 3, 0)]
+            for _ in range(4):
+                cand.append((-r.randrange(0, 65), -r.randrange(0, 65)))
+            for bv in cand:
+                if coder.ibc_bv_valid(cu, bv[0], bv[1]):
+                    bvs.append(bv)
+            if merge_ok and (not bvs or r.random() < 0.5):
+                plan = {"mode": "merge", "merge_idx": r.choice(merge_ok),
+                        "skip": r.random() < 0.5}
+            elif bvs:
+                bv = r.choice(bvs)
+                pred = coder.ibc_mvp(cu)[0]
+                plan = {"mode": "amvp", "skip": False,
+                        "mvd": [((bv[0] << 4) - pred[0]) >> 4,
+                                ((bv[1] << 4) - pred[1]) >> 4]}
+        self._ibc_plans[key] = plan
+        return plan
+
+    def ibc(self, cu, coder):
+        return self._plan_ibc(cu, coder) is not None
+
+    def ibc_skip(self, cu, coder):
+        if not coder.is_intra_slice:
+            return False
+        plan = self._plan_ibc(cu, coder)
+        return plan is not None and plan["mode"] == "merge" and plan["skip"]
+
+    def ibc_merge_idx(self, cu, coder):
+        plan = self._ibc_plans.get((cu.x, cu.y, cu.w, cu.h))
+        return plan["merge_idx"] if plan else 0
 
     def merge_idx(self, cu, n_cands):
         return self.rnd.randrange(n_cands)
@@ -170,10 +221,16 @@ class RandomDecisions(Decisions):
         return self.rnd.randrange(max(1, num_ref))
 
     def mvd(self, cu, lst):
+        from vvdec_tpu.frame.structure import MODE_IBC
+        if cu.pred_mode == MODE_IBC:
+            return list(self._ibc_plans[(cu.x, cu.y, cu.w, cu.h)]["mvd"])
         r = getattr(self, "mv_range", 32)
         return [self.rnd.randint(-r, r), self.rnd.randint(-r, r)]
 
     def mvp_idx(self, cu, lst):
+        from vvdec_tpu.frame.structure import MODE_IBC
+        if cu.pred_mode == MODE_IBC:
+            return 0  # IBC AMVP plans its BV against predictor 0
         return self.rnd.randrange(2)
 
     def root_cbf(self, cu):
@@ -229,6 +286,9 @@ class RandomDecisions(Decisions):
                 self.rnd.randrange(4))
 
     def imv(self, cu):
+        from vvdec_tpu.frame.structure import MODE_IBC
+        if cu.pred_mode == MODE_IBC:
+            return 1  # integer-pel BVs
         if not getattr(self, "amvr_prob", 0) or \
                 self.rnd.random() >= self.amvr_prob:
             return 0
