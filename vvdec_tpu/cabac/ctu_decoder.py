@@ -1093,9 +1093,16 @@ class CtuDecoder:
     def cu_bcw_flag(self, cu: CodingUnit) -> None:
         """Parity: CABACReader::cu_bcw_flag (CABACReader.cpp:1180)."""
         if not (self.sps.bcw_enabled and cu.pred_mode == MODE_INTER
-                and cu.inter_dir == 3 and cu.w * cu.h >= 256):
+                and cu.inter_dir == 3 and cu.w * cu.h >= 256
+                and not self.sh.is_p):
             return
-        # weighted prediction would disable BCW; WP unsupported here
+        # explicit weights on either reference disable BCW
+        # (CU::isBcwIdxCoded, UnitTools.cpp:3512)
+        from vvdec_tpu.hls.weight_table import wp_present_any
+        wt = self.sh.weight_table
+        if wp_present_any(wt, 0, cu.ref_idx[0]) \
+                or wp_present_any(wt, 1, cu.ref_idx[1]):
+            return
         want = None
         if self.enc is not None:
             want = int(self.decisions.bcw_idx(cu))  # parsing-order index

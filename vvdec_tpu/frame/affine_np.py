@@ -660,10 +660,11 @@ def affine_luma_4x4(ref: np.ndarray, bx: int, by: int, mv: tuple,
 
 
 def affine_pred(cs: CodingStructure, cu: CodingUnit, lst: int,
-                bit_depth: int) -> list[np.ndarray]:
+                bit_depth: int, force_intermediate: bool = False
+                ) -> list[np.ndarray]:
     """Affine prediction of one list for all components
     (xPredAffineBlk, InterPrediction.cpp:934)."""
-    bi = cu.inter_dir == 3
+    bi = cu.inter_dir == 3 or force_intermediate
     planes = cs.ref_planes[lst][cu.ref_idx[lst]]
     lt, rt, lb = [tuple(v) for v in cu.cpmv[lst]]
     is6 = cu.affine_type == 1

@@ -53,25 +53,38 @@ def eq_dist_bipred(cs, cu) -> bool:
     return (poc - poc0) == (poc1 - poc)
 
 
+def _wp_present(cs, cu) -> bool:
+    """Any explicit weight present for the CU's references."""
+    from vvdec_tpu.hls.weight_table import wp_present_any
+    wt = cs.sh.weight_table
+    return wp_present_any(wt, 0, cu.ref_idx[0]) \
+        or wp_present_any(wt, 1, cu.ref_idx[1])
+
+
 def bdof_condition(cs, cu) -> bool:
-    """BDOF applicability (InterPrediction.cpp:1411-1429); no WP yet."""
+    """BDOF applicability (InterPrediction.cpp:1411-1429)."""
     if not cs.sps.bdof_enabled or cs.ph.bdof_disabled:
         return False
     if cu.affine_flag or cu.merge_type == 1 or cu.ciip_flag \
             or cu.smvd_mode or (cs.sps.bcw_enabled and cu.bcw_idx != 0):
+        return False
+    if _wp_present(cs, cu) and cs.sh.is_b:
+        return False
+    if cs.pps.weighted_pred and cs.sh.is_p:
         return False
     return eq_dist_bipred(cs, cu) and cu.h >= 8 and cu.w >= 8 \
         and cu.w * cu.h >= 128
 
 
 def dmvr_condition(cs, cu) -> bool:
-    """PU::checkDMVRCondition (UnitTools.cpp:1277); no WP/RPR yet."""
+    """PU::checkDMVRCondition (UnitTools.cpp:1277); no RPR yet."""
     if not cs.sps.dmvr_enabled or cs.ph.dmvr_disabled:
         return False
     return cu.merge_flag and cu.merge_type == 0 and not cu.ciip_flag \
         and not cu.affine_flag and not cu.mmvd_flag \
         and eq_dist_bipred(cs, cu) and cu.h >= 8 and cu.w >= 8 \
-        and cu.w * cu.h >= 128 and cu.bcw_idx == 0
+        and cu.w * cu.h >= 128 and cu.bcw_idx == 0 \
+        and not _wp_present(cs, cu)
 
 
 class RefView:

@@ -1307,13 +1307,14 @@ class IntraReconstructor:
             self._hist.add(I._mi_of(cu))
             return
         preds = [None, None, None]
+        wp_on = self._wp_on(cu)
         parts = []
         for lst in range(2):
             if not (cu.inter_dir & (1 << lst)):
                 continue
             planes = cs.ref_planes[lst][cu.ref_idx[lst]]
             mvc = I.clip_mv(tuple(cu.mv[lst]), cu.x, cu.y, cs)
-            bi = cu.inter_dir == 3
+            bi = cu.inter_dir == 3 or wp_on
             part = []
             for comp in range(cs.num_comp):
                 if comp == 0:
@@ -1327,7 +1328,9 @@ class IntraReconstructor:
                                            self.bit_depth,
                                            (cs.sub_w, cs.sub_h), bi))
             parts.append(part)
-        if cu.inter_dir == 3:
+        if wp_on:
+            preds[:cs.num_comp] = self._apply_wp(cu, parts)
+        elif cu.inter_dir == 3:
             for comp in range(cs.num_comp):
                 if cu.bcw_idx != 0 and not cu.ciip_flag:
                     preds[comp] = I.bi_weighted(parts[0][comp],
@@ -1654,11 +1657,15 @@ class IntraReconstructor:
         if cu.merge_type == 1:
             preds = self._sbtmvp_mc(cu)
         else:
+            wp_on = self._wp_on(cu)
             parts = []
             for lst in range(2):
                 if cu.inter_dir & (1 << lst):
-                    parts.append(A.affine_pred(cs, cu, lst, self.bit_depth))
-            if cu.inter_dir == 3:
+                    parts.append(A.affine_pred(cs, cu, lst, self.bit_depth,
+                                               force_intermediate=wp_on))
+            if wp_on:
+                preds = self._apply_wp(cu, parts)
+            elif cu.inter_dir == 3:
                 preds = []
                 for comp in range(cs.num_comp):
                     if cu.bcw_idx != 0:
@@ -1682,6 +1689,8 @@ class IntraReconstructor:
         field (xSubPuMC, InterPrediction.cpp:438)."""
         from vvdec_tpu.frame import inter_np as I
         cs = self.cs
+        wp_on = (cs.pps.weighted_pred and cs.sh.is_p) or \
+            (cs.pps.weighted_bipred and cs.sh.is_b)
         out = [np.zeros((cu.h, cu.w), dtype=np.int64)]
         if cs.num_comp > 1:
             out += [np.zeros((cu.ch, cu.cw), dtype=np.int64)
@@ -1692,7 +1701,7 @@ class IntraReconstructor:
                 r0 = int(cs.mi_ref[y4, x4, 0])
                 r1 = int(cs.mi_ref[y4, x4, 1])
                 d = (1 if r0 >= 0 else 0) + (2 if r1 >= 0 else 0)
-                bi = d == 3
+                bi = d == 3 or wp_on
                 parts = []
                 for lst in range(2):
                     if not (d & (1 << lst)):
@@ -1713,13 +1722,19 @@ class IntraReconstructor:
                                 8 // cs.sub_w, 8 // cs.sub_h, mvc, comp,
                                 self.bit_depth, (cs.sub_w, cs.sub_h), bi))
                     parts.append(part)
+                if wp_on:
+                    wl = None if d == 3 else (0 if d == 1 else 1)
+                    parts_wp = self._apply_wp(cu, parts, uni_lst=wl,
+                                              refs=[r0, r1])
                 for comp in range(cs.num_comp):
                     if comp == 0:
                         sx, sy, sw, sh_ = bx, by, 8, 8
                     else:
                         sx, sy = bx // cs.sub_w, by // cs.sub_h
                         sw, sh_ = 8 // cs.sub_w, 8 // cs.sub_h
-                    if bi:
+                    if wp_on:
+                        blk = parts_wp[comp]
+                    elif bi:
                         blk = I.bi_average(parts[0][comp], parts[1][comp],
                                            self.bit_depth)
                     else:
@@ -1774,6 +1789,54 @@ class IntraReconstructor:
         cu.mv = [list(c0[1]), list(c0[2])]
         cu.ref_idx = [c0[3], c0[4]]
         # GPM CUs do not update the HMVP table (DecCu.cpp:884 geoFlag)
+
+    def _wp_on(self, cu: CodingUnit) -> bool:
+        """Explicit weighted prediction applies to this CU
+        (xPredInterBi weighting selection, InterPrediction.cpp:735-746)."""
+        cs = self.cs
+        if cu.geo_flag or cu.pred_mode == MODE_IBC:
+            return False
+        if cu.inter_dir == 3:
+            return cs.pps.weighted_bipred and cs.sh.is_b and cu.bcw_idx == 0
+        return (cs.pps.weighted_pred and cs.sh.is_p) or \
+            (cs.pps.weighted_bipred and cs.sh.is_b)
+
+    def _apply_wp(self, cu: CodingUnit, parts: list, uni_lst=None,
+                  refs=None) -> list:
+        """addWeightUni / addWeightBi (WeightPrediction.cpp:164,240) on
+        14-bit intermediate predictions."""
+        from vvdec_tpu.hls.weight_table import resolve_wp
+        cs = self.cs
+        bd = self.bit_depth
+        wt = cs.sh.weight_table
+        refs = refs if refs is not None else cu.ref_idx
+        shift_num = max(2, 14 - bd)
+        offs = 1 << 13
+        out = []
+        if len(parts) == 2:
+            wp0 = resolve_wp(wt, 0, refs[0], bd, cs.num_comp)
+            wp1 = resolve_wp(wt, 1, refs[1], bd, cs.num_comp)
+            for comp in range(len(parts[0])):
+                denom = wp0[comp]["denom"]
+                shift = denom + 1 + shift_num
+                rnd = (1 << shift) >> 1
+                off = wp0[comp]["o"] + wp1[comp]["o"]
+                v = (wp0[comp]["w"] * (parts[0][comp] + offs)
+                     + wp1[comp]["w"] * (parts[1][comp] + offs)
+                     + rnd + (off << (shift - 1))) >> shift
+                out.append(np.clip(v, 0, self.pel_max))
+        else:
+            lst = uni_lst if uni_lst is not None else \
+                (0 if cu.inter_dir == 1 else 1)
+            wp = resolve_wp(wt, lst, refs[lst], bd, cs.num_comp)
+            for comp in range(len(parts[0])):
+                denom = wp[comp]["denom"]
+                shift = denom + shift_num
+                rnd = (1 << shift) >> 1 if shift > 0 else 0
+                v = ((wp[comp]["w"] * (parts[0][comp] + offs) + rnd)
+                     >> shift) + wp[comp]["o"]
+                out.append(np.clip(v, 0, self.pel_max))
+        return out
 
     def _store_inter_pred(self, cu: CodingUnit, preds: list) -> None:
         """Finish an inter prediction: LMCS forward mapping of luma

@@ -56,6 +56,74 @@ def parse_pred_weight_table(r: BitReader, sps, pps, num_ref_idx_active, ph) -> P
     return wt
 
 
+def resolve_wp(wt: PredWeightTable | None, lst: int, ref_idx: int,
+               bit_depth: int, num_comp: int) -> list[dict]:
+    """Per-component WP params (Slice::getWpScaling value semantics,
+    HLSyntaxReader.cpp:4459-4487): returns [{present, w, o, denom}]."""
+    out = []
+    entry = None
+    if wt is not None and ref_idx < len(wt.entries[lst]):
+        entry = wt.entries[lst][ref_idx]
+    for comp in range(num_comp):
+        denom = wt.luma_log2_denom if (wt and comp == 0) else \
+            (wt.chroma_log2_denom if wt else 0)
+        present = False
+        w = 1 << denom
+        o = 0
+        if entry is not None:
+            if comp == 0 and entry.luma_weight_flag:
+                present = True
+                w = (1 << denom) + entry.luma_weight
+                o = entry.luma_offset
+            elif comp > 0 and entry.chroma_weight_flag:
+                present = True
+                w = (1 << denom) + entry.chroma_weight[comp - 1]
+                o = max(-128, min(127, 128 + entry.chroma_offset[comp - 1]
+                                  - ((128 * w) >> denom)))
+        out.append({"present": present, "w": w,
+                    "o": o * (1 << (bit_depth - 8)), "denom": denom})
+    return out
+
+
+def wp_present_any(wt: PredWeightTable | None, lst: int, ref_idx: int) -> bool:
+    """Any component weight present for this reference."""
+    if wt is None or ref_idx < 0 or ref_idx >= len(wt.entries[lst]):
+        return False
+    e = wt.entries[lst][ref_idx]
+    return e.luma_weight_flag or e.chroma_weight_flag
+
+
+def write_pred_weight_table(w, wt: PredWeightTable, sps, pps,
+                            num_ref_idx_active) -> None:
+    """Mirror of parse_pred_weight_table for the slice-header path."""
+    chroma = sps.chroma_format_idc != CHROMA_400
+    w.ue(wt.luma_log2_denom)
+    if chroma:
+        w.se(wt.chroma_log2_denom - wt.luma_log2_denom)
+    n0 = num_ref_idx_active[0]
+    _write_list(w, wt, 0, n0, chroma)
+    if pps.weighted_bipred:
+        _write_list(w, wt, 1, num_ref_idx_active[1], chroma)
+
+
+def _write_list(w, wt: PredWeightTable, lst: int, n: int, chroma: bool) -> None:
+    entries = wt.entries[lst][:n]
+    assert len(entries) == n, "weight table shorter than active refs"
+    for e in entries:
+        w.flag(e.luma_weight_flag)
+    if chroma:
+        for e in entries:
+            w.flag(e.chroma_weight_flag)
+    for e in entries:
+        if e.luma_weight_flag:
+            w.se(e.luma_weight)
+            w.se(e.luma_offset)
+        if e.chroma_weight_flag:
+            for c in range(2):
+                w.se(e.chroma_weight[c])
+                w.se(e.chroma_offset[c])
+
+
 def _parse_list(r: BitReader, wt: PredWeightTable, lst: int, n: int, chroma: bool) -> None:
     entries = [WeightEntry() for _ in range(n)]
     for e in entries:

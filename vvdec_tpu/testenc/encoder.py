@@ -457,6 +457,32 @@ def make_alf_aps(seed: int, aps_id: int = 0, luma: bool = True,
     return aps, make_nal(NalUnitType.PREFIX_APS, w.bytes())
 
 
+def make_weight_table(seed: int, n0: int, n1: int, chroma: bool = True,
+                      prob: float = 0.7):
+    """Random legal pred_weight_table for the slice header."""
+    from vvdec_tpu.hls.weight_table import PredWeightTable, WeightEntry
+
+    rnd = random.Random(seed ^ 0x3E1)
+    wt = PredWeightTable()
+    wt.luma_log2_denom = rnd.randint(0, 7)
+    wt.chroma_log2_denom = max(0, min(7, wt.luma_log2_denom
+                                      + rnd.randint(-1, 1))) if chroma else 0
+    for lst, n in ((0, n0), (1, n1)):
+        for _ in range(n):
+            e = WeightEntry()
+            if rnd.random() < prob:
+                e.luma_weight_flag = True
+                e.luma_weight = rnd.randint(-16, 16)
+                e.luma_offset = rnd.randint(-32, 32)
+            if chroma and rnd.random() < prob:
+                e.chroma_weight_flag = True
+                e.chroma_weight = [rnd.randint(-16, 16) for _ in range(2)]
+                e.chroma_offset = [rnd.randint(-64, 64) for _ in range(2)]
+            wt.entries[lst].append(e)
+        wt.num_weights[lst] = n
+    return wt
+
+
 def make_lmcs_aps(seed: int, aps_id: int = 0, chroma: bool = True):
     """Random legal LMCS model (constraints: Reshape.cpp:330-369) wrapped
     in an APS; returns (APS object, NAL bytes)."""

@@ -473,9 +473,11 @@ def write_slice_header(w: BitWriter, sh: SliceHeader, ph: PicHeader,
             lst = 0 if sh.collocated_from_l0 else 1
             if sh.num_ref_idx_active[lst] > 1:
                 w.ue(sh.collocated_ref_idx)
-        _unsupported(not pps.wp_info_in_ph and ((pps.weighted_pred and sh.is_p)
-                                                or (pps.weighted_bipred and sh.is_b)),
-                     "slice weight tables")
+        if not pps.wp_info_in_ph and ((pps.weighted_pred and sh.is_p)
+                                      or (pps.weighted_bipred and sh.is_b)):
+            from vvdec_tpu.hls.weight_table import write_pred_weight_table
+            write_pred_weight_table(w, sh.weight_table, sps, pps,
+                                    sh.num_ref_idx_active)
     if not pps.qp_delta_info_in_ph:
         w.se(sh.qp_y - 26 - (pps.init_qp - 26))
     if pps.slice_chroma_qp_offsets_present:
