@@ -12,6 +12,9 @@ import time
 
 
 def main() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vvdec_jaxcache")
+
     from vvdec_tpu.decoder import decode_to_yuv
     from vvdec_tpu.testenc.encoder import generate_stream
 

@@ -31,6 +31,7 @@ class ParsedFrame:
     cs: CodingStructure
     poc: int = 0
     is_idr: bool = False
+    sei: list = field(default_factory=list)
 
 
 class FrameParser:
@@ -40,6 +41,7 @@ class FrameParser:
         self.psman = ParameterSetManager()
         self.prev_tid0_poc = 0
         self.cur_ph = None
+        self.pending_sei: list = []
 
     def parse_stream(self, data: bytes) -> list[ParsedFrame]:
         frames: list[ParsedFrame] = []
@@ -57,9 +59,18 @@ class FrameParser:
             elif t in (NalUnitType.PREFIX_APS, NalUnitType.SUFFIX_APS):
                 from vvdec_tpu.hls.reader import parse_aps
                 self.psman.store_aps(parse_aps(full_rbsp))
+            elif t in (NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI):
+                from vvdec_tpu.hls.sei import parse_sei_nal
+                msgs = parse_sei_nal(full_rbsp)
+                if t == NalUnitType.PREFIX_SEI or not frames:
+                    self.pending_sei.extend(msgs)
+                else:
+                    frames[-1].sei.extend(msgs)
             elif nal.is_vcl:
                 frames.append(self._parse_slice(full_rbsp, nal))
-            # SEI / AUD / EOS / EOB / FD: ignored at this stage
+                frames[-1].sei.extend(self.pending_sei)
+                self.pending_sei = []
+            # AUD / EOS / EOB / FD: ignored at this stage
         return frames
 
     def _parse_slice(self, full_rbsp: bytes, nal) -> ParsedFrame:
@@ -172,7 +183,22 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
         dpb[f.poc] = planes
         from vvdec_tpu.frame.inter_np import ColMotion
         dpb_mot[f.poc] = ColMotion(cs, f.poc)
-        segment.append((f.poc, [p.astype(np.uint16) for p in planes]))
+        out_planes = [p.astype(np.uint16) for p in planes]
+        # decoded-picture-hash verification (DecLib::checkPictureHashSEI,
+        # DecLib.cpp:480)
+        from vvdec_tpu.hls.sei import (
+            SEI_DECODED_PICTURE_HASH, calc_picture_hash, parse_dph,
+        )
+        for m in f.sei:
+            if m.payload_type == SEI_DECODED_PICTURE_HASH:
+                dph = parse_dph(m)
+                got = calc_picture_hash(out_planes, cs.sps.bit_depth,
+                                        dph.method)
+                if got != dph.digest:
+                    raise ValueError(
+                        f"decoded picture hash mismatch at POC {f.poc}: "
+                        f"{got.hex()} != {dph.digest.hex()}")
+        segment.append((f.poc, out_planes))
     flush_segment()
     return frames
 

@@ -1,0 +1,170 @@
+"""SEI message parsing + decoded-picture-hash computation.
+
+Behavioral parity (re-designed, not ported):
+  - SEI framing:  SEIReader::parseSEImessage / xReadSEImessage
+                  (SEIread.cpp:133-182)
+  - DPH payload:  xParseSEIDecodedPictureHash (SEIread.cpp:443)
+  - hashes:       calcMD5 / compCRC / compChecksum (PicYuvMD5.cpp:76-210)
+  - verification: DecLib::checkPictureHashSEI (DecLib.cpp:480)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# payload types (include/vvdec/sei.h)
+SEI_BUFFERING_PERIOD = 0
+SEI_PICTURE_TIMING = 1
+SEI_FILLER_PAYLOAD = 3
+SEI_USER_DATA_UNREGISTERED = 5
+SEI_FILM_GRAIN_CHARACTERISTICS = 19
+SEI_FRAME_FIELD_INFO = 168
+SEI_DECODED_PICTURE_HASH = 132
+SEI_SCALABLE_NESTING = 133
+SEI_MASTERING_DISPLAY_COLOUR_VOLUME = 137
+SEI_CONTENT_LIGHT_LEVEL_INFO = 144
+
+HASH_MD5, HASH_CRC, HASH_CHECKSUM = 0, 1, 2
+
+
+@dataclass
+class SeiMessage:
+    payload_type: int = 0
+    payload: bytes = b""
+
+
+@dataclass
+class DecodedPictureHash:
+    method: int = HASH_MD5
+    single_comp: bool = False
+    digest: bytes = b""
+
+
+def parse_sei_nal(rbsp: bytes) -> list[SeiMessage]:
+    """Parse all SEI messages of one SEI NAL (payload stored raw;
+    typed decoding per payload as needed)."""
+    data = rbsp[2:]  # skip NAL header
+    out = []
+    pos = 0
+    while pos < len(data) - 1:  # leave the rbsp trailing byte
+        ptype = 0
+        while True:
+            v = data[pos]
+            pos += 1
+            ptype += v
+            if v != 0xFF:
+                break
+        psize = 0
+        while True:
+            v = data[pos]
+            pos += 1
+            psize += v
+            if v != 0xFF:
+                break
+        out.append(SeiMessage(ptype, data[pos:pos + psize]))
+        pos += psize
+    return out
+
+
+def parse_dph(msg: SeiMessage) -> DecodedPictureHash:
+    d = DecodedPictureHash()
+    d.method = msg.payload[0]
+    d.single_comp = bool(msg.payload[1] >> 7)
+    d.digest = msg.payload[2:]
+    return d
+
+
+def write_sei_nal(messages: list[SeiMessage]) -> bytes:
+    """SEI NAL RBSP body (caller wraps with make_nal)."""
+    out = bytearray()
+    for m in messages:
+        t = m.payload_type
+        while t >= 0xFF:
+            out.append(0xFF)
+            t -= 0xFF
+        out.append(t)
+        s = len(m.payload)
+        while s >= 0xFF:
+            out.append(0xFF)
+            s -= 0xFF
+        out.append(s)
+        out += m.payload
+    out.append(0x80)  # rbsp trailing bits
+    return bytes(out)
+
+
+def make_dph_sei(planes: list[np.ndarray], bit_depth: int,
+                 method: int = HASH_MD5) -> SeiMessage:
+    digest = calc_picture_hash(planes, bit_depth, method)
+    payload = bytes([method, 0x00]) + digest
+    return SeiMessage(SEI_DECODED_PICTURE_HASH, payload)
+
+
+# ---------------------------------------------------------------------------
+# hash computation (PicYuvMD5.cpp)
+# ---------------------------------------------------------------------------
+
+def calc_picture_hash(planes: list[np.ndarray], bit_depth: int,
+                      method: int) -> bytes:
+    if method == HASH_MD5:
+        return b"".join(_md5_plane(p, bit_depth) for p in planes)
+    if method == HASH_CRC:
+        return b"".join(_crc_plane(p, bit_depth) for p in planes)
+    if method == HASH_CHECKSUM:
+        return b"".join(_checksum_plane(p, bit_depth) for p in planes)
+    raise ValueError(f"unknown hash method {method}")
+
+
+def _md5_plane(plane: np.ndarray, bit_depth: int) -> bytes:
+    if bit_depth > 8:
+        data = plane.astype("<u2").tobytes()
+    else:
+        data = plane.astype(np.uint8).tobytes()
+    return hashlib.md5(data).digest()
+
+
+def _crc_table() -> list[int]:
+    def step8(crc):
+        for _ in range(8):
+            msb = (crc >> 15) & 1
+            crc = ((crc << 1) & 0xFFFF) ^ (msb * 0x1021)
+        return crc
+    return [step8(h << 8) for h in range(256)]
+
+
+_CRC_T = _crc_table()
+
+
+def _crc_plane(plane: np.ndarray, bit_depth: int) -> bytes:
+    """16-bit CRC with data bits entering at the register bottom
+    (compCRC, PicYuvMD5.cpp:99): per sample the low byte is processed
+    MSB-first, then the high byte.  Byte-wise via the table identity
+    step8(c, B) = T[c>>8] ^ ((c & 0xff) << 8) ^ B."""
+    if bit_depth > 8:
+        data = plane.astype("<u2").tobytes()
+    else:
+        data = plane.astype(np.uint8).tobytes()
+    crc = 0xFFFF
+    t = _CRC_T
+    for byte in data:
+        crc = t[crc >> 8] ^ ((crc & 0xFF) << 8) ^ byte
+    crc = t[crc >> 8] ^ ((crc & 0xFF) << 8)
+    crc = t[crc >> 8] ^ ((crc & 0xFF) << 8)
+    return bytes([(crc >> 8) & 0xFF, crc & 0xFF])
+
+
+def _checksum_plane(plane: np.ndarray, bit_depth: int) -> bytes:
+    h, w = plane.shape
+    xs = np.arange(w, dtype=np.uint32)
+    ys = np.arange(h, dtype=np.uint32)[:, None]
+    xor_mask = ((xs & 0xFF) ^ (ys & 0xFF) ^ (xs >> 8) ^ (ys >> 8)) \
+        .astype(np.uint32)
+    p = plane.astype(np.uint32)
+    total = int((((p & 0xFF) ^ xor_mask).sum()))
+    if bit_depth > 8:
+        total += int(((p >> 8) ^ xor_mask).sum())
+    total &= 0xFFFFFFFF
+    return total.to_bytes(4, "big")

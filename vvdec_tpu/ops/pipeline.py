@@ -162,12 +162,18 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
 
     dep_quant = bool(cs.sh.dep_quant_used)
     for (is_chroma, w, h, hor, ver), items in groups.items():
-        levels = np.stack([cs.coef[comp][y: y + h, x: x + w]
-                           for comp, x, y, qp in items])
-        qps = np.array([qp for _, _, _, qp in items], dtype=np.int32)
+        n = len(items)
+        # bucket the batch dimension to powers of two so compiled shapes
+        # are stable across frames (bounded number of XLA programs)
+        n_pad = 1 << max(0, (n - 1)).bit_length()
+        levels = np.zeros((n_pad, h, w), dtype=np.int32)
+        for i, (comp, x, y, qp) in enumerate(items):
+            levels[i] = cs.coef[comp][y: y + h, x: x + w]
+        qps = np.zeros(n_pad, dtype=np.int32)
+        qps[:n] = [qp for _, _, _, qp in items]
         fn = _itx_fn(h, w, hor, ver, cs.sps.bit_depth, dep_quant)
         out = np.asarray(fn(jnp.asarray(levels), jnp.asarray(qps)))
-        for (comp, x, y, _), blk in zip(items, out):
+        for (comp, x, y, _), blk in zip(items, out[:n]):
             resi[comp][y: y + h, x: x + w] = blk
     return resi
 
