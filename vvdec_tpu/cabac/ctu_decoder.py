@@ -375,33 +375,131 @@ class CtuDecoder:
     # slice / CTU level
     # ==================================================================
     def code_slice(self) -> None:
-        """Parse/write all CTUs of the slice.
+        """Parse/write all CTUs of the slice with tile / WPP substreams.
 
-        Terminating bits appear only at the end of the slice and at
-        tile / WPP-row boundaries (parity: DecSlice::parseSlice,
-        DecSlice.cpp:169-190).  Tiles/WPP substreams not yet handled here.
-        """
+        Substream boundaries get a terminating bit + byte realignment;
+        tiles re-init the contexts, WPP rows sync from the state stored
+        after the first CTU of the row above (parity: DecSlice::parseSlice,
+        DecSlice.cpp:66-205)."""
         sps, pps = self.sps, self.pps
         ctu_size = sps.ctu_size
         w_ctu = pps.pic_width_in_ctu
         ctu_addrs = self.cs.sh.ctu_addrs
         wavefronts = sps.entropy_coding_sync_enabled
-        if wavefronts or pps.num_tiles > 1:
-            raise NotImplementedError("tile/WPP substreams")
+        sh = self.cs.sh
+
+        def tile_of(addr):
+            x, y = addr % w_ctu, addr // w_ctu
+            return (pps.ctu_to_tile_col[x], pps.ctu_to_tile_row[y])
+
+        def sub_of(addr):
+            t = tile_of(addr)
+            return (t, addr // w_ctu) if wavefronts else (t,)
+
+        # decode-mode substream entry points (absolute byte offsets).
+        # Signalled offsets count emulation prevention bytes; convert to
+        # RBSP sizes (HLSyntaxReader.cpp:4033-4066).
+        sub_start = None
+        if self.dec is not None and len(ctu_addrs) > 1:
+            n_subs = len({sub_of(a) for a in ctu_addrs})
+            if n_subs > 1:
+                assert len(sh.entry_point_offsets) == n_subs - 1, \
+                    "tile/WPP decoding requires signalled entry points"
+                base = sh.data_offset_bits // 8
+                data = self.dec.data
+                zeros = 0
+                for b in data[:base]:
+                    if zeros >= 2 and b <= 3:
+                        zeros = 0
+                    zeros = zeros + 1 if b == 0 else 0
+                sub_start = [base]
+                pos = base
+                for target in sh.entry_point_offsets:
+                    cnt = 0
+                    while cnt < target:
+                        b = data[pos]
+                        if zeros >= 2 and b <= 3:
+                            cnt += 1  # an emulation byte precedes this one
+                            zeros = 0
+                            if cnt == target:
+                                break
+                        cnt += 1
+                        pos += 1
+                        zeros = zeros + 1 if b == 0 else 0
+                    sub_start.append(pos)
+        if self.enc is not None:
+            self.enc_substreams = []
+        self._wpp_ctx: dict = {}
+        sub_idx = 0
+
         for i, addr in enumerate(ctu_addrs):
             cx = (addr % w_ctu) * ctu_size
             cy = (addr // w_ctu) * ctu_size
-            if self.enc is not None and (addr // w_ctu) != self._enc_hist_row:
-                # encode-mode IBC candidate state resets per CTU row
-                self._enc_hist_row = addr // w_ctu
+            if i > 0 and sub_of(addr) != sub_of(ctu_addrs[i - 1]):
+                sub_idx += 1
+                new_tile = tile_of(addr) != tile_of(ctu_addrs[i - 1])
+                if self.enc is not None:
+                    self._flush_substream()
+                else:
+                    self.dec.restart(sub_start[sub_idx],
+                                     sub_start[sub_idx + 1]
+                                     if sub_idx + 1 < len(sub_start)
+                                     else None)
+                ctx_state = self.enc.ctx if self.enc is not None \
+                    else self.dec.ctx
+                if new_tile:
+                    ctx_state.init(sh.qp_y, sh.slice_type)
+                else:
+                    # WPP: sync from the stored state of the row above
+                    key = (tile_of(addr), addr // w_ctu - 1)
+                    saved = self._wpp_ctx.get(key)
+                    if saved is not None:
+                        restored = saved.copy()
+                        if self.enc is not None:
+                            self.enc.ctx = restored
+                        else:
+                            self.dec.ctx = restored
+                    else:
+                        ctx_state.init(sh.qp_y, sh.slice_type)
+                # QP predictor restarts per tile / WPP row
+                self.qps = [sh.qp_y, sh.qp_y]
+            if self.enc is not None \
+                    and (addr // w_ctu, tile_of(addr)[0]) != self._enc_hist_row:
+                # encode-mode IBC candidate state resets per CTU row/tile
+                self._enc_hist_row = (addr // w_ctu, tile_of(addr)[0])
                 self.enc_hist.reset()
             self.coding_tree_unit(cx, cy)
-            if i == len(ctu_addrs) - 1:
+            if wavefronts:
+                t = tile_of(addr)
+                row = addr // w_ctu
+                first_in_row = i == 0 or sub_of(ctu_addrs[i - 1]) != sub_of(addr)
+                if first_in_row:
+                    ctx_state = self.enc.ctx if self.enc is not None \
+                        else self.dec.ctx
+                    self._wpp_ctx[(t, row)] = ctx_state.copy()
+            last = i == len(ctu_addrs) - 1
+            if last or sub_of(ctu_addrs[i + 1]) != sub_of(addr):
                 trm = self._trm(want=1)
                 if not trm:
                     raise ValueError(f"expected terminating bit after CTU {addr}")
         if self.dec is not None and not self.dec.finish_ok():
             raise ValueError("CABAC stop pattern check failed at end of slice")
+        if self.enc is not None:
+            self._flush_substream()
+
+    def _flush_substream(self) -> None:
+        """Finish the current encoder substream: arithmetic flush + stop
+        bit + byte alignment (end_of_subset termination)."""
+        body = self.enc.finish()
+        tv, tn = self.enc.tail_bits
+        acc = (tv << 1) | 1
+        nbits = tn + 1
+        pad = (-nbits) % 8
+        acc <<= pad
+        nbits += pad
+        self.enc_substreams.append(bytes(body)
+                                   + acc.to_bytes(nbits // 8, "big"))
+        self.enc.restart_substream()
 
     decode_slice = code_slice
 

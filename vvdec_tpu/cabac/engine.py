@@ -131,6 +131,13 @@ class CabacDecoder:
         self.ctx.init(qp, init_id)
         self.start()
 
+    def restart(self, start_byte: int, end_byte: int | None = None) -> None:
+        """Re-init the arithmetic engine at a new substream entry point
+        (tile / WPP row); contexts are managed by the caller."""
+        self.pos = start_byte
+        self.end = len(self.data) if end_byte is None else end_byte
+        self.start()
+
     def finish_ok(self) -> bool:
         """Check the stop/alignment pattern at the end of the CABAC stream
         (parity: BinDecoder::finish, BinDecoder.cpp:90)."""
@@ -285,6 +292,17 @@ class CabacEncoder:
         self.bits_left = 23
         self.num_buffered = 0
         self.buffered_byte = 0xFF
+
+    def restart_substream(self) -> None:
+        """Reset the arithmetic state for the next tile / WPP substream;
+        contexts are managed by the caller."""
+        self.out = bytearray()
+        self.low = 0
+        self.range = 510
+        self.bits_left = 23
+        self.num_buffered = 0
+        self.buffered_byte = 0xFF
+        self._tail_bits = (0, 0)
 
     def _write_out(self) -> None:
         lead = self.low >> (24 - self.bits_left)

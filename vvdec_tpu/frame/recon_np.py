@@ -1226,9 +1226,10 @@ class IntraReconstructor:
                 if ibc_on and prev_cu is not None:
                     self._ibc_fill(prev_cu)
                 prev_cu = cu
-                row = cu.y >> self.ctu_log2
+                # HMVP resets at each CTU row start and tile start
+                # (DecCu.cpp:70-74)
+                row = (cu.y >> self.ctu_log2, cu.tile_idx)
                 if row != last_ctu_row:
-                    # HMVP resets at each CTU row start
                     self._hist.reset()
                     last_ctu_row = row
                 if cu.pred_mode != MODE_INTRA:

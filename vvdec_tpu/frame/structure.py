@@ -168,6 +168,7 @@ class CodingStructure:
         self.h = pps.pic_height
         from vvdec_tpu.hls.params import sub_wh
         self.sub_w, self.sub_h = sub_wh(sps.chroma_format_idc)
+        self.ctu_log2 = sps.ctu_size.bit_length() - 1
         self.num_comp = 1 if sps.chroma_format_idc == 0 else 3
         cw, chh = self.w // self.sub_w, self.h // self.sub_h
         self.comp_size = [(self.w, self.h), (cw, chh), (cw, chh)][: self.num_comp]
@@ -235,12 +236,33 @@ class CodingStructure:
 
     def cu_at_restricted(self, x: int, y: int, cur: CodingUnit,
                          ch_type: int = 0) -> CodingUnit | None:
-        """Neighbor CU query restricted to same slice and tile (parse-order
-        availability; parity CodingStructure::getCURestricted)."""
+        """Neighbor CU query restricted to same slice and tile plus the
+        CTU-grid decode-order rule: the neighbor's CTU must be at most one
+        CTU to the right in the row above (zero with WPP, which caps the
+        wavefront lag at one CTU), never below, and never right of the
+        current CTU in the same row (parity
+        CodingStructure::getCURestricted, CodingStructure.cpp:468-497)."""
         cu = self.cu_at(x, y, ch_type)
         if cu is None:
             return None
         if cu.slice_idx != cur.slice_idx or cu.tile_idx != cur.tile_idx:
+            return None
+        if ch_type == 0:
+            sh = self.ctu_log2
+            cx, cy = cur.x, cur.y
+        else:
+            sh = self.ctu_log2 - (self.sub_w - 1)
+            cx, cy = cur.cx, cur.cy
+        xdiff = (x >> sh) - (cx >> sh)
+        ydiff = (y >> (self.ctu_log2 - ((self.sub_h - 1) if ch_type else 0))) \
+            - (cy >> (self.ctu_log2 - ((self.sub_h - 1) if ch_type else 0)))
+        if ydiff == 0 and xdiff == 0:
+            # cur.idx < 0: CU still being parsed (not yet added) — every
+            # mapped neighbor precedes it in decode order
+            if cur.idx >= 0 and cu.idx > cur.idx:
+                return None
+        elif ydiff > 0 or (ydiff == 0 and xdiff > 0) or xdiff > (
+                0 if self.sps.entropy_coding_sync_enabled else 1):
             return None
         return cu
 

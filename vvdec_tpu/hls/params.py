@@ -474,9 +474,16 @@ class PPS:
         self.slice_maps = []
         if self.no_pic_partition or (self.rect_slice and self.single_slice_per_subpic
                                      and sps.num_subpics == 1):
-            # one slice covering the picture
+            # one slice covering the picture; CTUs in tile-scan order
             self.num_slices_in_pic = 1
-            self.slice_maps = [list(range(self.pic_width_in_ctu * self.pic_height_in_ctu))]
+            W = self.pic_width_in_ctu
+            order: list[int] = []
+            for ty in range(self.num_tile_rows):
+                for tx in range(self.num_tile_cols):
+                    for y in range(self.tile_row_bd[ty], self.tile_row_bd[ty + 1]):
+                        for x in range(self.tile_col_bd[tx], self.tile_col_bd[tx + 1]):
+                            order.append(y * W + x)
+            self.slice_maps = [order]
         elif self.rect_slice and not self.single_slice_per_subpic:
             W = self.pic_width_in_ctu
             for s in range(self.num_slices_in_pic):

@@ -566,13 +566,14 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
         setattr(sh, k, v)
     nal_type = NalUnitType.IDR_N_LP if idr else NalUnitType.TRAIL
     sh.nal_type = nal_type
-    sh.ctu_addrs = list(range(pps.pic_width_in_ctu * pps.pic_height_in_ctu))
+    if pps.slice_maps:
+        sh.ctu_addrs = list(pps.slice_maps[0])  # tile-ordered
+    else:
+        sh.ctu_addrs = list(range(pps.pic_width_in_ctu
+                                  * pps.pic_height_in_ctu))
 
-    # slice header bits
-    w = BitWriter()
-    write_slice_header(w, sh, ph, sps, pps)
-
-    # slice data (CABAC)
+    # slice data first (CABAC substreams), so entry points are known
+    # before the header is written
     cs = CodingStructure(sps, pps, ph, sh)
     if alf_apss:
         cs.alf_apss = alf_apss
@@ -581,21 +582,49 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
     enc.reset(qp, init_id)
     coder = CtuDecoder(cs, enc=enc, decisions=decisions)
     coder.code_slice()
-    cabac_bytes = enc.finish()
-    tail_val, tail_n = enc.tail_bits
+    substreams = coder.enc_substreams
+    if len(substreams) > 1:
+        # signalled entry point offsets count emulation prevention bytes
+        # (HLSyntaxReader.cpp:4052-4062 subtracts them); iterate since the
+        # offsets themselves live in the slice header ahead of the data
+        sh.entry_point_offsets = [len(ss) for ss in substreams[:-1]]
+        for _ in range(5):
+            w = BitWriter()
+            write_slice_header(w, sh, ph, sps, pps)
+            new = _ebsp_substream_sizes(w.bytes(), substreams)[:-1]
+            if new == sh.entry_point_offsets:
+                break
+            sh.entry_point_offsets = new
 
-    # assemble RBSP: header bits + cabac bytes + tail bits + stop bit
-    # (slice header ends byte-aligned, so cabac starts aligned)
+    # slice header bits (ends byte-aligned, so cabac starts aligned)
+    w = BitWriter()
+    write_slice_header(w, sh, ph, sps, pps)
     rbsp = bytearray(w.bytes())
-    rbsp += cabac_bytes
-    acc = (tail_val << 1) | 1  # rbsp_stop_one_bit
-    nbits = tail_n + 1
-    pad = (-nbits) % 8
-    acc <<= pad
-    nbits += pad
-    rbsp += acc.to_bytes(nbits // 8, "big")
+    for ss in substreams:
+        rbsp += ss
 
     return make_nal(nal_type, bytes(rbsp)), cs
+
+
+def _ebsp_substream_sizes(sh_bytes: bytes, substreams: list[bytes]
+                          ) -> list[int]:
+    """Per-substream sizes including the emulation prevention bytes the
+    escaper will insert (mirrors rbsp_to_ebsp over the full slice RBSP)."""
+    bounds = [len(sh_bytes)]
+    for s in substreams:
+        bounds.append(bounds[-1] + len(s))
+    extra = [0] * len(substreams)
+    zeros = 0
+    full = sh_bytes + b"".join(substreams)
+    for i, b in enumerate(full):
+        if zeros >= 2 and b <= 3:
+            for k in range(len(substreams)):
+                if bounds[k] <= i < bounds[k + 1]:
+                    extra[k] += 1
+                    break
+            zeros = 0
+        zeros = zeros + 1 if b == 0 else 0
+    return [len(s) + e for s, e in zip(substreams, extra)]
 
 
 def generate_stream(width: int = 64, height: int = 64, n_frames: int = 1,
