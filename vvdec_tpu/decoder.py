@@ -97,6 +97,14 @@ class FrameParser:
                 if aps is None:
                     raise ValueError(f"missing ALF APS {i}")
                 cs.alf_apss[i] = aps
+        cs.scaling_list = None
+        if sh.explicit_scaling_list_used:
+            from vvdec_tpu.hls.params import SCALING_LIST_APS
+            aps = self.psman.get_aps(SCALING_LIST_APS, ph.scaling_list_aps_id)
+            if aps is None:
+                raise ValueError(
+                    f"missing scaling-list APS {ph.scaling_list_aps_id}")
+            cs.scaling_list = aps.scaling_list
         cs.lmcs_info = None
         if ph.lmcs_enabled:
             from vvdec_tpu.hls.params import LMCS_APS

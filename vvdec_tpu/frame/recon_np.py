@@ -29,6 +29,7 @@ from vvdec_tpu.frame.structure import (
     MODE_INTRA,
     MTS_SKIP,
     PLANAR_IDX,
+    TREE_D,
     TransformUnit,
     VDIA_IDX,
     VER_IDX,
@@ -52,9 +53,11 @@ DIA_IDX = 34
 # ======================================================================
 def dequant_block(levels: np.ndarray, qp: int, log2_w: int, log2_h: int,
                   bit_depth: int, dep_quant: bool, max_x: int, max_y: int,
-                  ts: bool = False, internal_minus_input: int = 0
-                  ) -> np.ndarray:
-    """Scalar dequantization (no scaling lists).  levels: int32 [h, w]."""
+                  ts: bool = False, internal_minus_input: int = 0,
+                  scale_mat: np.ndarray | None = None) -> np.ndarray:
+    """Scalar dequantization.  levels: int32 [h, w].  scale_mat: optional
+    per-coefficient dequant matrix (explicit scaling lists, Quant.cpp:338:
+    rightShift += LOG2_SCALING_LIST_NEUTRAL_VALUE, scale *= matrix)."""
     max_log2_tr_range = 15
     transform_shift = max_log2_tr_range - bit_depth - ((log2_w + log2_h) >> 1)
     needs_sqrt2 = (not ts) and ((log2_w + log2_h) & 1) == 1
@@ -70,6 +73,9 @@ def dequant_block(levels: np.ndarray, qp: int, log2_w: int, log2_h: int,
         qp_per, qp_rem = qp // 6, qp % 6
     right_shift = 6 + (1 if dep_quant else 0) - (i_transform_shift + qp_per)
     scale = int(rom.INV_QUANT_SCALES[1 if needs_sqrt2 else 0][qp_rem])
+    if scale_mat is not None:
+        right_shift += 4  # LOG2_SCALING_LIST_NEUTRAL_VALUE
+        scale = scale_mat[: max_y + 1, : max_x + 1].astype(np.int64) * scale
 
     target_bd = min(max_log2_tr_range + 1, 64 + right_shift - 7)
     input_max = (1 << (target_bd - 1)) - 1
@@ -213,6 +219,33 @@ def ts_residual(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
                          max_x, max_y, ts=True,
                          internal_minus_input=cs.sps.internal_minus_input_bit_depth)
 
+
+
+def scaling_matrix_for(cs: CodingStructure, tu: TransformUnit,
+                       cu: CodingUnit, comp: int) -> np.ndarray | None:
+    """Explicit scaling-list dequant matrix for this TU component, or None.
+
+    Gating parity: Quant::dequant (Quant.cpp:303-316) — disabled for
+    transform skip, for LFNST blocks when the SPS says so, and for the
+    (non-)designated colour space when ACT-disabling is signalled."""
+    sl = cs.scaling_list
+    if sl is None or tu.mts_idx[comp] == MTS_SKIP:
+        return None
+    sep_tree = cu.tree_type != TREE_D
+    lfnst_applied = cu.lfnst_idx > 0 and (sep_tree or comp == 0)
+    if lfnst_applied and cs.sps.scaling_matrix_for_lfnst_disabled:
+        return None
+    # disableSMForACT (colorTransform is always 0 until ACT lands)
+    if cs.sps.scaling_matrix_for_alt_cs_disabled \
+            and not cs.sps.scaling_matrix_designated_cs:
+        return None
+    tables = getattr(cs, "_dq_tables", None)
+    if tables is None:
+        from vvdec_tpu.hls.scaling_list import build_dequant_tables
+        tables = cs._dq_tables = build_dequant_tables(sl)
+    lt = (0 if cu.pred_mode == MODE_INTRA else 3) + comp
+    _, _, w, h = tu.blocks[comp]
+    return tables.get((lt, w.bit_length() - 1, h.bit_length() - 1))
 
 
 def mip_size_id(w: int, h: int) -> int:
@@ -1138,7 +1171,8 @@ class IntraReconstructor:
         deq = dequant_block(levels, qp, w.bit_length() - 1,
                             h.bit_length() - 1, self.bit_depth,
                             dep_quant, tu.max_scan_x[comp],
-                            tu.max_scan_y[comp])
+                            tu.max_scan_y[comp],
+                            scale_mat=scaling_matrix_for(cs, tu, cu, comp))
         if cu.lfnst_idx:
             deq = apply_inv_lfnst(cs, deq, tu, cu, comp, self.final_mode)
         hor, ver = get_tr_types(cs, tu, cu, comp)

@@ -169,6 +169,7 @@ class CodingStructure:
         from vvdec_tpu.hls.params import sub_wh
         self.sub_w, self.sub_h = sub_wh(sps.chroma_format_idc)
         self.ctu_log2 = sps.ctu_size.bit_length() - 1
+        self.scaling_list = None  # ScalingListData when explicitly signalled
         self.num_comp = 1 if sps.chroma_format_idc == 0 else 3
         cw, chh = self.w // self.sub_w, self.h // self.sub_h
         self.comp_size = [(self.w, self.h), (cw, chh), (cw, chh)][: self.num_comp]

@@ -308,6 +308,8 @@ class SPS:
     ladf_enabled: bool = False
     explicit_scaling_list_enabled: bool = False
     scaling_matrix_for_lfnst_disabled: bool = False
+    scaling_matrix_for_alt_cs_disabled: bool = False
+    scaling_matrix_designated_cs: bool = False
     dep_quant_enabled: bool = False
     sign_data_hiding_enabled: bool = False
     virtual_boundaries_enabled: bool = False

@@ -447,8 +447,9 @@ def parse_sps(rbsp: bytes) -> SPS:
     if sps.lfnst_enabled and sps.explicit_scaling_list_enabled:
         sps.scaling_matrix_for_lfnst_disabled = r.flag()
     if sps.act_enabled and sps.explicit_scaling_list_enabled:
-        if r.flag():  # scaling_matrix_for_alternative_colour_space_disabled
-            r.flag()  # scaling_matrix_designated_colour_space
+        sps.scaling_matrix_for_alt_cs_disabled = r.flag()
+        if sps.scaling_matrix_for_alt_cs_disabled:
+            sps.scaling_matrix_designated_cs = r.flag()
     sps.dep_quant_enabled = r.flag()
     sps.sign_data_hiding_enabled = r.flag()
     sps.virtual_boundaries_enabled = r.flag()
@@ -791,7 +792,9 @@ def parse_aps(rbsp: bytes):
         from vvdec_tpu.hls.alf_aps import parse_alf_aps
         parse_alf_aps(r, aps)
     elif aps.aps_type == SCALING_LIST_APS:
-        raise NotImplementedError("scaling-list APS")
+        _check(aps.aps_id <= 7, "scaling-list APS id out of range")
+        from vvdec_tpu.hls.scaling_list import parse_scaling_list
+        aps.scaling_list = parse_scaling_list(r, aps.chroma_present)
     return aps
 
 

@@ -33,9 +33,13 @@ MAX_LOG2_TR_RANGE = 15
 
 @functools.lru_cache(maxsize=None)
 def _itx_fn(h: int, w: int, tr_hor: str, tr_ver: str, bit_depth: int,
-            dep_quant: bool):
+            dep_quant: bool, use_sl: bool = False):
     """Jitted batched dequant+ITX for one TU shape: (levels [N,h,w] int32,
-    qp [N] int32) -> residual [N,h,w] int32."""
+    qp [N] int32[, smat [h,w] int32]) -> residual [N,h,w] int32.
+
+    With use_sl the per-coefficient scaling-list matrix multiplies the QP
+    scale and the right shift grows by LOG2_SCALING_LIST_NEUTRAL_VALUE
+    (Quant.cpp:335-338)."""
     log2_w, log2_h = w.bit_length() - 1, h.bit_length() - 1
     transform_shift = MAX_LOG2_TR_RANGE - bit_depth - ((log2_w + log2_h) >> 1)
     needs_sqrt2 = ((log2_w + log2_h) & 1) == 1
@@ -51,13 +55,16 @@ def _itx_fn(h: int, w: int, tr_hor: str, tr_ver: str, bit_depth: int,
     clip_min, clip_max = -(1 << MAX_LOG2_TR_RANGE), (1 << MAX_LOG2_TR_RANGE) - 1
 
     @jax.jit
-    def run(levels: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
+    def run(levels: jnp.ndarray, qp: jnp.ndarray,
+            smat: jnp.ndarray | None = None) -> jnp.ndarray:
         if dep_quant:
             qp_per = (qp + 1) // 6
             qp_rem = qp + 1 - 6 * qp_per
         else:
             qp_per, qp_rem = qp // 6, qp % 6
         right_shift = 6 + (1 if dep_quant else 0) - (i_transform_shift + qp_per)
+        if use_sl:
+            right_shift = right_shift + 4  # LOG2_SCALING_LIST_NEUTRAL_VALUE
         scale = scales[qp_rem]
         target_bd = jnp.minimum(MAX_LOG2_TR_RANGE + 1, 64 + right_shift - 7)
         input_max = (1 << (target_bd - 1)) - 1
@@ -66,6 +73,8 @@ def _itx_fn(h: int, w: int, tr_hor: str, tr_ver: str, bit_depth: int,
         clipped = jnp.clip(lv, -input_max[:, None, None] - 1,
                            input_max[:, None, None])
         prod = clipped * scale[:, None, None]
+        if use_sl:
+            prod = prod * smat[None, :, :]
         rs = right_shift[:, None, None]
         pos = (prod + (1 << jnp.maximum(rs - 1, 0))) >> jnp.maximum(rs, 0)
         neg = prod << jnp.maximum(-rs, 0)
@@ -135,10 +144,13 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
                 qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
                     else tu.chroma_qp[comp - 1]
                 levels = cs.coef[comp][y: y + h, x: x + w]
+                from vvdec_tpu.frame.recon_np import scaling_matrix_for
                 deq = dequant_block(levels, qp, w.bit_length() - 1,
                                     h.bit_length() - 1, cs.sps.bit_depth,
                                     bool(cs.sh.dep_quant_used),
-                                    tu.max_scan_x[comp], tu.max_scan_y[comp])
+                                    tu.max_scan_x[comp], tu.max_scan_y[comp],
+                                    scale_mat=scaling_matrix_for(
+                                        cs, tu, cu, comp))
                 from vvdec_tpu.frame.recon_np import IntraReconstructor
 
                 def fm(cu_, comp_):
@@ -157,23 +169,35 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
                 continue
             hor, ver = get_tr_types(cs, tu, cu, comp)
             qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 else tu.chroma_qp[comp - 1]
-            key = (comp != 0, w, h, hor, ver)
-            groups.setdefault(key, []).append((comp, x, y, qp))
+            if cs.scaling_list is not None:
+                from vvdec_tpu.frame.recon_np import scaling_matrix_for
+                smat = scaling_matrix_for(cs, tu, cu, comp)
+                lt = (0 if cu.pred_mode == MODE_INTRA else 3) + comp \
+                    if smat is not None else None
+            else:
+                smat, lt = None, None
+            key = (comp != 0, w, h, hor, ver, lt)
+            groups.setdefault(key, []).append((comp, x, y, qp, smat))
 
     dep_quant = bool(cs.sh.dep_quant_used)
-    for (is_chroma, w, h, hor, ver), items in groups.items():
+    for (is_chroma, w, h, hor, ver, lt), items in groups.items():
         n = len(items)
         # bucket the batch dimension to powers of two so compiled shapes
         # are stable across frames (bounded number of XLA programs)
         n_pad = 1 << max(0, (n - 1)).bit_length()
         levels = np.zeros((n_pad, h, w), dtype=np.int32)
-        for i, (comp, x, y, qp) in enumerate(items):
+        for i, (comp, x, y, qp, _) in enumerate(items):
             levels[i] = cs.coef[comp][y: y + h, x: x + w]
         qps = np.zeros(n_pad, dtype=np.int32)
-        qps[:n] = [qp for _, _, _, qp in items]
-        fn = _itx_fn(h, w, hor, ver, cs.sps.bit_depth, dep_quant)
-        out = np.asarray(fn(jnp.asarray(levels), jnp.asarray(qps)))
-        for (comp, x, y, _), blk in zip(items, out[:n]):
+        qps[:n] = [qp for _, _, _, qp, _ in items]
+        fn = _itx_fn(h, w, hor, ver, cs.sps.bit_depth, dep_quant,
+                     use_sl=lt is not None)
+        if lt is not None:
+            out = np.asarray(fn(jnp.asarray(levels), jnp.asarray(qps),
+                                jnp.asarray(items[0][4])))
+        else:
+            out = np.asarray(fn(jnp.asarray(levels), jnp.asarray(qps)))
+        for (comp, x, y, _, _), blk in zip(items, out[:n]):
             resi[comp][y: y + h, x: x + w] = blk
     return resi
 

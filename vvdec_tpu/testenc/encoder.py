@@ -513,11 +513,50 @@ def make_lmcs_aps(seed: int, aps_id: int = 0, chroma: bool = True):
     return aps, make_nal(NalUnitType.PREFIX_APS, w.bytes())
 
 
+def make_scaling_aps(seed: int, aps_id: int = 0, chroma: bool = True):
+    """Random legal scaling-list APS; returns (APS object, NAL bytes).
+    Matrix values stay in [4, 64] (>0 required, parseScalingList)."""
+    import numpy as np
+
+    from vvdec_tpu.bitstream.reader import BitReader
+    from vvdec_tpu.hls.params import APS, SCALING_LIST_APS
+    from vvdec_tpu.hls.scaling_list import (
+        ScalingListData,
+        is_luma_list,
+        matrix_size,
+        parse_scaling_list,
+    )
+    from vvdec_tpu.testenc.hls_writer import write_scaling_aps
+
+    rnd = random.Random(seed ^ 0x5CA1)
+    sl = ScalingListData()
+    for i in range(28):
+        if not (chroma or is_luma_list(i)):
+            continue
+        s = matrix_size(i)
+        sl.mats[i] = np.array(
+            [[rnd.randint(4, 64) for _ in range(s)] for _ in range(s)],
+            dtype=np.int32)
+        if i >= 14:
+            sl.dc[i] = rnd.randint(4, 64)
+    aps = APS(aps_type=SCALING_LIST_APS, aps_id=aps_id,
+              chroma_present=chroma, scaling_list=sl)
+    w = BitWriter()
+    write_scaling_aps(w, aps)
+    # canonicalize by re-parsing: 64x64 lists have un-coded bottom-right
+    # quadrants whose reconstructed values differ from the drawn ones
+    r = BitReader(w.bytes())
+    r.u(3), r.u(5), r.flag()
+    aps.scaling_list = parse_scaling_list(r, chroma)
+    return aps, make_nal(NalUnitType.PREFIX_APS, w.bytes())
+
+
 def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
                  poc: int = 0, idr: bool = True, sh_kw: dict | None = None,
                  ph_kw: dict | None = None, slice_type: int = I_SLICE,
                  ref_deltas: tuple = ((), ()),
                  alf_apss: dict | None = None,
+                 scaling_list=None,
                  ) -> tuple[bytes, CodingStructure]:
     """Encode one frame; returns (slice NAL unit bytes, the CS built
     during encoding — i.e. the expected parse result).  For P/B slices,
@@ -564,6 +603,8 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
                                  else 0]
     for k, v in (sh_kw or {}).items():
         setattr(sh, k, v)
+    # PH-in-SH inheritance (parse_slice_header does the same)
+    sh.explicit_scaling_list_used = ph.explicit_scaling_list_enabled
     nal_type = NalUnitType.IDR_N_LP if idr else NalUnitType.TRAIL
     sh.nal_type = nal_type
     if pps.slice_maps:
@@ -577,6 +618,8 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
     cs = CodingStructure(sps, pps, ph, sh)
     if alf_apss:
         cs.alf_apss = alf_apss
+    if scaling_list is not None:
+        cs.scaling_list = scaling_list
     enc = CabacEncoder()
     init_id = sh.slice_type  # I_SLICE == 2
     enc.reset(qp, init_id)

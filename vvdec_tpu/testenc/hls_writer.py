@@ -534,6 +534,19 @@ def write_lmcs_aps(w: BitWriter, aps) -> None:
     w.byte_align(0)
 
 
+def write_scaling_aps(w: BitWriter, aps) -> None:
+    """Scaling-list APS RBSP (mirrors parseAPS/parseScalingListAps,
+    HLSyntaxReader.cpp:855,1056)."""
+    from vvdec_tpu.hls.scaling_list import write_scaling_list
+    w.u(aps.aps_type, 3)
+    w.u(aps.aps_id, 5)
+    w.flag(aps.chroma_present)
+    write_scaling_list(w, aps.scaling_list, aps.chroma_present)
+    w.flag(False)  # aps_extension_flag
+    w.u(1, 1)      # rbsp_stop_one_bit
+    w.byte_align(0)
+
+
 def make_nal(nal_type: int, rbsp: bytes, temporal_id: int = 0,
              long_start_code: bool = True) -> bytes:
     """Wrap an RBSP payload into an Annex-B NAL unit."""
