@@ -247,9 +247,10 @@ class CtuDecoder:
 
     def __init__(self, cs: CodingStructure, dec: CabacDecoder | None = None,
                  enc: CabacEncoder | None = None,
-                 decisions: Decisions | None = None):
+                 decisions: Decisions | None = None, slice_idx: int = 0):
         assert (dec is None) != (enc is None)
         self.cs = cs
+        self._slice_idx_arg = slice_idx
         self.dec = dec
         self.enc = enc
         self.decisions = decisions
@@ -330,7 +331,7 @@ class CtuDecoder:
         self.violates_mts = False
         self.mts_last_scan_pos = False
         self._tpl = np.zeros(64 * 64, dtype=np.int32)
-        self.slice_idx = 0
+        self.slice_idx = self._slice_idx_arg
         self.cu_qp_delta_subdiv = (ph.cu_qp_delta_subdiv_intra if sh.is_intra
                                    else ph.cu_qp_delta_subdiv_inter)
         self.cu_chroma_qp_offset_subdiv = (

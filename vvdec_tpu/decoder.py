@@ -42,6 +42,11 @@ class FrameParser:
         self.prev_tid0_poc = 0
         self.cur_ph = None
         self.pending_sei: list = []
+        # in-progress multi-slice picture: (ParsedFrame, covered-CTU set,
+        # total CTUs).  Pictures with the PH in the slice header always
+        # consist of a single slice (the VVC constraint), so a picture is
+        # open only between a PH NAL and full CTU coverage.
+        self._pending: tuple | None = None
 
     def parse_stream(self, data: bytes) -> list[ParsedFrame]:
         frames: list[ParsedFrame] = []
@@ -54,6 +59,7 @@ class FrameParser:
             elif t == NalUnitType.PPS:
                 self.psman.store_pps(parse_pps(full_rbsp, self.psman.get_sps))
             elif t == NalUnitType.PH:
+                self._flush_pending(frames)
                 r = BitReader(full_rbsp, pos=16)
                 self.cur_ph = parse_picture_header(r, self.psman)
             elif t in (NalUnitType.PREFIX_APS, NalUnitType.SUFFIX_APS):
@@ -67,22 +73,76 @@ class FrameParser:
                 else:
                     frames[-1].sei.extend(msgs)
             elif nal.is_vcl:
-                frames.append(self._parse_slice(full_rbsp, nal))
-                frames[-1].sei.extend(self.pending_sei)
-                self.pending_sei = []
+                done = self._parse_slice(full_rbsp, nal)
+                if done is not None:
+                    frames.append(done)
+                    done.sei.extend(self.pending_sei)
+                    self.pending_sei = []
             # AUD / EOS / EOB / FD: ignored at this stage
+        self._flush_pending(frames)
         return frames
 
-    def _parse_slice(self, full_rbsp: bytes, nal) -> ParsedFrame:
+    def _flush_pending(self, frames: list) -> None:
+        if self._pending is not None:
+            pf, covered, total = self._pending
+            self._pending = None
+            if len(covered) < total:
+                raise ValueError(
+                    f"picture POC {pf.poc} incomplete: {len(covered)}/{total}"
+                    " CTUs covered by its slices")
+            frames.append(pf)
+            pf.sei.extend(self.pending_sei)
+            self.pending_sei = []
+
+    def _parse_slice(self, full_rbsp: bytes, nal) -> ParsedFrame | None:
+        """Parse one slice; returns the ParsedFrame when its picture is
+        complete (all CTUs covered), else None.
+
+        Parity: DecLibParser::xDecodeSliceHead/xDecodeSliceMain
+        (DecLibParser.cpp:401, :948) — slices accumulate into one
+        CodingStructure until the picture is fully covered."""
         r = BitReader(full_rbsp, pos=16)
         sh, ph = parse_slice_header(r, self.psman, int(nal.nal_type),
                                     nal.temporal_id, self.prev_tid0_poc,
                                     self.cur_ph)
         if nal.temporal_id == 0 and t_is_ref(nal.nal_type):
             self.prev_tid0_poc = sh.poc
-        pps = self.psman.get_pps(ph.pps_id)
-        sps = self.psman.get_sps(pps.sps_id)
-        cs = CodingStructure(sps, pps, ph, sh)
+        if sh.picture_header_in_slice_header and self._pending is not None:
+            raise ValueError("PH-in-SH slice while a picture is open")
+        if self._pending is None:
+            pps = self.psman.get_pps(ph.pps_id)
+            sps = self.psman.get_sps(pps.sps_id)
+            cs = CodingStructure(sps, pps, ph, sh)
+            cs.scaling_list = None
+            if sh.explicit_scaling_list_used:
+                from vvdec_tpu.hls.params import SCALING_LIST_APS
+                aps = self.psman.get_aps(SCALING_LIST_APS,
+                                         ph.scaling_list_aps_id)
+                if aps is None:
+                    raise ValueError(
+                        f"missing scaling-list APS {ph.scaling_list_aps_id}")
+                cs.scaling_list = aps.scaling_list
+            cs.lmcs_info = None
+            if ph.lmcs_enabled:
+                from vvdec_tpu.hls.params import LMCS_APS
+                aps = self.psman.get_aps(LMCS_APS, ph.lmcs_aps_id)
+                if aps is None:
+                    raise ValueError(f"missing LMCS APS {ph.lmcs_aps_id}")
+                cs.lmcs_info = aps.lmcs
+            pf = ParsedFrame(cs=cs, poc=sh.poc, is_idr=nal.is_idr)
+            total = pps.pic_width_in_ctu * pps.pic_height_in_ctu
+            self._pending = (pf, set(), total)
+            slice_idx = 0
+        else:
+            pf, covered0, total = self._pending
+            cs = pf.cs
+            if sh.poc != pf.poc:
+                raise ValueError("slice POC changed mid-picture "
+                                 f"({sh.poc} vs {pf.poc})")
+            slice_idx = len(cs.shs)
+            cs.shs.append(sh)
+            cs.sh = sh  # CtuDecoder snapshots the current slice header
+        # per-slice ALF APS references
         if any(sh.alf_enabled) or sh.ccalf_cb_enabled or sh.ccalf_cr_enabled:
             from vvdec_tpu.hls.params import ALF_APS
             ids = set(sh.alf_aps_ids_luma if sh.alf_enabled[0] else [])
@@ -97,27 +157,19 @@ class FrameParser:
                 if aps is None:
                     raise ValueError(f"missing ALF APS {i}")
                 cs.alf_apss[i] = aps
-        cs.scaling_list = None
-        if sh.explicit_scaling_list_used:
-            from vvdec_tpu.hls.params import SCALING_LIST_APS
-            aps = self.psman.get_aps(SCALING_LIST_APS, ph.scaling_list_aps_id)
-            if aps is None:
-                raise ValueError(
-                    f"missing scaling-list APS {ph.scaling_list_aps_id}")
-            cs.scaling_list = aps.scaling_list
-        cs.lmcs_info = None
-        if ph.lmcs_enabled:
-            from vvdec_tpu.hls.params import LMCS_APS
-            aps = self.psman.get_aps(LMCS_APS, ph.lmcs_aps_id)
-            if aps is None:
-                raise ValueError(f"missing LMCS APS {ph.lmcs_aps_id}")
-            cs.lmcs_info = aps.lmcs
         start_byte = sh.data_offset_bits // 8
         dec = CabacDecoder(full_rbsp, start_byte)
         dec.reset(sh.qp_y, sh.slice_type)
-        coder = CtuDecoder(cs, dec=dec)
+        coder = CtuDecoder(cs, dec=dec, slice_idx=slice_idx)
         coder.decode_slice()
-        return ParsedFrame(cs=cs, poc=sh.poc, is_idr=nal.is_idr)
+        pf, covered, total = self._pending
+        covered.update(sh.ctu_addrs)
+        self._pending = (pf, covered, total)
+        if len(covered) >= total:
+            cs.sh = cs.shs[0]
+            self._pending = None
+            return pf
+        return None
 
 
 def t_is_ref(nal_type) -> bool:
@@ -150,15 +202,17 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
             flush_segment()
         cs = f.cs
         # resolve reference picture lists (RefPicPocList = poc + delta)
+        # multi-slice pictures: the shared ref structures come from the
+        # first inter slice (per-slice RPL variation not supported yet)
+        sh_ref = next((s for s in cs.shs if not s.is_intra), cs.sh)
         cs.ref_pocs = [[], []]
         cs.ref_planes = [[], []]
         cs.ref_cols = [[], []]
-        if not cs.sh.is_intra:
+        if not sh_ref.is_intra:
             for lst in range(2):
-                rpl = cs.sh.rpl[lst]
+                rpl = sh_ref.rpl[lst]
                 if rpl is None:
                     continue
-                n = cs.sh.num_ref_idx_active[lst]
                 for e in rpl.entries:
                     if e.is_long_term:
                         raise NotImplementedError("long-term refs")
@@ -172,7 +226,7 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
             cs.check_ldc = all(
                 p <= f.poc
                 for lst in range(2)
-                for p in cs.ref_pocs[lst][: cs.sh.num_ref_idx_active[lst]])
+                for p in cs.ref_pocs[lst][: sh_ref.num_ref_idx_active[lst]])
         if use_jax:
             from vvdec_tpu.ops.pipeline import reconstruct_frame_jax
             planes = reconstruct_frame_jax(cs)

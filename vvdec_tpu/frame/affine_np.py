@@ -352,8 +352,8 @@ def clip_col_pos(px: int, py: int, cu: CodingUnit, cs: CodingStructure
     return (min(hor_max, max(ctu_x, px)), min(ver_max, max(ctu_y, py)))
 
 
-def _col_is_inter(cs, pos) -> bool:
-    sh = cs.sh
+def _col_is_inter(cs, pos, cu) -> bool:
+    sh = cs.sh_of(cu)
     col_lst = (1 - int(sh.collocated_from_l0)) if sh.is_b else 0
     col = cs.ref_cols[col_lst][sh.collocated_ref_idx]
     x8, y8 = pos[0] >> 3, pos[1] >> 3
@@ -364,7 +364,7 @@ def derive_sbtmvp(cs: CodingStructure, cu: CodingUnit, mrg_idx: int,
                   a1_mi) -> AffCand | None:
     """getInterMergeSubPuMvpCand (UnitTools.cpp:2845).  Fills the motion
     field directly when this candidate is the selected one (mrg_idx == 0)."""
-    sh = cs.sh
+    sh = cs.sh_of(cu)
     is_b = sh.is_b
     col_lst = (1 - int(sh.collocated_from_l0)) if sh.is_b else 0
     col = cs.ref_cols[col_lst][sh.collocated_ref_idx]
@@ -386,7 +386,7 @@ def derive_sbtmvp(cs: CodingStructure, cu: CodingUnit, mrg_idx: int,
 
     cand = AffCand(subpu=True)
     found = False
-    if _col_is_inter(cs, (cx, cy)):
+    if _col_is_inter(cs, (cx, cy), cu):
         for lst in range(2 if is_b else 1):
             m = get_colocated_mvp(cs, cu, lst, (cx, cy), 0, sb_flag=True)
             if m is not None:
@@ -408,7 +408,7 @@ def derive_sbtmvp(cs: CodingStructure, cu: CodingUnit, mrg_idx: int,
             sub_found = False
             ref = [-1, -1]
             mv = [(0, 0), (0, 0)]
-            if _col_is_inter(cs, (px, py)):
+            if _col_is_inter(cs, (px, py), cu):
                 for lst in range(2 if is_b else 1):
                     m = get_colocated_mvp(cs, cu, lst, (px, py), 0,
                                           sb_flag=True)
@@ -476,7 +476,7 @@ def derive_affine_merge(cs: CodingStructure, cu: CodingUnit, mrg_idx: int
     """PU::getAffineMergeCand (UnitTools.cpp:2378).  Returns the candidate
     list at least up to index mrg_idx; fills the SbTMVP motion field when
     that candidate is selected."""
-    sh = cs.sh
+    sh = cs.sh_of(cu)
     is_b = sh.is_b
     max_num = cs.ph.max_num_affine_merge_cand
     cands: list[AffCand] = []

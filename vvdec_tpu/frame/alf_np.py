@@ -336,10 +336,10 @@ def filter_cc_area(luma_src: np.ndarray, dst: np.ndarray, coeff,
 
 def alf_frame(cs, planes: list) -> list:
     """Whole-frame ALF pass; returns new plane list (the m_alfBuf swap)."""
-    sh = cs.sh
-    if not (any(sh.alf_enabled) or sh.ccalf_cb_enabled
-            or sh.ccalf_cr_enabled):
+    if not any(any(s_.alf_enabled) or s_.ccalf_cb_enabled
+               or s_.ccalf_cr_enabled for s_ in cs.shs):
         return planes
+    sh = cs.sh
     bd = cs.sps.bit_depth
     ctu = cs.sps.ctu_size
     vb_luma_h, vb_luma_pos = ctu, ctu - 4
@@ -348,14 +348,15 @@ def alf_frame(cs, planes: list) -> list:
     vb_chma_pos = vb_chma_h - 2
 
     fixed_sets, fixed_clip = build_fixed_sets(bd)
-    luma_tables = {}  # aps position in slice list -> (coeff, clip)
-    for i, aps_id in enumerate(sh.alf_aps_ids_luma):
-        aps = cs.alf_apss[aps_id]
-        luma_tables[i] = build_luma_coeff(aps.alf, bd)
+    luma_tables = {}  # (slice_idx, aps position in slice list) -> tables
+    for si, s_ in enumerate(cs.shs):
+        for i, aps_id in enumerate(s_.alf_aps_ids_luma):
+            aps = cs.alf_apss[aps_id]
+            luma_tables[(si, i)] = build_luma_coeff(aps.alf, bd)
 
     # whole-frame classification (position-local; identical to per-32x32)
     cls = tr = None
-    if sh.alf_enabled[0]:
+    if any(s_.alf_enabled[0] for s_ in cs.shs):
         cls, tr = classify(planes[0], 0, 0, cs.w, cs.h, bd,
                            vb_luma_h, vb_luma_pos)
 
@@ -370,12 +371,14 @@ def alf_frame(cs, planes: list) -> list:
             x0, y0 = rx * ctu, ry * ctu
             w = min(ctu, cs.w - x0)
             h = min(ctu, cs.h - y0)
+            si = int(cs.slice_map[y0 >> 2, x0 >> 2])
+            sh = cs.shs[si if 0 <= si < len(cs.shs) else 0]
             if sh.alf_enabled[0] and p["enable"][0]:
                 idx = p["filt_idx"]
                 if idx < NUM_FIXED_FILTER_SETS:
                     co, cl = fixed_sets[idx], fixed_clip
                 else:
-                    co, cl = luma_tables[idx - NUM_FIXED_FILTER_SETS]
+                    co, cl = luma_tables[(si, idx - NUM_FIXED_FILTER_SETS)]
                 filter_luma_area(planes[0], out[0], cls, tr, co, cl,
                                  x0, y0, w, h, bd, vb_luma_h, vb_luma_pos)
             if cs.num_comp > 1:

@@ -84,15 +84,19 @@ class Deblocker:
     # ---------------- strength derivation ----------------
     def derive_strengths(self) -> None:
         cs = self.cs
-        if cs.sh.deblocking_disabled:
+        if all(s.deblocking_disabled for s in cs.shs):
             return
         for tu in cs.tus:
             cu = cs.cus[tu.cu_idx]
+            if cs.sh_of(cu).deblocking_disabled:
+                continue
             self._tu_edges(tu, cu, 0)  # EDGE_VER
             self._tu_edges(tu, cu, 1)  # EDGE_HOR
         # subblock-motion CUs (affine / SbTMVP): internal 8x8 motion edges +
         # max-filter-length refinement (LoopFilter.cpp:567-604,707)
         for cu in cs.cus:
+            if cs.sh_of(cu).deblocking_disabled:
+                continue
             if cu.affine_flag or cu.merge_type == 1:
                 self._subblock_edges(cu, 0)
                 self._subblock_edges(cu, 1)
@@ -337,7 +341,7 @@ class Deblocker:
                 return "self"  # IBC references the current picture
             return cs.ref_pocs[lst][ri] if ri >= 0 else None
 
-        if self.cs.sh.is_b:
+        if cs.sh_of(cu_q).is_b:
             p0, p1 = poc(0, rp0), poc(1, rp1)
             q0, q1 = poc(0, rq0), poc(1, rq1)
             if not ((p0 == q0 and p1 == q1) or (p0 == q1 and p1 == q0)):
@@ -359,7 +363,7 @@ class Deblocker:
 
     # ---------------- application ----------------
     def apply(self) -> None:
-        if self.cs.sh.deblocking_disabled:
+        if all(s.deblocking_disabled for s in self.cs.shs):
             return
         self.derive_strengths()
         for dir_ in (0, 1):
@@ -371,11 +375,16 @@ class Deblocker:
     def _filter_luma(self, dir_: int) -> None:
         cs = self.cs
         ep = self.edges[dir_]
-        sh = cs.sh
         plane = self.reco[0]
         h4, w4 = ep.bs_y.shape
         cells = np.argwhere(ep.bs_y > 0)
+        multi = len(cs.shs) > 1
+        sh = cs.sh
         for cy4, cx4 in cells:
+            if multi:
+                # per-slice tc/beta offsets: the Q-side block's slice
+                cu_q = cs.cu_at(int(cx4) * 4, int(cy4) * 4, 0)
+                sh = cs.sh_of(cu_q) if cu_q is not None else cs.sh
             self._luma_edge_cell(plane, dir_, int(cx4) * 4, int(cy4) * 4,
                                  ep, int(cy4), int(cx4), sh)
 
@@ -592,6 +601,9 @@ class Deblocker:
                 bs_cr = int(ep.bs_cr[cy4, cx4])
                 if bs_cb <= 0 and bs_cr <= 0:
                     continue
+                if len(cs.shs) > 1:
+                    cu_q = cs.cu_at(ccx * sub_w, ccy * sub_h, 0)
+                    sh = cs.sh_of(cu_q) if cu_q is not None else cs.sh
                 self._chroma_edge_cell(dir_, ccx, ccy, ep, cy4, cx4, sh,
                                        par_step, sub_shift)
 

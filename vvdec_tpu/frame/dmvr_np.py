@@ -49,14 +49,14 @@ def eq_dist_bipred(cs, cu) -> bool:
         return False
     poc0 = cs.ref_pocs[0][cu.ref_idx[0]]
     poc1 = cs.ref_pocs[1][cu.ref_idx[1]]
-    poc = cs.sh.poc
+    poc = cs.sh_of(cu).poc
     return (poc - poc0) == (poc1 - poc)
 
 
 def _wp_present(cs, cu) -> bool:
     """Any explicit weight present for the CU's references."""
     from vvdec_tpu.hls.weight_table import wp_present_any
-    wt = cs.sh.weight_table
+    wt = cs.sh_of(cu).weight_table
     return wp_present_any(wt, 0, cu.ref_idx[0]) \
         or wp_present_any(wt, 1, cu.ref_idx[1])
 
@@ -68,9 +68,9 @@ def bdof_condition(cs, cu) -> bool:
     if cu.affine_flag or cu.merge_type == 1 or cu.ciip_flag \
             or cu.smvd_mode or (cs.sps.bcw_enabled and cu.bcw_idx != 0):
         return False
-    if _wp_present(cs, cu) and cs.sh.is_b:
+    if _wp_present(cs, cu) and cs.sh_of(cu).is_b:
         return False
-    if cs.pps.weighted_pred and cs.sh.is_p:
+    if cs.pps.weighted_pred and cs.sh_of(cu).is_p:
         return False
     return eq_dist_bipred(cs, cu) and cu.h >= 8 and cu.w >= 8 \
         and cu.w * cu.h >= 128

@@ -189,7 +189,7 @@ def get_colocated_mvp(cs: CodingStructure, cu: CodingUnit, lst: int,
                       pos: tuple, ref_idx: int, sb_flag: bool = False):
     """PU::getColocatedMVP (UnitTools.cpp:1410).  Returns scaled MV tuple
     or None.  sb_flag selects the SbTMVP list-derivation variant."""
-    sh = cs.sh
+    sh = cs.sh_of(cu)
     col_lst = (1 - int(sh.collocated_from_l0)) if sh.is_b else 0
     col = cs.ref_cols[col_lst][sh.collocated_ref_idx]
     px, py = pos
@@ -371,8 +371,8 @@ def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
                           ref_out[0], ref_out[1], 0, alt))
 
     # zero candidates
-    n0 = cs.sh.num_ref_idx_active[0]
-    n1 = cs.sh.num_ref_idx_active[1]
+    n0 = cs.sh_of(cu).num_ref_idx_active[0]
+    n1 = cs.sh_of(cu).num_ref_idx_active[1]
     n_ref = min(n0, n1) if is_b else n0
     r = 0
     refcnt = 0

@@ -215,7 +215,7 @@ def ts_residual(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
         max_x, max_y = tu.max_scan_x[comp], tu.max_scan_y[comp]
     qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 else tu.chroma_qp[comp - 1]
     return dequant_block(levels, qp, w.bit_length() - 1, h.bit_length() - 1,
-                         cs.sps.bit_depth, bool(cs.sh.dep_quant_used),
+                         cs.sps.bit_depth, bool(cs.sh_of(cu).dep_quant_used),
                          max_x, max_y, ts=True,
                          internal_minus_input=cs.sps.internal_minus_input_bit_depth)
 
@@ -346,13 +346,14 @@ class IntraReconstructor:
         self._hist = None
         # LMCS reshaper model (Reshape::initSlice, Reshape.cpp:118)
         self.reshaper = None
-        if cs.ph.lmcs_enabled and cs.sh.lmcs_enabled \
+        if cs.ph.lmcs_enabled \
                 and getattr(cs, "lmcs_info", None) is not None:
             from vvdec_tpu.frame.lmcs_np import Reshaper
             self.reshaper = Reshaper(cs.lmcs_info, self.bit_depth,
                                      cs.ph.chroma_residual_scale)
-        # forward-map inter predictions only outside I slices (getCTUFlag)
-        self.lmcs_fwd = self.reshaper is not None and not cs.sh.is_intra
+        # forward-map inter predictions only outside I slices (getCTUFlag);
+        # per-slice gating happens at the use sites (multi-slice pictures)
+        self.lmcs_fwd = self.reshaper is not None
 
     # ---------------- availability ----------------
     def _avail(self, px: int, py: int, comp: int, cu: CodingUnit,
@@ -1164,7 +1165,7 @@ class IntraReconstructor:
         # chroma qp already includes the offset (_set_chroma_qp)
         qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
             else tu.chroma_qp[comp - 1]
-        dep_quant = cs.sh.dep_quant_used
+        dep_quant = cs.sh_of(cu).dep_quant_used
         if tu.mts_idx[comp] == MTS_SKIP:
             # transform skip / BDPCM: residual = dequantized levels
             return ts_residual(cs, tu, cu, comp)
@@ -1187,7 +1188,8 @@ class IntraReconstructor:
             comps += [1, 2]
         # LMCS chroma residual scaling (DecCu.cpp:381-395, :489-508)
         chroma_scale_inv = None
-        if self.reshaper is not None and cs.ph.chroma_residual_scale \
+        if self.reshaper is not None and cs.sh_of(cu).lmcs_enabled \
+                and cs.ph.chroma_residual_scale \
                 and tu.blocks[1] is not None and cu.has_chroma \
                 and cs.num_comp > 1:
             _, _, cw_, ch_ = tu.blocks[1]
@@ -1269,18 +1271,29 @@ class IntraReconstructor:
                 if cu.pred_mode != MODE_INTRA:
                     self._derive_motion(cu)
             self.reconstruct_tu(tu, cu)
-        if self.reshaper is not None:
+        cs = self.cs
+        if self.reshaper is not None and any(s.lmcs_enabled
+                                             for s in cs.shs):
             # RSP stage: inverse-map the reconstructed luma back to the
-            # original domain before deblocking (rspCtuBcw, Reshape.cpp:377)
-            self.reco[0] = self.reshaper.inv_map(self.reco[0]) \
+            # original domain before deblocking (rspCtuBcw, Reshape.cpp:377);
+            # per-slice gating via the 4x4 slice map (multi-slice pictures)
+            mapped = self.reshaper.inv_map(self.reco[0]) \
                 .astype(self.reco[0].dtype)
+            if all(s.lmcs_enabled for s in cs.shs):
+                self.reco[0] = mapped
+            else:
+                lut = np.array([bool(s.lmcs_enabled) for s in cs.shs])
+                mask = np.repeat(np.repeat(lut[cs.slice_map], 4, 0), 4, 1)
+                self.reco[0] = np.where(mask[: self.reco[0].shape[0],
+                                             : self.reco[0].shape[1]],
+                                        mapped, self.reco[0])
         return self.reco
 
     def _derive_motion(self, cu: CodingUnit) -> None:
         """Resolve merge/AMVP motion, run MC, update HMVP (DecCu.cpp:820)."""
         from vvdec_tpu.frame import inter_np as I
         cs = self.cs
-        is_b = cs.sh.is_b
+        is_b = cs.sh_of(cu).is_b
         if cu.pred_mode == MODE_IBC:
             self._derive_ibc_motion(cu)
             return
@@ -1655,7 +1668,7 @@ class IntraReconstructor:
                 cu.ref_idx = list(cand.ref)
             else:
                 for lst in range(2):
-                    if cs.sh.num_ref_idx_active[lst] > 0:
+                    if cs.sh_of(cu).num_ref_idx_active[lst] > 0:
                         cu.ref_idx[lst] = cand.ref[lst]
                         A.set_all_affine_mv(cs, cu, cand.mvf[lst][0],
                                             cand.mvf[lst][1],
@@ -1663,7 +1676,7 @@ class IntraReconstructor:
                 A.span_affine_motion(cs, cu)
         else:
             for lst in range(2):
-                if not (cs.sh.num_ref_idx_active[lst] > 0
+                if not (cs.sh_of(cu).num_ref_idx_active[lst] > 0
                         and (cu.inter_dir & (1 << lst))):
                     cu.ref_idx[lst] = -1
                     continue
@@ -1724,8 +1737,9 @@ class IntraReconstructor:
         field (xSubPuMC, InterPrediction.cpp:438)."""
         from vvdec_tpu.frame import inter_np as I
         cs = self.cs
-        wp_on = (cs.pps.weighted_pred and cs.sh.is_p) or \
-            (cs.pps.weighted_bipred and cs.sh.is_b)
+        sh = cs.sh_of(cu)
+        wp_on = (cs.pps.weighted_pred and sh.is_p) or \
+            (cs.pps.weighted_bipred and sh.is_b)
         out = [np.zeros((cu.h, cu.w), dtype=np.int64)]
         if cs.num_comp > 1:
             out += [np.zeros((cu.ch, cu.cw), dtype=np.int64)
@@ -1783,7 +1797,7 @@ class IntraReconstructor:
         from vvdec_tpu.frame import inter_np as I
         from vvdec_tpu.frame.geo_np import geo_weight_block
         cs = self.cs
-        merge = I.derive_merge(cs, cu, self._hist, cs.sh.is_b)
+        merge = I.derive_merge(cs, cu, self._hist, cs.sh_of(cu).is_b)
         geo_cands = I.derive_geo(cs, cu, merge)
         parts = []
         for k in range(2):
@@ -1831,10 +1845,11 @@ class IntraReconstructor:
         cs = self.cs
         if cu.geo_flag or cu.pred_mode == MODE_IBC:
             return False
+        sh = cs.sh_of(cu)
         if cu.inter_dir == 3:
-            return cs.pps.weighted_bipred and cs.sh.is_b and cu.bcw_idx == 0
-        return (cs.pps.weighted_pred and cs.sh.is_p) or \
-            (cs.pps.weighted_bipred and cs.sh.is_b)
+            return cs.pps.weighted_bipred and sh.is_b and cu.bcw_idx == 0
+        return (cs.pps.weighted_pred and sh.is_p) or \
+            (cs.pps.weighted_bipred and sh.is_b)
 
     def _apply_wp(self, cu: CodingUnit, parts: list, uni_lst=None,
                   refs=None) -> list:
@@ -1843,7 +1858,7 @@ class IntraReconstructor:
         from vvdec_tpu.hls.weight_table import resolve_wp
         cs = self.cs
         bd = self.bit_depth
-        wt = cs.sh.weight_table
+        wt = cs.sh_of(cu).weight_table
         refs = refs if refs is not None else cu.ref_idx
         shift_num = max(2, 14 - bd)
         offs = 1 << 13
@@ -1877,7 +1892,9 @@ class IntraReconstructor:
         """Finish an inter prediction: LMCS forward mapping of luma
         (DecCu.cpp:460-476 rspBufFwd) before the CIIP intra blend."""
         from vvdec_tpu.frame.structure import MODE_IBC
-        if self.lmcs_fwd and cu.pred_mode != MODE_IBC:
+        sh = self.cs.sh_of(cu)
+        if self.lmcs_fwd and sh.lmcs_enabled and not sh.is_intra \
+                and cu.pred_mode != MODE_IBC:
             preds[0] = self.reshaper.fwd_map(preds[0])
         if cu.ciip_flag:
             self._ciip_blend(cu, preds)

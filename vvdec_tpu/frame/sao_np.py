@@ -20,7 +20,8 @@ def _sgn(a: np.ndarray) -> np.ndarray:
 
 def sao_frame(cs: CodingStructure, planes: list[np.ndarray]) -> None:
     """In-place SAO over reconstructed (deblocked) planes."""
-    if not (cs.sh.sao_enabled_luma or cs.sh.sao_enabled_chroma):
+    if not any(s_.sao_enabled_luma or s_.sao_enabled_chroma
+               for s_ in cs.shs):
         return
     bd = cs.sps.bit_depth
     pel_max = (1 << bd) - 1

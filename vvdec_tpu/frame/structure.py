@@ -164,6 +164,9 @@ class CodingStructure:
         self.pps = pps
         self.ph = ph
         self.sh = shdr
+        # all slice headers of the picture, indexed by CU.slice_idx
+        # (multi-slice pictures; self.sh stays the first slice's header)
+        self.shs = [shdr]
         self.w = pps.pic_width
         self.h = pps.pic_height
         from vvdec_tpu.hls.params import sub_wh
@@ -220,6 +223,10 @@ class CodingStructure:
             self.cu_map_c[cu.cy >> 1 : (cu.cy + cu.ch) >> 1,
                           cu.cx >> 1 : (cu.cx + cu.cw) >> 1] = cu.idx
         return cu
+
+    def sh_of(self, cu: CodingUnit):
+        """Slice header governing this CU (multi-slice pictures)."""
+        return self.shs[cu.slice_idx]
 
     def cu_at(self, x: int, y: int, ch_type: int = 0) -> CodingUnit | None:
         """CU covering position (x, y) in the given channel's coords, or None."""

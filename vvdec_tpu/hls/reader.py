@@ -619,6 +619,23 @@ def parse_pps(rbsp: bytes, sps_getter) -> PPS:
                             tile_idx += (pps.slice_height_in_tiles[s] - 1) * pps.num_tile_cols
                 s += 1
             pps.slice_top_left_tile_idx[n - 1] = tile_idx
+            # last slice: width/height inferred as the remaining rectangle
+            # to the bottom-right tile corner (spec 7.4.3.4 inference for
+            # i == pps_num_slices_in_pic_minus1), unless it continues a
+            # sub-tile split (same tile as the previous slice)
+            if not (n >= 2 and pps.slice_top_left_tile_idx[n - 2] == tile_idx):
+                pps.slice_width_in_tiles[n - 1] = \
+                    pps.num_tile_cols - tile_idx % pps.num_tile_cols
+                pps.slice_height_in_tiles[n - 1] = \
+                    pps.num_tile_rows - tile_idx // pps.num_tile_cols
+            else:
+                ty = tile_idx // pps.num_tile_cols
+                row_h = pps.tile_row_bd[ty + 1] - pps.tile_row_bd[ty]
+                used = sum(pps.slice_height_in_ctu[k]
+                           for k in range(n - 1)
+                           if pps.slice_top_left_tile_idx[k] == tile_idx)
+                pps.slice_height_in_ctu[n - 1] = row_h - used
+                pps.num_slices_in_tile[n - 1] = 2  # >1: sub-tile slice
         if (not pps.rect_slice or pps.single_slice_per_subpic
                 or pps.num_slices_in_pic > 1):
             pps.loop_filter_across_slices = r.flag()

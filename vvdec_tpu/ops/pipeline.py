@@ -147,7 +147,7 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
                 from vvdec_tpu.frame.recon_np import scaling_matrix_for
                 deq = dequant_block(levels, qp, w.bit_length() - 1,
                                     h.bit_length() - 1, cs.sps.bit_depth,
-                                    bool(cs.sh.dep_quant_used),
+                                    bool(cs.sh_of(cu).dep_quant_used),
                                     tu.max_scan_x[comp], tu.max_scan_y[comp],
                                     scale_mat=scaling_matrix_for(
                                         cs, tu, cu, comp))
@@ -176,11 +176,11 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
                     if smat is not None else None
             else:
                 smat, lt = None, None
-            key = (comp != 0, w, h, hor, ver, lt)
+            dq = bool(cs.sh_of(cu).dep_quant_used)
+            key = (comp != 0, w, h, hor, ver, lt, dq)
             groups.setdefault(key, []).append((comp, x, y, qp, smat))
 
-    dep_quant = bool(cs.sh.dep_quant_used)
-    for (is_chroma, w, h, hor, ver, lt), items in groups.items():
+    for (is_chroma, w, h, hor, ver, lt, dep_quant), items in groups.items():
         n = len(items)
         # bucket the batch dimension to powers of two so compiled shapes
         # are stable across frames (bounded number of XLA programs)

@@ -649,6 +649,129 @@ def encode_frame(sps: SPS, pps: PPS, decisions: Decisions, qp: int = 32,
     return make_nal(nal_type, bytes(rbsp)), cs
 
 
+def encode_picture(sps: SPS, pps: PPS, qp: int = 32, poc: int = 0,
+                   idr: bool = True, ph_kw: dict | None = None,
+                   slices: list[dict] | None = None,
+                   alf_apss: dict | None = None, scaling_list=None,
+                   ) -> tuple[bytes, CodingStructure]:
+    """Encode one picture as a standalone PH NAL plus one NAL per slice
+    (multi-slice pictures; encode_frame covers the PH-in-SH single-slice
+    case).  Each entry of `slices` is a dict with keys:
+      decisions (required), slice_type, qp, ref_deltas, sh_kw.
+    Rect-slice mode: slice i covers pps.slice_maps[i].  Raster mode: pass
+    'address' (first tile) and 'num_tiles' per slice."""
+    from vvdec_tpu.testenc.hls_writer import write_picture_header
+
+    slices = slices or []
+    slice_types = [s.get("slice_type", I_SLICE) for s in slices]
+
+    ph = PicHeader()
+    ph.gdr_or_irap_pic = idr
+    ph.inter_slice_allowed = any(t != I_SLICE for t in slice_types)
+    ph.intra_slice_allowed = any(t == I_SLICE for t in slice_types) or idr
+    ph.pps_id = pps.pps_id
+    ph.poc_lsb = poc & (sps.max_poc_lsb - 1)
+    ph.min_qt_size = list(sps.min_qt_size)
+    ph.max_mtt_depth = list(sps.max_mtt_depth)
+    ph.max_bt_size = list(sps.max_bt_size)
+    ph.max_tt_size = list(sps.max_tt_size)
+    ph.temporal_mvp_enabled = bool(sps.temporal_mvp_enabled
+                                   and ph.inter_slice_allowed)
+    if sps.affine_enabled:
+        ph.max_num_affine_merge_cand = sps.max_num_affine_merge_cand
+    else:
+        ph.max_num_affine_merge_cand = int(sps.sbtmvp_enabled
+                                           and ph.temporal_mvp_enabled)
+    for k, v in (ph_kw or {}).items():
+        setattr(ph, k, v)
+
+    nal_type = NalUnitType.IDR_N_LP if idr else NalUnitType.TRAIL
+    w = BitWriter()
+    write_picture_header(w, ph, sps, pps)
+    w.u(1, 1)  # rbsp_stop_one_bit
+    w.byte_align(0)
+    out = make_nal(NalUnitType.PH, w.bytes())
+
+    cs = None
+    for i, spec in enumerate(slices):
+        st = spec.get("slice_type", I_SLICE)
+        sqp = spec.get("qp", qp)
+        ref_deltas = spec.get("ref_deltas", ((), ()))
+        sh = SliceHeader()
+        sh.picture_header_in_slice_header = False
+        sh.slice_type = st
+        sh.qp_y = sqp
+        sh.poc = poc
+        if st != I_SLICE or not idr:
+            # non-IDR slices always carry RPLs (even I slices); keep the
+            # same entries across slices so DPB marking stays consistent
+            sh.rpl_idx = [-1, -1]
+            for lst in (0, 1):
+                rpl = RefPicList()
+                for d in ref_deltas[lst]:
+                    rpl.entries.append(RefPicEntry(value=-d))
+                sh.rpl[lst] = rpl
+        if st != I_SLICE:
+            sh.num_ref_idx_active = [max(1, len(ref_deltas[0])),
+                                     len(ref_deltas[1]) if st == B_SLICE
+                                     else 0]
+        for k, v in spec.get("sh_kw", {}).items():
+            setattr(sh, k, v)
+        sh.lmcs_enabled = bool(ph.lmcs_enabled
+                               and spec.get("lmcs", ph.lmcs_enabled))
+        sh.explicit_scaling_list_used = ph.explicit_scaling_list_enabled
+        sh.nal_type = nal_type
+        if pps.rect_slice or pps.no_pic_partition:
+            sh.slice_address = i
+            sh.ctu_addrs = list(pps.slice_maps[i])
+        else:
+            sh.slice_address = spec.get("address", 0)
+            sh.num_tiles_in_slice = spec.get("num_tiles", 1)
+            sh.ctu_addrs = []
+            for t in range(sh.slice_address,
+                           sh.slice_address + sh.num_tiles_in_slice):
+                tx, ty = t % pps.num_tile_cols, t // pps.num_tile_cols
+                sh.ctu_addrs.extend(pps.tile_ctus(
+                    pps.tile_col_bd[tx], pps.tile_col_bd[tx + 1],
+                    pps.tile_row_bd[ty], pps.tile_row_bd[ty + 1]))
+
+        if cs is None:
+            cs = CodingStructure(sps, pps, ph, sh)
+            if alf_apss:
+                cs.alf_apss = alf_apss
+            if scaling_list is not None:
+                cs.scaling_list = scaling_list
+        else:
+            cs.shs.append(sh)
+            cs.sh = sh
+        enc = CabacEncoder()
+        enc.reset(sqp, st)
+        coder = CtuDecoder(cs, enc=enc, decisions=spec["decisions"],
+                           slice_idx=i)
+        coder.code_slice()
+        substreams = coder.enc_substreams
+        if len(substreams) > 1:
+            if not sps.entry_point_offsets_present:
+                raise ValueError("multi-substream slice requires "
+                                 "sps_entry_point_offsets_present")
+            sh.entry_point_offsets = [len(ss) for ss in substreams[:-1]]
+            for _ in range(5):
+                w = BitWriter()
+                write_slice_header(w, sh, ph, sps, pps)
+                new = _ebsp_substream_sizes(w.bytes(), substreams)[:-1]
+                if new == sh.entry_point_offsets:
+                    break
+                sh.entry_point_offsets = new
+        w = BitWriter()
+        write_slice_header(w, sh, ph, sps, pps)
+        rbsp = bytearray(w.bytes())
+        for ss in substreams:
+            rbsp += ss
+        out += make_nal(nal_type, bytes(rbsp))
+    cs.sh = cs.shs[0]
+    return out, cs
+
+
 def _ebsp_substream_sizes(sh_bytes: bytes, substreams: list[bytes]
                           ) -> list[int]:
     """Per-substream sizes including the emulation prevention bytes the

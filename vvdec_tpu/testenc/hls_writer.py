@@ -264,7 +264,39 @@ def write_pps(w: BitWriter, pps: PPS, sps: SPS) -> None:
         if pps.rect_slice:
             w.flag(pps.single_slice_per_subpic)
         if pps.rect_slice and not pps.single_slice_per_subpic:
-            raise NotImplementedError("explicit rect slice layout writing")
+            # tile-aligned slices in implied walk order (no tile_idx_delta,
+            # no sub-tile slices) — mirrors the parse loop in
+            # vvdec_tpu/hls/reader.py (parsePPS rect-slice layout)
+            n = pps.num_slices_in_pic
+            w.ue(n - 1)
+            if n - 1 > 1:
+                _unsupported(pps.tile_idx_delta_present, "tile_idx_delta")
+                w.flag(False)
+            cols, rows = tmp.num_tile_cols, tmp.num_tile_rows
+            tile_idx = 0
+            s = 0
+            while s < n - 1:
+                if pps.slice_top_left_tile_idx[s] != tile_idx:
+                    raise NotImplementedError(
+                        "rect slices out of implied walk order")
+                sw = pps.slice_width_in_tiles[s]
+                sh_t = pps.slice_height_in_tiles[s]
+                if tile_idx % cols != cols - 1:
+                    w.ue(sw - 1)
+                elif sw != 1:
+                    raise ValueError("slice width must be 1 in last column")
+                if (tile_idx // cols != rows - 1
+                        and (tile_idx % cols == 0)):
+                    w.ue(sh_t - 1)
+                if sw == 1 and sh_t == 1:
+                    row_h = tmp.tile_row_bd[tile_idx // cols + 1] \
+                        - tmp.tile_row_bd[tile_idx // cols]
+                    if row_h > 1:
+                        w.ue(0)  # whole-tile slice (no sub-tile splits)
+                tile_idx += sw
+                if tile_idx % cols == 0:
+                    tile_idx += (sh_t - 1) * cols
+                s += 1
         if not pps.rect_slice or pps.single_slice_per_subpic or pps.num_slices_in_pic > 1:
             w.flag(pps.loop_filter_across_slices)
     w.flag(pps.cabac_init_present)
