@@ -63,7 +63,7 @@ class TestDmvr:
         _check(stream, tmp_path, 5)
 
 
-def _bpyramid_stream(seed, sps_kw, dec_kw):
+def _bpyramid_stream(seed, sps_kw, dec_kw, pps_kw=None):
     """I0, P4(ref 0), then B2(0,4), B1(0,2), B3(2,4): B frames with one
     past and one future reference at equal distance."""
     from vvdec_tpu.bitstream.nal import NalUnitType
@@ -74,7 +74,7 @@ def _bpyramid_stream(seed, sps_kw, dec_kw):
     from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
 
     sps = E.make_sps(96, 64, num_reorder_pics=[2], **sps_kw)
-    pps = E.make_pps(sps)
+    pps = E.make_pps(sps, **(pps_kw or {}))
     w = BitWriter()
     write_sps(w, sps)
     stream = make_nal(NalUnitType.SPS, w.bytes())

@@ -266,11 +266,23 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
 
 
 def decode_to_yuv(data: bytes, use_jax: bool = False) -> bytes:
-    """Decode to the vvdecapp YUV output format (16-bit LE planar)."""
+    """Decode to the vvdecapp YUV output format: planar LE, one byte per
+    sample for 8-bit streams, two bytes otherwise (vvdecHelper.h
+    writeYUVToFile sample packing)."""
+    from vvdec_tpu.hls.reader import ParameterSetManager
+    # sniff the stream bit depth from the first SPS
+    bd = 10
+    from vvdec_tpu.bitstream.nal import NalUnitType, read_nal_units
+    from vvdec_tpu.hls.reader import parse_sps
+    for nal in read_nal_units(data):
+        if nal.nal_type == NalUnitType.SPS:
+            full = bytes([0, (int(nal.nal_type) << 3) | 1]) + nal.rbsp
+            bd = parse_sps(full).bit_depth
+            break
     out = b""
     for planes in decode_annexb(data, use_jax=use_jax):
         for p in planes:
-            out += p.astype("<u2").tobytes()
+            out += p.astype("u1" if bd == 8 else "<u2").tobytes()
     return out
 
 

@@ -610,24 +610,29 @@ def prof_dmv_grid(lt: tuple, rt: tuple, lb: tuple, w: int, h: int,
     return dmv_h, dmv_v
 
 
-def _ref_at(ref: np.ndarray, ys, xs) -> np.ndarray:
+def _ref_at(ref: np.ndarray, ys, xs, wrap_off: int | None = None
+            ) -> np.ndarray:
     hh, ww = ref.shape
-    return ref[np.ix_(np.clip(ys, 0, hh - 1), np.clip(xs, 0, ww - 1))] \
-        .astype(np.int64)
+    if wrap_off is not None:
+        from vvdec_tpu.frame.inter_np import wrap_cols
+        cols = wrap_cols(np.asarray(xs), ww, wrap_off)
+    else:
+        cols = np.clip(xs, 0, ww - 1)
+    return ref[np.ix_(np.clip(ys, 0, hh - 1), cols)].astype(np.int64)
 
 
 def affine_luma_4x4(ref: np.ndarray, bx: int, by: int, mv: tuple,
                     bit_depth: int, bi: bool, prof: bool,
-                    dmv_h: np.ndarray | None, dmv_v: np.ndarray | None
-                    ) -> np.ndarray:
+                    dmv_h: np.ndarray | None, dmv_v: np.ndarray | None,
+                    wrap_off: int | None = None) -> np.ndarray:
     """One 4x4 luma affine subblock at (bx, by): 6-tap MC plus optional PROF
     refinement.  Returns final pixels (uni) or 14-bit intermediate (bi)."""
     shift = max(2, IF_INTERNAL_PREC - bit_depth)
     if not prof:
         return mc_block(ref, bx, by, 4, 4, mv, 0, bit_depth, (2, 2), bi,
-                        luma_table=LUMA_IF_4X4)
+                        luma_table=LUMA_IF_4X4, wrap_off=wrap_off)
     blk = mc_block(ref, bx, by, 4, 4, mv, 0, bit_depth, (2, 2), True,
-                   luma_table=LUMA_IF_4X4)
+                   luma_table=LUMA_IF_4X4, wrap_off=wrap_off)
     fx, fy = mv[0] & 15, mv[1] & 15
     ix, iy = mv[0] >> 4, mv[1] >> 4
     x_off = fx >> 3
@@ -639,12 +644,12 @@ def affine_luma_4x4(ref: np.ndarray, bx: int, by: int, mv: tuple,
     x0 = bx + ix + x_off
     y0 = by + iy + y_off
     cols = np.arange(x0 - 1, x0 + 5)
-    ext[0, :] = (_ref_at(ref, [y0 - 1], cols)[0] << shift) - IF_INTERNAL_OFFS
-    ext[5, :] = (_ref_at(ref, [y0 + 4], cols)[0] << shift) - IF_INTERNAL_OFFS
+    ext[0, :] = (_ref_at(ref, [y0 - 1], cols, wrap_off)[0] << shift) - IF_INTERNAL_OFFS
+    ext[5, :] = (_ref_at(ref, [y0 + 4], cols, wrap_off)[0] << shift) - IF_INTERNAL_OFFS
     rows = np.arange(y0, y0 + 4)
-    ext[1:5, 0] = (_ref_at(ref, rows, [x0 - 1])[:, 0] << shift) \
+    ext[1:5, 0] = (_ref_at(ref, rows, [x0 - 1], wrap_off)[:, 0] << shift) \
         - IF_INTERNAL_OFFS
-    ext[1:5, 5] = (_ref_at(ref, rows, [x0 + 4])[:, 0] << shift) \
+    ext[1:5, 5] = (_ref_at(ref, rows, [x0 + 4], wrap_off)[:, 0] << shift) \
         - IF_INTERNAL_OFFS
     # gradients over the inner 4x4 (gradFilterCore<false>)
     grad_x = (ext[1:5, 2:6] >> 6) - (ext[1:5, 0:4] >> 6)
@@ -686,10 +691,18 @@ def affine_pred(cs: CodingStructure, cu: CodingUnit, lst: int,
             mv = (int(cs.mi_mv[y4a + r, x4a + c, lst, 0]),
                   int(cs.mi_mv[y4a + r, x4a + c, lst, 1]))
             mvs[r][c] = mv
-            mvc = clip_mv(mv, cu.x, cu.y, cs)
+            woff = None
+            if cs.sps.ref_wraparound_enabled and cs.pps.ref_wraparound_enabled:
+                # per-subblock wrap (xPredAffineBlk, InterPrediction.cpp:1182)
+                from vvdec_tpu.frame.inter_np import wrap_clip_mv
+                mvc, wref = wrap_clip_mv(mv, cu.x + c * 4, cu.y + r * 4,
+                                         4, 4, cs)
+                woff = cs.pps.wraparound_offset if wref else None
+            else:
+                mvc = clip_mv(mv, cu.x, cu.y, cs)
             out_l[r * 4:r * 4 + 4, c * 4:c * 4 + 4] = affine_luma_4x4(
                 planes[0], cu.x + c * 4, cu.y + r * 4, mvc, bit_depth, bi,
-                prof, dmv_h, dmv_v)
+                prof, dmv_h, dmv_v, wrap_off=woff)
     preds = [out_l]
     if cs.num_comp > 1:
         sub_w, sub_h = cs.sub_w, cs.sub_h
@@ -707,11 +720,22 @@ def affine_pred(cs: CodingStructure, cu: CodingUnit, lst: int,
                     mx, my = round_affine(a[0] + b[0], a[1] + b[1], 1)
                 else:                               # 444: direct
                     mx, my = mvs[r][c]
-                mvc = clip_mv((mx, my), cu.x, cu.y, cs)
+                woff = None
+                if cs.sps.ref_wraparound_enabled \
+                        and cs.pps.ref_wraparound_enabled:
+                    from vvdec_tpu.frame.inter_np import wrap_clip_mv
+                    mvc, wref = wrap_clip_mv(
+                        (mx, my), cu.x + ((c * 4) << (sub_w - 1)),
+                        cu.y + ((r * 4) << (sub_h - 1)),
+                        4 << (sub_w - 1), 4 << (sub_h - 1), cs)
+                    woff = cs.pps.wraparound_offset if wref else None
+                else:
+                    mvc = clip_mv((mx, my), cu.x, cu.y, cs)
                 for comp in (1, 2):
                     out_c[comp - 1][r * 4:r * 4 + 4, c * 4:c * 4 + 4] = \
                         mc_block(planes[comp], cu.cx + c * 4, cu.cy + r * 4,
                                  4, 4, mvc, comp, bit_depth, (sub_w, sub_h),
-                                 bi)
+                                 bi, wrap_off=None if woff is None
+                                 else woff >> (sub_w - 1))
         preds += out_c
     return preds

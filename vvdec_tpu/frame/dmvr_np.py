@@ -92,28 +92,39 @@ class RefView:
     plane models the picture's edge-padded margins; a DMVR prefetch window
     models the pad-limited buffer (paddingCore<2>)."""
 
-    def __init__(self, arr: np.ndarray, x0: int = 0, y0: int = 0):
+    def __init__(self, arr: np.ndarray, x0: int = 0, y0: int = 0,
+                 wrap_off: int | None = None):
         self.arr = arr
         self.x0 = x0
         self.y0 = y0
+        self.wrap_off = wrap_off
 
     @classmethod
-    def window(cls, plane: np.ndarray, wx: int, wy: int, ww: int, wh: int
-               ) -> "RefView":
+    def window(cls, plane: np.ndarray, wx: int, wy: int, ww: int, wh: int,
+               wrap_off: int | None = None) -> "RefView":
         """Prefetch the picture window [wx, wx+ww) x [wy, wy+wh) (clamped
         to picture edges).  The clamped get() reproduces the reference's
         edge-replication padding (paddingCore, InterPrediction.cpp:283) —
-        reads never exceed the reference's physical pad of the window."""
+        reads never exceed the reference's physical pad of the window.
+        With wrap_off, columns map through the wraparound-padded buffer."""
+        from vvdec_tpu.frame.inter_np import wrap_cols
         hh, ww_p = plane.shape
-        xs = np.clip(np.arange(wx, wx + ww), 0, ww_p - 1)
+        if wrap_off is not None:
+            xs = wrap_cols(np.arange(wx, wx + ww), ww_p, wrap_off)
+        else:
+            xs = np.clip(np.arange(wx, wx + ww), 0, ww_p - 1)
         ys = np.clip(np.arange(wy, wy + wh), 0, hh - 1)
         return cls(plane[np.ix_(ys, xs)], wx, wy)
 
     def get(self, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+        from vvdec_tpu.frame.inter_np import wrap_cols
         hh, ww = self.arr.shape
+        if self.wrap_off is not None:
+            cols = wrap_cols(xs - self.x0, ww, self.wrap_off)
+        else:
+            cols = np.clip(xs - self.x0, 0, ww - 1)
         return self.arr[np.ix_(np.clip(ys - self.y0, 0, hh - 1),
-                               np.clip(xs - self.x0, 0, ww - 1))] \
-            .astype(np.int64)
+                               cols)].astype(np.int64)
 
 
 def _filt1d(win: np.ndarray, coeffs, axis: int) -> np.ndarray:

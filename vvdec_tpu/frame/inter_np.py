@@ -524,8 +524,12 @@ def fill_mvp(cs: CodingStructure, cu: CodingUnit, lst: int, ref_idx: int,
     return cands[:AMVP_MAX]
 
 
-def clip_mv(mv: tuple, x: int, y: int, cs: CodingStructure) -> tuple:
-    """clipMvInPic (Mv.cpp:64); 1/16-pel units."""
+def clip_mv(mv: tuple, x: int, y: int, cs: CodingStructure,
+            size: tuple | None = None) -> tuple:
+    """clipMvInPic (Mv.cpp:64); 1/16-pel units.  With reference
+    wraparound enabled this is the wrapping clip (size required)."""
+    if cs.sps.ref_wraparound_enabled and size is not None:
+        return wrap_clip_mv(mv, x, y, size[0], size[1], cs)[0]
     ctu = cs.sps.ctu_size
     hor_max = (cs.w + 8 - x - 1) << 4
     hor_min = (-ctu - 8 - x + 1) << 4
@@ -533,6 +537,45 @@ def clip_mv(mv: tuple, x: int, y: int, cs: CodingStructure) -> tuple:
     ver_min = (-ctu - 8 - y + 1) << 4
     return (min(hor_max, max(hor_min, mv[0])),
             min(ver_max, max(ver_min, mv[1])))
+
+
+def wrap_clip_mv(mv: tuple, x: int, y: int, w: int, h: int,
+                 cs: CodingStructure) -> tuple[tuple, bool]:
+    """wrapClipMv (Mv.cpp:112): horizontal 360-wraparound MV clip.
+    Returns (clipped mv, wrap_ref) — wrap_ref selects the wraparound-padded
+    reference buffer; False when the MV itself was shifted by the offset."""
+    ctu = cs.sps.ctu_size
+    hor_max = (cs.w + ctu - w + 8 - x - 1) << 4
+    hor_min = (-ctu - 8 - x + 1) << 4
+    ver_max = (cs.h + 8 - y - 1) << 4
+    ver_min = (-ctu - 8 - y + 1) << 4
+    mx, my = mv
+    wrap_ref = True
+    off16 = cs.pps.wraparound_offset << 4
+    if mx > hor_max:
+        mx = min(hor_max, max(hor_min, mx - off16))
+        wrap_ref = False
+    if mx < hor_min:
+        mx = min(hor_max, max(hor_min, mx + off16))
+        wrap_ref = False
+    return (mx, min(ver_max, max(ver_min, my))), wrap_ref
+
+
+def wrap_cols(xs: np.ndarray, ww: int, off: int) -> np.ndarray:
+    """Horizontal index map of the wraparound-padded reference buffer
+    (Picture::extendPicBorderWrap, Picture.cpp:410): the first `off`
+    margin columns wrap to the opposite side, the rest clamp to the
+    unwrapped edge sample."""
+    out = np.clip(xs, 0, ww - 1)
+    left = xs < 0
+    lw = left & (xs >= -off)
+    out[lw] = xs[lw] + off
+    out[left & (xs < -off)] = 0
+    right = xs >= ww
+    rw = right & (xs < ww + off)
+    out[rw] = xs[rw] - off
+    out[right & (xs >= ww + off)] = ww - 1
+    return out
 
 
 def _filter_1d(arr: np.ndarray, coeffs: np.ndarray, axis: int) -> np.ndarray:
@@ -556,7 +599,8 @@ ALT_HPEL_IF = np.array([0, 3, 9, 20, 20, 9, 3, 0], dtype=np.int32)
 def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
              mv: tuple, comp: int, bit_depth: int, sub: tuple[int, int],
              intermediate: bool, alt_hpel: bool = False,
-             luma_table: np.ndarray | None = None) -> np.ndarray:
+             luma_table: np.ndarray | None = None,
+             wrap_off: int | None = None) -> np.ndarray:
     """Motion-compensated prediction of one block.
 
     ref: reference plane (this component).  (x, y, w, h) in component coords.
@@ -582,9 +626,12 @@ def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
     half = taps // 2 - 1
     x0 = x + ix - half
     y0 = y + iy - half
-    # edge-extended reference window
+    # edge-extended reference window (wraparound-padded when wrap_off set)
     hh, ww = ref.shape
-    xs = np.clip(np.arange(x0, x0 + w + taps - 1), 0, ww - 1)
+    if wrap_off is not None:
+        xs = wrap_cols(np.arange(x0, x0 + w + taps - 1), ww, wrap_off)
+    else:
+        xs = np.clip(np.arange(x0, x0 + w + taps - 1), 0, ww - 1)
     ys = np.clip(np.arange(y0, y0 + h + taps - 1), 0, hh - 1)
     win = ref[np.ix_(ys, xs)].astype(np.int64)
 

@@ -1361,7 +1361,9 @@ class IntraReconstructor:
             if not (cu.inter_dir & (1 << lst)):
                 continue
             planes = cs.ref_planes[lst][cu.ref_idx[lst]]
-            mvc = I.clip_mv(tuple(cu.mv[lst]), cu.x, cu.y, cs)
+            mvc = I.clip_mv(tuple(cu.mv[lst]), cu.x, cu.y, cs,
+                            size=(cu.w, cu.h))
+            mvc, woff = self._wrap(mvc, cu.x, cu.y, cu.w, cu.h)
             bi = cu.inter_dir == 3 or wp_on
             part = []
             for comp in range(cs.num_comp):
@@ -1369,12 +1371,15 @@ class IntraReconstructor:
                     part.append(I.mc_block(planes[0], cu.x, cu.y, cu.w, cu.h,
                                            mvc, 0, self.bit_depth,
                                            (cs.sub_w, cs.sub_h), bi,
-                                           alt_hpel=cu.alt_hpel))
+                                           alt_hpel=cu.alt_hpel,
+                                           wrap_off=woff))
                 else:
                     part.append(I.mc_block(planes[comp], cu.cx, cu.cy,
                                            cu.cw, cu.ch, mvc, comp,
                                            self.bit_depth,
-                                           (cs.sub_w, cs.sub_h), bi))
+                                           (cs.sub_w, cs.sub_h), bi,
+                                           wrap_off=None if woff is None
+                                           else woff >> (cs.sub_w - 1)))
             parts.append(part)
         if wp_on:
             preds[:cs.num_comp] = self._apply_wp(cu, parts)
@@ -1506,8 +1511,10 @@ class IntraReconstructor:
                 for lst in range(2):
                     plane = cs.ref_planes[lst][cu.ref_idx[lst]]
                     # clipMv uses the FULL CU area (m_currCuArea)
-                    mvc = I.clip_mv(tuple(cu.mv[lst]), cu.x, cu.y, cs)
-                    view = D.RefView(plane[0])
+                    mvc = I.clip_mv(tuple(cu.mv[lst]), cu.x, cu.y, cs,
+                                    size=(cu.w, cu.h))
+                    mvc, woff = self._wrap(mvc, cu.x, cu.y, cu.w, cu.h)
+                    view = D.RefView(plane[0], wrap_off=woff)
                     _, ext = D.mc_from_view(
                         view, cu.x + tx, cu.y + ty, tw, th,
                         mvc[0] >> 4, mvc[1] >> 4, mvc[0] & 15, mvc[1] & 15,
@@ -1521,7 +1528,9 @@ class IntraReconstructor:
                             fx = (mvc[0] & ((1 << sx) - 1)) << (5 - sx)
                             fy = (mvc[1] & ((1 << sy) - 1)) << (5 - sy)
                             cpart.append(D.mc_from_view(
-                                D.RefView(plane[comp]),
+                                D.RefView(plane[comp],
+                                          wrap_off=None if woff is None
+                                          else woff >> (cs.sub_w - 1)),
                                 (cu.x + tx) // cs.sub_w,
                                 (cu.y + ty) // cs.sub_h,
                                 tw // cs.sub_w, th // cs.sub_h,
@@ -1551,9 +1560,12 @@ class IntraReconstructor:
         bl = []
         for lst in range(2):
             plane = cs.ref_planes[lst][cu.ref_idx[lst]][0]
-            mvc = I.clip_mv(merge_mv[lst], cu.x, cu.y, cs)
+            mvc = I.clip_mv(merge_mv[lst], cu.x, cu.y, cs,
+                            size=(cu.w, cu.h))
+            mvc, woff_bl = self._wrap(mvc, cu.x, cu.y, cu.w, cu.h)
             mvc = (mvc[0] - (D.DMVR_ITER << 4), mvc[1] - (D.DMVR_ITER << 4))
-            bl.append(D.bilinear_pred(D.RefView(plane), cu.x, cu.y,
+            bl.append(D.bilinear_pred(D.RefView(plane, wrap_off=woff_bl),
+                                      cu.x, cu.y,
                                       cu.w + 2 * D.DMVR_ITER,
                                       cu.h + 2 * D.DMVR_ITER, mvc, bd))
         dx = min(cu.w, D.DMVR_SUBCU)
@@ -1576,7 +1588,9 @@ class IntraReconstructor:
                 parts = []
                 for lst, rmv in ((0, mv0), (1, mv1)):
                     planes = cs.ref_planes[lst][cu.ref_idx[lst]]
-                    mvc = I.clip_mv(rmv, sx_abs, sy_abs, cs)
+                    mvc = I.clip_mv(rmv, sx_abs, sy_abs, cs,
+                                    size=(cu.w, cu.h))
+                    mvc, woff = self._wrap(mvc, cu.x, cu.y, cu.w, cu.h)
                     part = []
                     ext = None
                     for comp in range(cs.num_comp):
@@ -1604,16 +1618,25 @@ class IntraReconstructor:
                             half = taps // 2 - 1
                             wmv = (merge_mv[lst][0] - (half << shx),
                                    merge_mv[lst][1] - (half << shy))
-                            wmv = I.clip_mv(wmv, sx_abs, sy_abs, cs)
+                            wmv = I.clip_mv(wmv, sx_abs, sy_abs, cs,
+                                            size=(cu.w, cu.h))
+                            wmv, _ = self._wrap(wmv, cu.x, cu.y, cu.w, cu.h)
                             wx = bx + (wmv[0] >> shx)
                             wy = by + (wmv[1] >> shy)
                             view = D.RefView.window(
                                 planes[comp], wx, wy,
-                                bw + taps - 1, bh + taps - 1)
+                                bw + taps - 1, bh + taps - 1,
+                                wrap_off=None if woff is None else
+                                (woff if comp == 0
+                                 else woff >> (cs.sub_w - 1)))
                             int_x = (wmv[0] >> shx) + d_int_x + half
                             int_y = (wmv[1] >> shy) + d_int_y + half
                         else:
-                            view = D.RefView(planes[comp])
+                            view = D.RefView(
+                                planes[comp],
+                                wrap_off=None if woff is None else
+                                (woff if comp == 0
+                                 else woff >> (cs.sub_w - 1)))
                             int_x = mvc[0] >> shx
                             int_y = mvc[1] >> shy
                         if comp == 0 and bio_sub:
@@ -1757,11 +1780,14 @@ class IntraReconstructor:
                         continue
                     mv = (int(cs.mi_mv[y4, x4, lst, 0]),
                           int(cs.mi_mv[y4, x4, lst, 1]))
-                    mvc = I.clip_mv(mv, cu.x + bx, cu.y + by, cs)
+                    mvc = I.clip_mv(mv, cu.x + bx, cu.y + by, cs,
+                                    size=(8, 8))
+                    mvc, woff = self._wrap(mvc, cu.x + bx, cu.y + by, 8, 8)
                     planes = cs.ref_planes[lst][r0 if lst == 0 else r1]
                     part = [I.mc_block(planes[0], cu.x + bx, cu.y + by, 8, 8,
                                        mvc, 0, self.bit_depth,
-                                       (cs.sub_w, cs.sub_h), bi)]
+                                       (cs.sub_w, cs.sub_h), bi,
+                                       wrap_off=woff)]
                     if cs.num_comp > 1:
                         cbx = (cu.x + bx) // cs.sub_w - cu.cx
                         cby = (cu.y + by) // cs.sub_h - cu.cy
@@ -1769,7 +1795,9 @@ class IntraReconstructor:
                             part.append(I.mc_block(
                                 planes[comp], cu.cx + cbx, cu.cy + cby,
                                 8 // cs.sub_w, 8 // cs.sub_h, mvc, comp,
-                                self.bit_depth, (cs.sub_w, cs.sub_h), bi))
+                                self.bit_depth, (cs.sub_w, cs.sub_h), bi,
+                                wrap_off=None if woff is None
+                                else woff >> (cs.sub_w - 1)))
                     parts.append(part)
                 if wp_on:
                     wl = None if d == 3 else (0 if d == 1 else 1)
@@ -1805,18 +1833,22 @@ class IntraReconstructor:
             lst = 0 if c[0] == 1 else 1
             ref = c[3 + lst]
             planes = cs.ref_planes[lst][ref]
-            mvc = I.clip_mv(c[1 + lst], cu.x, cu.y, cs)
+            mvc = I.clip_mv(c[1 + lst], cu.x, cu.y, cs, size=(cu.w, cu.h))
+            mvc, woff = self._wrap(mvc, cu.x, cu.y, cu.w, cu.h)
             part = []
             for comp in range(cs.num_comp):
                 if comp == 0:
                     part.append(I.mc_block(planes[0], cu.x, cu.y, cu.w, cu.h,
                                            mvc, 0, self.bit_depth,
-                                           (cs.sub_w, cs.sub_h), True))
+                                           (cs.sub_w, cs.sub_h), True,
+                                           wrap_off=woff))
                 else:
                     part.append(I.mc_block(planes[comp], cu.cx, cu.cy,
                                            cu.cw, cu.ch, mvc, comp,
                                            self.bit_depth,
-                                           (cs.sub_w, cs.sub_h), True))
+                                           (cs.sub_w, cs.sub_h), True,
+                                           wrap_off=None if woff is None
+                                           else woff >> (cs.sub_w - 1)))
             parts.append(part)
         shift = max(2, I.IF_INTERNAL_PREC - self.bit_depth) + 3
         offset = (1 << (shift - 1)) + (I.IF_INTERNAL_OFFS << 3)
@@ -1850,6 +1882,17 @@ class IntraReconstructor:
             return cs.pps.weighted_bipred and sh.is_b and cu.bcw_idx == 0
         return (cs.pps.weighted_pred and sh.is_p) or \
             (cs.pps.weighted_bipred and sh.is_b)
+
+    def _wrap(self, mvc, x, y, w, h):
+        """Second-stage wrapClipMv (xPredInterUni, InterPrediction.cpp:656):
+        returns (mv, luma wrap offset or None) — the offset selects the
+        wraparound-padded reference for the fetch."""
+        cs = self.cs
+        if not (cs.sps.ref_wraparound_enabled and cs.pps.ref_wraparound_enabled):
+            return mvc, None
+        from vvdec_tpu.frame import inter_np as I
+        mvc, wrap_ref = I.wrap_clip_mv(mvc, x, y, w, h, cs)
+        return mvc, (cs.pps.wraparound_offset if wrap_ref else None)
 
     def _apply_wp(self, cu: CodingUnit, parts: list, uni_lst=None,
                   refs=None) -> list:

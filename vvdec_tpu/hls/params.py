@@ -431,6 +431,11 @@ class PPS:
         ctu = sps.ctu_size
         self.pic_width_in_ctu = (self.pic_width + ctu - 1) // ctu
         self.pic_height_in_ctu = (self.pic_height + ctu - 1) // ctu
+        if self.ref_wraparound_enabled:
+            min_cb = 1 << sps.log2_min_cb_size
+            self.wraparound_offset = min_cb * (
+                self.pic_width // min_cb
+                - self.pic_width_minus_wraparound_offset)
 
         if self.no_pic_partition:
             self.tile_col_widths = [self.pic_width_in_ctu]

@@ -229,7 +229,6 @@ def write_ref_pic_list(w: BitWriter, sps: SPS, rpl, rpl_idx: int) -> None:
 
 def write_pps(w: BitWriter, pps: PPS, sps: SPS) -> None:
     _unsupported(pps.subpic_id_mapping_present, "pps subpic ids")
-    _unsupported(pps.ref_wraparound_enabled, "wraparound")
     _unsupported(pps.cu_chroma_qp_offset_list_enabled, "chroma qp offset lists")
 
     w.u(pps.pps_id, 6)
@@ -305,7 +304,9 @@ def write_pps(w: BitWriter, pps: PPS, sps: SPS) -> None:
     w.flag(pps.rpl1_idx_present)
     w.flag(pps.weighted_pred)
     w.flag(pps.weighted_bipred)
-    w.flag(False)  # ref_wraparound
+    w.flag(pps.ref_wraparound_enabled)
+    if pps.ref_wraparound_enabled:
+        w.ue(pps.pic_width_minus_wraparound_offset)
     w.se(pps.init_qp - 26)
     w.flag(pps.cu_qp_delta_enabled)
     w.flag(pps.chroma_tool_offsets_present)
