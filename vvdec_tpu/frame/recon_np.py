@@ -47,6 +47,14 @@ from vvdec_tpu.ops.tables import (
 
 DIA_IDX = 34
 
+# 4:2:2 chroma directional-mode mapping (g_chroma422IntraAngleMappingTable,
+# Rom.cpp:392): squeezes luma angles onto the half-width chroma grid
+CHROMA422_MAP = (
+    0, 1, 61, 62, 63, 64, 65, 66, 2, 3, 5, 6, 8, 10, 12, 13, 14, 16,
+    18, 20, 22, 23, 24, 26, 28, 30, 31, 33, 34, 35, 36, 37, 38, 39,
+    40, 41, 41, 42, 43, 43, 44, 44, 45, 45, 46, 47, 48, 48, 49, 49,
+    50, 51, 51, 52, 52, 53, 54, 55, 55, 56, 56, 57, 57, 58, 59, 59, 60)
+
 
 # ======================================================================
 # dequant + inverse transform
@@ -890,7 +898,10 @@ class IntraReconstructor:
                 luma_cu = cu
             mode = PLANAR_IDX if (luma_cu is None or luma_cu.mip_flag) \
                 else luma_cu.intra_dir[0]
-        # 422 mapping not needed for 420/444
+        # 4:2:2 maps directional/planar/DC chroma modes (getFinalIntraMode,
+        # UnitTools.cpp:595)
+        if self.cs.sps.chroma_format_idc == 2 and mode < 67:
+            mode = CHROMA422_MAP[mode]
         return mode
 
     def use_filtered_refs(self, cu: CodingUnit, comp: int, w: int, h: int) -> bool:
@@ -972,39 +983,70 @@ class IntraReconstructor:
 
         lx, ly = cx * cs.sub_w, cy * cs.sub_h
         first_row_of_ctu = (ly & (cs.sps.ctu_size - 1)) == 0
+        # per-format downsampling taps (xGetLumaRecPixels,
+        # IntraPrediction.cpp format switch): 3-tap (first CTU row),
+        # 5-tap (collocated), 6-tap (default)
+        mult = cs.sub_w
+        rec2 = cs.sub_h              # luma rows per chroma row
+        stro = 0 if cs.sub_w == 1 else 1  # vertical tap row offset (0: 444)
+        lh, lw = luma.shape
+
+        def lum(r: int, c: int) -> int:
+            # zero-coefficient taps may index one past the picture edge
+            # (the reference reads its margin there); clamp — harmless
+            # since those taps are only live in-bounds
+            return int(luma[min(r, lh - 1), min(c, lw - 1)])
+        if cs.sps.chroma_format_idc == 2:    # 4:2:2
+            t3 = (2, 1, 1, 2, 2)
+            t5 = (0, 2, 1, 1, 0, 2, 2)
+            t6 = (2, 1, 1, 0, 0, 0, 2, 2)
+        elif cs.sps.chroma_format_idc == 3:  # 4:4:4
+            t3 = (1, 0, 0, 0, 0)
+            t5 = (0, 1, 0, 0, 0, 0, 0)
+            t6 = (1, 0, 0, 0, 0, 0, 0, 0)
+        else:                                # 4:2:0
+            t3 = (2, 1, 1, 2, 2)
+            t5 = (1, 4, 1, 1, 1, 4, 3)
+            t6 = (2, 1, 1, 2, 1, 1, 4, 3)
 
         def ds_top(i: int) -> int:
             """Downsampled luma above the block at template position i."""
-            xx = lx + 2 * i
+            xx = lx + mult * i
+            left_tap = xx if (i == 0 and not build_left) else xx - 1
             if first_row_of_ctu:
                 r = ly - 1
-                left_tap = xx if (i == 0 and not build_left) else xx - 1
-                return (2 * int(luma[r, xx]) + int(luma[r, left_tap])
-                        + int(luma[r, xx + 1]) + 2) >> 2
+                return (t3[0] * lum(r, xx) + t3[1] * lum(r, left_tap)
+                        + t3[2] * lum(r, xx + 1) + t3[3]) >> t3[4]
+            r = ly - rec2
             if collocated:
-                r = ly - 2
-                left_tap = xx if (i == 0 and not build_left) else xx - 1
-                return (int(luma[r - 1, xx]) + 4 * int(luma[r, xx])
-                        + int(luma[r, left_tap]) + int(luma[r, xx + 1])
-                        + int(luma[r + 1, xx]) + 4) >> 3
-            r = ly - 2
-            left_tap = xx if (i == 0 and not build_left) else xx - 1
-            return (2 * int(luma[r, xx]) + int(luma[r, left_tap])
-                    + int(luma[r, xx + 1])
-                    + 2 * int(luma[r + 1, xx]) + int(luma[r + 1, left_tap])
-                    + int(luma[r + 1, xx + 1]) + 4) >> 3
+                return (t5[0] * lum(r - stro, xx)
+                        + t5[1] * lum(r, xx)
+                        + t5[2] * lum(r, left_tap)
+                        + t5[3] * lum(r, xx + 1)
+                        + t5[4] * lum(r + stro, xx) + t5[5]) >> t5[6]
+            return (t6[0] * lum(r, xx) + t6[1] * lum(r, left_tap)
+                    + t6[2] * lum(r, xx + 1)
+                    + t6[3] * lum(r + stro, xx)
+                    + t6[4] * lum(r + stro, left_tap)
+                    + t6[5] * lum(r + stro, xx + 1) + t6[6]) >> t6[7]
 
         def ds_left(j: int) -> int:
-            yy = ly + 2 * j
+            yy = ly + rec2 * j
+            base = lx - 2 - (cs.sub_w - 1)  # piSrc origin (left template)
             if collocated:
-                top_tap = yy if (j == 0 and not build_above) else yy - 1
-                return (int(luma[top_tap, lx - 2]) + 4 * int(luma[yy, lx - 2])
-                        + int(luma[yy, lx - 3]) + int(luma[yy, lx - 1])
-                        + int(luma[yy + 1, lx - 2]) + 4) >> 3
-            return (2 * int(luma[yy, lx - 2]) + int(luma[yy, lx - 3])
-                    + int(luma[yy, lx - 1])
-                    + 2 * int(luma[yy + 1, lx - 2]) + int(luma[yy + 1, lx - 3])
-                    + int(luma[yy + 1, lx - 1]) + 4) >> 3
+                top_tap = yy if (j == 0 and not build_above) else yy - stro
+                return (t5[0] * lum(top_tap, base + 1)
+                        + t5[1] * lum(yy, base + 1)
+                        + t5[2] * lum(yy, base)
+                        + t5[3] * lum(yy, base + 2)
+                        + t5[4] * lum(yy + stro, base + 1)
+                        + t5[5]) >> t5[6]
+            return (t6[0] * lum(yy, base + 1)
+                    + t6[1] * lum(yy, base)
+                    + t6[2] * lum(yy, base + 2)
+                    + t6[3] * lum(yy + stro, base + 1)
+                    + t6[4] * lum(yy + stro, base)
+                    + t6[5] * lum(yy + stro, base + 2) + t6[6]) >> t6[7]
 
         # chroma reference samples (unfiltered)
         top_ref, left_ref = self.fill_reference(tu, cu, comp)
@@ -1087,27 +1129,35 @@ class IntraReconstructor:
         ds = np.zeros((chh, cw), dtype=np.int64)
         if collocated:
             for j in range(chh):
-                yy = ly + 2 * j
+                yy = ly + rec2 * j
                 for i in range(cw):
-                    xx = lx + 2 * i
+                    xx = lx + mult * i
                     left_tap = xx if (i == 0 and not build_left) else xx - 1
-                    top_tap = yy if (j == 0 and not build_above) else yy - 1
-                    ds[j, i] = (int(luma[top_tap, xx]) + 4 * int(luma[yy, xx])
-                                + int(luma[yy, left_tap]) + int(luma[yy, xx + 1])
-                                + int(luma[yy + 1, xx]) + 4) >> 3
+                    top_tap = yy if (j == 0 and not build_above) else yy - stro
+                    ds[j, i] = (t5[0] * lum(top_tap, xx)
+                                + t5[1] * lum(yy, xx)
+                                + t5[2] * lum(yy, left_tap)
+                                + t5[3] * lum(yy, xx + 1)
+                                + t5[4] * lum(yy + stro, xx)
+                                + t5[5]) >> t5[6]
         else:
             l64 = luma.astype(np.int64)
-            r0 = l64[ly: ly + 2 * chh: 2, :]
-            r1 = l64[ly + 1: ly + 1 + 2 * chh: 2, :]
-            xs = np.arange(cw) * 2 + lx
+            rows = ly + rec2 * np.arange(chh)
+            r0 = l64[rows, :]
+            r1 = l64[np.minimum(rows + stro, lh - 1), :]
+            xs = np.arange(cw) * mult + lx
             left_xs = np.maximum(xs - 1, 0)
             if build_left:
                 lx0 = xs - 1
             else:
                 lx0 = left_xs.copy()
                 lx0[0] = xs[0]
-            ds = (2 * r0[:, xs] + r0[:, lx0] + r0[:, xs + 1]
-                  + 2 * r1[:, xs] + r1[:, lx0] + r1[:, xs + 1] + 4) >> 3
+            # 6-tap interior (GET_LUMA_REC_PIX_OP2): rows yy and yy+stro
+            xs1 = np.minimum(xs + 1, lw - 1)
+            ds = (t6[0] * r0[:, xs] + t6[1] * r0[:, lx0]
+                  + t6[2] * r0[:, xs1]
+                  + t6[3] * r1[:, xs] + t6[4] * r1[:, lx0]
+                  + t6[5] * r1[:, xs1] + t6[6]) >> t6[7]
         pred = b + ((a * ds) >> shift)
         return np.clip(pred, 0, self.pel_max)
 

@@ -154,13 +154,16 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
                 from vvdec_tpu.frame.recon_np import IntraReconstructor
 
                 def fm(cu_, comp_):
-                    from vvdec_tpu.frame.recon_np import co_located_luma_mode_of
+                    from vvdec_tpu.frame.recon_np import (
+                        CHROMA422_MAP, co_located_luma_mode_of)
                     from vvdec_tpu.frame.structure import DM_CHROMA_IDX
                     if comp_ == 0:
                         return cu_.intra_dir[0]
                     m = cu_.intra_dir[1]
                     if m == DM_CHROMA_IDX:
-                        return co_located_luma_mode_of(cs, cu_)
+                        m = co_located_luma_mode_of(cs, cu_)
+                    if cs.sps.chroma_format_idc == 2 and m < 67:
+                        m = CHROMA422_MAP[m]
                     return m
                 deq = apply_inv_lfnst(cs, deq, tu, cu, comp, fm)
                 hor, ver = gtt(cs, tu, cu, comp)

@@ -52,6 +52,8 @@ def make_sps(width: int, height: int, ctu: int = 32, bit_depth: int = 10,
     sps.pic_height_max = height
     sps.ctu_size = ctu
     sps.chroma_format_idc = chroma_format
+    # 4:2:2 / 4:4:4 need the Main 10 4:4:4 profile (TypeDef.h:441)
+    sps.ptl.profile_idc = 33 if chroma_format >= 2 else 1
     sps.ptl.level_idc = 35
     sps.bit_depth = bit_depth
     sps.max_dec_pic_buffering = [8]

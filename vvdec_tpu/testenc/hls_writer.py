@@ -183,6 +183,9 @@ def write_sps(w: BitWriter, sps: SPS) -> None:
         w.flag(sps.chroma_hor_collocated)
         w.flag(sps.chroma_ver_collocated)
     w.flag(False)  # palette
+    from vvdec_tpu.hls.params import CHROMA_444
+    if sps.chroma_format_idc == CHROMA_444 and sps.log2_max_tb_size != 6:
+        w.flag(sps.act_enabled)
     if sps.transform_skip_enabled:
         w.ue(sps.internal_minus_input_bit_depth)
     w.flag(sps.ibc_enabled)
