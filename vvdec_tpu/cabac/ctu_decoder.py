@@ -2219,6 +2219,9 @@ class CtuDecoder:
         if tu.mts_idx[comp] == MTS_SKIP and not self.sh.ts_residual_coding_disabled:
             self.residual_coding_ts(tu, cu, comp, enc_block)
             return
+        if enc_block is None and hasattr(self.dec, "_d"):
+            self._residual_native(tu, cu, comp)
+            return
 
         ch = 0 if comp == 0 else 1
         x0, y0, w, h = tu.blocks[comp]
@@ -2732,6 +2735,73 @@ class CtuDecoder:
             got = plane[y0:y0 + h, x0:x0 + w]
             assert np.array_equal(got, enc_block.astype(plane.dtype)), \
                 "TS encoder round-trip failed"
+
+    def _residual_native(self, tu: TransformUnit, cu: CodingUnit,
+                         comp: int) -> None:
+        """Regular residual coding via the native engine
+        (Decoder.decode_residual in vvdec_tpu/native/cabac.c)."""
+        ch = 0 if comp == 0 else 1
+        x0, y0, w, h = tu.blocks[comp]
+        log2_w, log2_h = w.bit_length() - 1, h.bit_length() - 1
+        lg_cw, lg_ch = rom.log2_sbb_size(log2_w, log2_h)
+        scan = rom.scan_grouped(w, h)
+        w_groups = min(rom.ZERO_OUT_TH, w) >> lg_cw
+        h_groups = min(rom.ZERO_OUT_TH, h) >> lg_ch
+        scan_cg = rom.scan_cg(w_groups, h_groups)
+
+        max_last_x = int(rom.GROUP_IDX[min(rom.ZERO_OUT_TH, w) - 1])
+        max_last_y = int(rom.GROUP_IDX[min(rom.ZERO_OUT_TH, h) - 1])
+        if ch == 0:
+            last_off_x = rom.LAST_PREFIX_CTX[log2_w]
+            last_off_y = rom.LAST_PREFIX_CTX[log2_h]
+            last_shift_x = (log2_w + 1) >> 2
+            last_shift_y = (log2_h + 1) >> 2
+        else:
+            last_off_x = last_off_y = 0
+            last_shift_x = max(0, min(2, w >> 3))
+            last_shift_y = max(0, min(2, h >> 3))
+        bdpcm = cu.bdpcm_mode if comp == 0 else cu.bdpcm_mode_chroma
+        state_trans = DQ_STATE_TRANS_TABLE if self.sh.dep_quant_used else 0
+
+        out = np.zeros(w * h, dtype=np.int32)
+        scan_pos_last, max_cg_x, max_cg_y = self.dec._d.decode_residual(
+            w, h, ch, lg_cw, lg_ch,
+            _OFF[f"LastX[{ch}]"][0] + last_off_x,
+            _OFF[f"LastY[{ch}]"][0] + last_off_y,
+            last_shift_x, last_shift_y, max_last_x, max_last_y,
+            _OFF[f"SigFlag[{ch}]"][0], _OFF[f"SigFlag[{ch + 2}]"][0],
+            _OFF[f"SigFlag[{ch + 4}]"][0], _OFF[f"ParFlag[{ch}]"][0],
+            _OFF[f"GtxFlag[{ch + 2}]"][0], _OFF[f"GtxFlag[{ch}]"][0],
+            _OFF[f"SigCoeffGroup[{ch}]"][0],
+            state_trans, int(self.sh.sign_data_hiding_used), int(bool(bdpcm)),
+            self.max_log2_tr_range,
+            scan.tobytes(), scan_cg.tobytes(), out)
+
+        if tu.mts_idx[comp] != MTS_SKIP and w >= 4 and h >= 4:
+            max_lfnst_pos = 7 if ((w == 4 and h == 4)
+                                  or (w == 8 and h == 8)) else 15
+            self.violates_lfnst[ch] |= scan_pos_last > max_lfnst_pos
+            self.lfnst_last_scan_pos |= scan_pos_last >= 1
+        if ch == 0 and tu.mts_idx[comp] != MTS_SKIP:
+            self.mts_last_scan_pos |= scan_pos_last >= 1
+        if ch == 0 and (max_cg_x > 3 or max_cg_y > 3):
+            self.violates_mts = True
+
+        if bdpcm:
+            max_x_px, max_y_px = w, h
+        else:
+            max_x_px = (max_cg_x + 1) << lg_cw
+            max_y_px = (max_cg_y + 1) << lg_ch
+        plane = self.cs.coef[comp]
+        blk = out.reshape(h, w)
+        plane[y0:y0 + max_y_px, x0:x0 + max_x_px] = \
+            blk[:max_y_px, :max_x_px]
+        if scan_pos_last == 0:
+            tu.max_scan_x[comp] = 0
+            tu.max_scan_y[comp] = 0
+        else:
+            tu.max_scan_x[comp] = max_x_px - 1
+            tu.max_scan_y[comp] = max_y_px - 1
 
     def _last_prefix(self, ctx_base: int, shift: int, max_val: int,
                      want: int | None) -> int:

@@ -442,3 +442,117 @@ class CabacEncoder:
     def tail_bits(self) -> tuple[int, int]:
         """(value, nbits) of sub-byte bits remaining after finish()."""
         return getattr(self, "_tail_bits", (0, 0))
+
+
+# ======================================================================
+# native engine (C extension) — same semantics, production hot path
+# ======================================================================
+class _NativeSnapshot:
+    """Opaque context snapshot for WPP/tile save-restore."""
+
+    __slots__ = ("blob",)
+
+    def __init__(self, blob: bytes) -> None:
+        self.blob = blob
+
+    def copy(self) -> "_NativeSnapshot":
+        return _NativeSnapshot(self.blob)
+
+
+class _NativeCtx:
+    """Context-state handle matching the CtxState surface used by
+    CtuDecoder.code_slice (init / copy / assignment)."""
+
+    __slots__ = ("_dec",)
+
+    def __init__(self, dec) -> None:
+        self._dec = dec
+
+    def init(self, qp: int, init_id: int) -> None:
+        self._dec._d.ctx_init(qp, init_id)
+
+    def copy(self) -> _NativeSnapshot:
+        return _NativeSnapshot(self._dec._d.ctx_save())
+
+
+class NativeCabacDecoder:
+    """CabacDecoder drop-in backed by the C extension
+    (vvdec_tpu/native/cabac.c)."""
+
+    __slots__ = ("_d",)
+
+    _INIT_ARGS = None
+
+    @classmethod
+    def _tables(cls):
+        if cls._INIT_ARGS is None:
+            cls._INIT_ARGS = (ctx_tables.INIT_B, ctx_tables.INIT_P,
+                              ctx_tables.INIT_I, ctx_tables.RATES)
+        return cls._INIT_ARGS
+
+    def __init__(self, data: bytes, start_byte: int = 0,
+                 end_byte: int | None = None):
+        from vvdec_tpu.native import native_cabac
+        b, p, i, r = self._tables()
+        self._d = native_cabac().Decoder(
+            data, start_byte, end_byte, num_ctx=NUM_CTX,
+            init_b=b, init_p=p, init_i=i, rates=r)
+
+    # -- engine ---------------------------------------------------------
+    def reset(self, qp: int, init_id: int) -> None:
+        self._d.ctx_init(qp, init_id)
+        self._d.start()
+
+    def restart(self, start_byte: int, end_byte: int | None = None) -> None:
+        self._d.restart(start_byte, end_byte)
+
+    def decode_bin(self, ctx_id: int) -> int:
+        return self._d.decode_bin(ctx_id)
+
+    def decode_bin_ep(self) -> int:
+        return self._d.decode_bin_ep()
+
+    def decode_bins_ep(self, n: int) -> int:
+        return self._d.decode_bins_ep(n)
+
+    def decode_rem_abs_ep(self, rice: int, cutoff: int,
+                          max_log2_dyn: int) -> int:
+        return self._d.decode_rem_abs_ep(rice, cutoff, max_log2_dyn)
+
+    def decode_bin_trm(self) -> int:
+        return self._d.decode_bin_trm()
+
+    def align(self) -> None:
+        self._d.align()
+
+    def finish_ok(self) -> bool:
+        return self._d.finish_ok()
+
+    @property
+    def data(self):
+        return self._d.data
+
+    @property
+    def ctx(self):
+        return _NativeCtx(self)
+
+    @ctx.setter
+    def ctx(self, value) -> None:
+        if isinstance(value, _NativeSnapshot):
+            self._d.ctx_load(value.blob)
+        elif isinstance(value, _NativeCtx):
+            if value._dec is not self:
+                self._d.ctx_load(value._dec._d.ctx_save())
+        else:
+            raise TypeError("cannot assign this ctx type to a native decoder")
+
+
+def make_cabac_decoder(data: bytes, start_byte: int = 0,
+                       end_byte: int | None = None):
+    """CabacDecoder factory: native engine when available, else Python."""
+    import os
+    if os.environ.get("VVDEC_TPU_NO_NATIVE") != "1":
+        from vvdec_tpu.native import native_cabac
+        if native_cabac() is not None:
+            return NativeCabacDecoder(data, start_byte, end_byte)
+    return CabacDecoder(data, start_byte, end_byte)

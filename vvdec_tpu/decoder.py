@@ -158,7 +158,8 @@ class FrameParser:
                     raise ValueError(f"missing ALF APS {i}")
                 cs.alf_apss[i] = aps
         start_byte = sh.data_offset_bits // 8
-        dec = CabacDecoder(full_rbsp, start_byte)
+        from vvdec_tpu.cabac.engine import make_cabac_decoder
+        dec = make_cabac_decoder(full_rbsp, start_byte)
         dec.reset(sh.qp_y, sh.slice_type)
         coder = CtuDecoder(cs, dec=dec, slice_idx=slice_idx)
         coder.decode_slice()

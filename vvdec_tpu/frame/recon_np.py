@@ -575,9 +575,9 @@ class IntraReconstructor:
             off = size_side  # index of sample 0 (pre-mrl shift)
             n = min(w + 2 + mrl, len(main_src))
             ref_main[off: off + n] = main_src[:n]
-            for k in range(-size_side, 0):
-                idx = min((-k * inv_angle + 256) >> 9, size_side)
-                ref_main[off + k] = side_src[idx]
+            ks = np.arange(-size_side, 0, dtype=np.int64)
+            sidx = np.minimum((-ks * inv_angle + 256) >> 9, size_side)
+            ref_main[off - size_side: off] = side_src[sidx]
         else:
             log2_ratio = (w.bit_length() - 1) - (h.bit_length() - 1)
             s_ext = max(0, log2_ratio)
@@ -622,35 +622,32 @@ class IntraReconstructor:
                     use_cubic = True if use_isp else \
                         ((not interpolation) or mrl > 0)
                     f = CHROMA_FILTER if use_cubic else GAUSS_FILTER
-                    for yy in range(h):
-                        delta = angle * (yy + 1 + mrl)
-                        di = delta >> 5
-                        frac = delta & 31
-                        co = f[frac]
-                        base = off + di + 1
-                        p0 = ref_main[base - 1: base - 1 + w]
-                        p1 = ref_main[base: base + w]
-                        p2 = ref_main[base + 1: base + 1 + w]
-                        p3 = ref_main[base + 2: base + 2 + w]
-                        val = (int(co[0]) * p0 + int(co[1]) * p1
-                               + int(co[2]) * p2 + int(co[3]) * p3 + 32) >> 6
-                        if use_cubic:
-                            val = np.clip(val, 0, self.pel_max)
-                        dst[yy] = val
+                    deltas = angle * (np.arange(h, dtype=np.int64) + 1 + mrl)
+                    di = deltas >> 5
+                    frac = deltas & 31
+                    co = np.asarray(f, dtype=np.int64)[frac]  # [h, 4]
+                    idx = (off + di + 1)[:, None] \
+                        + np.arange(w, dtype=np.int64)[None, :]
+                    val = (co[:, 0:1] * ref_main[idx - 1]
+                           + co[:, 1:2] * ref_main[idx]
+                           + co[:, 2:3] * ref_main[idx + 1]
+                           + co[:, 3:4] * ref_main[idx + 2] + 32) >> 6
+                    if use_cubic:
+                        val = np.clip(val, 0, self.pel_max)
+                    dst[:, :] = val
                 else:
-                    for yy in range(h):
-                        delta = angle * (yy + 1 + mrl)
-                        di = delta >> 5
-                        frac = delta & 31
-                        base = off + di + 1
-                        p0 = ref_main[base: base + w]
-                        p1 = ref_main[base + 1: base + 1 + w]
-                        dst[yy] = ((32 - frac) * p0 + frac * p1 + 16) >> 5
+                    deltas = angle * (np.arange(h, dtype=np.int64) + 1 + mrl)
+                    di = deltas >> 5
+                    frac = (deltas & 31)[:, None]
+                    idx = (off + di + 1)[:, None] \
+                        + np.arange(w, dtype=np.int64)[None, :]
+                    dst[:, :] = ((32 - frac) * ref_main[idx]
+                                 + frac * ref_main[idx + 1] + 16) >> 5
             else:
-                for yy in range(h):
-                    delta = angle * (yy + 1 + mrl)
-                    di = delta >> 5
-                    dst[yy] = ref_main[off + di + 1: off + di + 1 + w]
+                deltas = angle * (np.arange(h, dtype=np.int64) + 1 + mrl)
+                idx = (off + (deltas >> 5) + 1)[:, None] \
+                    + np.arange(w, dtype=np.int64)[None, :]
+                dst[:, :] = ref_main[idx]
 
             # PDPC for positive angles.  Reference uses pDst.height (ver) or
             # pDst.width (hor) of the *unswapped* block — both equal local h.
@@ -660,15 +657,16 @@ class IntraReconstructor:
                 angular_scale = min(max_scale, (side_size.bit_length() - 1)
                                     - ((3 * inv_angle - 2).bit_length() - 1 - 8))
                 if angular_scale >= 0:
-                    for yy in range(h):
-                        inv_sum = 256
-                        for xx in range(min(3 << angular_scale, w)):
-                            inv_sum += inv_angle
-                            wl = 32 >> min(31, (2 * xx) >> angular_scale)
-                            lv = int(side_src[yy + (inv_sum >> 9) + 1]) \
-                                if yy + (inv_sum >> 9) + 1 < len(side_src) else \
-                                int(side_src[-1])
-                            dst[yy, xx] += (wl * (lv - dst[yy, xx]) + 32) >> 6
+                    nx = min(3 << angular_scale, w)
+                    xs = np.arange(nx, dtype=np.int64)
+                    inv_sums = 256 + inv_angle * (xs + 1)
+                    wl = 32 >> np.minimum(31, (2 * xs) >> angular_scale)
+                    ys = np.arange(h, dtype=np.int64)
+                    sidx = np.minimum(ys[:, None] + (inv_sums >> 9)[None, :]
+                                      + 1, len(side_src) - 1)
+                    lv = side_src[sidx].astype(np.int64)
+                    sub = dst[:, :nx]
+                    dst[:, :nx] = sub + ((wl[None, :] * (lv - sub) + 32) >> 6)
 
         if not is_ver:
             dst = dst.T
@@ -681,16 +679,14 @@ class IntraReconstructor:
                        left: np.ndarray) -> np.ndarray:
         h, w = pred.shape
         scale = ((w.bit_length() - 3) + (h.bit_length() - 3) + 2) >> 2
-        out = pred.copy()
-        for y in range(h):
-            wt = 32 >> min(31, (y << 1) >> scale)
-            lv = int(left[y + 1])
-            for x in range(w):
-                wl = 32 >> min(31, (x << 1) >> scale)
-                tv = int(top[x + 1])
-                v = int(out[y, x])
-                out[y, x] = v + ((wl * (lv - v) + wt * (tv - v) + 32) >> 6)
-        return out
+        ys = np.arange(h, dtype=np.int64)
+        xs = np.arange(w, dtype=np.int64)
+        wt = (32 >> np.minimum(31, (ys << 1) >> scale))[:, None]
+        wl = (32 >> np.minimum(31, (xs << 1) >> scale))[None, :]
+        lv = left[1: h + 1].astype(np.int64)[:, None]
+        tv = top[1: w + 1].astype(np.int64)[None, :]
+        v = pred.astype(np.int64)
+        return v + ((wl * (lv - v) + wt * (tv - v) + 32) >> 6)
 
 
 

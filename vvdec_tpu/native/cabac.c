@@ -1,0 +1,776 @@
+/* Native CABAC arithmetic decoder for the host parse plane.
+ *
+ * Semantics are bit-identical to vvdec_tpu/cabac/engine.py (the pure-Python
+ * reference implementation), which itself mirrors the H.266 clause 9.3
+ * decoding process / vvdec BinDecoder (BinDecoder.cpp:81-384) with the
+ * two-window adaptive probability model (Contexts.h:71-150).
+ *
+ * The decoder owns the 372-context probability state; WPP/tile context
+ * save/restore goes through ctx_save()/ctx_load() byte snapshots.
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <structmember.h>
+#include <stdint.h>
+#include <string.h>
+
+static const uint8_t RENORM_TABLE_32[32] = {
+    6, 5, 4, 4, 3, 3, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+};
+
+#define MASK_0 0x7FE0 /* bits 5..14 */
+#define MASK_1 0x7FFE /* bits 1..14 */
+
+typedef struct {
+    PyObject_HEAD
+    PyObject *data_obj; /* bytes object kept alive */
+    const uint8_t *data;
+    Py_ssize_t len;
+    Py_ssize_t pos, end;
+    int64_t range_, value_;
+    int32_t bits_needed;
+    int32_t num_ctx;
+    int32_t *state0, *state1, *rate0, *rate1, *d00, *d10;
+    /* cached init tables (B, P, I) + rates, each num_ctx bytes */
+    uint8_t *init_tables[3];
+    uint8_t *rates_tab;
+} Decoder;
+
+static inline int read_byte(Decoder *d)
+{
+    if (d->pos >= d->end) {
+        d->pos += 1;
+        return 0;
+    }
+    return d->data[d->pos++];
+}
+
+static void Decoder_dealloc(Decoder *self)
+{
+    Py_XDECREF(self->data_obj);
+    free(self->state0);
+    for (int i = 0; i < 3; i++) free(self->init_tables[i]);
+    free(self->rates_tab);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static int Decoder_init(Decoder *self, PyObject *args, PyObject *kw)
+{
+    PyObject *data;
+    Py_ssize_t start = 0;
+    PyObject *end_obj = Py_None;
+    int num_ctx;
+    PyObject *init_b, *init_p, *init_i, *rates;
+    static char *kwlist[] = {"data", "start_byte", "end_byte", "num_ctx",
+                             "init_b", "init_p", "init_i", "rates", NULL};
+    if (!PyArg_ParseTupleAndKeywords(
+            args, kw, "O|nOiSSSS", kwlist, &data, &start, &end_obj, &num_ctx,
+            &init_b, &init_p, &init_i, &rates))
+        return -1;
+    if (!PyBytes_Check(data)) {
+        PyErr_SetString(PyExc_TypeError, "data must be bytes");
+        return -1;
+    }
+    Py_INCREF(data);
+    self->data_obj = data;
+    self->data = (const uint8_t *)PyBytes_AS_STRING(data);
+    self->len = PyBytes_GET_SIZE(data);
+    self->pos = start;
+    self->end = (end_obj == Py_None) ? self->len : PyLong_AsSsize_t(end_obj);
+    self->num_ctx = num_ctx;
+    /* 6 int32 arrays in one allocation */
+    self->state0 = (int32_t *)calloc((size_t)num_ctx * 6, sizeof(int32_t));
+    if (!self->state0) {
+        PyErr_NoMemory();
+        return -1;
+    }
+    self->state1 = self->state0 + num_ctx;
+    self->rate0 = self->state1 + num_ctx;
+    self->rate1 = self->rate0 + num_ctx;
+    self->d00 = self->rate1 + num_ctx;
+    self->d10 = self->d00 + num_ctx;
+    PyObject *tabs[3] = {init_b, init_p, init_i};
+    for (int i = 0; i < 3; i++) {
+        if (PyBytes_GET_SIZE(tabs[i]) != num_ctx) {
+            PyErr_SetString(PyExc_ValueError, "init table size mismatch");
+            return -1;
+        }
+        self->init_tables[i] = (uint8_t *)malloc(num_ctx);
+        memcpy(self->init_tables[i], PyBytes_AS_STRING(tabs[i]), num_ctx);
+    }
+    self->rates_tab = (uint8_t *)malloc(num_ctx);
+    memcpy(self->rates_tab, PyBytes_AS_STRING(rates), num_ctx);
+    self->range_ = 510;
+    self->value_ = 0;
+    self->bits_needed = -8;
+    return 0;
+}
+
+static PyObject *Decoder_ctx_init(Decoder *self, PyObject *args)
+{
+    int qp, init_id;
+    if (!PyArg_ParseTuple(args, "ii", &qp, &init_id))
+        return NULL;
+    if (qp < 0) qp = 0;
+    if (qp > 63) qp = 63;
+    const uint8_t *init = self->init_tables[init_id];
+    const uint8_t *rates = self->rates_tab;
+    for (int i = 0; i < self->num_ctx; i++) {
+        int32_t slope = (init[i] >> 3) - 4;
+        int32_t offset = (init[i] & 7) * 18 + 1;
+        int32_t inistate = ((slope * (qp - 16)) >> 1) + offset;
+        if (inistate < 1) inistate = 1;
+        if (inistate > 127) inistate = 127;
+        int32_t p1 = inistate << 8;
+        self->state0[i] = p1 & MASK_0;
+        self->state1[i] = p1 & MASK_1;
+        int32_t r0 = 2 + ((rates[i] >> 2) & 3);
+        int32_t r1 = 3 + r0 + (rates[i] & 3);
+        self->rate0[i] = r0 + 5;
+        self->rate1[i] = r1 + 1;
+        self->d00[i] = 0xFFFF >> (16 - self->rate0[i]);
+        self->d10[i] = 0xFFFF >> (16 - self->rate1[i]);
+    }
+    Py_RETURN_NONE;
+}
+
+static PyObject *Decoder_start(Decoder *self, PyObject *Py_UNUSED(ign))
+{
+    self->range_ = 510;
+    self->value_ = (read_byte(self) << 8) + read_byte(self);
+    self->bits_needed = -8;
+    Py_RETURN_NONE;
+}
+
+static PyObject *Decoder_restart(Decoder *self, PyObject *args)
+{
+    Py_ssize_t start;
+    PyObject *end_obj = Py_None;
+    if (!PyArg_ParseTuple(args, "n|O", &start, &end_obj))
+        return NULL;
+    self->pos = start;
+    self->end = (end_obj == Py_None) ? self->len : PyLong_AsSsize_t(end_obj);
+    self->range_ = 510;
+    self->value_ = (read_byte(self) << 8) + read_byte(self);
+    self->bits_needed = -8;
+    Py_RETURN_NONE;
+}
+
+static inline int dec_bin(Decoder *d, int ctx)
+{
+    int64_t rng = d->range_;
+    int64_t value = d->value_;
+    int32_t q = (d->state0[ctx] + d->state1[ctx]) >> 8;
+    int bin_val = q >> 7;
+    int32_t qs = bin_val ? (q ^ 0xFF) : q;
+    int64_t lps = (((int64_t)(qs >> 2) * (rng >> 5)) >> 1) + 4;
+    rng -= lps;
+    int64_t sr = rng << 7;
+    if (value >= sr) {
+        bin_val ^= 1;
+        int nb = RENORM_TABLE_32[lps >> 3];
+        value = (value - sr) << nb;
+        rng = lps << nb;
+        d->bits_needed += nb;
+    } else if (rng < 256) {
+        value <<= 1;
+        rng <<= 1;
+        d->bits_needed += 1;
+    }
+    if (d->bits_needed >= 0) {
+        value += (int64_t)read_byte(d) << d->bits_needed;
+        d->bits_needed -= 8;
+    }
+    d->range_ = rng;
+    d->value_ = value;
+    /* two-window probability update */
+    int32_t s0 = d->state0[ctx], s1 = d->state1[ctx];
+    int32_t d0 = bin_val ? 0x7FFF : d->d00[ctx];
+    int32_t d1 = bin_val ? 0x7FFF : d->d10[ctx];
+    d->state0[ctx] = s0 + ((d0 - s0) >> d->rate0[ctx]) * 32;
+    d->state1[ctx] = s1 + ((d1 - s1) >> d->rate1[ctx]) * 2;
+    return bin_val;
+}
+
+static inline int dec_bin_ep(Decoder *d)
+{
+    int64_t value = d->value_ << 1;
+    d->bits_needed += 1;
+    if (d->bits_needed >= 0) {
+        value += read_byte(d);
+        d->bits_needed = -8;
+    }
+    int64_t sr = d->range_ << 7;
+    int bin_val = 0;
+    if (value >= sr) {
+        value -= sr;
+        bin_val = 1;
+    }
+    d->value_ = value;
+    return bin_val;
+}
+
+static inline uint32_t dec_aligned_bins_ep(Decoder *d, int num_bins)
+{
+    int rem = num_bins;
+    uint32_t bins = 0;
+    while (rem > 0) {
+        int n = rem < 8 ? rem : 8;
+        uint32_t mask = (1u << n) - 1;
+        uint32_t nb = ((uint32_t)(d->value_ >> (15 - n))) & mask;
+        bins = (bins << n) | nb;
+        d->value_ = (d->value_ << n) & 0x7FFF;
+        rem -= n;
+        d->bits_needed += n;
+        if (d->bits_needed >= 0) {
+            d->value_ |= (int64_t)read_byte(d) << d->bits_needed;
+            d->bits_needed -= 8;
+        }
+    }
+    return bins;
+}
+
+static inline uint32_t dec_bins_ep(Decoder *d, int num_bins)
+{
+    if (num_bins == 0) return 0;
+    if (d->range_ == 256)
+        return dec_aligned_bins_ep(d, num_bins);
+    int rem = num_bins;
+    uint32_t bins = 0;
+    int64_t value = d->value_;
+    int64_t rng = d->range_;
+    int bits_needed = d->bits_needed;
+    while (rem > 8) {
+        value = (value << 8) + ((int64_t)read_byte(d) << (8 + bits_needed));
+        int64_t sr = rng << 15;
+        for (int k = 0; k < 8; k++) {
+            bins += bins;
+            sr >>= 1;
+            if (value >= sr) {
+                bins += 1;
+                value -= sr;
+            }
+        }
+        rem -= 8;
+    }
+    bits_needed += rem;
+    value <<= rem;
+    if (bits_needed >= 0) {
+        value += (int64_t)read_byte(d) << bits_needed;
+        bits_needed -= 8;
+    }
+    int64_t sr = rng << (rem + 7);
+    for (int k = 0; k < rem; k++) {
+        bins += bins;
+        sr >>= 1;
+        if (value >= sr) {
+            bins += 1;
+            value -= sr;
+        }
+    }
+    d->value_ = value;
+    d->range_ = rng;
+    d->bits_needed = bits_needed;
+    return bins;
+}
+
+static PyObject *Decoder_decode_bin(Decoder *self, PyObject *arg)
+{
+    long ctx = PyLong_AsLong(arg);
+    if (ctx < 0 || ctx >= self->num_ctx) {
+        if (PyErr_Occurred()) return NULL;
+        PyErr_SetString(PyExc_IndexError, "ctx id out of range");
+        return NULL;
+    }
+    return PyLong_FromLong(dec_bin(self, (int)ctx));
+}
+
+static PyObject *Decoder_decode_bin_ep(Decoder *self, PyObject *Py_UNUSED(i))
+{
+    return PyLong_FromLong(dec_bin_ep(self));
+}
+
+static PyObject *Decoder_decode_bins_ep(Decoder *self, PyObject *arg)
+{
+    long n = PyLong_AsLong(arg);
+    if (n < 0) return NULL;
+    return PyLong_FromUnsignedLong(dec_bins_ep(self, (int)n));
+}
+
+static PyObject *Decoder_decode_rem_abs_ep(Decoder *self, PyObject *args)
+{
+    int rice, cutoff, max_log2_dyn;
+    if (!PyArg_ParseTuple(args, "iii", &rice, &cutoff, &max_log2_dyn))
+        return NULL;
+    int max_prefix = 32 - max_log2_dyn;
+    int prefix = 0, code = 0;
+    for (;;) {
+        prefix += 1;
+        code = dec_bin_ep(self);
+        if (!(code && prefix < max_prefix))
+            break;
+    }
+    prefix -= 1 - code;
+    int length = rice;
+    uint32_t offset;
+    if (prefix < cutoff) {
+        offset = (uint32_t)prefix << rice;
+    } else {
+        offset = (uint32_t)(((1u << (prefix - cutoff)) + cutoff - 1) << rice);
+        length += (prefix == max_prefix) ? (max_log2_dyn - rice)
+                                         : (prefix - cutoff);
+    }
+    return PyLong_FromUnsignedLong(offset + dec_bins_ep(self, length));
+}
+
+static PyObject *Decoder_decode_bin_trm(Decoder *self, PyObject *Py_UNUSED(i))
+{
+    self->range_ -= 2;
+    int64_t sr = self->range_ << 7;
+    if (self->value_ >= sr)
+        return PyLong_FromLong(1);
+    if (self->range_ < 256) {
+        self->range_ += self->range_;
+        self->value_ += self->value_;
+        self->bits_needed += 1;
+        if (self->bits_needed == 0) {
+            self->value_ += read_byte(self);
+            self->bits_needed = -8;
+        }
+    }
+    return PyLong_FromLong(0);
+}
+
+static PyObject *Decoder_align(Decoder *self, PyObject *Py_UNUSED(ignored))
+{
+    self->range_ = 256;
+    Py_RETURN_NONE;
+}
+
+static PyObject *Decoder_finish_ok(Decoder *self, PyObject *Py_UNUSED(i))
+{
+    int prev = 0;
+    if (self->pos > 0 && self->pos <= self->len)
+        prev = self->data[self->pos - 1];
+    return PyBool_FromLong(((prev << (8 + self->bits_needed)) & 0xFF) == 0x80);
+}
+
+static PyObject *Decoder_ctx_save(Decoder *self, PyObject *Py_UNUSED(i))
+{
+    return PyBytes_FromStringAndSize(
+        (const char *)self->state0,
+        (Py_ssize_t)self->num_ctx * 6 * sizeof(int32_t));
+}
+
+static PyObject *Decoder_ctx_load(Decoder *self, PyObject *arg)
+{
+    Py_buffer view;
+    if (PyObject_GetBuffer(arg, &view, PyBUF_SIMPLE) < 0)
+        return NULL;
+    if (view.len != (Py_ssize_t)self->num_ctx * 6 * (Py_ssize_t)sizeof(int32_t)) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_ValueError, "ctx snapshot size mismatch");
+        return NULL;
+    }
+    memcpy(self->state0, view.buf, view.len);
+    PyBuffer_Release(&view);
+    Py_RETURN_NONE;
+}
+
+/* ------------------------------------------------------------------ */
+/* residual coding (regular path) — port of                             */
+/* CtuDecoder.residual_coding (vvdec_tpu/cabac/ctu_decoder.py), itself */
+/* parity with CABACReader::residual_coding (CABACReader.cpp).          */
+/* ------------------------------------------------------------------ */
+
+/* g_uiGroupIdx / g_uiMinInGroup / g_auiGoRiceParsCoeff (Rom.cpp) */
+static const int8_t GROUP_IDX_T[64] = {
+    0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7,
+    8, 8, 8, 8, 8, 8, 8, 8, 9, 9, 9, 9, 9, 9, 9, 9,
+    10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10,
+    11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11,
+};
+static const int8_t MIN_IN_GROUP_T[14] = {0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96};
+static const int8_t GO_RICE_PARS_T[32] = {
+    0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3,
+};
+#define COEF_REMAIN_BIN_REDUCTION 5
+#define SBH_THRESHOLD 4
+
+static inline int dec_rem_abs(Decoder *d, int rice, int cutoff, int maxlog2)
+{
+    int max_prefix = 32 - maxlog2;
+    int prefix = 0, code = 0;
+    for (;;) {
+        prefix += 1;
+        code = dec_bin_ep(d);
+        if (!(code && prefix < max_prefix))
+            break;
+    }
+    prefix -= 1 - code;
+    int length = rice;
+    uint32_t offset;
+    if (prefix < cutoff) {
+        offset = (uint32_t)prefix << rice;
+    } else {
+        offset = (uint32_t)(((1u << (prefix - cutoff)) + cutoff - 1) << rice);
+        length += (prefix == max_prefix) ? (maxlog2 - rice) : (prefix - cutoff);
+    }
+    return (int)(offset + dec_bins_ep(d, length));
+}
+
+static inline int tmpl_abs_sum(int blk_pos, const int32_t *coeff, int w,
+                               int h, int log2_w, int base_level)
+{
+    int py = blk_pos >> log2_w;
+    int px = blk_pos & (w - 1);
+    int s = 0;
+    if (px + 2 < w) {
+        s += coeff[blk_pos + 1] + coeff[blk_pos + 2];
+        if (py + 1 < h) s += coeff[blk_pos + w + 1];
+    } else if (px + 1 < w) {
+        s += coeff[blk_pos + 1];
+        if (py + 1 < h) s += coeff[blk_pos + w + 1];
+    }
+    if (py + 2 < h) {
+        s += coeff[blk_pos + w] + coeff[blk_pos + 2 * w];
+    } else if (py + 1 < h) {
+        s += coeff[blk_pos + w];
+    }
+    s -= 5 * base_level;
+    if (s < 0) s = 0;
+    if (s > 31) s = 31;
+    return s;
+}
+
+static inline int last_prefix(Decoder *d, int ctx_base, int shift, int max_val)
+{
+    int pos = 0;
+    while (pos < max_val && dec_bin(d, ctx_base + (pos >> shift)))
+        pos += 1;
+    return pos;
+}
+
+static PyObject *Decoder_decode_residual(Decoder *self, PyObject *args)
+{
+    int w, h, ch, lg_cw, lg_ch;
+    int last_ctx_x, last_ctx_y, last_shift_x, last_shift_y;
+    int max_last_x, max_last_y;
+    int sig_b0, sig_b1, sig_b2, par_b, gt1_b, gt2_b, sig_grp_b;
+    long long state_trans;
+    int sign_hiding, bdpcm, max_log2_tr;
+    Py_buffer scan_buf, scan_cg_buf, out_buf;
+    if (!PyArg_ParseTuple(
+            args, "iiiiiiiiiiiiiiiiiiLiiiy*y*w*", &w, &h, &ch, &lg_cw,
+            &lg_ch, &last_ctx_x, &last_ctx_y, &last_shift_x, &last_shift_y,
+            &max_last_x, &max_last_y, &sig_b0, &sig_b1, &sig_b2, &par_b,
+            &gt1_b, &gt2_b, &sig_grp_b, &state_trans, &sign_hiding, &bdpcm,
+            &max_log2_tr, &scan_buf, &scan_cg_buf, &out_buf))
+        return NULL;
+    const int32_t *scan = (const int32_t *)scan_buf.buf;
+    const int32_t *scan_cg = (const int32_t *)scan_cg_buf.buf;
+    int32_t *out = (int32_t *)out_buf.buf; /* w*h final signed coeffs */
+    int log2_w = 0;
+    while ((1 << log2_w) < w) log2_w++;
+    int log2_cg = lg_cw + lg_ch;
+    int w_clip = w < 32 ? w : 32, h_clip = h < 32 ? h : 32;
+    int w_groups = w_clip >> lg_cw;
+    int h_groups = h_clip >> lg_ch;
+    int max_num_coeff = w * h;
+
+    /* ---- last significant position ---- */
+    int pos_x = last_prefix(self, last_ctx_x, last_shift_x, max_last_x);
+    int pos_y = last_prefix(self, last_ctx_y, last_shift_y, max_last_y);
+    if (pos_x > 3) {
+        int n = (pos_x - 2) >> 1, t = 0;
+        for (int i = n - 1; i >= 0; i--)
+            t += dec_bin_ep(self) << i;
+        pos_x = MIN_IN_GROUP_T[pos_x] + t;
+    }
+    if (pos_y > 3) {
+        int n = (pos_y - 2) >> 1, t = 0;
+        for (int i = n - 1; i >= 0; i--)
+            t += dec_bin_ep(self) << i;
+        pos_y = MIN_IN_GROUP_T[pos_y] + t;
+    }
+    int blk_last = pos_x + pos_y * w;
+    int n_scan = (w_groups * h_groups) << log2_cg;
+    int scan_pos_last = max_num_coeff - 1;
+    for (int i = 0; i < n_scan; i++) {
+        if (scan[i] == blk_last) {
+            scan_pos_last = i;
+            break;
+        }
+    }
+
+    static int32_t coeff_abs[64 * 64];
+    static int32_t tpl[64 * 64];
+    memset(coeff_abs, 0, sizeof(int32_t) * max_num_coeff);
+    memset(tpl, 0, sizeof(int32_t) * max_num_coeff);
+    memset(out, 0, sizeof(int32_t) * max_num_coeff);
+    /* per-CG bookkeeping for the final sign/dep-quant pass */
+    static int32_t sub_positions[4096];
+    static int32_t sub_meta[1024][4]; /* nnz, sign_pattern, sub1_pattern, pos_off */
+    int n_subsets_out = 0, pos_fill = 0;
+
+    uint8_t sig_cg[1024 + 64 + 1];
+    memset(sig_cg, 0, (size_t)(w_groups * h_groups + w_groups + 1));
+    int state = 0;
+    int reg_bin_limit = ((w_clip * h_clip) * 28) >> 4;
+    int max_cg_x = 0, max_cg_y = 0;
+    const int sig_base[3] = {sig_b0, sig_b1, sig_b2};
+
+    for (int subset_id = scan_pos_last >> log2_cg; subset_id >= 0; subset_id--) {
+        int cg_pos = scan_cg[subset_id];
+        int cg_y = cg_pos / w_groups;
+        int cg_x = cg_pos - cg_y * w_groups;
+        int min_sub_pos = subset_id << log2_cg;
+        int max_sub_pos = min_sub_pos + (1 << log2_cg) - 1;
+        int is_last_cg = (scan_pos_last >> log2_cg) == subset_id;
+
+        int sig_group = is_last_cg || min_sub_pos == 0;
+        if (!sig_group) {
+            int sig_right = (cg_x + 1 < w_groups) && sig_cg[cg_pos + 1];
+            int sig_lower = (cg_y + 1 < h_groups) && sig_cg[cg_pos + w_groups];
+            sig_group = dec_bin(self, sig_grp_b + (sig_right || sig_lower));
+        }
+        if (!sig_group)
+            continue;
+        sig_cg[cg_pos] = 1;
+        if (cg_x > max_cg_x) max_cg_x = cg_x;
+        if (cg_y > max_cg_y) max_cg_y = cg_y;
+
+        int first_sig_pos = is_last_cg ? scan_pos_last : max_sub_pos;
+        int next_sig_pos = first_sig_pos;
+        int infer_sig_pos = (next_sig_pos == scan_pos_last)
+                                ? next_sig_pos
+                                : (subset_id != 0 ? min_sub_pos : -1);
+        int num_nonzero = 0;
+        int32_t *positions = sub_positions + pos_fill;
+        uint32_t sub1_pattern = 0;
+        int gt1_positions[64];
+        uint32_t gt2_mask = 0;
+        int num_gt1 = 0;
+        int first_nz = next_sig_pos, last_nz = -1;
+        int tmpl_cp_diag = -1, tmpl_cp_sum1 = -1;
+
+        while (next_sig_pos >= min_sub_pos && reg_bin_limit >= 4) {
+            int blk_pos = scan[next_sig_pos];
+            int sig_flag = (num_nonzero == 0 && next_sig_pos == infer_sig_pos);
+            if (!sig_flag) {
+                int py = blk_pos >> log2_w;
+                int px = blk_pos & (w - 1);
+                int diag = px + py;
+                int tpl_val = tpl[blk_pos];
+                int num_pos = tpl_val >> 5;
+                int sum_abs = tpl_val & 31;
+                int ctx_ofs = ((sum_abs + 1) >> 1);
+                if (ctx_ofs > 3) ctx_ofs = 3;
+                ctx_ofs += (diag < 2) ? 4 : 0;
+                if (ch == 0) ctx_ofs += (diag < 5) ? 4 : 0;
+                tmpl_cp_diag = diag;
+                tmpl_cp_sum1 = sum_abs - num_pos;
+                int st = state - 1;
+                if (st < 0) st = 0;
+                sig_flag = dec_bin(self, sig_base[st] + ctx_ofs);
+                reg_bin_limit -= 1;
+            }
+            if (sig_flag) {
+                int off;
+                if (tmpl_cp_diag != -1) {
+                    off = (tmpl_cp_sum1 < 4 ? tmpl_cp_sum1 : 4) + 1;
+                    if (tmpl_cp_diag == 0)
+                        off += (ch == 0) ? 15 : 5;
+                    else if (ch == 0)
+                        off += (tmpl_cp_diag < 3) ? 10
+                                                  : ((tmpl_cp_diag < 10) ? 5 : 0);
+                } else {
+                    off = 0;
+                }
+                sub1_pattern = ((state >> 1) & 1) | (sub1_pattern << 1);
+                positions[num_nonzero++] = blk_pos;
+                first_nz = next_sig_pos;
+                if (next_sig_pos > last_nz) last_nz = next_sig_pos;
+                int gt1 = dec_bin(self, gt1_b + off);
+                reg_bin_limit -= 1;
+                int abs_val;
+                if (gt1) {
+                    int par = dec_bin(self, par_b + off);
+                    num_gt1 += 1;
+                    reg_bin_limit -= 1;
+                    int gt2 = dec_bin(self, gt2_b + off);
+                    gt2_mask |= (uint32_t)gt2 << (num_gt1 - 1);
+                    reg_bin_limit -= 1;
+                    gt1_positions[num_gt1 - 1] = blk_pos;
+                    abs_val = 2 + par + (gt2 << 1);
+                    state = (int)((state_trans >> ((state << 2) + (par << 1))) & 3);
+                } else {
+                    abs_val = 1;
+                    state = (int)((state_trans >> ((state << 2) + 2)) & 3);
+                }
+                coeff_abs[blk_pos] = abs_val;
+                int py = blk_pos >> log2_w;
+                int px = blk_pos & (w - 1);
+                int upd = 32 + abs_val;
+                if (py > 1) tpl[blk_pos - 2 * w] += upd;
+                if (py > 0 && px > 0) tpl[blk_pos - w - 1] += upd;
+                if (py > 0) tpl[blk_pos - w] += upd;
+                if (px > 1) tpl[blk_pos - 2] += upd;
+                if (px > 0) tpl[blk_pos - 1] += upd;
+            } else {
+                state = (int)((state_trans >> (state << 2)) & 3);
+            }
+            next_sig_pos -= 1;
+        }
+
+        /* 3rd pass: go-rice remainders for gt2 coefficients */
+        uint32_t gmask = gt2_mask;
+        for (int k = 0; k < num_gt1; k++) {
+            if (gmask & 1) {
+                int bp = gt1_positions[k];
+                int sum_all = tmpl_abs_sum(bp, coeff_abs, w, h, log2_w, 4);
+                int rice = GO_RICE_PARS_T[sum_all];
+                int rem = dec_rem_abs(self, rice, COEF_REMAIN_BIN_REDUCTION,
+                                      max_log2_tr);
+                coeff_abs[bp] += rem << 1;
+            }
+            gmask >>= 1;
+        }
+
+        /* bypass coefficients */
+        while (next_sig_pos >= min_sub_pos) {
+            int sub1 = (state >> 1) & 1;
+            int blk_pos = scan[next_sig_pos];
+            int sum_all = tmpl_abs_sum(blk_pos, coeff_abs, w, h, log2_w, 0);
+            int rice = GO_RICE_PARS_T[sum_all];
+            int pos0 = (state < 2 ? 1 : 2) << rice;
+            int rem = dec_rem_abs(self, rice, COEF_REMAIN_BIN_REDUCTION,
+                                  max_log2_tr);
+            int tcoeff = (rem == pos0) ? 0 : (rem < pos0 ? rem + 1 : rem);
+            state = (int)((state_trans >> ((state << 2) + ((tcoeff & 1) << 1))) & 3);
+            if (tcoeff) {
+                coeff_abs[blk_pos] = tcoeff;
+                sub1_pattern = sub1 | (sub1_pattern << 1);
+                positions[num_nonzero++] = blk_pos;
+                first_nz = next_sig_pos;
+                if (next_sig_pos > last_nz) last_nz = next_sig_pos;
+            }
+            next_sig_pos -= 1;
+        }
+
+        /* signs */
+        int hide = sign_hiding && (last_nz - first_nz >= SBH_THRESHOLD)
+                   && !bdpcm;
+        int num_signs = (hide && num_nonzero > 0) ? num_nonzero - 1
+                                                  : num_nonzero;
+        uint32_t sign_pattern = dec_bins_ep(self, num_signs);
+        if (num_nonzero > num_signs) {
+            int sum_abs_cg = 0;
+            for (int k = 0; k < num_nonzero; k++)
+                sum_abs_cg += coeff_abs[positions[k]];
+            sign_pattern = (sign_pattern << 1) + (sum_abs_cg & 1);
+        }
+        if (num_nonzero > 0) {
+            sub_meta[n_subsets_out][0] = num_nonzero;
+            sub_meta[n_subsets_out][1] = (int32_t)sign_pattern;
+            sub_meta[n_subsets_out][2] = (int32_t)sub1_pattern;
+            sub_meta[n_subsets_out][3] = pos_fill;
+            n_subsets_out += 1;
+            pos_fill += num_nonzero;
+        }
+    }
+
+    /* final signed write-back (dep-quant / sign application) */
+    int dep_quant = state_trans != 0;
+    for (int si = n_subsets_out - 1; si >= 0; si--) {
+        int nnz = sub_meta[si][0];
+        uint32_t sign_pattern = (uint32_t)sub_meta[si][1];
+        uint32_t sub1_pattern = (uint32_t)sub_meta[si][2];
+        const int32_t *positions = sub_positions + sub_meta[si][3];
+        for (int k = nnz - 1; k >= 0; k--) {
+            int bp = positions[k];
+            int abs_c = coeff_abs[bp];
+            if (dep_quant)
+                abs_c = 2 * abs_c - (int)(sub1_pattern & 1);
+            out[bp] = (sign_pattern & 1) ? -abs_c : abs_c;
+            sign_pattern >>= 1;
+            sub1_pattern >>= 1;
+        }
+    }
+
+    PyBuffer_Release(&scan_buf);
+    PyBuffer_Release(&scan_cg_buf);
+    PyBuffer_Release(&out_buf);
+    return Py_BuildValue("iii", scan_pos_last, max_cg_x, max_cg_y);
+}
+
+static PyMemberDef Decoder_members[] = {
+    {"pos", T_PYSSIZET, offsetof(Decoder, pos), 0, "read position"},
+    {"end", T_PYSSIZET, offsetof(Decoder, end), 0, "end position"},
+    {"bits_needed", T_INT, offsetof(Decoder, bits_needed), 0, NULL},
+    {NULL},
+};
+
+static PyObject *Decoder_get_data(Decoder *self, void *closure)
+{
+    Py_INCREF(self->data_obj);
+    return self->data_obj;
+}
+
+static PyGetSetDef Decoder_getset[] = {
+    {"data", (getter)Decoder_get_data, NULL, "input bytes", NULL},
+    {NULL},
+};
+
+static PyMethodDef Decoder_methods[] = {
+    {"ctx_init", (PyCFunction)Decoder_ctx_init, METH_VARARGS, NULL},
+    {"start", (PyCFunction)Decoder_start, METH_NOARGS, NULL},
+    {"restart", (PyCFunction)Decoder_restart, METH_VARARGS, NULL},
+    {"decode_bin", (PyCFunction)Decoder_decode_bin, METH_O, NULL},
+    {"decode_bin_ep", (PyCFunction)Decoder_decode_bin_ep, METH_NOARGS, NULL},
+    {"decode_bins_ep", (PyCFunction)Decoder_decode_bins_ep, METH_O, NULL},
+    {"decode_rem_abs_ep", (PyCFunction)Decoder_decode_rem_abs_ep,
+     METH_VARARGS, NULL},
+    {"decode_bin_trm", (PyCFunction)Decoder_decode_bin_trm, METH_NOARGS, NULL},
+    {"align", (PyCFunction)Decoder_align, METH_NOARGS, NULL},
+    {"finish_ok", (PyCFunction)Decoder_finish_ok, METH_NOARGS, NULL},
+    {"ctx_save", (PyCFunction)Decoder_ctx_save, METH_NOARGS, NULL},
+    {"ctx_load", (PyCFunction)Decoder_ctx_load, METH_O, NULL},
+    {"decode_residual", (PyCFunction)Decoder_decode_residual, METH_VARARGS,
+     NULL},
+    {NULL},
+};
+
+static PyTypeObject DecoderType = {
+    PyVarObject_HEAD_INIT(NULL, 0).tp_name = "_cabac.Decoder",
+    .tp_basicsize = sizeof(Decoder),
+    .tp_dealloc = (destructor)Decoder_dealloc,
+    .tp_flags = Py_TPFLAGS_DEFAULT,
+    .tp_doc = "native CABAC arithmetic decoder",
+    .tp_methods = Decoder_methods,
+    .tp_members = Decoder_members,
+    .tp_getset = Decoder_getset,
+    .tp_init = (initproc)Decoder_init,
+    .tp_new = PyType_GenericNew,
+};
+
+static PyModuleDef cabacmodule = {
+    PyModuleDef_HEAD_INIT, "_cabac",
+    "native CABAC decoder (host parse plane)", -1, NULL,
+};
+
+PyMODINIT_FUNC PyInit__cabac(void)
+{
+    PyObject *m;
+    if (PyType_Ready(&DecoderType) < 0)
+        return NULL;
+    m = PyModule_Create(&cabacmodule);
+    if (!m)
+        return NULL;
+    Py_INCREF(&DecoderType);
+    PyModule_AddObject(m, "Decoder", (PyObject *)&DecoderType);
+    return m;
+}
