@@ -378,7 +378,36 @@ class Deblocker:
         plane = self.reco[0]
         h4, w4 = ep.bs_y.shape
         cells = np.argwhere(ep.bs_y > 0)
+        if not len(cells):
+            return
         multi = len(cs.shs) > 1
+        from vvdec_tpu.native import native_cabac
+        nc = native_cabac()
+        if nc is not None and plane.dtype == np.int32 \
+                and plane.flags["C_CONTIGUOUS"]:
+            n = len(cells)
+            ys, xs = cells[:, 0], cells[:, 1]
+            xy = np.empty((n, 2), dtype=np.int32)
+            xy[:, 0] = xs * 4
+            xy[:, 1] = ys * 4
+            prm = np.empty((n, 6), dtype=np.int32)
+            prm[:, 0] = ep.bs_y[ys, xs]
+            prm[:, 1] = ep.qp_y[ys, xs]
+            prm[:, 2] = ep.max_fl_p[ys, xs]
+            prm[:, 3] = ep.max_fl_q[ys, xs]
+            if not multi:
+                prm[:, 4] = cs.sh.tc_offset_div2
+                prm[:, 5] = cs.sh.beta_offset_div2
+            else:
+                si = np.clip(cs.slice_map[ys, xs], 0, len(cs.shs) - 1)
+                prm[:, 4] = np.array([s_.tc_offset_div2
+                                      for s_ in cs.shs])[si]
+                prm[:, 5] = np.array([s_.beta_offset_div2
+                                      for s_ in cs.shs])[si]
+            nc.deblock_luma(plane, plane.shape[1], plane.shape[0], dir_, n,
+                            xy.tobytes(), prm.tobytes(), self.bit_depth,
+                            cs.sps.ctu_size)
+            return
         sh = cs.sh
         for cy4, cx4 in cells:
             if multi:
@@ -389,27 +418,34 @@ class Deblocker:
                                  ep, int(cy4), int(cx4), sh)
 
     def _luma_edge_cell(self, plane, dir_, x, y, ep, cy4, cx4, sh) -> None:
-        """Filter one 4-line edge segment (xEdgeFilterLuma)."""
+        """Filter one 4-line edge segment (xEdgeFilterLuma).
+
+        The cell's 4 lines are processed on a contiguous window (rows =
+        lines, cols = across-edge offsets) so the per-line filter kernels
+        vectorize; decisions and arithmetic are identical to the scalar
+        form."""
         bs = int(ep.bs_y[cy4, cx4])
         qp = int(ep.qp_y[cy4, cx4])
         max_fl_p = int(ep.max_fl_p[cy4, cx4])
         max_fl_q = int(ep.max_fl_q[cy4, cx4])
         bd = self.bit_depth
 
-        # sample accessor: s(line, k) = sample at offset k across the edge
-        # (k=0 is Q side first sample, -1 is P side first)
         if dir_ == 0:
-            def get(line, k):
-                return int(plane[y + line, x + k])
-
-            def put(line, k, v):
-                plane[y + line, x + k] = v
+            lo = max(0, x - 8)
+            hi = min(plane.shape[1], x + 8)
+            win = plane[y: y + 4, lo: hi].astype(np.int64)
+            base = x - lo
         else:
-            def get(line, k):
-                return int(plane[y + k, x + line])
+            lo = max(0, y - 8)
+            hi = min(plane.shape[0], y + 8)
+            win = plane[lo: hi, x: x + 4].T.astype(np.int64)
+            base = y - lo
 
-            def put(line, k, v):
-                plane[y + k, x + line] = v
+        def get(line, k):
+            return int(win[line, base + k])
+
+        def put(line, k, v):
+            win[line, base + k] = v
 
         side_p_large = max_fl_p > 3
         side_q_large = max_fl_q > 3
@@ -472,8 +508,10 @@ class Deblocker:
                 sw_l = use_strong(0, 2 * d0l, True, max_fl_p, max_fl_q) and \
                     use_strong(3, 2 * d3l, True, max_fl_p, max_fl_q)
                 if sw_l:
-                    self._long_filter(get, put, max_fl_p if side_p_large else 3,
-                                      max_fl_q if side_q_large else 3, tc)
+                    self._long_filter_v(win, base,
+                                        max_fl_p if side_p_large else 3,
+                                        max_fl_q if side_q_large else 3, tc)
+                    self._writeback(plane, dir_, x, y, lo, hi, win)
                     return
 
         dp, dq, d = dp0 + dp3, dq0 + dq3, d0 + d3
@@ -486,88 +524,110 @@ class Deblocker:
         sw = False
         if max_fl_p > 2 and max_fl_q > 2:
             sw = use_strong(0, 2 * d0, False, 7, 7) and use_strong(3, 2 * d3, False, 7, 7)
-        for line in range(4):
-            self._pel_filter_luma(get, put, line, tc, sw, thr_cut,
-                                  filter_p, filter_q)
+        self._pel_filter_luma_v(win, base, tc, sw, thr_cut,
+                                filter_p, filter_q)
+        self._writeback(plane, dir_, x, y, lo, hi, win)
 
-    def _pel_filter_luma(self, get, put, line, tc, sw, thr_cut,
-                         filter_p, filter_q) -> None:
-        m1, m2, m3 = get(line, -3), get(line, -2), get(line, -1)
-        m4, m5, m6 = get(line, 0), get(line, 1), get(line, 2)
+    def _writeback(self, plane, dir_, x, y, lo, hi, win) -> None:
+        if dir_ == 0:
+            plane[y: y + 4, lo: hi] = win
+        else:
+            plane[lo: hi, x: x + 4] = win.T
+
+    def _pel_filter_luma_v(self, win, b, tc, sw, thr_cut,
+                           filter_p, filter_q) -> None:
+        """All 4 lines at once (xPelFilterLumaCorePel vectorized)."""
+        m1, m2, m3 = win[:, b - 3], win[:, b - 2], win[:, b - 1]
+        m4, m5, m6 = win[:, b], win[:, b + 1], win[:, b + 2]
+        m1, m2, m3 = m1.copy(), m2.copy(), m3.copy()
+        m4, m5, m6 = m4.copy(), m5.copy(), m6.copy()
         if sw:
-            m0, m7 = get(line, -4), get(line, 3)
+            m0, m7 = win[:, b - 4].copy(), win[:, b + 3].copy()
+
             def c3(v, ref, t):
-                return max(ref - t, min(ref + t, v))
-            put(line, -3, c3((2 * m0 + 3 * m1 + m2 + m3 + m4 + 4) >> 3, m1, tc))
-            put(line, -2, c3((m1 + m2 + m3 + m4 + 2) >> 2, m2, 2 * tc))
-            put(line, -1, c3((m1 + 2 * m2 + 2 * m3 + 2 * m4 + m5 + 4) >> 3, m3, 3 * tc))
-            put(line, 0, c3((m2 + 2 * m3 + 2 * m4 + 2 * m5 + m6 + 4) >> 3, m4, 3 * tc))
-            put(line, 1, c3((m3 + m4 + m5 + m6 + 2) >> 2, m5, 2 * tc))
-            put(line, 2, c3((m3 + m4 + m5 + 3 * m6 + 2 * m7 + 4) >> 3, m6, tc))
+                return np.maximum(ref - t, np.minimum(ref + t, v))
+            win[:, b - 3] = c3((2 * m0 + 3 * m1 + m2 + m3 + m4 + 4) >> 3,
+                               m1, tc)
+            win[:, b - 2] = c3((m1 + m2 + m3 + m4 + 2) >> 2, m2, 2 * tc)
+            win[:, b - 1] = c3((m1 + 2 * m2 + 2 * m3 + 2 * m4 + m5 + 4) >> 3,
+                               m3, 3 * tc)
+            win[:, b] = c3((m2 + 2 * m3 + 2 * m4 + 2 * m5 + m6 + 4) >> 3,
+                           m4, 3 * tc)
+            win[:, b + 1] = c3((m3 + m4 + m5 + m6 + 2) >> 2, m5, 2 * tc)
+            win[:, b + 2] = c3((m3 + m4 + m5 + 3 * m6 + 2 * m7 + 4) >> 3,
+                               m6, tc)
         else:
             delta = (9 * (m4 - m3) - 3 * (m5 - m2) + 8) >> 4
-            if abs(delta) < thr_cut:
-                delta = max(-tc, min(tc, delta))
-                tc2 = tc >> 1
-                put(line, -1, self._clip_pel(m3 + delta))
-                if filter_p:
-                    d1 = max(-tc2, min(tc2, (((m1 + m3 + 1) >> 1) - m2 + delta) >> 1))
-                    put(line, -2, self._clip_pel(m2 + d1))
-                put(line, 0, self._clip_pel(m4 - delta))
-                if filter_q:
-                    d2 = max(-tc2, min(tc2, (((m6 + m4 + 1) >> 1) - m5 - delta) >> 1))
-                    put(line, 1, self._clip_pel(m5 + d2))
+            mask = np.abs(delta) < thr_cut
+            d = np.clip(delta, -tc, tc)
+            tc2 = tc >> 1
+            pm = self.pel_max
+            win[:, b - 1] = np.where(mask, np.clip(m3 + d, 0, pm), m3)
+            win[:, b] = np.where(mask, np.clip(m4 - d, 0, pm), m4)
+            if filter_p:
+                d1 = np.clip((((m1 + m3 + 1) >> 1) - m2 + d) >> 1, -tc2, tc2)
+                win[:, b - 2] = np.where(mask, np.clip(m2 + d1, 0, pm), m2)
+            if filter_q:
+                d2 = np.clip((((m6 + m4 + 1) >> 1) - m5 - d) >> 1, -tc2, tc2)
+                win[:, b + 1] = np.where(mask, np.clip(m5 + d2, 0, pm), m5)
 
-    def _long_filter(self, get, put, n_p, n_q, tc) -> None:
-        """Long bilinear filter (xFilteringPandQCore + xBilinearFilter)."""
+    def _long_filter_v(self, win, b, n_p, n_q, tc) -> None:
+        """Long bilinear filter, 4 lines at once
+        (xFilteringPandQCore + xBilinearFilter)."""
         dbp, dbq = DB_COEFFS[n_p], DB_COEFFS[n_q]
         tc7 = (6, 5, 4, 3, 2, 1, 1)
         tc3 = (6, 4, 2)
         tcp = tc3 if n_p == 3 else tc7
         tcq = tc3 if n_q == 3 else tc7
-        for line in range(4):
-            def p(k):
-                return get(line, -1 - k)
 
-            def q(k):
-                return get(line, k)
-            ref_p = (p(n_p - 1) + p(n_p) + 1) >> 1
-            ref_q = (q(n_q - 1) + q(n_q) + 1) >> 1
-            if n_p == n_q:
-                if n_p == 5:
-                    ref_m = (2 * (p(0) + q(0) + p(1) + q(1) + p(2) + q(2))
-                             + p(3) + q(3) + p(4) + q(4) + 8) >> 4
-                else:
-                    ref_m = (2 * (p(0) + q(0)) + p(1) + q(1) + p(2) + q(2)
-                             + p(3) + q(3) + p(4) + q(4) + p(5) + q(5)
-                             + p(6) + q(6) + 8) >> 4
+        def p(k):
+            return win[:, b - 1 - k]
+
+        def q(k):
+            return win[:, b + k]
+        ref_p = (p(n_p - 1) + p(n_p) + 1) >> 1
+        ref_q = (q(n_q - 1) + q(n_q) + 1) >> 1
+        if n_p == n_q:
+            if n_p == 5:
+                ref_m = (2 * (p(0) + q(0) + p(1) + q(1) + p(2) + q(2))
+                         + p(3) + q(3) + p(4) + q(4) + 8) >> 4
             else:
-                if n_q > n_p:
-                    pl, ql = q, p  # pl = larger side
-                    n_l, n_s = n_q, n_p
-                else:
-                    pl, ql = p, q
-                    n_l, n_s = n_p, n_q
-                if n_l == 7 and n_s == 5:
-                    ref_m = (2 * (p(0) + q(0) + p(1) + q(1)) + p(2) + q(2)
-                             + p(3) + q(3) + p(4) + q(4) + p(5) + q(5) + 8) >> 4
-                elif n_l == 7 and n_s == 3:
-                    ref_m = (2 * (pl(0) + ql(0)) + ql(0) + 2 * (ql(1) + ql(2))
-                             + pl(1) + ql(1) + pl(2) + pl(3) + pl(4) + pl(5)
-                             + pl(6) + 8) >> 4
-                else:  # 5 & 3
-                    ref_m = (p(0) + q(0) + p(1) + q(1) + p(2) + q(2)
-                             + p(3) + q(3) + 4) >> 3
-            for pos in range(n_p):
-                src = p(pos)
-                cv = (tc * tcp[pos]) >> 1
-                val = (ref_m * dbp[pos] + ref_p * (64 - dbp[pos]) + 32) >> 6
-                put(line, -1 - pos, max(src - cv, min(src + cv, val)))
-            for pos in range(n_q):
-                src = q(pos)
-                cv = (tc * tcq[pos]) >> 1
-                val = (ref_m * dbq[pos] + ref_q * (64 - dbq[pos]) + 32) >> 6
-                put(line, pos, max(src - cv, min(src + cv, val)))
+                ref_m = (2 * (p(0) + q(0)) + p(1) + q(1) + p(2) + q(2)
+                         + p(3) + q(3) + p(4) + q(4) + p(5) + q(5)
+                         + p(6) + q(6) + 8) >> 4
+        else:
+            if n_q > n_p:
+                pl, ql = q, p  # pl = larger side
+                n_l, n_s = n_q, n_p
+            else:
+                pl, ql = p, q
+                n_l, n_s = n_p, n_q
+            if n_l == 7 and n_s == 5:
+                ref_m = (2 * (p(0) + q(0) + p(1) + q(1)) + p(2) + q(2)
+                         + p(3) + q(3) + p(4) + q(4) + p(5) + q(5) + 8) >> 4
+            elif n_l == 7 and n_s == 3:
+                ref_m = (2 * (pl(0) + ql(0)) + ql(0) + 2 * (ql(1) + ql(2))
+                         + pl(1) + ql(1) + pl(2) + pl(3) + pl(4) + pl(5)
+                         + pl(6) + 8) >> 4
+            else:  # 5 & 3
+                ref_m = (p(0) + q(0) + p(1) + q(1) + p(2) + q(2)
+                         + p(3) + q(3) + 4) >> 3
+        new_p = []
+        for pos in range(n_p):
+            src = p(pos)
+            cv = (tc * tcp[pos]) >> 1
+            val = (ref_m * dbp[pos] + ref_p * (64 - dbp[pos]) + 32) >> 6
+            new_p.append(np.maximum(src - cv, np.minimum(src + cv, val)))
+        new_q = []
+        for pos in range(n_q):
+            src = q(pos)
+            cv = (tc * tcq[pos]) >> 1
+            val = (ref_m * dbq[pos] + ref_q * (64 - dbq[pos]) + 32) >> 6
+            new_q.append(np.maximum(src - cv, np.minimum(src + cv, val)))
+        for pos in range(n_p):
+            win[:, b - 1 - pos] = new_p[pos]
+        for pos in range(n_q):
+            win[:, b + pos] = new_q[pos]
 
     def _clip_pel(self, v: int) -> int:
         return max(0, min(self.pel_max, v))
@@ -588,6 +648,13 @@ class Deblocker:
             par_step = 4 // sub_w
         sub_shift = sub_h - 1 if dir_ == 0 else sub_w - 1  # 420: 1
 
+        from vvdec_tpu.native import native_cabac
+        nc = native_cabac()
+        use_native = (nc is not None and self.reco[1].dtype == np.int32
+                      and self.reco[1].flags["C_CONTIGUOUS"])
+        native_cells: list = []
+        multi = len(cs.shs) > 1
+        ctu_c_mask = (cs.sps.ctu_size // cs.sub_h) - 1
         for c1 in range(0, (chh if dir_ == 0 else cw), par_step):
             for c0 in range(perp_step, (cw if dir_ == 0 else chh), perp_step):
                 # map cell in luma-4x4 units
@@ -601,11 +668,43 @@ class Deblocker:
                 bs_cr = int(ep.bs_cr[cy4, cx4])
                 if bs_cb <= 0 and bs_cr <= 0:
                     continue
-                if len(cs.shs) > 1:
+                if multi:
                     cu_q = cs.cu_at(ccx * sub_w, ccy * sub_h, 0)
                     sh = cs.sh_of(cu_q) if cu_q is not None else cs.sh
-                self._chroma_edge_cell(dir_, ccx, ccy, ep, cy4, cx4, sh,
-                                       par_step, sub_shift)
+                if use_native:
+                    large = int(ep.cmfl[cy4, cx4])
+                    hor_ctb = int(dir_ == 1 and (ccy & ctu_c_mask) == 0)
+                    native_cells.append(
+                        (ccx, ccy, bs_cb, bs_cr,
+                         int(ep.qp_cb[cy4, cx4]), int(ep.qp_cr[cy4, cx4]),
+                         large, hor_ctb,
+                         sh.cb_tc_offset_div2, sh.cr_tc_offset_div2,
+                         sh.cb_beta_offset_div2, sh.cr_beta_offset_div2))
+                else:
+                    self._chroma_edge_cell(dir_, ccx, ccy, ep, cy4, cx4, sh,
+                                           par_step, sub_shift)
+        if use_native and native_cells:
+            arr = np.asarray(native_cells, dtype=np.int32)
+            for k, comp in enumerate((1, 2)):
+                bs_col = arr[:, 2 + k]
+                large_col = arr[:, 6]
+                sel = (bs_col == 2) | ((large_col != 0) & (bs_col == 1))
+                if not sel.any():
+                    continue
+                a_ = arr[sel]
+                n = len(a_)
+                xy = np.ascontiguousarray(a_[:, 0:2])
+                prm = np.empty((n, 6), dtype=np.int32)
+                prm[:, 0] = a_[:, 2 + k]           # bs
+                prm[:, 1] = a_[:, 4 + k]           # qp
+                prm[:, 2] = a_[:, 6]               # cmfl
+                prm[:, 3] = a_[:, 8 + k]           # tc offset
+                prm[:, 4] = a_[:, 10 + k]          # beta offset
+                prm[:, 5] = a_[:, 7]               # hor_ctb
+                plane = self.reco[comp]
+                nc.deblock_chroma(plane, plane.shape[1], plane.shape[0],
+                                  dir_, n, xy.tobytes(), prm.tobytes(),
+                                  self.bit_depth, par_step, sub_shift)
 
     def _chroma_edge_cell(self, dir_, ccx, ccy, ep, cy4, cx4, sh,
                           loop_len, sub_shift) -> None:
@@ -631,17 +730,18 @@ class Deblocker:
                 continue
 
             if dir_ == 0:
-                def get(line, k):
-                    return int(plane[ccy + line, ccx + k])
-
-                def put(line, k, v):
-                    plane[ccy + line, ccx + k] = v
+                lo = max(0, ccx - 4)
+                hi = min(plane.shape[1], ccx + 4)
+                win = plane[ccy: ccy + loop_len, lo: hi].astype(np.int64)
+                base = ccx - lo
             else:
-                def get(line, k):
-                    return int(plane[ccy + k, ccx + line])
+                lo = max(0, ccy - 4)
+                hi = min(plane.shape[0], ccy + 4)
+                win = plane[lo: hi, ccx: ccx + loop_len].T.astype(np.int64)
+                base = ccy - lo
 
-                def put(line, k, v):
-                    plane[ccy + k, ccx + line] = v
+            def get(line, k):
+                return int(win[line, base + k])
 
             sw = False
             if large:
@@ -665,8 +765,11 @@ class Deblocker:
                 if d0 + d3 < beta:
                     sw = self._chroma_strong(get, 0, 2 * d0, beta, tc, is_hor_ctb) \
                         and self._chroma_strong(get, line3, 2 * d3, beta, tc, is_hor_ctb)
-            for line in range(loop_len):
-                self._pel_filter_chroma(get, put, line, tc, sw, large, is_hor_ctb)
+            self._pel_filter_chroma_v(win, base, tc, sw, large, is_hor_ctb)
+            if dir_ == 0:
+                plane[ccy: ccy + loop_len, lo: hi] = win
+            else:
+                plane[lo: hi, ccx: ccx + loop_len] = win.T
 
     def _chroma_strong(self, get, line, d2, beta, tc, hor_ctb) -> bool:
         m3, m4 = get(line, -1), get(line, 0)
@@ -678,31 +781,43 @@ class Deblocker:
         sq3 = abs(m7 - m4)
         return (sp3 + sq3) < (beta >> 3)
 
-    def _pel_filter_chroma(self, get, put, line, tc, sw, large, hor_ctb) -> None:
-        m2, m3 = get(line, -2), get(line, -1)
-        m4, m5 = get(line, 0), get(line, 1)
+    def _pel_filter_chroma_v(self, win, b, tc, sw, large, hor_ctb) -> None:
+        """All lines of the chroma edge cell at once (xPelFilterChroma)."""
+        m2, m3 = win[:, b - 2].copy(), win[:, b - 1].copy()
+        m4, m5 = win[:, b].copy(), win[:, b + 1].copy()
         if sw:
-            m6, m7 = get(line, 2), get(line, 3)
+            m6, m7 = win[:, b + 2].copy(), win[:, b + 3].copy()
 
             def c3(v, ref):
-                return max(ref - tc, min(ref + tc, v))
+                return np.maximum(ref - tc, np.minimum(ref + tc, v))
             if hor_ctb:
-                put(line, -1, c3((3 * m2 + 2 * m3 + m4 + m5 + m6 + 4) >> 3, m3))
-                put(line, 0, c3((2 * m2 + m3 + 2 * m4 + m5 + m6 + m7 + 4) >> 3, m4))
-                put(line, 1, c3((m2 + m3 + m4 + 2 * m5 + m6 + 2 * m7 + 4) >> 3, m5))
-                put(line, 2, c3((m3 + m4 + m5 + 2 * m6 + 3 * m7 + 4) >> 3, m6))
+                win[:, b - 1] = c3((3 * m2 + 2 * m3 + m4 + m5 + m6 + 4) >> 3,
+                                   m3)
+                win[:, b] = c3((2 * m2 + m3 + 2 * m4 + m5 + m6 + m7 + 4) >> 3,
+                               m4)
+                win[:, b + 1] = c3(
+                    (m2 + m3 + m4 + 2 * m5 + m6 + 2 * m7 + 4) >> 3, m5)
+                win[:, b + 2] = c3((m3 + m4 + m5 + 2 * m6 + 3 * m7 + 4) >> 3,
+                                   m6)
             else:
-                m0, m1 = get(line, -4), get(line, -3)
-                put(line, -3, c3((3 * m0 + 2 * m1 + m2 + m3 + m4 + 4) >> 3, m1))
-                put(line, -2, c3((2 * m0 + m1 + 2 * m2 + m3 + m4 + m5 + 4) >> 3, m2))
-                put(line, -1, c3((m0 + m1 + m2 + 2 * m3 + m4 + m5 + m6 + 4) >> 3, m3))
-                put(line, 0, c3((m1 + m2 + m3 + 2 * m4 + m5 + m6 + m7 + 4) >> 3, m4))
-                put(line, 1, c3((m2 + m3 + m4 + 2 * m5 + m6 + 2 * m7 + 4) >> 3, m5))
-                put(line, 2, c3((m3 + m4 + m5 + 2 * m6 + 3 * m7 + 4) >> 3, m6))
+                m0, m1 = win[:, b - 4].copy(), win[:, b - 3].copy()
+                win[:, b - 3] = c3((3 * m0 + 2 * m1 + m2 + m3 + m4 + 4) >> 3,
+                                   m1)
+                win[:, b - 2] = c3(
+                    (2 * m0 + m1 + 2 * m2 + m3 + m4 + m5 + 4) >> 3, m2)
+                win[:, b - 1] = c3(
+                    (m0 + m1 + m2 + 2 * m3 + m4 + m5 + m6 + 4) >> 3, m3)
+                win[:, b] = c3(
+                    (m1 + m2 + m3 + 2 * m4 + m5 + m6 + m7 + 4) >> 3, m4)
+                win[:, b + 1] = c3(
+                    (m2 + m3 + m4 + 2 * m5 + m6 + 2 * m7 + 4) >> 3, m5)
+                win[:, b + 2] = c3((m3 + m4 + m5 + 2 * m6 + 3 * m7 + 4) >> 3,
+                                   m6)
         else:
-            delta = max(-tc, min(tc, ((((m4 - m3) * 4) + m2 - m5 + 4) >> 3)))
-            put(line, -1, self._clip_pel(m3 + delta))
-            put(line, 0, self._clip_pel(m4 - delta))
+            delta = np.clip(((m4 - m3) * 4 + m2 - m5 + 4) >> 3, -tc, tc)
+            pm = self.pel_max
+            win[:, b - 1] = np.clip(m3 + delta, 0, pm)
+            win[:, b] = np.clip(m4 - delta, 0, pm)
 
 
 def deblock_frame(cs: CodingStructure, reco: list[np.ndarray]) -> None:

@@ -707,6 +707,412 @@ static PyObject *Decoder_decode_residual(Decoder *self, PyObject *args)
     return Py_BuildValue("iii", scan_pos_last, max_cg_x, max_cg_y);
 }
 
+/* ------------------------------------------------------------------ */
+/* deblocking cell filters — port of Deblocker._luma_edge_cell /        */
+/* _chroma_edge_cell (vvdec_tpu/frame/deblock_np.py), parity with       */
+/* vvdec LoopFilter.cpp (xEdgeFilterLuma/Chroma + pel filters).         */
+/* ------------------------------------------------------------------ */
+
+static const int16_t TC_TABLE_C[66] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 3, 4, 4, 4, 4, 5,
+    5, 5, 5, 7, 7, 8, 9, 10, 10, 11, 13, 14, 15, 17, 19, 21, 24, 25, 29, 33,
+    36, 41, 45, 51, 57, 64, 71, 80, 89, 100, 112, 125, 141, 157, 177, 198,
+    222, 250, 280, 314, 352, 395};
+static const int8_t BETA_TABLE_C[64] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11, 12,
+    13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38, 40, 42,
+    44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64, 66, 68, 70, 72, 74, 76, 78,
+    80, 82, 84, 86, 88};
+static const int8_t DB_C7[7] = {59, 50, 41, 32, 23, 14, 5};
+static const int8_t DB_C5[5] = {58, 45, 32, 19, 6};
+static const int8_t DB_C3[3] = {53, 32, 11};
+static const int8_t TC7_C[7] = {6, 5, 4, 3, 2, 1, 1};
+static const int8_t TC3_C[3] = {6, 4, 2};
+#define DEFAULT_INTRA_TC_OFFSET 2
+#define MAX_QP_C 63
+
+typedef struct {
+    int32_t *plane;
+    Py_ssize_t stride;
+    int dir; /* 0: vertical edge (offsets along x), 1: horizontal */
+    Py_ssize_t x, y;
+    int pel_max;
+} Cell;
+
+static inline int64_t cget(const Cell *c, int line, int k)
+{
+    if (c->dir == 0)
+        return (int64_t)c->plane[(c->y + line) * c->stride + c->x + k];
+    return (int64_t)c->plane[(c->y + k) * c->stride + c->x + line];
+}
+
+static inline void cput(Cell *c, int line, int k, int64_t v)
+{
+    if (c->dir == 0)
+        c->plane[(c->y + line) * c->stride + c->x + k] = (int32_t)v;
+    else
+        c->plane[(c->y + k) * c->stride + c->x + line] = (int32_t)v;
+}
+
+static inline int64_t iabs64(int64_t v) { return v < 0 ? -v : v; }
+static inline int64_t imin64(int64_t a, int64_t b) { return a < b ? a : b; }
+static inline int64_t imax64(int64_t a, int64_t b) { return a > b ? a : b; }
+
+static inline int64_t calc_dp(const Cell *c, int line, int base)
+{
+    return iabs64(cget(c, line, base - 3) - 2 * cget(c, line, base - 2)
+                  + cget(c, line, base - 1));
+}
+
+static inline int64_t calc_dq(const Cell *c, int line, int base)
+{
+    return iabs64(cget(c, line, base) - 2 * cget(c, line, base + 1)
+                  + cget(c, line, base + 2));
+}
+
+static int use_strong(const Cell *c, int line, int64_t d2, int use_large,
+                      int mfp, int mfq, int sp_large, int sq_large,
+                      int64_t beta, int64_t tc)
+{
+    int64_t m3 = cget(c, line, -1), m4 = cget(c, line, 0);
+    if (!(d2 < (beta >> 2) && iabs64(m3 - m4) < ((tc * 5 + 1) >> 1)))
+        return 0;
+    int64_t m0 = cget(c, line, -4), m7 = cget(c, line, 3);
+    int64_t sp3 = iabs64(m0 - m3);
+    int64_t sq3 = iabs64(m7 - m4);
+    if (use_large) {
+        if (sp_large) {
+            int64_t mp4 = cget(c, line, -mfp - 1);
+            if (mfp == 7)
+                sp3 += iabs64(cget(c, line, -5) - cget(c, line, -6)
+                              - cget(c, line, -7) + mp4);
+            sp3 = (sp3 + iabs64(m0 - mp4) + 1) >> 1;
+        }
+        if (sq_large) {
+            int64_t m11 = cget(c, line, mfq);
+            if (mfq == 7)
+                sq3 += iabs64(cget(c, line, 4) - cget(c, line, 5)
+                              - cget(c, line, 6) + m11);
+            sq3 = (sq3 + iabs64(m11 - m7) + 1) >> 1;
+        }
+        return ((sp3 + sq3) < (beta * 3 >> 5)) && (d2 < (beta >> 4))
+               && (iabs64(m3 - m4) < ((tc * 5 + 1) >> 1));
+    }
+    return (sp3 + sq3) < (beta >> 3);
+}
+
+static void long_filter(Cell *c, int n_p, int n_q, int64_t tc)
+{
+    const int8_t *dbp = n_p == 7 ? DB_C7 : (n_p == 5 ? DB_C5 : DB_C3);
+    const int8_t *dbq = n_q == 7 ? DB_C7 : (n_q == 5 ? DB_C5 : DB_C3);
+    const int8_t *tcp = n_p == 3 ? TC3_C : TC7_C;
+    const int8_t *tcq = n_q == 3 ? TC3_C : TC7_C;
+    for (int line = 0; line < 4; line++) {
+#define P(k) cget(c, line, -1 - (k))
+#define Q(k) cget(c, line, (k))
+        int64_t ref_p = (P(n_p - 1) + P(n_p) + 1) >> 1;
+        int64_t ref_q = (Q(n_q - 1) + Q(n_q) + 1) >> 1;
+        int64_t ref_m;
+        if (n_p == n_q) {
+            if (n_p == 5)
+                ref_m = (2 * (P(0) + Q(0) + P(1) + Q(1) + P(2) + Q(2)) + P(3)
+                         + Q(3) + P(4) + Q(4) + 8) >> 4;
+            else
+                ref_m = (2 * (P(0) + Q(0)) + P(1) + Q(1) + P(2) + Q(2) + P(3)
+                         + Q(3) + P(4) + Q(4) + P(5) + Q(5) + P(6) + Q(6)
+                         + 8) >> 4;
+        } else {
+            int n_l = n_p > n_q ? n_p : n_q;
+            int n_s = n_p > n_q ? n_q : n_p;
+            if (n_l == 7 && n_s == 5) {
+                ref_m = (2 * (P(0) + Q(0) + P(1) + Q(1)) + P(2) + Q(2) + P(3)
+                         + Q(3) + P(4) + Q(4) + P(5) + Q(5) + 8) >> 4;
+            } else if (n_l == 7 && n_s == 3) {
+                /* pl = larger side accessor */
+                int64_t pl[7], ql[3];
+                for (int k = 0; k < 7; k++)
+                    pl[k] = (n_q > n_p) ? Q(k) : P(k);
+                for (int k = 0; k < 3; k++)
+                    ql[k] = (n_q > n_p) ? P(k) : Q(k);
+                ref_m = (2 * (pl[0] + ql[0]) + ql[0] + 2 * (ql[1] + ql[2])
+                         + pl[1] + ql[1] + pl[2] + pl[3] + pl[4] + pl[5]
+                         + pl[6] + 8) >> 4;
+            } else { /* 5 & 3 */
+                ref_m = (P(0) + Q(0) + P(1) + Q(1) + P(2) + Q(2) + P(3) + Q(3)
+                         + 4) >> 3;
+            }
+        }
+        int64_t new_p[7], new_q[7];
+        for (int pos = 0; pos < n_p; pos++) {
+            int64_t src = P(pos);
+            int64_t cv = (tc * tcp[pos]) >> 1;
+            int64_t val = (ref_m * dbp[pos] + ref_p * (64 - dbp[pos]) + 32)
+                          >> 6;
+            new_p[pos] = imax64(src - cv, imin64(src + cv, val));
+        }
+        for (int pos = 0; pos < n_q; pos++) {
+            int64_t src = Q(pos);
+            int64_t cv = (tc * tcq[pos]) >> 1;
+            int64_t val = (ref_m * dbq[pos] + ref_q * (64 - dbq[pos]) + 32)
+                          >> 6;
+            new_q[pos] = imax64(src - cv, imin64(src + cv, val));
+        }
+        for (int pos = 0; pos < n_p; pos++)
+            cput(c, line, -1 - pos, new_p[pos]);
+        for (int pos = 0; pos < n_q; pos++)
+            cput(c, line, pos, new_q[pos]);
+#undef P
+#undef Q
+    }
+}
+
+static void pel_filter_luma(Cell *c, int line, int64_t tc, int sw,
+                            int64_t thr_cut, int filter_p, int filter_q)
+{
+    int64_t m1 = cget(c, line, -3), m2 = cget(c, line, -2);
+    int64_t m3 = cget(c, line, -1), m4 = cget(c, line, 0);
+    int64_t m5 = cget(c, line, 1), m6 = cget(c, line, 2);
+    if (sw) {
+        int64_t m0 = cget(c, line, -4), m7 = cget(c, line, 3);
+#define C3(v, ref, t) imax64((ref) - (t), imin64((ref) + (t), (v)))
+        cput(c, line, -3, C3((2 * m0 + 3 * m1 + m2 + m3 + m4 + 4) >> 3, m1, tc));
+        cput(c, line, -2, C3((m1 + m2 + m3 + m4 + 2) >> 2, m2, 2 * tc));
+        cput(c, line, -1,
+             C3((m1 + 2 * m2 + 2 * m3 + 2 * m4 + m5 + 4) >> 3, m3, 3 * tc));
+        cput(c, line, 0,
+             C3((m2 + 2 * m3 + 2 * m4 + 2 * m5 + m6 + 4) >> 3, m4, 3 * tc));
+        cput(c, line, 1, C3((m3 + m4 + m5 + m6 + 2) >> 2, m5, 2 * tc));
+        cput(c, line, 2,
+             C3((m3 + m4 + m5 + 3 * m6 + 2 * m7 + 4) >> 3, m6, tc));
+    } else {
+        int64_t delta = (9 * (m4 - m3) - 3 * (m5 - m2) + 8) >> 4;
+        if (iabs64(delta) < thr_cut) {
+            delta = imax64(-tc, imin64(tc, delta));
+            int64_t tc2 = tc >> 1;
+            int64_t pm = c->pel_max;
+            cput(c, line, -1, imax64(0, imin64(pm, m3 + delta)));
+            if (filter_p) {
+                int64_t d1 = imax64(-tc2, imin64(tc2,
+                    ((((m1 + m3 + 1) >> 1) - m2 + delta) >> 1)));
+                cput(c, line, -2, imax64(0, imin64(pm, m2 + d1)));
+            }
+            cput(c, line, 0, imax64(0, imin64(pm, m4 - delta)));
+            if (filter_q) {
+                int64_t d2 = imax64(-tc2, imin64(tc2,
+                    ((((m6 + m4 + 1) >> 1) - m5 - delta) >> 1)));
+                cput(c, line, 1, imax64(0, imin64(pm, m5 + d2)));
+            }
+        }
+    }
+}
+
+/* deblock_luma_dir(plane w*, W, H, dir, n, cells y* int32[n*2 (x,y)],
+ *                  params y* int32[n*6 (bs,qp,mfp,mfq,tc_off,beta_off)],
+ *                  bd, ctu_size) */
+static PyObject *mod_deblock_luma(PyObject *self, PyObject *args)
+{
+    Py_buffer plane_buf, cells_buf, params_buf;
+    int W, H, dir, n, bd, ctu_size;
+    if (!PyArg_ParseTuple(args, "w*iiiiy*y*ii", &plane_buf, &W, &H, &dir, &n,
+                          &cells_buf, &params_buf, &bd, &ctu_size))
+        return NULL;
+    int32_t *plane = (int32_t *)plane_buf.buf;
+    const int32_t *cells = (const int32_t *)cells_buf.buf;
+    const int32_t *prm = (const int32_t *)params_buf.buf;
+    int pel_max = (1 << bd) - 1;
+
+    for (int i = 0; i < n; i++) {
+        Cell c = {plane, W, dir, cells[2 * i], cells[2 * i + 1], pel_max};
+        int bs = prm[6 * i], qp = prm[6 * i + 1];
+        int max_fl_p = prm[6 * i + 2], max_fl_q = prm[6 * i + 3];
+        int tc_off = prm[6 * i + 4], beta_off = prm[6 * i + 5];
+        int side_p_large = max_fl_p > 3;
+        int side_q_large = max_fl_q > 3;
+        if (dir == 1 && (c.y & (ctu_size - 1)) == 0)
+            side_p_large = 0;
+        int idx_tc = qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + 2 * tc_off;
+        if (idx_tc < 0) idx_tc = 0;
+        if (idx_tc > MAX_QP_C + DEFAULT_INTRA_TC_OFFSET)
+            idx_tc = MAX_QP_C + DEFAULT_INTRA_TC_OFFSET;
+        int idx_b = qp + 2 * beta_off;
+        if (idx_b < 0) idx_b = 0;
+        if (idx_b > MAX_QP_C) idx_b = MAX_QP_C;
+        int64_t tc = (bd >= 10)
+                         ? ((int64_t)TC_TABLE_C[idx_tc] << (bd - 10))
+                         : ((TC_TABLE_C[idx_tc] + (1 << (9 - bd)))
+                            >> (10 - bd));
+        int64_t beta = (int64_t)BETA_TABLE_C[idx_b] << (bd - 8);
+        if (beta == 0 && tc == 0)
+            continue;
+        int64_t side_thresh = (beta + (beta >> 1)) >> 3;
+        int64_t thr_cut = tc * 10;
+
+        int64_t dp0 = calc_dp(&c, 0, 0), dq0 = calc_dq(&c, 0, 0);
+        int64_t dp3 = calc_dp(&c, 3, 0), dq3 = calc_dq(&c, 3, 0);
+        int64_t d0 = dp0 + dq0, d3 = dp3 + dq3;
+
+        if (side_p_large || side_q_large) {
+            int64_t dp0l = side_p_large ? ((dp0 + calc_dp(&c, 0, -3) + 1) >> 1)
+                                        : dp0;
+            int64_t dq0l = side_q_large ? ((dq0 + calc_dq(&c, 0, 3) + 1) >> 1)
+                                        : dq0;
+            int64_t dp3l = side_p_large ? ((dp3 + calc_dp(&c, 3, -3) + 1) >> 1)
+                                        : dp3;
+            int64_t dq3l = side_q_large ? ((dq3 + calc_dq(&c, 3, 3) + 1) >> 1)
+                                        : dq3;
+            int64_t d0l = dp0l + dq0l, d3l = dp3l + dq3l;
+            if (d0l + d3l < beta) {
+                int sw_l =
+                    use_strong(&c, 0, 2 * d0l, 1, max_fl_p, max_fl_q,
+                               side_p_large, side_q_large, beta, tc)
+                    && use_strong(&c, 3, 2 * d3l, 1, max_fl_p, max_fl_q,
+                                  side_p_large, side_q_large, beta, tc);
+                if (sw_l) {
+                    long_filter(&c, side_p_large ? max_fl_p : 3,
+                                side_q_large ? max_fl_q : 3, tc);
+                    continue;
+                }
+            }
+        }
+        int64_t dp = dp0 + dp3, dq = dq0 + dq3, d = d0 + d3;
+        if (d >= beta)
+            continue;
+        int filter_p = 0, filter_q = 0;
+        if (max_fl_p > 1 && max_fl_q > 1) {
+            filter_p = dp < side_thresh;
+            filter_q = dq < side_thresh;
+        }
+        int sw = 0;
+        if (max_fl_p > 2 && max_fl_q > 2)
+            sw = use_strong(&c, 0, 2 * d0, 0, 7, 7, 0, 0, beta, tc)
+                 && use_strong(&c, 3, 2 * d3, 0, 7, 7, 0, 0, beta, tc);
+        for (int line = 0; line < 4; line++)
+            pel_filter_luma(&c, line, tc, sw, thr_cut, filter_p, filter_q);
+    }
+    PyBuffer_Release(&plane_buf);
+    PyBuffer_Release(&cells_buf);
+    PyBuffer_Release(&params_buf);
+    Py_RETURN_NONE;
+}
+
+static int chroma_strong(const Cell *c, int line, int64_t d2, int64_t beta,
+                         int64_t tc, int hor_ctb)
+{
+    int64_t m3 = cget(c, line, -1), m4 = cget(c, line, 0);
+    if (!(d2 < (beta >> 2) && iabs64(m3 - m4) < ((tc * 5 + 1) >> 1)))
+        return 0;
+    int64_t m0 = cget(c, line, -4), m7 = cget(c, line, 3);
+    int64_t m2 = cget(c, line, -2);
+    int64_t sp3 = hor_ctb ? iabs64(m2 - m3) : iabs64(m0 - m3);
+    int64_t sq3 = iabs64(m7 - m4);
+    return (sp3 + sq3) < (beta >> 3);
+}
+
+static void pel_filter_chroma(Cell *c, int line, int64_t tc, int sw,
+                              int hor_ctb)
+{
+    int64_t m2 = cget(c, line, -2), m3 = cget(c, line, -1);
+    int64_t m4 = cget(c, line, 0), m5 = cget(c, line, 1);
+    if (sw) {
+        int64_t m6 = cget(c, line, 2), m7 = cget(c, line, 3);
+        if (hor_ctb) {
+            cput(c, line, -1, C3((3 * m2 + 2 * m3 + m4 + m5 + m6 + 4) >> 3, m3, tc));
+            cput(c, line, 0,
+                 C3((2 * m2 + m3 + 2 * m4 + m5 + m6 + m7 + 4) >> 3, m4, tc));
+            cput(c, line, 1,
+                 C3((m2 + m3 + m4 + 2 * m5 + m6 + 2 * m7 + 4) >> 3, m5, tc));
+            cput(c, line, 2,
+                 C3((m3 + m4 + m5 + 2 * m6 + 3 * m7 + 4) >> 3, m6, tc));
+        } else {
+            int64_t m0 = cget(c, line, -4), m1 = cget(c, line, -3);
+            cput(c, line, -3, C3((3 * m0 + 2 * m1 + m2 + m3 + m4 + 4) >> 3, m1, tc));
+            cput(c, line, -2,
+                 C3((2 * m0 + m1 + 2 * m2 + m3 + m4 + m5 + 4) >> 3, m2, tc));
+            cput(c, line, -1,
+                 C3((m0 + m1 + m2 + 2 * m3 + m4 + m5 + m6 + 4) >> 3, m3, tc));
+            cput(c, line, 0,
+                 C3((m1 + m2 + m3 + 2 * m4 + m5 + m6 + m7 + 4) >> 3, m4, tc));
+            cput(c, line, 1,
+                 C3((m2 + m3 + m4 + 2 * m5 + m6 + 2 * m7 + 4) >> 3, m5, tc));
+            cput(c, line, 2,
+                 C3((m3 + m4 + m5 + 2 * m6 + 3 * m7 + 4) >> 3, m6, tc));
+        }
+    } else {
+        int64_t delta = imax64(-tc, imin64(tc,
+            ((((m4 - m3) * 4) + m2 - m5 + 4) >> 3)));
+        int64_t pm = c->pel_max;
+        cput(c, line, -1, imax64(0, imin64(pm, m3 + delta)));
+        cput(c, line, 0, imax64(0, imin64(pm, m4 - delta)));
+    }
+}
+
+/* deblock_chroma_dir(plane w*, W, H, dir, n,
+ *                    cells y* int32[n*2 (ccx,ccy)],
+ *                    params y* int32[n*6 (bs,qp,cmfl,tc_off,beta_off,
+ *                                         hor_ctb)],
+ *                    bd, loop_len, sub_shift) — one call per component. */
+static PyObject *mod_deblock_chroma(PyObject *self, PyObject *args)
+{
+    Py_buffer plane_buf, cells_buf, params_buf;
+    int W, H, dir, n, bd, loop_len, sub_shift;
+    if (!PyArg_ParseTuple(args, "w*iiiiy*y*iii", &plane_buf, &W, &H, &dir, &n,
+                          &cells_buf, &params_buf, &bd, &loop_len,
+                          &sub_shift))
+        return NULL;
+    int32_t *plane = (int32_t *)plane_buf.buf;
+    const int32_t *cells = (const int32_t *)cells_buf.buf;
+    const int32_t *prm = (const int32_t *)params_buf.buf;
+    int pel_max = (1 << bd) - 1;
+
+    for (int i = 0; i < n; i++) {
+        Cell c = {plane, W, dir, cells[2 * i], cells[2 * i + 1], pel_max};
+        int bs = prm[6 * i], qp = prm[6 * i + 1];
+        int large = prm[6 * i + 2];
+        int tc_off = prm[6 * i + 3], beta_off = prm[6 * i + 4];
+        int hor_ctb = prm[6 * i + 5];
+        int idx_tc = qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + 2 * tc_off;
+        if (idx_tc < 0) idx_tc = 0;
+        if (idx_tc > MAX_QP_C + DEFAULT_INTRA_TC_OFFSET)
+            idx_tc = MAX_QP_C + DEFAULT_INTRA_TC_OFFSET;
+        int64_t tc = (bd >= 10)
+                         ? ((int64_t)TC_TABLE_C[idx_tc] << (bd - 10))
+                         : ((TC_TABLE_C[idx_tc] + (1 << (9 - bd)))
+                            >> (10 - bd));
+        if (tc == 0 && !large)
+            continue;
+        int sw = 0;
+        if (large) {
+            int idx_b = qp + 2 * beta_off;
+            if (idx_b < 0) idx_b = 0;
+            if (idx_b > MAX_QP_C) idx_b = MAX_QP_C;
+            int64_t beta = (int64_t)BETA_TABLE_C[idx_b] << (bd - 8);
+            int line3 = sub_shift == 1 ? 1 : 3;
+            int64_t dp0 = hor_ctb
+                ? iabs64(cget(&c, 0, -2) - 2 * cget(&c, 0, -2) + cget(&c, 0, -1))
+                : iabs64(cget(&c, 0, -3) - 2 * cget(&c, 0, -2) + cget(&c, 0, -1));
+            int64_t dq0 = iabs64(cget(&c, 0, 0) - 2 * cget(&c, 0, 1)
+                                 + cget(&c, 0, 2));
+            int64_t dp3 = hor_ctb
+                ? iabs64(cget(&c, line3, -2) - 2 * cget(&c, line3, -2)
+                         + cget(&c, line3, -1))
+                : iabs64(cget(&c, line3, -3) - 2 * cget(&c, line3, -2)
+                         + cget(&c, line3, -1));
+            int64_t dq3 = iabs64(cget(&c, line3, 0) - 2 * cget(&c, line3, 1)
+                                 + cget(&c, line3, 2));
+            int64_t d0 = dp0 + dq0, d3 = dp3 + dq3;
+            if (d0 + d3 < beta)
+                sw = chroma_strong(&c, 0, 2 * d0, beta, tc, hor_ctb)
+                     && chroma_strong(&c, line3, 2 * d3, beta, tc, hor_ctb);
+        }
+        for (int line = 0; line < loop_len; line++)
+            pel_filter_chroma(&c, line, tc, sw, hor_ctb);
+    }
+    PyBuffer_Release(&plane_buf);
+    PyBuffer_Release(&cells_buf);
+    PyBuffer_Release(&params_buf);
+    Py_RETURN_NONE;
+}
+
 static PyMemberDef Decoder_members[] = {
     {"pos", T_PYSSIZET, offsetof(Decoder, pos), 0, "read position"},
     {"end", T_PYSSIZET, offsetof(Decoder, end), 0, "end position"},
@@ -757,9 +1163,16 @@ static PyTypeObject DecoderType = {
     .tp_new = PyType_GenericNew,
 };
 
+static PyMethodDef module_methods[] = {
+    {"deblock_luma", (PyCFunction)mod_deblock_luma, METH_VARARGS, NULL},
+    {"deblock_chroma", (PyCFunction)mod_deblock_chroma, METH_VARARGS, NULL},
+    {NULL},
+};
+
 static PyModuleDef cabacmodule = {
     PyModuleDef_HEAD_INIT, "_cabac",
-    "native CABAC decoder (host parse plane)", -1, NULL,
+    "native host plane: CABAC decoder + deblocking cell kernels", -1,
+    module_methods,
 };
 
 PyMODINIT_FUNC PyInit__cabac(void)
