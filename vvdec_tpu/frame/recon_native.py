@@ -1,0 +1,162 @@
+"""Native fast path for intra frame reconstruction.
+
+Builds flat TU/CU descriptor tensors and drives the C recon engine
+(native/recon.c); TUs using tools outside the engine's fast set are handed
+back to the Python golden path one at a time, preserving parse order (the
+availability rules depend on it).
+
+This is the host-plane counterpart of the reference's scalar kernel layer:
+the same descriptor tensors are the device pipeline's input format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vvdec_tpu.frame.structure import (
+    MODE_INTRA,
+    MTS_SKIP,
+    NUM_LUMA_MODE,
+)
+
+TD_STRIDE = 42
+TD_COMP_BASE = 6
+TD_COMP_STRIDE = 12
+F_ELIG, F_COMP0, F_CHROMA, F_DEPQ = 1, 2, 4, 8
+
+_BANK = None  # (flat int32 bank, offsets int32[n_ids], {(kind, n): id})
+
+
+def _matrix_bank():
+    global _BANK
+    if _BANK is None:
+        from vvdec_tpu.ops.tables import tr_matrix
+        ids = {}
+        parts = []
+        offs = []
+        pos = 0
+        for kind in ("DCT2", "DST7", "DCT8"):
+            for n in (2, 4, 8, 16, 32, 64):
+                if kind != "DCT2" and not (4 <= n <= 32):
+                    continue
+                m = np.ascontiguousarray(tr_matrix(kind, n), dtype=np.int32)
+                ids[(kind, n)] = len(offs)
+                offs.append(pos)
+                parts.append(m.ravel())
+                pos += m.size
+        _BANK = (np.concatenate(parts).astype(np.int32),
+                 np.asarray(offs, dtype=np.int32), ids)
+    return _BANK
+
+
+class NativeFastPath:
+    """Descriptor tensors + C engine driver for one frame, or inactive."""
+
+    def __init__(self, recon) -> None:
+        self.active = False
+        cs = recon.cs
+        from vvdec_tpu.native import native_recon
+        eng = native_recon()
+        if eng is None:
+            return
+        # frame-level gates: the engine handles plain intra frames only
+        if any(not s.is_intra for s in cs.shs):
+            return
+        if cs.sps.ibc_enabled or recon.reshaper is not None \
+                or cs.scaling_list is not None:
+            return
+        self.eng = eng
+        self.recon = recon
+        self.cs = cs
+        bank, offs, ids = _matrix_bank()
+        self.bank, self.offs = bank, offs
+
+        n = len(cs.tus)
+        td = np.zeros((n, TD_STRIDE), dtype=np.int32)
+        from vvdec_tpu.frame.recon_np import get_tr_types
+        sub_w, sub_h = cs.sub_w, cs.sub_h
+        for i, tu in enumerate(cs.tus):
+            cu = cs.cus[tu.cu_idx]
+            d = td[i]
+            d[1] = tu.cu_idx
+            # order-map rect in luma coords
+            if tu.blocks[0] is not None:
+                d[2:6] = tu.blocks[0]
+            else:
+                cxx, cyy, cww, chh = tu.blocks[1]
+                d[2:6] = (cxx * sub_w, cyy * sub_h, cww * sub_w, chh * sub_h)
+            if cu.pred_mode != MODE_INTRA or cu.mip_flag or cu.isp_mode \
+                    or cu.multi_ref_idx or cu.bdpcm_mode \
+                    or cu.bdpcm_mode_chroma or cu.lfnst_idx \
+                    or cu.color_transform or tu.joint_cbcr:
+                continue
+            flags = F_ELIG
+            if cs.sh_of(cu).dep_quant_used:
+                flags |= F_DEPQ
+            comps = []
+            if tu.blocks[0] is not None and cu.has_luma:
+                comps.append(0)
+                flags |= F_COMP0
+            if tu.blocks[1] is not None and cu.has_chroma and cs.num_comp > 1:
+                comps += [1, 2]
+                flags |= F_CHROMA
+            ok = bool(comps)
+            for comp in comps:
+                x, y, w, h = tu.blocks[comp]
+                if w < 2 or h < 2 or w > 64 or h > 64:
+                    ok = False
+                    break
+                mode = recon.final_mode(cu, comp)
+                if mode >= NUM_LUMA_MODE:  # CCLM chroma modes
+                    ok = False
+                    break
+                cbf = bool(tu.cbf[comp])
+                if cbf and tu.mts_idx[comp] == MTS_SKIP:
+                    ok = False
+                    break
+                cd = d[TD_COMP_BASE + comp * TD_COMP_STRIDE:]
+                cd[0], cd[1], cd[2], cd[3] = x, y, w, h
+                cd[4] = 1 if cbf else 0
+                cd[5] = mode
+                cd[6] = 1 if recon.use_filtered_refs(cu, comp, w, h) else 0
+                cd[7] = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
+                    else tu.chroma_qp[comp - 1]
+                cd[8] = tu.max_scan_x[comp]
+                cd[9] = tu.max_scan_y[comp]
+                if cbf:
+                    hor, ver = get_tr_types(cs, tu, cu, comp)
+                    cd[10] = ids[(hor, w)]
+                    cd[11] = ids[(ver, h)]
+            if ok:
+                d[0] = flags
+
+        self.td = np.ascontiguousarray(td)
+        cu_meta = np.zeros((max(1, len(cs.cus)), 6), dtype=np.int32)
+        for cu in cs.cus:
+            cu_meta[cu.idx] = (cu.x, cu.y, cu.cx, cu.cy,
+                               cu.slice_idx, cu.tile_idx)
+        self.cu_meta = np.ascontiguousarray(cu_meta)
+        # contiguous planes shared with the engine
+        self._z32 = np.zeros(1, dtype=np.int32)
+        self.active = True
+
+    def run_from(self, start: int) -> int:
+        """Process TUs [start, r) natively; returns r (first unhandled)."""
+        r = self.recon
+        cs = self.cs
+        reco = r.reco
+        coef = cs.coef
+        has_c = cs.num_comp > 1
+        z = self._z32
+        return self.eng.run_from(
+            start, len(cs.tus), self.td, self.cu_meta,
+            reco[0], coef[0],
+            reco[1] if has_c else z, coef[1] if has_c else z,
+            reco[2] if has_c else z, coef[2] if has_c else z,
+            reco[0].shape[1], reco[0].shape[0],
+            reco[1].shape[1] if has_c else 0,
+            reco[1].shape[0] if has_c else 0,
+            cs.cu_map, cs.cu_map_c if cs.cu_map_c is not None else z,
+            r.tu_order_map, self.bank, self.offs,
+            r.bit_depth, 1 if cs.sps.entropy_coding_sync_enabled else 0,
+            cs.ctu_log2, cs.sub_w, cs.sub_h, cs.num_comp)

@@ -1301,7 +1301,21 @@ class IntraReconstructor:
         last_ctu_row = -1
         prev_cu = None
         ibc_on = self.cs.sps.ibc_enabled
-        for tu in self.cs.tus:
+        # native fast path (C engine) for the common-tool intra subset;
+        # ineligible TUs fall back to the Python golden per TU
+        from vvdec_tpu.frame.recon_native import NativeFastPath
+        fp = NativeFastPath(self)
+        tus = self.cs.tus
+        n_tus = len(tus)
+        i = 0
+        while i < n_tus:
+            if fp.active:
+                j = fp.run_from(i)
+                if j > i:
+                    i = j
+                    continue
+            tu = tus[i]
+            i += 1
             cu = self.cs.cus[tu.cu_idx]
             if cu.idx != self._seen_cu:
                 self._seen_cu = cu.idx

@@ -1,7 +1,7 @@
 """Native host-runtime extensions (C), with transparent build-on-first-use.
 
 The compute plane is JAX/XLA; this package holds the scalar host plane's
-native kernels (CABAC arithmetic decoding today; syntax parsing next),
+native kernels (CABAC arithmetic decoding, the intra recon engine),
 mirroring how the reference keeps its host runtime in C++
 (source/Lib/DecoderLib).  Falls back to the pure-Python implementations
 when no C toolchain is available.
@@ -16,14 +16,14 @@ import sysconfig
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _so_path() -> str:
+def _so_path(name: str) -> str:
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    return os.path.join(_HERE, "_cabac" + suffix)
+    return os.path.join(_HERE, name + suffix)
 
 
-def _build() -> bool:
-    src = os.path.join(_HERE, "cabac.c")
-    out = _so_path()
+def _build(name: str) -> bool:
+    src = os.path.join(_HERE, name.lstrip("_") + ".c")
+    out = _so_path(name)
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return True
     include = sysconfig.get_paths()["include"]
@@ -36,19 +36,30 @@ def _build() -> bool:
         return False
 
 
-_cabac = None
-if os.environ.get("VVDEC_TPU_NO_NATIVE") != "1" and _build():
+def _load(name: str):
+    if os.environ.get("VVDEC_TPU_NO_NATIVE") == "1" or not _build(name):
+        return None
     try:
         import importlib.util
 
-        _spec = importlib.util.spec_from_file_location(
-            "vvdec_tpu.native._cabac", _so_path())
-        _cabac = importlib.util.module_from_spec(_spec)
-        _spec.loader.exec_module(_cabac)
+        spec = importlib.util.spec_from_file_location(
+            f"vvdec_tpu.native.{name}", _so_path(name))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
     except Exception:
-        _cabac = None
+        return None
+
+
+_cabac = _load("_cabac")
+_recon = _load("_recon")
 
 
 def native_cabac():
     """The _cabac module, or None when unavailable."""
     return _cabac
+
+
+def native_recon():
+    """The _recon module, or None when unavailable."""
+    return _recon
