@@ -652,39 +652,66 @@ class Deblocker:
         nc = native_cabac()
         use_native = (nc is not None and self.reco[1].dtype == np.int32
                       and self.reco[1].flags["C_CONTIGUOUS"])
-        native_cells: list = []
         multi = len(cs.shs) > 1
         ctu_c_mask = (cs.sps.ctu_size // cs.sub_h) - 1
-        for c1 in range(0, (chh if dir_ == 0 else cw), par_step):
-            for c0 in range(perp_step, (cw if dir_ == 0 else chh), perp_step):
-                # map cell in luma-4x4 units
-                if dir_ == 0:
-                    ccx, ccy = c0, c1
-                else:
-                    ccx, ccy = c1, c0
-                cx4 = (ccx * sub_w) >> 2
-                cy4 = (ccy * sub_h) >> 2
-                bs_cb = int(ep.bs_cb[cy4, cx4])
-                bs_cr = int(ep.bs_cr[cy4, cx4])
-                if bs_cb <= 0 and bs_cr <= 0:
-                    continue
+        # vectorized active-cell scan: gather the per-cell strengths for the
+        # whole chroma edge grid at once and iterate active cells only
+        c0s = np.arange(perp_step, (cw if dir_ == 0 else chh), perp_step)
+        c1s = np.arange(0, (chh if dir_ == 0 else cw), par_step)
+        if len(c0s) == 0 or len(c1s) == 0:
+            return
+        if dir_ == 0:
+            ccx_g = np.broadcast_to(c0s[None, :], (len(c1s), len(c0s)))
+            ccy_g = np.broadcast_to(c1s[:, None], (len(c1s), len(c0s)))
+        else:
+            ccx_g = np.broadcast_to(c1s[:, None], (len(c1s), len(c0s)))
+            ccy_g = np.broadcast_to(c0s[None, :], (len(c1s), len(c0s)))
+        cx4_g = (ccx_g * sub_w) >> 2
+        cy4_g = (ccy_g * sub_h) >> 2
+        bs_cb_g = ep.bs_cb[cy4_g, cx4_g]
+        bs_cr_g = ep.bs_cr[cy4_g, cx4_g]
+        mask = (bs_cb_g > 0) | (bs_cr_g > 0)
+        if not mask.any():
+            return
+        if use_native:
+            # assemble the whole active-cell table with numpy gathers
+            ccx_a = ccx_g[mask].astype(np.int32)
+            ccy_a = ccy_g[mask].astype(np.int32)
+            cx4_a = cx4_g[mask]
+            cy4_a = cy4_g[mask]
+            n_act = len(ccx_a)
+            arr = np.empty((n_act, 12), dtype=np.int32)
+            arr[:, 0] = ccx_a
+            arr[:, 1] = ccy_a
+            arr[:, 2] = bs_cb_g[mask]
+            arr[:, 3] = bs_cr_g[mask]
+            arr[:, 4] = ep.qp_cb[cy4_a, cx4_a]
+            arr[:, 5] = ep.qp_cr[cy4_a, cx4_a]
+            arr[:, 6] = ep.cmfl[cy4_a, cx4_a]
+            arr[:, 7] = (dir_ == 1) & ((ccy_a & ctu_c_mask) == 0)
+            if not multi:
+                arr[:, 8] = sh.cb_tc_offset_div2
+                arr[:, 9] = sh.cr_tc_offset_div2
+                arr[:, 10] = sh.cb_beta_offset_div2
+                arr[:, 11] = sh.cr_beta_offset_div2
+            else:
+                si = np.clip(cs.slice_map[cy4_a, cx4_a], 0, len(cs.shs) - 1)
+                for col, attr in ((8, "cb_tc_offset_div2"),
+                                  (9, "cr_tc_offset_div2"),
+                                  (10, "cb_beta_offset_div2"),
+                                  (11, "cr_beta_offset_div2")):
+                    arr[:, col] = np.array(
+                        [getattr(s_, attr) for s_ in cs.shs])[si]
+        else:
+            for ai, aj in np.argwhere(mask):
+                ccx, ccy = int(ccx_g[ai, aj]), int(ccy_g[ai, aj])
+                cx4, cy4 = int(cx4_g[ai, aj]), int(cy4_g[ai, aj])
                 if multi:
                     cu_q = cs.cu_at(ccx * sub_w, ccy * sub_h, 0)
                     sh = cs.sh_of(cu_q) if cu_q is not None else cs.sh
-                if use_native:
-                    large = int(ep.cmfl[cy4, cx4])
-                    hor_ctb = int(dir_ == 1 and (ccy & ctu_c_mask) == 0)
-                    native_cells.append(
-                        (ccx, ccy, bs_cb, bs_cr,
-                         int(ep.qp_cb[cy4, cx4]), int(ep.qp_cr[cy4, cx4]),
-                         large, hor_ctb,
-                         sh.cb_tc_offset_div2, sh.cr_tc_offset_div2,
-                         sh.cb_beta_offset_div2, sh.cr_beta_offset_div2))
-                else:
-                    self._chroma_edge_cell(dir_, ccx, ccy, ep, cy4, cx4, sh,
-                                           par_step, sub_shift)
-        if use_native and native_cells:
-            arr = np.asarray(native_cells, dtype=np.int32)
+                self._chroma_edge_cell(dir_, ccx, ccy, ep, cy4, cx4, sh,
+                                       par_step, sub_shift)
+        if use_native:
             for k, comp in enumerate((1, 2)):
                 bs_col = arr[:, 2 + k]
                 large_col = arr[:, 6]
