@@ -1,5 +1,12 @@
-"""Public decoder API (placeholder during bring-up; mirrors vvdec's C API shape:
-vvdec_decoder_open / vvdec_decode / vvdec_flush, include/vvdec/vvdec.h.in:558-712)."""
+"""Public decoder API.
+
+Mirrors the reference's C API surface (include/vvdec/vvdec.h.in:558-712:
+vvdec_decoder_open / vvdec_decode / vvdec_flush / vvdec_frame_unref /
+vvdec_find_frame_sei / vvdec_get_hash_error_count) as an idiomatic Python
+class over the streaming core.  Frames expose zero-copy views of the
+internal 16-bit planes (vvdecimpl.cpp:953 xAddPicture hands out plane
+pointers the same way).
+"""
 
 from __future__ import annotations
 
@@ -8,29 +15,104 @@ from dataclasses import dataclass, field
 
 @dataclass
 class DecoderParams:
+    """vvdecParams analog (vvdec.h.in:487-502)."""
+
     threads: int = 0
     parse_delay: int = -1
-    verify_picture_hash: bool = False
-    film_grain_synthesis: bool = False
+    verify_picture_hash: bool = False   # strict: raise on mismatch
+    film_grain_synthesis: bool = True
     log_level: int = 2
+    use_device_pipeline: bool = False   # route recon through JAX stages
 
 
 @dataclass
 class Frame:
-    planes: list = field(default_factory=list)  # numpy arrays, 16-bit samples
+    """vvdecFrame analog: decoded picture handed to the application."""
+
+    planes: list = field(default_factory=list)  # numpy uint16 views (Y,Cb,Cr)
     width: int = 0
     height: int = 0
     bit_depth: int = 10
     poc: int = 0
     cts: int = 0
+    sei: list = field(default_factory=list)
+    chroma_format_idc: int = 1
+    picture: object = None               # internal DPB handle
 
 
 class Decoder:
+    """vvdec_decoder_open analog: a stateful streaming decoder."""
+
     def __init__(self, params: DecoderParams | None = None):
+        from vvdec_tpu.decoder import StreamDecoder
         self.params = params or DecoderParams()
+        self._core = StreamDecoder(
+            use_jax=self.params.use_device_pipeline,
+            strict_hash=self.params.verify_picture_hash)
+        self._fg = None  # film-grain synthesizer (lazy, FGC-SEI driven)
 
-    def decode(self, au: bytes) -> Frame | None:
-        raise NotImplementedError
+    # -- lifecycle ---------------------------------------------------------
+    def close(self) -> None:
+        self._core = None
 
-    def flush(self) -> Frame | None:
-        raise NotImplementedError
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # -- decoding ----------------------------------------------------------
+    def decode(self, au: bytes) -> list[Frame]:
+        """Push one access unit (or any Annex-B chunk); returns the frames
+        that became ready for output, in output order (vvdec_decode)."""
+        return [self._to_frame(p) for p in self._core.push(au)]
+
+    def flush(self) -> list[Frame]:
+        """Drain all remaining frames (vvdec_flush)."""
+        return [self._to_frame(p) for p in self._core.flush()]
+
+    def frame_unref(self, frame: Frame) -> None:
+        """Release the frame's DPB slot (vvdec_frame_unref)."""
+        if frame.picture is not None:
+            self._core.plm.release(frame.picture)
+            frame.picture = None
+            frame.planes = []
+
+    # -- queries -----------------------------------------------------------
+    def find_frame_sei(self, frame: Frame, payload_type: int):
+        """First SEI of the given payload type attached to this frame
+        (vvdec_find_frame_sei)."""
+        for m in frame.sei:
+            if m.payload_type == payload_type:
+                return m
+        return None
+
+    def get_hash_error_count(self) -> int:
+        return self._core.hash_errors
+
+    # -- helpers -----------------------------------------------------------
+    def _to_frame(self, pic) -> Frame:
+        planes = pic.planes
+        if self.params.film_grain_synthesis:
+            planes = self._apply_film_grain(pic, planes)
+        return Frame(planes=planes, width=pic.width, height=pic.height,
+                     bit_depth=pic.bit_depth, poc=pic.poc, sei=pic.sei,
+                     chroma_format_idc=pic.chroma_format_idc, picture=pic)
+
+    def _apply_film_grain(self, pic, planes):
+        """FGC-SEI-driven film grain synthesis on output (VVDecImpl::
+        xAddGrain, vvdecimpl.cpp:894).  No-op without an FGC SEI."""
+        from vvdec_tpu.hls.sei import SEI_FILM_GRAIN_CHARACTERISTICS
+        fgc = next((m for m in pic.sei
+                    if m.payload_type == SEI_FILM_GRAIN_CHARACTERISTICS),
+                   None)
+        if fgc is None and self._fg is None:
+            return planes
+        from vvdec_tpu.frame.film_grain import FilmGrainSynthesizer
+        if fgc is not None:
+            self._fg = FilmGrainSynthesizer.from_sei(
+                fgc, pic.bit_depth, pic.chroma_format_idc)
+        if self._fg is None or not self._fg.enabled:
+            return planes
+        return self._fg.apply(planes, pic.poc)

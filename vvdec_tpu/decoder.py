@@ -51,35 +51,43 @@ class FrameParser:
     def parse_stream(self, data: bytes) -> list[ParsedFrame]:
         frames: list[ParsedFrame] = []
         for nal in read_nal_units(data):
-            full_rbsp = bytes([0, (int(nal.nal_type) << 3) | (nal.temporal_id + 1)]) \
-                + nal.rbsp
-            t = nal.nal_type
-            if t == NalUnitType.SPS:
-                self.psman.store_sps(parse_sps(full_rbsp))
-            elif t == NalUnitType.PPS:
-                self.psman.store_pps(parse_pps(full_rbsp, self.psman.get_sps))
-            elif t == NalUnitType.PH:
-                self._flush_pending(frames)
-                r = BitReader(full_rbsp, pos=16)
-                self.cur_ph = parse_picture_header(r, self.psman)
-            elif t in (NalUnitType.PREFIX_APS, NalUnitType.SUFFIX_APS):
-                from vvdec_tpu.hls.reader import parse_aps
-                self.psman.store_aps(parse_aps(full_rbsp))
-            elif t in (NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI):
-                from vvdec_tpu.hls.sei import parse_sei_nal
-                msgs = parse_sei_nal(full_rbsp)
-                if t == NalUnitType.PREFIX_SEI or not frames:
-                    self.pending_sei.extend(msgs)
-                else:
-                    frames[-1].sei.extend(msgs)
-            elif nal.is_vcl:
-                done = self._parse_slice(full_rbsp, nal)
-                if done is not None:
-                    frames.append(done)
-                    done.sei.extend(self.pending_sei)
-                    self.pending_sei = []
-            # AUD / EOS / EOB / FD: ignored at this stage
+            frames.extend(self.feed_nal(nal, last_frame=frames[-1]
+                                        if frames else None))
         self._flush_pending(frames)
+        return frames
+
+    def feed_nal(self, nal, last_frame: ParsedFrame | None = None
+                 ) -> list[ParsedFrame]:
+        """Process one NAL unit; returns completed pictures (0 or more)."""
+        frames: list[ParsedFrame] = []
+        full_rbsp = bytes([0, (int(nal.nal_type) << 3) | (nal.temporal_id + 1)]) \
+            + nal.rbsp
+        t = nal.nal_type
+        if t == NalUnitType.SPS:
+            self.psman.store_sps(parse_sps(full_rbsp))
+        elif t == NalUnitType.PPS:
+            self.psman.store_pps(parse_pps(full_rbsp, self.psman.get_sps))
+        elif t == NalUnitType.PH:
+            self._flush_pending(frames)
+            r = BitReader(full_rbsp, pos=16)
+            self.cur_ph = parse_picture_header(r, self.psman)
+        elif t in (NalUnitType.PREFIX_APS, NalUnitType.SUFFIX_APS):
+            from vvdec_tpu.hls.reader import parse_aps
+            self.psman.store_aps(parse_aps(full_rbsp))
+        elif t in (NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI):
+            from vvdec_tpu.hls.sei import parse_sei_nal
+            msgs = parse_sei_nal(full_rbsp)
+            if t == NalUnitType.PREFIX_SEI or last_frame is None:
+                self.pending_sei.extend(msgs)
+            else:
+                last_frame.sei.extend(msgs)
+        elif nal.is_vcl:
+            done = self._parse_slice(full_rbsp, nal)
+            if done is not None:
+                frames.append(done)
+                done.sei.extend(self.pending_sei)
+                self.pending_sei = []
+        # AUD / EOS / EOB / FD: ignored at this stage
         return frames
 
     def _flush_pending(self, frames: list) -> None:
@@ -181,27 +189,79 @@ def parse_annexb(data: bytes) -> list[ParsedFrame]:
     return FrameParser().parse_stream(data)
 
 
-def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
-    """Full decode: Annex-B stream -> list of frames, each a list of uint16
-    planes (Y, Cb, Cr).  The numpy golden path; `use_jax=True` routes the
-    reconstruction through the JAX device pipeline."""
-    from vvdec_tpu.frame.deblock_np import deblock_frame
-    from vvdec_tpu.frame.recon_np import IntraReconstructor
+class StreamDecoder:
+    """Streaming decoder: push Annex-B bytes in, pull pictures out in
+    output (bumping) order.
 
-    frames = []
-    segment = []  # (poc, planes) of the current IRAP period, decode order
-    dpb: dict[int, list] = {}  # poc -> reconstructed planes (pre-output)
-    dpb_mot: dict[int, object] = {}  # poc -> ColMotion
+    The vvdec_decode/vvdec_flush analog (vvdecimpl.cpp:271,:511): NAL
+    dispatch to the parser, one-picture parse-ahead (a picture is
+    reconstructed when the next one begins, so its suffix SEIs — notably
+    the decoded-picture-hash — are attached first), reference management,
+    and DPB output bumping."""
 
-    def flush_segment():
-        segment.sort(key=lambda e: e[0])
-        frames.extend(p for _, p in segment)
-        segment.clear()
+    def __init__(self, use_jax: bool = False, strict_hash: bool = True):
+        from vvdec_tpu.dpb import PicListManager
+        self.parser = FrameParser()
+        self.plm = PicListManager()
+        self.use_jax = use_jax
+        self.strict_hash = strict_hash
+        self.hash_errors = 0
+        self._refs: dict[int, list] = {}      # poc -> int planes (ref)
+        self._ref_cols: dict[int, object] = {}  # poc -> ColMotion
+        self._pending: ParsedFrame | None = None
+        self._num_reorder = 0
 
-    for f in parse_annexb(data):
-        if f.is_idr:
-            flush_segment()
+    def push(self, data: bytes) -> list:
+        """Feed a chunk of Annex-B bytes (one AU or more); returns the
+        pictures that became ready for output, in output order."""
+        out = []
+        for nal in read_nal_units(data):
+            done = self.parser.feed_nal(
+                nal, last_frame=self._pending)
+            for f in done:
+                if self._pending is not None:
+                    self._reconstruct(self._pending)
+                self._pending = f
+            out.extend(self._bump())
+        return out
+
+    def flush(self) -> list:
+        """Drain all remaining pictures (vvdec_flush)."""
+        tail: list[ParsedFrame] = []
+        self.parser._flush_pending(tail)
+        for f in tail:
+            if self._pending is not None:
+                self._reconstruct(self._pending)
+            self._pending = f
+        if self._pending is not None:
+            self._reconstruct(self._pending)
+            self._pending = None
+        out = self.plm.drain(self._num_reorder)
+        self.plm.reset()
+        self.parser = FrameParser()
+        return out
+
+    def _bump(self) -> list:
+        out = []
+        while True:
+            p = self.plm.get_next_output(self._num_reorder)
+            if p is None:
+                return out
+            out.append(p)
+
+    def _reconstruct(self, f: ParsedFrame) -> None:
+        from vvdec_tpu.dpb import DecodedPicture
+        from vvdec_tpu.frame.deblock_np import deblock_frame
+        from vvdec_tpu.frame.recon_np import IntraReconstructor
+
         cs = f.cs
+        if f.is_idr:
+            # previous pictures can no longer be referenced (NoOutputOfPrior
+            # handling is trivial here: they remain output-marked)
+            self.plm.unmark_all_references()
+            self._refs.clear()
+            self._ref_cols.clear()
+        self._num_reorder = cs.sps.num_reorder_pics[-1]
         # resolve reference picture lists (RefPicPocList = poc + delta)
         # multi-slice pictures: the shared ref structures come from the
         # first inter slice (per-slice RPL variation not supported yet)
@@ -219,16 +279,16 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
                         raise NotImplementedError("long-term refs")
                     ref_poc = f.poc + e.value
                     cs.ref_pocs[lst].append(ref_poc)
-                    if ref_poc not in dpb:
+                    if ref_poc not in self._refs:
                         raise ValueError(f"missing reference POC {ref_poc}")
-                    cs.ref_planes[lst].append(dpb[ref_poc])
-                    cs.ref_cols[lst].append(dpb_mot[ref_poc])
+                    cs.ref_planes[lst].append(self._refs[ref_poc])
+                    cs.ref_cols[lst].append(self._ref_cols[ref_poc])
             # low-delay check: every active reference precedes this picture
             cs.check_ldc = all(
                 p <= f.poc
                 for lst in range(2)
                 for p in cs.ref_pocs[lst][: sh_ref.num_ref_idx_active[lst]])
-        if use_jax:
+        if self.use_jax:
             from vvdec_tpu.ops.pipeline import reconstruct_frame_jax
             planes = reconstruct_frame_jax(cs)
         else:
@@ -243,9 +303,9 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
         for x2, y2, mv0, mv1 in getattr(cs, "dmvr_fixups", ()):
             cs.mi_mv[y2 >> 2, x2 >> 2, 0] = mv0
             cs.mi_mv[y2 >> 2, x2 >> 2, 1] = mv1
-        dpb[f.poc] = planes
+        self._refs[f.poc] = planes
         from vvdec_tpu.frame.inter_np import ColMotion
-        dpb_mot[f.poc] = ColMotion(cs, f.poc)
+        self._ref_cols[f.poc] = ColMotion(cs, f.poc)
         out_planes = [p.astype(np.uint16) for p in planes]
         # decoded-picture-hash verification (DecLib::checkPictureHashSEI,
         # DecLib.cpp:480)
@@ -258,12 +318,25 @@ def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
                 got = calc_picture_hash(out_planes, cs.sps.bit_depth,
                                         dph.method)
                 if got != dph.digest:
-                    raise ValueError(
-                        f"decoded picture hash mismatch at POC {f.poc}: "
-                        f"{got.hex()} != {dph.digest.hex()}")
-        segment.append((f.poc, out_planes))
-    flush_segment()
-    return frames
+                    self.hash_errors += 1
+                    if self.strict_hash:
+                        raise ValueError(
+                            f"decoded picture hash mismatch at POC {f.poc}: "
+                            f"{got.hex()} != {dph.digest.hex()}")
+        self.plm.add(DecodedPicture(
+            poc=f.poc, planes=out_planes, bit_depth=cs.sps.bit_depth,
+            is_idr=f.is_idr, sei=f.sei, width=cs.w, height=cs.h,
+            chroma_format_idc=cs.sps.chroma_format_idc))
+
+
+def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
+    """Full decode: Annex-B stream -> list of frames in output order, each a
+    list of uint16 planes (Y, Cb, Cr).  The numpy golden path; `use_jax=True`
+    routes the reconstruction through the JAX device pipeline."""
+    dec = StreamDecoder(use_jax=use_jax)
+    pics = dec.push(data)
+    pics.extend(dec.flush())
+    return [p.planes for p in pics]
 
 
 def decode_to_yuv(data: bytes, use_jax: bool = False) -> bytes:

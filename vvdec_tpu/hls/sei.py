@@ -168,3 +168,74 @@ def _checksum_plane(plane: np.ndarray, bit_depth: int) -> bytes:
         total += int(((p >> 8) ^ xor_mask).sum())
     total &= 0xFFFFFFFF
     return total.to_bytes(4, "big")
+
+
+# ---------------------------------------------------------------------------
+# film grain characteristics (payload type 19)
+# ---------------------------------------------------------------------------
+@dataclass
+class CompModel:
+    present: bool = False
+    num_model_values: int = 0
+    # per interval: (lower_bound, upper_bound, [model values])
+    intervals: list = field(default_factory=list)
+
+
+@dataclass
+class FilmGrainCharacteristics:
+    """Parsed FGC SEI (xParseSEIFilmGrainCharacteristics, SEIread.cpp)."""
+
+    cancel: bool = False
+    model_id: int = 0
+    separate_colour_description: bool = False
+    bit_depth_luma: int = 0
+    bit_depth_chroma: int = 0
+    full_range: bool = False
+    colour_primaries: int = 0
+    transfer_characteristics: int = 0
+    matrix_coeffs: int = 0
+    blending_mode_id: int = 0
+    log2_scale_factor: int = 0
+    comp_model: list = field(default_factory=lambda: [CompModel(),
+                                                      CompModel(),
+                                                      CompModel()])
+    persistence: bool = False
+
+
+def parse_fgc(msg: SeiMessage) -> FilmGrainCharacteristics:
+    """Film grain characteristics SEI payload
+    (xParseSEIFilmGrainCharacteristics, SEIread.cpp)."""
+    from vvdec_tpu.bitstream.reader import BitReader
+    r = BitReader(msg.payload)
+    f = FilmGrainCharacteristics()
+    f.cancel = bool(r.u(1))
+    if f.cancel:
+        return f
+    f.model_id = r.u(2)
+    f.separate_colour_description = bool(r.u(1))
+    if f.separate_colour_description:
+        f.bit_depth_luma = r.u(3) + 8
+        f.bit_depth_chroma = r.u(3) + 8
+        f.full_range = bool(r.u(1))
+        f.colour_primaries = r.u(8)
+        f.transfer_characteristics = r.u(8)
+        f.matrix_coeffs = r.u(8)
+    f.blending_mode_id = r.u(2)
+    f.log2_scale_factor = r.u(4)
+    for c in range(3):
+        f.comp_model[c].present = bool(r.u(1))
+    for c in range(3):
+        cm = f.comp_model[c]
+        if not cm.present:
+            continue
+        n_int = r.u(8) + 1
+        cm.num_model_values = r.u(3) + 1
+        if cm.num_model_values > 6:
+            raise ValueError("num_model_values out of range")
+        for _ in range(n_int):
+            lo = r.u(8)
+            hi = r.u(8)
+            vals = [r.se() for _ in range(cm.num_model_values)]
+            cm.intervals.append((lo, hi, vals))
+    f.persistence = bool(r.u(1))
+    return f
