@@ -23,6 +23,10 @@ class DecoderParams:
     film_grain_synthesis: bool = True
     log_level: int = 2
     use_device_pipeline: bool = False   # route recon through JAX stages
+    # VVDEC_ERR_HANDLING_TRY_CONTINUE analog (vvdec.h.in:180-184):
+    # "strict" raises, "conceal" grey-fills broken pictures and synthesizes
+    # lost references, continuing the stream
+    err_handling: str = "strict"
 
 
 @dataclass
@@ -48,7 +52,8 @@ class Decoder:
         self.params = params or DecoderParams()
         self._core = StreamDecoder(
             use_jax=self.params.use_device_pipeline,
-            strict_hash=self.params.verify_picture_hash)
+            strict_hash=self.params.verify_picture_hash,
+            err_policy=self.params.err_handling)
         self._fg = None  # film-grain synthesizer (lazy, FGC-SEI driven)
 
     # -- lifecycle ---------------------------------------------------------

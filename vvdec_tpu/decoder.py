@@ -31,6 +31,8 @@ class ParsedFrame:
     cs: CodingStructure
     poc: int = 0
     is_idr: bool = False
+    nal_type: int = 0
+    broken: bool = False     # parse error: conceal with grey fill
     sei: list = field(default_factory=list)
 
 
@@ -137,7 +139,8 @@ class FrameParser:
                 if aps is None:
                     raise ValueError(f"missing LMCS APS {ph.lmcs_aps_id}")
                 cs.lmcs_info = aps.lmcs
-            pf = ParsedFrame(cs=cs, poc=sh.poc, is_idr=nal.is_idr)
+            pf = ParsedFrame(cs=cs, poc=sh.poc, is_idr=nal.is_idr,
+                             nal_type=int(nal.nal_type))
             total = pps.pic_width_in_ctu * pps.pic_height_in_ctu
             self._pending = (pf, set(), total)
             slice_idx = 0
@@ -199,25 +202,51 @@ class StreamDecoder:
     the decoded-picture-hash — are attached first), reference management,
     and DPB output bumping."""
 
-    def __init__(self, use_jax: bool = False, strict_hash: bool = True):
+    def __init__(self, use_jax: bool = False, strict_hash: bool = True,
+                 err_policy: str = "strict"):
+        """err_policy: "strict" raises on broken streams; "conceal" follows
+        the reference's fault tolerance — lost references are synthesized
+        (closest picture or grey, DecLibParser::prepareUnavailablePicture,
+        PicListManager::findClosestPic) and broken pictures are grey-filled
+        and kept referenceable (DecLib::sanitizeBrokenPicture)."""
         from vvdec_tpu.dpb import PicListManager
         self.parser = FrameParser()
         self.plm = PicListManager()
         self.use_jax = use_jax
         self.strict_hash = strict_hash
+        self.err_policy = err_policy
         self.hash_errors = 0
+        self.error_pictures = 0
         self._refs: dict[int, list] = {}      # poc -> int planes (ref)
         self._ref_cols: dict[int, object] = {}  # poc -> ColMotion
         self._pending: ParsedFrame | None = None
         self._num_reorder = 0
+        # random-access tune-in state
+        self._first_rap_poc: int | None = None   # first decoded RAP
+        self._first_rap_cra = False
+        self._last_irap_poc: int | None = None
+        self._gdr_recovery_poc: int | None = None
 
     def push(self, data: bytes) -> list:
         """Feed a chunk of Annex-B bytes (one AU or more); returns the
         pictures that became ready for output, in output order."""
         out = []
         for nal in read_nal_units(data):
-            done = self.parser.feed_nal(
-                nal, last_frame=self._pending)
+            try:
+                done = self.parser.feed_nal(
+                    nal, last_frame=self._pending)
+            except Exception:
+                if self.err_policy != "conceal":
+                    raise
+                # parse error mid-picture: the open picture is broken —
+                # grey-fill it and resynchronize (reference: parse-task
+                # exception transport, DecLibParser.cpp:969-980)
+                done = []
+                if self.parser._pending is not None:
+                    pf = self.parser._pending[0]
+                    pf.broken = True
+                    self.parser._pending = None
+                    done = [pf]
             for f in done:
                 if self._pending is not None:
                     self._reconstruct(self._pending)
@@ -249,7 +278,68 @@ class StreamDecoder:
                 return out
             out.append(p)
 
+    def _grey_planes(self, cs) -> list:
+        """Mid-grey planes for concealment (Picture::fillGrey)."""
+        grey = 1 << (cs.sps.bit_depth - 1)
+        return [np.full((h, w), grey, dtype=np.int32)
+                for (w, h) in cs.comp_size]
+
+    def _substitute_ref(self, poc: int, cs):
+        """Lost reference: the closest decoded picture, or a grey frame
+        (DecLibParser::prepareUnavailablePicture + findClosestPic)."""
+        self.error_pictures += 1
+        if self._refs:
+            best = min(self._refs, key=lambda p: (abs(p - poc), p))
+            return self._refs[best], self._ref_cols[best]
+        from vvdec_tpu.frame.inter_np import ColMotion
+        planes = self._grey_planes(cs)
+        return planes, ColMotion(cs, poc)
+
+    def _random_access_skip(self, f: ParsedFrame) -> bool:
+        """RASL pictures associated with the RAP we tuned in at are not
+        decodable (DecLibParser::isRandomAccessSkipPicture)."""
+        t = NalUnitType(f.nal_type)
+        if t in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP,
+                 NalUnitType.CRA, NalUnitType.GDR):
+            self._last_irap_poc = f.poc
+            if self._first_rap_poc is None:
+                self._first_rap_poc = f.poc
+                self._first_rap_cra = t == NalUnitType.CRA
+                if t == NalUnitType.GDR:
+                    self._gdr_recovery_poc = \
+                        f.poc + f.cs.ph.recovery_poc_cnt
+            return False
+        if t == NalUnitType.RASL and self._first_rap_cra \
+                and self._last_irap_poc == self._first_rap_poc:
+            return True
+        return False
+
     def _reconstruct(self, f: ParsedFrame) -> None:
+        if self._random_access_skip(f):
+            return
+        try:
+            if f.broken:
+                raise RuntimeError("picture broken during parse")
+            self._reconstruct_inner(f)
+        except Exception:
+            if self.err_policy != "conceal":
+                raise
+            # broken picture: grey-fill, keep referenceable, mark error
+            # (DecLib::sanitizeBrokenPicture, Picture::ensureUsableAsRef)
+            from vvdec_tpu.dpb import DecodedPicture
+            from vvdec_tpu.frame.inter_np import ColMotion
+            cs = f.cs
+            self.error_pictures += 1
+            planes = self._grey_planes(cs)
+            self._refs[f.poc] = planes
+            self._ref_cols[f.poc] = ColMotion(cs, f.poc)
+            self.plm.add(DecodedPicture(
+                poc=f.poc, planes=[p.astype(np.uint16) for p in planes],
+                bit_depth=cs.sps.bit_depth, is_idr=f.is_idr, sei=f.sei,
+                width=cs.w, height=cs.h,
+                chroma_format_idc=cs.sps.chroma_format_idc, error=True))
+
+    def _reconstruct_inner(self, f: ParsedFrame) -> None:
         from vvdec_tpu.dpb import DecodedPicture
         from vvdec_tpu.frame.deblock_np import deblock_frame
         from vvdec_tpu.frame.recon_np import IntraReconstructor
@@ -269,6 +359,7 @@ class StreamDecoder:
         cs.ref_pocs = [[], []]
         cs.ref_planes = [[], []]
         cs.ref_cols = [[], []]
+        pic_error = False
         if not sh_ref.is_intra:
             for lst in range(2):
                 rpl = sh_ref.rpl[lst]
@@ -280,7 +371,13 @@ class StreamDecoder:
                     ref_poc = f.poc + e.value
                     cs.ref_pocs[lst].append(ref_poc)
                     if ref_poc not in self._refs:
-                        raise ValueError(f"missing reference POC {ref_poc}")
+                        if self.err_policy != "conceal":
+                            raise ValueError(
+                                f"missing reference POC {ref_poc}")
+                        planes_c, col_c = self._substitute_ref(ref_poc, cs)
+                        self._refs[ref_poc] = planes_c
+                        self._ref_cols[ref_poc] = col_c
+                        pic_error = True
                     cs.ref_planes[lst].append(self._refs[ref_poc])
                     cs.ref_cols[lst].append(self._ref_cols[ref_poc])
             # low-delay check: every active reference precedes this picture
@@ -323,10 +420,19 @@ class StreamDecoder:
                         raise ValueError(
                             f"decoded picture hash mismatch at POC {f.poc}: "
                             f"{got.hex()} != {dph.digest.hex()}")
+        # GDR tune-in: suppress output until the recovery point
+        # (DecLibParser GDR tracking, :658-684)
+        needed = True
+        if self._gdr_recovery_poc is not None:
+            if f.poc >= self._gdr_recovery_poc:
+                self._gdr_recovery_poc = None
+            else:
+                needed = False
         self.plm.add(DecodedPicture(
             poc=f.poc, planes=out_planes, bit_depth=cs.sps.bit_depth,
             is_idr=f.is_idr, sei=f.sei, width=cs.w, height=cs.h,
-            chroma_format_idc=cs.sps.chroma_format_idc))
+            chroma_format_idc=cs.sps.chroma_format_idc, error=pic_error,
+            needed_for_output=needed))
 
 
 def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
