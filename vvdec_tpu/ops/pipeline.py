@@ -31,6 +31,20 @@ from vvdec_tpu.ops.tables import tr_matrix
 MAX_LOG2_TR_RANGE = 15
 
 
+def _use_pallas() -> bool:
+    """Route the ITX stage through the Pallas kernel on real TPU backends
+    (the XLA einsum path is the portable fallback and the CPU-test target)."""
+    import os
+    if os.environ.get("VVDEC_TPU_FORCE_PALLAS") == "1":
+        return True
+    if os.environ.get("VVDEC_TPU_NO_PALLAS") == "1":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 @functools.lru_cache(maxsize=None)
 def _itx_fn(h: int, w: int, tr_hor: str, tr_ver: str, bit_depth: int,
             dep_quant: bool, use_sl: bool = False):
@@ -53,6 +67,20 @@ def _itx_fn(h: int, w: int, tr_hor: str, tr_ver: str, bit_depth: int,
     s1 = 7
     s2 = (6 + MAX_LOG2_TR_RANGE - 1) - bit_depth
     clip_min, clip_max = -(1 << MAX_LOG2_TR_RANGE), (1 << MAX_LOG2_TR_RANGE) - 1
+
+    if not use_sl and w > 1 and h > 1 and _use_pallas():
+        # fused Pallas kernel (MXU matmuls + VPU dequant)
+        from vvdec_tpu.ops.pallas.itx import dequant_params, itx_batch_pallas
+
+        def run_pallas(levels: jnp.ndarray, qp: jnp.ndarray,
+                       smat=None) -> jnp.ndarray:
+            scale, rshift, imax = dequant_params(
+                np.asarray(qp), w, h, bit_depth, dep_quant)
+            return itx_batch_pallas(
+                levels, jnp.asarray(scale), jnp.asarray(rshift),
+                jnp.asarray(imax), mv, mh, h=h, w=w, bit_depth=bit_depth)
+
+        return run_pallas
 
     @jax.jit
     def run(levels: jnp.ndarray, qp: jnp.ndarray,
