@@ -119,26 +119,26 @@ def itx_batch_pallas(levels: jnp.ndarray, scale: jnp.ndarray,
     return out[:n]
 
 
-def dequant_params(qp: np.ndarray, w: int, h: int, bit_depth: int,
-                   dep_quant: bool) -> tuple[np.ndarray, np.ndarray,
-                                             np.ndarray]:
-    """Host-side per-TU dequant parameters (scale, right-shift, input max)
-    from QP (Quant.cpp:292 scale/shift derivation)."""
+def dequant_params(qp, w: int, h: int, bit_depth: int, dep_quant: bool):
+    """Per-TU dequant parameters (scale, right-shift, input max) from QP
+    (Quant.cpp:292 scale/shift derivation).  Works on numpy arrays and on
+    traced jnp values (fully jittable)."""
     from vvdec_tpu.ops import rom
+    xp = jnp if isinstance(qp, jnp.ndarray) else np
     log2_w, log2_h = w.bit_length() - 1, h.bit_length() - 1
     transform_shift = MAX_LOG2_TR_RANGE - bit_depth - ((log2_w + log2_h) >> 1)
     needs_sqrt2 = ((log2_w + log2_h) & 1) == 1
     i_transform_shift = transform_shift + (-1 if needs_sqrt2 else 0)
-    qp = np.asarray(qp, dtype=np.int64)
+    qp = xp.asarray(qp, dtype=xp.int32)
     if dep_quant:
         qp_per = (qp + 1) // 6
         qp_rem = qp + 1 - 6 * qp_per
     else:
         qp_per, qp_rem = qp // 6, qp % 6
     rshift = 6 + (1 if dep_quant else 0) - (i_transform_shift + qp_per)
-    scale = np.asarray(rom.INV_QUANT_SCALES[1 if needs_sqrt2 else 0],
-                       dtype=np.int64)[qp_rem]
-    target_bd = np.minimum(MAX_LOG2_TR_RANGE + 1, 64 + rshift - 7)
-    imax = (1 << (target_bd - 1)) - 1
-    return (scale.astype(np.int32), rshift.astype(np.int32),
-            imax.astype(np.int32))
+    scale = xp.asarray(rom.INV_QUANT_SCALES[1 if needs_sqrt2 else 0],
+                       dtype=xp.int32)[qp_rem]
+    target_bd = xp.minimum(MAX_LOG2_TR_RANGE + 1, 64 + rshift - 7)
+    imax = (1 << (target_bd.astype(xp.int64) - 1)).astype(xp.int32) - 1
+    return (scale.astype(xp.int32), rshift.astype(xp.int32),
+            imax.astype(xp.int32))

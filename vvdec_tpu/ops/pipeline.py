@@ -72,13 +72,13 @@ def _itx_fn(h: int, w: int, tr_hor: str, tr_ver: str, bit_depth: int,
         # fused Pallas kernel (MXU matmuls + VPU dequant)
         from vvdec_tpu.ops.pallas.itx import dequant_params, itx_batch_pallas
 
+        @jax.jit
         def run_pallas(levels: jnp.ndarray, qp: jnp.ndarray,
                        smat=None) -> jnp.ndarray:
             scale, rshift, imax = dequant_params(
-                np.asarray(qp), w, h, bit_depth, dep_quant)
-            return itx_batch_pallas(
-                levels, jnp.asarray(scale), jnp.asarray(rshift),
-                jnp.asarray(imax), mv, mh, h=h, w=w, bit_depth=bit_depth)
+                jnp.asarray(qp), w, h, bit_depth, dep_quant)
+            return itx_batch_pallas(levels, scale, rshift, imax, mv, mh,
+                                    h=h, w=w, bit_depth=bit_depth)
 
         return run_pallas
 

@@ -1,0 +1,74 @@
+"""GOP/segment-parallel decoding (host plane).
+
+The frame-level pipeline-parallelism analog (reference P2: parse-ahead +
+2 rotating DecLibRecon instances, DecLib.cpp:612-635) taken to its
+distributed form (BASELINE config 5): an Annex-B stream splits at IRAP
+boundaries into independently decodable segments, decoded concurrently
+across worker processes (one per host core) or, multi-host, across hosts.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ProcessPoolExecutor
+
+
+def split_irap_segments(data: bytes) -> list[bytes]:
+    """Split a stream into (header + segment) chunks at IRAP pictures.
+
+    Non-VCL NALs seen before the first VCL of a segment travel with that
+    segment; parameter sets seen anywhere are replicated into the shared
+    header so later segments can tune in independently (the reference's
+    random-access semantics: any IRAP is a valid tune-in point)."""
+    from vvdec_tpu.bitstream.nal import (NalUnitType, is_irap, is_vcl,
+                                         split_annexb)
+
+    header = bytearray()
+    segments: list[bytearray] = []
+    pending = bytearray()  # non-VCL NALs preceding the next VCL
+    for off, size in split_annexb(data):
+        raw = b"\x00\x00\x01" + data[off:off + size]
+        t = data[off + 1] >> 3  # nal_unit_type (2nd header byte, bits 7..3)
+        if t in (NalUnitType.SPS, NalUnitType.PPS, NalUnitType.VPS):
+            header += raw
+            continue
+        if not is_vcl(t):
+            pending += raw
+            continue
+        if is_irap(t) or not segments:
+            segments.append(bytearray())
+        segments[-1] += pending
+        pending = bytearray()
+        segments[-1] += raw
+    if pending and segments:
+        segments[-1] += pending
+    return [bytes(header) + bytes(s) for s in segments]
+
+
+def _decode_segment(args):
+    seg, use_jax = args
+    from vvdec_tpu.decoder import decode_annexb
+    return decode_annexb(seg, use_jax=use_jax)
+
+
+def decode_annexb_parallel(data: bytes, workers: int | None = None,
+                           use_jax: bool = False) -> list:
+    """Parallel decode across IRAP segments; output order preserved.
+
+    Worker processes are the host-plane analog of the reference thread
+    pool (each worker owns a full parse+recon pipeline); on multi-host
+    deployments the same split maps segments across hosts."""
+    segments = split_irap_segments(data)
+    if workers is None:
+        workers = min(len(segments), os.cpu_count() or 1)
+    if workers <= 1 or len(segments) <= 1:
+        from vvdec_tpu.decoder import decode_annexb
+        return decode_annexb(data, use_jax=use_jax)
+    out = []
+    import multiprocessing as mp
+    with ProcessPoolExecutor(max_workers=workers,
+                             mp_context=mp.get_context("spawn")) as ex:
+        for frames in ex.map(_decode_segment,
+                             [(s, use_jax) for s in segments]):
+            out.extend(frames)
+    return out
