@@ -8,6 +8,7 @@ pipeline reconstructs per frame.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -231,10 +232,12 @@ class StreamDecoder:
         """Feed a chunk of Annex-B bytes (one AU or more); returns the
         pictures that became ready for output, in output order."""
         out = []
+        from vvdec_tpu.utils.trace import profiler
         for nal in read_nal_units(data):
             try:
-                done = self.parser.feed_nal(
-                    nal, last_frame=self._pending)
+                with profiler.stage("parse"):
+                    done = self.parser.feed_nal(
+                        nal, last_frame=self._pending)
             except Exception:
                 if self.err_policy != "conceal":
                     raise
@@ -385,16 +388,23 @@ class StreamDecoder:
                 p <= f.poc
                 for lst in range(2)
                 for p in cs.ref_pocs[lst][: sh_ref.num_ref_idx_active[lst]])
+        from vvdec_tpu.utils.trace import msg, profiler, trace, INFO
+        t_pic = time.monotonic()
         if self.use_jax:
-            from vvdec_tpu.ops.pipeline import reconstruct_frame_jax
-            planes = reconstruct_frame_jax(cs)
+            with profiler.stage("recon(jax)"):
+                from vvdec_tpu.ops.pipeline import reconstruct_frame_jax
+                planes = reconstruct_frame_jax(cs)
         else:
-            planes = IntraReconstructor(cs).run()
-            deblock_frame(cs, planes)
+            with profiler.stage("recon"):
+                planes = IntraReconstructor(cs).run()
+            with profiler.stage("deblock"):
+                deblock_frame(cs, planes)
         from vvdec_tpu.frame.sao_np import sao_frame
-        sao_frame(cs, planes)
+        with profiler.stage("sao"):
+            sao_frame(cs, planes)
         from vvdec_tpu.frame.alf_np import alf_frame
-        planes = alf_frame(cs, planes)
+        with profiler.stage("alf"):
+            planes = alf_frame(cs, planes)
         # DMVR-refined MVs enter the motion field only after deblocking
         # strength derivation (TaskFinishMotionInfo, DecCu.cpp:161-213)
         for x2, y2, mv0, mv1 in getattr(cs, "dmvr_fixups", ()):
@@ -420,6 +430,13 @@ class StreamDecoder:
                         raise ValueError(
                             f"decoded picture hash mismatch at POC {f.poc}: "
                             f"{got.hex()} != {dph.digest.hex()}")
+        # per-POC decode log + trace (reference per-picture log line,
+        # DecLib.cpp:395-438; D_PIC trace channel)
+        st = "IDR" if f.is_idr else ("I" if cs.sh.is_intra else
+                                     ("B" if cs.sh.is_b else "P"))
+        msg(INFO, f"POC {f.poc:4d} [{st}] QP {cs.sh.qp_y} "
+                  f"[DT {time.monotonic() - t_pic:.3f}]")
+        trace("D_PIC", f"poc={f.poc} type={st}\n", poc=f.poc)
         # GDR tune-in: suppress output until the recovery point
         # (DecLibParser GDR tracking, :658-684)
         needed = True
