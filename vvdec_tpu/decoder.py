@@ -370,8 +370,21 @@ class StreamDecoder:
                     continue
                 for e in rpl.entries:
                     if e.is_long_term:
-                        raise NotImplementedError("long-term refs")
-                    ref_poc = f.poc + e.value
+                        # long-term reference: match by POC LSB, or by full
+                        # POC when the MSB cycle is signalled
+                        # (Slice::constructRefPicLists + xGetLongTermRefPic)
+                        max_lsb = cs.sps.max_poc_lsb
+                        if e.delta_poc_msb_present:
+                            ref_poc = (e.value + f.poc
+                                       - e.delta_poc_msb_cycle * max_lsb
+                                       - (f.poc & (max_lsb - 1)))
+                        else:
+                            ref_poc = next(
+                                (p for p in sorted(self._refs, reverse=True)
+                                 if (p & (max_lsb - 1)) == e.value),
+                                e.value)
+                    else:
+                        ref_poc = f.poc + e.value
                     cs.ref_pocs[lst].append(ref_poc)
                     if ref_poc not in self._refs:
                         if self.err_policy != "conceal":
