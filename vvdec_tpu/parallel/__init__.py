@@ -8,6 +8,7 @@ parallelism (P2), and IRAP-segment parallel decode across workers/hosts
 
 from vvdec_tpu.parallel.gop import (  # noqa: F401
     decode_annexb_parallel,
+    make_worker_pool,
     split_irap_segments,
 )
 from vvdec_tpu.parallel.sharding import (  # noqa: F401

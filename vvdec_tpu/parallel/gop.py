@@ -51,8 +51,28 @@ def _decode_segment(args):
     return decode_annexb(seg, use_jax=use_jax)
 
 
+def make_worker_pool(workers: int) -> ProcessPoolExecutor:
+    """Persistent decode worker pool (the reference's thread pool analog;
+    create once per process, reuse across streams)."""
+    import multiprocessing as mp
+    ex = ProcessPoolExecutor(max_workers=workers,
+                             mp_context=mp.get_context("spawn"))
+    # warm the workers (imports + native extension load)
+    list(ex.map(_warm_worker, range(workers)))
+    return ex
+
+
+def _warm_worker(_):
+    import vvdec_tpu.decoder  # noqa: F401
+    from vvdec_tpu.native import native_cabac, native_recon
+    native_cabac(), native_recon()
+    return 0
+
+
 def decode_annexb_parallel(data: bytes, workers: int | None = None,
-                           use_jax: bool = False) -> list:
+                           use_jax: bool = False,
+                           executor: ProcessPoolExecutor | None = None
+                           ) -> list:
     """Parallel decode across IRAP segments; output order preserved.
 
     Worker processes are the host-plane analog of the reference thread
@@ -61,14 +81,17 @@ def decode_annexb_parallel(data: bytes, workers: int | None = None,
     segments = split_irap_segments(data)
     if workers is None:
         workers = min(len(segments), os.cpu_count() or 1)
-    if workers <= 1 or len(segments) <= 1:
+    if (workers <= 1 or len(segments) <= 1) and executor is None:
         from vvdec_tpu.decoder import decode_annexb
         return decode_annexb(data, use_jax=use_jax)
     out = []
-    import multiprocessing as mp
-    with ProcessPoolExecutor(max_workers=workers,
-                             mp_context=mp.get_context("spawn")) as ex:
+    own = executor is None
+    ex = executor or make_worker_pool(workers)
+    try:
         for frames in ex.map(_decode_segment,
                              [(s, use_jax) for s in segments]):
             out.extend(frames)
+    finally:
+        if own:
+            ex.shutdown()
     return out
