@@ -22,6 +22,8 @@ raise NotImplementedError when encountered in a stream.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from vvdec_tpu.cabac import ctx_tables
@@ -2736,19 +2738,17 @@ class CtuDecoder:
             assert np.array_equal(got, enc_block.astype(plane.dtype)), \
                 "TS encoder round-trip failed"
 
-    def _residual_native(self, tu: TransformUnit, cu: CodingUnit,
-                         comp: int) -> None:
-        """Regular residual coding via the native engine
-        (Decoder.decode_residual in vvdec_tpu/native/cabac.c)."""
-        ch = 0 if comp == 0 else 1
-        x0, y0, w, h = tu.blocks[comp]
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _residual_args(w: int, h: int, ch: int, max_log2_tr_range: int):
+        """Constant decode_residual arguments for one TU shape class
+        (context offsets, scan tables as bytes)."""
         log2_w, log2_h = w.bit_length() - 1, h.bit_length() - 1
         lg_cw, lg_ch = rom.log2_sbb_size(log2_w, log2_h)
         scan = rom.scan_grouped(w, h)
         w_groups = min(rom.ZERO_OUT_TH, w) >> lg_cw
         h_groups = min(rom.ZERO_OUT_TH, h) >> lg_ch
         scan_cg = rom.scan_cg(w_groups, h_groups)
-
         max_last_x = int(rom.GROUP_IDX[min(rom.ZERO_OUT_TH, w) - 1])
         max_last_y = int(rom.GROUP_IDX[min(rom.ZERO_OUT_TH, h) - 1])
         if ch == 0:
@@ -2760,22 +2760,33 @@ class CtuDecoder:
             last_off_x = last_off_y = 0
             last_shift_x = max(0, min(2, w >> 3))
             last_shift_y = max(0, min(2, h >> 3))
+        head = (w, h, ch, lg_cw, lg_ch,
+                _OFF[f"LastX[{ch}]"][0] + last_off_x,
+                _OFF[f"LastY[{ch}]"][0] + last_off_y,
+                last_shift_x, last_shift_y, max_last_x, max_last_y,
+                _OFF[f"SigFlag[{ch}]"][0], _OFF[f"SigFlag[{ch + 2}]"][0],
+                _OFF[f"SigFlag[{ch + 4}]"][0], _OFF[f"ParFlag[{ch}]"][0],
+                _OFF[f"GtxFlag[{ch + 2}]"][0], _OFF[f"GtxFlag[{ch}]"][0],
+                _OFF[f"SigCoeffGroup[{ch}]"][0])
+        return head, scan.tobytes(), scan_cg.tobytes(), lg_cw, lg_ch
+
+    def _residual_native(self, tu: TransformUnit, cu: CodingUnit,
+                         comp: int) -> None:
+        """Regular residual coding via the native engine
+        (Decoder.decode_residual in vvdec_tpu/native/cabac.c)."""
+        ch = 0 if comp == 0 else 1
+        x0, y0, w, h = tu.blocks[comp]
+        head, scan_b, scan_cg_b, lg_cw, lg_ch = self._residual_args(
+            w, h, ch, self.max_log2_tr_range)
         bdpcm = cu.bdpcm_mode if comp == 0 else cu.bdpcm_mode_chroma
         state_trans = DQ_STATE_TRANS_TABLE if self.sh.dep_quant_used else 0
 
         out = np.zeros(w * h, dtype=np.int32)
         scan_pos_last, max_cg_x, max_cg_y = self.dec._d.decode_residual(
-            w, h, ch, lg_cw, lg_ch,
-            _OFF[f"LastX[{ch}]"][0] + last_off_x,
-            _OFF[f"LastY[{ch}]"][0] + last_off_y,
-            last_shift_x, last_shift_y, max_last_x, max_last_y,
-            _OFF[f"SigFlag[{ch}]"][0], _OFF[f"SigFlag[{ch + 2}]"][0],
-            _OFF[f"SigFlag[{ch + 4}]"][0], _OFF[f"ParFlag[{ch}]"][0],
-            _OFF[f"GtxFlag[{ch + 2}]"][0], _OFF[f"GtxFlag[{ch}]"][0],
-            _OFF[f"SigCoeffGroup[{ch}]"][0],
+            *head,
             state_trans, int(self.sh.sign_data_hiding_used), int(bool(bdpcm)),
             self.max_log2_tr_range,
-            scan.tobytes(), scan_cg.tobytes(), out)
+            scan_b, scan_cg_b, out)
 
         if tu.mts_idx[comp] != MTS_SKIP and w >= 4 and h >= 4:
             max_lfnst_pos = 7 if ((w == 4 and h == 4)
