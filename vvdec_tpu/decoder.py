@@ -220,6 +220,7 @@ class StreamDecoder:
         self.error_pictures = 0
         self._refs: dict[int, list] = {}      # poc -> int planes (ref)
         self._ref_cols: dict[int, object] = {}  # poc -> ColMotion
+        self._ref_pps: dict[int, object] = {}   # poc -> PPS (RPR scaling)
         self._pending: ParsedFrame | None = None
         self._num_reorder = 0
         # random-access tune-in state
@@ -336,6 +337,7 @@ class StreamDecoder:
             planes = self._grey_planes(cs)
             self._refs[f.poc] = planes
             self._ref_cols[f.poc] = ColMotion(cs, f.poc)
+            self._ref_pps[f.poc] = cs.pps
             self.plm.add(DecodedPicture(
                 poc=f.poc, planes=[p.astype(np.uint16) for p in planes],
                 bit_depth=cs.sps.bit_depth, is_idr=f.is_idr, sei=f.sei,
@@ -354,6 +356,7 @@ class StreamDecoder:
             self.plm.unmark_all_references()
             self._refs.clear()
             self._ref_cols.clear()
+            self._ref_pps.clear()
         self._num_reorder = cs.sps.num_reorder_pics[-1]
         # resolve reference picture lists (RefPicPocList = poc + delta)
         # multi-slice pictures: the shared ref structures come from the
@@ -362,6 +365,7 @@ class StreamDecoder:
         cs.ref_pocs = [[], []]
         cs.ref_planes = [[], []]
         cs.ref_cols = [[], []]
+        cs.ref_scaled = [[], []]  # (scaling, ref_pps) or None per ref (RPR)
         pic_error = False
         if not sh_ref.is_intra:
             for lst in range(2):
@@ -396,6 +400,16 @@ class StreamDecoder:
                         pic_error = True
                     cs.ref_planes[lst].append(self._refs[ref_poc])
                     cs.ref_cols[lst].append(self._ref_cols[ref_poc])
+                    # RPR: record per-ref scaling when the reference uses a
+                    # different size/scaling window (Slice::scaleRefPicList)
+                    from vvdec_tpu.frame import rpr_np
+                    ref_pps = self._ref_pps.get(ref_poc, cs.pps)
+                    if rpr_np.is_ref_scaled(cs.pps, ref_pps):
+                        cs.ref_scaled[lst].append(
+                            (rpr_np.get_rpr_scaling(cs.sps, cs.pps,
+                                                    ref_pps), ref_pps))
+                    else:
+                        cs.ref_scaled[lst].append(None)
             # low-delay check: every active reference precedes this picture
             cs.check_ldc = all(
                 p <= f.poc
@@ -424,6 +438,7 @@ class StreamDecoder:
             cs.mi_mv[y2 >> 2, x2 >> 2, 0] = mv0
             cs.mi_mv[y2 >> 2, x2 >> 2, 1] = mv1
         self._refs[f.poc] = planes
+        self._ref_pps[f.poc] = cs.pps
         from vvdec_tpu.frame.inter_np import ColMotion
         self._ref_cols[f.poc] = ColMotion(cs, f.poc)
         out_planes = [p.astype(np.uint16) for p in planes]

@@ -1396,8 +1396,19 @@ class IntraReconstructor:
         # motion compensation (DMVR / BDOF take dedicated paths,
         # motionCompensation InterPrediction.cpp:1412-1459)
         from vvdec_tpu.frame import dmvr_np as D
-        cs_bio = D.bdof_condition(cs, cu)
-        cs_dmvr = D.dmvr_condition(cs, cu)
+
+        def _ref_scaling(lst):
+            scl = getattr(cs, "ref_scaled", None)
+            if not scl or cu.ref_idx[lst] < 0 \
+                    or cu.ref_idx[lst] >= len(scl[lst]):
+                return None
+            return scl[lst][cu.ref_idx[lst]]
+
+        any_scaled = any(_ref_scaling(lst) is not None
+                         for lst in range(2) if cu.inter_dir & (1 << lst))
+        # DMVR/BDOF are prohibited with scaled references (spec 8.5.1)
+        cs_bio = (not any_scaled) and D.bdof_condition(cs, cu)
+        cs_dmvr = (not any_scaled) and D.dmvr_condition(cs, cu)
         if cs_dmvr:
             preds = self._dmvr_mc(cu, cs_bio)
             while len(preds) < 3:
@@ -1421,10 +1432,29 @@ class IntraReconstructor:
             if not (cu.inter_dir & (1 << lst)):
                 continue
             planes = cs.ref_planes[lst][cu.ref_idx[lst]]
+            bi = cu.inter_dir == 3 or wp_on
+            scaled = _ref_scaling(lst)
+            if scaled is not None:
+                # RPR: scaled-reference interpolation with the UNclipped MV
+                # (xPredInterBlkRPR; clipMv skipped for scaled refs)
+                from vvdec_tpu.frame.rpr_np import rpr_mc_block
+                scaling, ref_pps = scaled
+                part = []
+                for comp in range(cs.num_comp):
+                    bx, by = (cu.x, cu.y) if comp == 0 else (cu.cx, cu.cy)
+                    bw, bh = (cu.w, cu.h) if comp == 0 else (cu.cw, cu.ch)
+                    part.append(rpr_mc_block(
+                        planes[comp], scaling, cs.pps, ref_pps,
+                        cs.sps.chroma_format_idc, comp, bx, by, bw, bh,
+                        tuple(cu.mv[lst]), self.bit_depth, bi,
+                        alt_hpel=cu.alt_hpel,
+                        hor_collocated=cs.sps.chroma_hor_collocated,
+                        ver_collocated=cs.sps.chroma_ver_collocated))
+                parts.append(part)
+                continue
             mvc = I.clip_mv(tuple(cu.mv[lst]), cu.x, cu.y, cs,
                             size=(cu.w, cu.h))
             mvc, woff = self._wrap(mvc, cu.x, cu.y, cu.w, cu.h)
-            bi = cu.inter_dir == 3 or wp_on
             part = []
             for comp in range(cs.num_comp):
                 if comp == 0:

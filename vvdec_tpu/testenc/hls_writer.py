@@ -243,7 +243,11 @@ def write_pps(w: BitWriter, pps: PPS, sps: SPS) -> None:
     if pps.conformance_window_present:
         for v in pps.conf_win:
             w.ue(v)
-    w.flag(False)  # scaling_window_explicit
+    have_scaling = pps.scaling_win != pps.conf_win
+    w.flag(have_scaling)  # scaling_window_explicit
+    if have_scaling:
+        for v in pps.scaling_win:
+            w.se(v)
     w.flag(pps.output_flag_present)
     w.flag(pps.no_pic_partition)
     w.flag(False)  # subpic_id_mapping
