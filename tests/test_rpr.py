@@ -84,3 +84,45 @@ def test_rpr_scaling_ratio_math():
     sx, sy = get_rpr_scaling(sps, pps1, pps0)
     # cur 96-48=48 wide vs ref 96 -> 2x
     assert sx == (96 << 14) // 48
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_rpr_affine_bit_exact(tmp_path, seed):
+    """Affine subblock MC with scaled refs: 6-tap base + affine RPR filter
+    sets, PROF disabled (xPredAffineBlk RPR branch)."""
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.decoder import decode_to_yuv
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import P_SLICE, RandomDecisions, make_nal
+    from vvdec_tpu.testenc.hls_writer import write_pps, write_sps
+
+    sps = E.make_sps(96, 64, rpr_enabled=True,
+                     res_change_in_clvs_allowed=True, affine_enabled=True)
+    pps0 = E.make_pps(sps)
+    pps1 = E.make_pps(sps, pps_id=1, pic_width=64, pic_height=48)
+    bw = BitWriter()
+    write_sps(bw, sps)
+    stream = make_nal(NalUnitType.SPS, bw.bytes())
+    for p in (pps0, pps1):
+        bw = BitWriter()
+        write_pps(bw, p, sps)
+        stream += make_nal(NalUnitType.PPS, bw.bytes())
+    dec = RandomDecisions(seed=seed, split_prob=0.3, inter_prob=0.8,
+                          mv_range=24)
+    nal, _ = E.encode_frame(sps, pps0, dec, qp=32, poc=0, idr=True)
+    stream += nal
+    for i in (1, 2):
+        dec = RandomDecisions(seed=seed + i, split_prob=0.3, inter_prob=0.8,
+                              mv_range=24, affine_prob=0.8,
+                              aff_mv_range=16)
+        nal, _ = E.encode_frame(sps, pps1, dec, qp=32, poc=i, idr=False,
+                                slice_type=P_SLICE, ref_deltas=((i,), ()))
+        stream += nal
+    bit = tmp_path / "rpr_aff.266"
+    bit.write_bytes(stream)
+    out = tmp_path / "ref.yuv"
+    r = subprocess.run([VVDECAPP, "-b", str(bit), "-o", str(out), "-t", "1"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert decode_to_yuv(stream) == out.read_bytes()

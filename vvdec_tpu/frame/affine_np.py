@@ -671,13 +671,28 @@ def affine_pred(cs: CodingStructure, cu: CodingUnit, lst: int,
     (xPredAffineBlk, InterPrediction.cpp:934)."""
     bi = cu.inter_dir == 3 or force_intermediate
     planes = cs.ref_planes[lst][cu.ref_idx[lst]]
+    scl = getattr(cs, "ref_scaled", None)
+    scaled = scl[lst][cu.ref_idx[lst]] \
+        if scl and cu.ref_idx[lst] < len(scl[lst]) else None
     lt, rt, lb = [tuple(v) for v in cu.cpmv[lst]]
     is6 = cu.affine_type == 1
     dhx, dhy, dvx, dvy = _deltas(lt, rt, lb, cu.w, cu.h, is6)
     spread = spread_over_limit(dhx, dhy, dvx, dvy, cu.inter_dir)
-    prof = (cs.sps.prof_enabled and not cs.ph.prof_disabled
+    # PROF is disabled with scaled references (xPredAffineBlk RPR branch)
+    prof = (scaled is None and cs.sps.prof_enabled
+            and not cs.ph.prof_disabled
             and not spread
             and not (lt == rt if not is6 else (lt == rt and lt == lb)))
+
+    def rpr_sub(comp, bx, by, mv_raw):
+        from vvdec_tpu.frame.rpr_np import rpr_mc_block
+        scaling, ref_pps = scaled
+        return rpr_mc_block(
+            planes[comp], scaling, cs.pps, ref_pps,
+            cs.sps.chroma_format_idc, comp, bx, by, 4, 4, mv_raw,
+            bit_depth, bi, filter_index=2,
+            hor_collocated=cs.sps.chroma_hor_collocated,
+            ver_collocated=cs.sps.chroma_ver_collocated)
     dmv_h = dmv_v = None
     if prof:
         dmv_h, dmv_v = prof_dmv_grid(lt, rt, lb, cu.w, cu.h, is6)
@@ -691,6 +706,11 @@ def affine_pred(cs: CodingStructure, cu: CodingUnit, lst: int,
             mv = (int(cs.mi_mv[y4a + r, x4a + c, lst, 0]),
                   int(cs.mi_mv[y4a + r, x4a + c, lst, 1]))
             mvs[r][c] = mv
+            if scaled is not None:
+                # scaled ref: unclamped subblock MV through the RPR path
+                out_l[r * 4:r * 4 + 4, c * 4:c * 4 + 4] = rpr_sub(
+                    0, cu.x + c * 4, cu.y + r * 4, mv)
+                continue
             woff = None
             if cs.sps.ref_wraparound_enabled and cs.pps.ref_wraparound_enabled:
                 # per-subblock wrap (xPredAffineBlk, InterPrediction.cpp:1182)
@@ -720,6 +740,12 @@ def affine_pred(cs: CodingStructure, cu: CodingUnit, lst: int,
                     mx, my = round_affine(a[0] + b[0], a[1] + b[1], 1)
                 else:                               # 444: direct
                     mx, my = mvs[r][c]
+                if scaled is not None:
+                    for comp in (1, 2):
+                        out_c[comp - 1][r * 4:r * 4 + 4, c * 4:c * 4 + 4] = \
+                            rpr_sub(comp, cu.cx + c * 4, cu.cy + r * 4,
+                                    (mx, my))
+                    continue
                 woff = None
                 if cs.sps.ref_wraparound_enabled \
                         and cs.pps.ref_wraparound_enabled:

@@ -28,6 +28,8 @@ LUMA_RPR1 = _T["LUMA_RPR1"].astype(np.int64)
 LUMA_RPR2 = _T["LUMA_RPR2"].astype(np.int64)
 CHROMA_RPR1 = _T["CHROMA_RPR1"].astype(np.int64)
 CHROMA_RPR2 = _T["CHROMA_RPR2"].astype(np.int64)
+AFF_LUMA_RPR1 = _T["AFF_LUMA_RPR1"].astype(np.int64)
+AFF_LUMA_RPR2 = _T["AFF_LUMA_RPR2"].astype(np.int64)
 
 
 def get_rpr_scaling(sps, cur_pps, ref_pps) -> tuple[int, int]:
@@ -65,7 +67,8 @@ def rpr_mc_block(ref: np.ndarray, scaling: tuple[int, int], cur_pps, ref_pps,
                  chroma_fmt: int, comp: int, bx: int, by: int, w: int,
                  h: int, mv: tuple[int, int], bit_depth: int, bi: bool,
                  alt_hpel: bool = False, hor_collocated: bool = True,
-                 ver_collocated: bool = True) -> np.ndarray:
+                 ver_collocated: bool = True,
+                 filter_index: int = 0) -> np.ndarray:
     """Scaled-reference MC for one block (xPredInterBlkRPR).
 
     ref: the reference plane of this component.  (bx, by, w, h) in current
@@ -84,11 +87,14 @@ def rpr_mc_block(ref: np.ndarray, scaling: tuple[int, int], cur_pps, ref_pps,
     half = taps // 2 - 1
     ext = 1 if luma else 2
 
+    affine = filter_index == 2
     if luma:
-        xtab = LUMA_RPR2 if sx > RPR_THR2 else (
-            LUMA_RPR1 if sx > RPR_THR1 else None)
-        ytab = LUMA_RPR2 if sy > RPR_THR2 else (
-            LUMA_RPR1 if sy > RPR_THR1 else None)
+        # filterIndex==2 (affine subblocks): 6-tap base + affine RPR sets
+        # (filterHor luma dispatch: xFilter += 2, InterPrediction.cpp:2112)
+        r1 = AFF_LUMA_RPR1 if affine else LUMA_RPR1
+        r2 = AFF_LUMA_RPR2 if affine else LUMA_RPR2
+        xtab = r2 if sx > RPR_THR2 else (r1 if sx > RPR_THR1 else None)
+        ytab = r2 if sy > RPR_THR2 else (r1 if sy > RPR_THR1 else None)
     else:
         xtab = CHROMA_RPR2 if sx > RPR_THR2 else (
             CHROMA_RPR1 if sx > RPR_THR1 else None)
@@ -98,6 +104,9 @@ def rpr_mc_block(ref: np.ndarray, scaling: tuple[int, int], cur_pps, ref_pps,
     def coeffs(tab, frac, for_x):
         if luma:
             if tab is None:
+                if affine:
+                    from vvdec_tpu.frame.inter_np import LUMA_IF_4X4
+                    return LUMA_IF_4X4[frac].astype(np.int64)
                 if frac == 8 and alt_hpel \
                         and (sx if for_x else sy) == SCALE_1X:
                     return ALT_HPEL_IF.astype(np.int64)
@@ -168,7 +177,7 @@ def rpr_mc_block(ref: np.ndarray, scaling: tuple[int, int], cur_pps, ref_pps,
     # frac==0 columns use the copy path ((src << head) - OFFS) — but ONLY
     # with the standard filter set; the RPR downsampling filters apply at
     # every phase (filterHor: "frac == 0 && nFilterIdx < 2")
-    zero_cols = (x_fracs == 0) if xtab is None \
+    zero_cols = (x_fracs == 0) if (xtab is None and filter_index < 2) \
         else np.zeros(w, dtype=bool)
     if zero_cols.any():
         center = ref[rows][:, np.clip(x_ints, 0, rw - 1)].astype(np.int64)
@@ -186,7 +195,8 @@ def rpr_mc_block(ref: np.ndarray, scaling: tuple[int, int], cur_pps, ref_pps,
     vsrc = buf[row_idx]                                # [h, taps, w]
     vco = np.stack([coeffs(ytab, int(f), False) for f in y_fracs])
     vconv = np.einsum("htw,ht->hw", vsrc, vco)
-    zr = (y_fracs == 0) if ytab is None else np.zeros(h, dtype=bool)
+    zr = (y_fracs == 0) if (ytab is None and filter_index < 2) \
+        else np.zeros(h, dtype=bool)
     if bi:
         out = vconv >> IF_FILTER_PREC
         if zr.any():
