@@ -1,0 +1,102 @@
+"""Subpictures: layout parsing, one-slice-per-subpic mapping,
+treated-as-picture MC clamping at subpic boundaries, deblock gating across
+subpic edges — bit-exact vs the reference decoder (SubPic Slice.h:824,
+clipMvInSubpic Mv.cpp:84, per-subpic ref extraction DecLibRecon.cpp:387)."""
+
+import os
+import subprocess
+
+import pytest
+
+VVDECAPP = os.environ.get("VVDECAPP", "/tmp/vvdec_bin/vvdecapp")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(VVDECAPP), reason="reference vvdecapp not built")
+
+
+def _subpic_stream(seed, n_frames=1, inter=False, lf_across=True,
+                   treated=True, mv_range=24):
+    """128x64, 2 CTU-column subpics (each 2x2 CTUs of 32), one slice per
+    subpic; frames after the IDR are P slices referencing the previous."""
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import P_SLICE, I_SLICE, RandomDecisions, \
+        make_nal
+    from vvdec_tpu.testenc.hls_writer import write_pps, write_sps
+
+    sps = E.make_sps(128, 64, ctu=32, num_subpics=2,
+                     subpic_ctu_top_left=[(0, 0), (2, 0)],
+                     subpic_size_ctus=[(2, 2), (2, 2)],
+                     independent_subpics=False,
+                     subpic_treated_as_pic=[treated, treated],
+                     loop_filter_across_subpic=[lf_across, lf_across])
+    sps.ptl.level_idc = 83  # room for the tile grid limits
+    pps = E.make_pps(sps, no_pic_partition=False, num_exp_tile_cols=1,
+                     num_exp_tile_rows=1, tile_col_widths=[2],
+                     tile_row_heights=[2])
+    w = BitWriter()
+    write_sps(w, sps)
+    stream = make_nal(NalUnitType.SPS, w.bytes())
+    w = BitWriter()
+    write_pps(w, pps, sps)
+    stream += make_nal(NalUnitType.PPS, w.bytes())
+    for f in range(n_frames):
+        st = I_SLICE if f == 0 else P_SLICE
+        slices = []
+        for s in range(2):
+            spec = dict(
+                decisions=RandomDecisions(
+                    seed=seed * 100 + f * 10 + s, split_prob=0.3,
+                    density=0.1, inter_prob=0.8 if st == P_SLICE else 0.0,
+                    mv_range=mv_range),
+                slice_type=st)
+            if st == P_SLICE:
+                spec["ref_deltas"] = ((1,), ())
+            slices.append(spec)
+        nal, _ = E.encode_picture(sps, pps, qp=32, poc=f, idr=f == 0,
+                                  slices=slices)
+        stream += nal
+    return stream
+
+
+def _check(stream, tmp_path, name="sp"):
+    from vvdec_tpu.decoder import decode_to_yuv
+    bit = tmp_path / f"{name}.266"
+    bit.write_bytes(stream)
+    out = tmp_path / f"{name}_ref.yuv"
+    r = subprocess.run([VVDECAPP, "-b", str(bit), "-o", str(out), "-t", "1"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert decode_to_yuv(stream) == out.read_bytes()
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_subpic_intra_bit_exact(tmp_path, seed):
+    _check(_subpic_stream(seed), tmp_path)
+
+
+@pytest.mark.parametrize("seed", [43, 44])
+def test_subpic_inter_treated_as_pic(tmp_path, seed):
+    """Large MVs cross the subpic boundary: MC must clamp to the subpic
+    (clipMvInSubpic) and replicate subpic edges in the gather."""
+    _check(_subpic_stream(seed, n_frames=3, inter=True, mv_range=48),
+           tmp_path)
+
+
+@pytest.mark.parametrize("seed", [45])
+def test_subpic_no_loopfilter_across(tmp_path, seed):
+    """loop_filter_across_subpic off: the deblocker must not filter edges
+    on the subpic boundary."""
+    _check(_subpic_stream(seed, lf_across=False), tmp_path)
+
+
+def test_subpic_layout_parsing():
+    from vvdec_tpu.decoder import parse_annexb
+    stream = _subpic_stream(46)
+    f = parse_annexb(stream)[0]
+    assert len(f.cs.subpics) == 2
+    x0, y0, x1, y1, treated, lf = f.cs.subpics[1]
+    assert (x0, y0, x1, y1) == (64, 0, 128, 64)
+    assert treated
+    assert f.cs.subpic_at(70, 10) is f.cs.subpics[1]

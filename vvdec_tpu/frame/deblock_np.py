@@ -120,6 +120,14 @@ class Deblocker:
             return False
         if nb.tile_idx != cu.tile_idx and not pps.loop_filter_across_tiles:
             return False
+        if cs.subpics:
+            # across a subpic boundary only when enabled for BOTH subpics
+            nx, ny = (x - 1, y) if dir_ == 0 else (x, y - 1)
+            sp_q = cs.subpic_at(x, y)
+            sp_p = cs.subpic_at(nx, ny)
+            if sp_q is not sp_p and not (
+                    (sp_q is None or sp_q[5]) and (sp_p is None or sp_p[5])):
+                return False
         return True
 
     def _tu_edges(self, tu, cu, dir_: int) -> None:

@@ -526,15 +526,20 @@ def fill_mvp(cs: CodingStructure, cu: CodingUnit, lst: int, ref_idx: int,
 
 def clip_mv(mv: tuple, x: int, y: int, cs: CodingStructure,
             size: tuple | None = None) -> tuple:
-    """clipMvInPic (Mv.cpp:64); 1/16-pel units.  With reference
-    wraparound enabled this is the wrapping clip (size required)."""
+    """clipMvInPic / clipMvInSubpic (Mv.cpp:64,:84); 1/16-pel units.  With
+    reference wraparound enabled this is the wrapping clip (size required).
+    Inside a treated-as-picture subpicture the clamp window is the subpic."""
     if cs.sps.ref_wraparound_enabled and size is not None:
         return wrap_clip_mv(mv, x, y, size[0], size[1], cs)[0]
     ctu = cs.sps.ctu_size
-    hor_max = (cs.w + 8 - x - 1) << 4
-    hor_min = (-ctu - 8 - x + 1) << 4
-    ver_max = (cs.h + 8 - y - 1) << 4
-    ver_min = (-ctu - 8 - y + 1) << 4
+    x0, y0, x1, y1 = 0, 0, cs.w, cs.h
+    sp = cs.subpic_at(x, y) if cs.subpics else None
+    if sp is not None and sp[4]:  # treated_as_pic
+        x0, y0, x1, y1 = sp[0], sp[1], sp[2], sp[3]
+    hor_max = (x1 + 8 - x - 1) << 4
+    hor_min = (-ctu - 8 - (x - x0) + 1) << 4
+    ver_max = (y1 + 8 - y - 1) << 4
+    ver_min = (-ctu - 8 - (y - y0) + 1) << 4
     return (min(hor_max, max(hor_min, mv[0])),
             min(ver_max, max(ver_min, mv[1])))
 
@@ -600,12 +605,17 @@ def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
              mv: tuple, comp: int, bit_depth: int, sub: tuple[int, int],
              intermediate: bool, alt_hpel: bool = False,
              luma_table: np.ndarray | None = None,
-             wrap_off: int | None = None) -> np.ndarray:
+             wrap_off: int | None = None,
+             bounds: tuple | None = None) -> np.ndarray:
     """Motion-compensated prediction of one block.
 
     ref: reference plane (this component).  (x, y, w, h) in component coords.
     mv in 1/16 luma units.  intermediate=True returns the 14-bit signal for
     bi averaging; otherwise the clipped final prediction.
+    bounds: optional (x0, y0, x1, y1) gather window in this component's
+    coords — the treated-as-picture subpicture rectangle (the reference
+    extracts per-subpic ref buffers with replicated subpic edges,
+    DecLibRecon.cpp:387-421).
     """
     if comp == 0:
         frac_bits, taps, table = 4, 8, LUMA_IF
@@ -628,11 +638,15 @@ def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
     y0 = y + iy - half
     # edge-extended reference window (wraparound-padded when wrap_off set)
     hh, ww = ref.shape
+    lo_x, lo_y, hi_x, hi_y = 0, 0, ww - 1, hh - 1
+    if bounds is not None:  # treated-as-pic subpic: replicate subpic edges
+        lo_x, lo_y = bounds[0], bounds[1]
+        hi_x, hi_y = bounds[2] - 1, bounds[3] - 1
     if wrap_off is not None:
         xs = wrap_cols(np.arange(x0, x0 + w + taps - 1), ww, wrap_off)
     else:
-        xs = np.clip(np.arange(x0, x0 + w + taps - 1), 0, ww - 1)
-    ys = np.clip(np.arange(y0, y0 + h + taps - 1), 0, hh - 1)
+        xs = np.clip(np.arange(x0, x0 + w + taps - 1), lo_x, hi_x)
+    ys = np.clip(np.arange(y0, y0 + h + taps - 1), lo_y, hi_y)
     win = ref[np.ix_(ys, xs)].astype(np.int64)
 
     bd = bit_depth

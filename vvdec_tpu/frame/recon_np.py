@@ -1455,6 +1455,13 @@ class IntraReconstructor:
             mvc = I.clip_mv(tuple(cu.mv[lst]), cu.x, cu.y, cs,
                             size=(cu.w, cu.h))
             mvc, woff = self._wrap(mvc, cu.x, cu.y, cu.w, cu.h)
+            # treated-as-pic subpicture: gather window = subpic rect
+            sp = cs.subpic_at(cu.x, cu.y) if cs.subpics else None
+            bl = bc = None
+            if sp is not None and sp[4]:
+                bl = (sp[0], sp[1], sp[2], sp[3])
+                bc = (sp[0] // cs.sub_w, sp[1] // cs.sub_h,
+                      sp[2] // cs.sub_w, sp[3] // cs.sub_h)
             part = []
             for comp in range(cs.num_comp):
                 if comp == 0:
@@ -1462,14 +1469,15 @@ class IntraReconstructor:
                                            mvc, 0, self.bit_depth,
                                            (cs.sub_w, cs.sub_h), bi,
                                            alt_hpel=cu.alt_hpel,
-                                           wrap_off=woff))
+                                           wrap_off=woff, bounds=bl))
                 else:
                     part.append(I.mc_block(planes[comp], cu.cx, cu.cy,
                                            cu.cw, cu.ch, mvc, comp,
                                            self.bit_depth,
                                            (cs.sub_w, cs.sub_h), bi,
                                            wrap_off=None if woff is None
-                                           else woff >> (cs.sub_w - 1)))
+                                           else woff >> (cs.sub_w - 1),
+                                           bounds=bc))
             parts.append(part)
         if wp_on:
             preds[:cs.num_comp] = self._apply_wp(cu, parts)

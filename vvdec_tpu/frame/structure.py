@@ -207,6 +207,21 @@ class CodingStructure:
                 for x4 in range(self.w >> 2):
                     tx = pps.ctu_to_tile_col[min((x4 << 2) // ctu, pps.pic_width_in_ctu - 1)]
                     self.tile_map[y4, x4] = ty * pps.num_tile_cols + tx
+        # subpictures: (x0, y0, x1, y1, treated_as_pic, lf_across) in luma
+        # samples (SubPic, Slice.h:824; subpics behave as pictures for MC
+        # when treated_as_pic)
+        self.subpics: list[tuple] = []
+        if sps.num_subpics > 1:
+            ctu = sps.ctu_size
+            for i in range(sps.num_subpics):
+                cx0, cy0 = sps.subpic_ctu_top_left[i]
+                cw_, ch_ = sps.subpic_size_ctus[i]
+                self.subpics.append((
+                    cx0 * ctu, cy0 * ctu,
+                    min(self.w, (cx0 + cw_) * ctu),
+                    min(self.h, (cy0 + ch_) * ctu),
+                    bool(sps.subpic_treated_as_pic[i]),
+                    bool(sps.loop_filter_across_subpic[i])))
 
     # -- CU management -----------------------------------------------------
     def add_cu(self, cu: CodingUnit) -> CodingUnit:
@@ -273,6 +288,14 @@ class CodingStructure:
                 0 if self.sps.entropy_coding_sync_enabled else 1):
             return None
         return cu
+
+    def subpic_at(self, x: int, y: int):
+        """Subpic tuple (x0, y0, x1, y1, treated, lf_across) covering the
+        luma position, or None without subpictures (PPS::getSubPicFromPos)."""
+        for sp in self.subpics:
+            if sp[0] <= x < sp[2] and sp[1] <= y < sp[3]:
+                return sp
+        return None
 
     def add_tu(self, tu: TransformUnit) -> TransformUnit:
         self.tus.append(tu)

@@ -217,6 +217,7 @@ class SPS:
     pic_height_max: int = 0
     conf_win: tuple[int, int, int, int] = (0, 0, 0, 0)  # left,right,top,bottom
     # subpics
+    subpic_info_present: bool = False
     num_subpics: int = 1
     independent_subpics: bool = True
     subpic_ctu_top_left: list[tuple[int, int]] = field(default_factory=list)
@@ -479,8 +480,30 @@ class PPS:
 
         # slice maps
         self.slice_maps = []
-        if self.no_pic_partition or (self.rect_slice and self.single_slice_per_subpic
-                                     and sps.num_subpics == 1):
+        if self.rect_slice and self.single_slice_per_subpic \
+                and sps.num_subpics > 1:
+            # one slice per subpicture: each slice covers its subpic's CTUs
+            # in tile-scan order restricted to the subpic (subpic boundaries
+            # coincide with tile boundaries per the conformance constraint)
+            self.num_slices_in_pic = sps.num_subpics
+            W = self.pic_width_in_ctu
+            for (sx0, sy0), (sw, shh) in zip(sps.subpic_ctu_top_left,
+                                             sps.subpic_size_ctus):
+                ctus: list[int] = []
+                for ty in range(self.num_tile_rows):
+                    for tx in range(self.num_tile_cols):
+                        for y in range(self.tile_row_bd[ty],
+                                       self.tile_row_bd[ty + 1]):
+                            if not sy0 <= y < sy0 + shh:
+                                continue
+                            for x in range(self.tile_col_bd[tx],
+                                           self.tile_col_bd[tx + 1]):
+                                if sx0 <= x < sx0 + sw:
+                                    ctus.append(y * W + x)
+                self.slice_maps.append(ctus)
+        elif self.no_pic_partition or (self.rect_slice
+                                       and self.single_slice_per_subpic
+                                       and sps.num_subpics == 1):
             # one slice covering the picture; CTUs in tile-scan order
             self.num_slices_in_pic = 1
             W = self.pic_width_in_ctu
@@ -607,6 +630,7 @@ class PicHeader:
 class SliceHeader:
     picture_header_in_slice_header: bool = False
     subpic_id: int = 0
+    subpic_idx: int = 0
     slice_address: int = 0
     num_tiles_in_slice: int = 1
     slice_type: int = I_SLICE

@@ -197,8 +197,8 @@ def parse_sps(rbsp: bytes) -> SPS:
     w_ctbs = (sps.pic_width_max + ctb - 1) // ctb
     h_ctbs = (sps.pic_height_max + ctb - 1) // ctb
 
-    subpic_info_present = r.flag()
-    if subpic_info_present:
+    sps.subpic_info_present = r.flag()
+    if sps.subpic_info_present:
         sps.num_subpics = r.ue() + 1
         if sps.num_subpics == 1:
             sps.subpic_ctu_top_left = [(0, 0)]
@@ -1056,12 +1056,12 @@ def parse_slice_header(r: BitReader, psman, nal_type: int, temporal_id: int,
             msb = prev_msb
         sh.poc = msb + ph.poc_lsb
 
-    if sps.num_subpics > 1:  # sps_subpic_info_present with id signalling
-        if sps.subpic_id_len > 0:
-            sh.subpic_id = r.u(sps.subpic_id_len)
-    elif sps.subpic_id_len > 0 and len(sps.subpic_ids) > 0 and sps.num_subpics == 1 \
-            and sps.subpic_id_mapping_explicit:
+    sh.subpic_idx = 0
+    if sps.subpic_info_present:  # sh_subpic_id (always signalled then)
         sh.subpic_id = r.u(sps.subpic_id_len)
+        ids = pps.subpic_ids if pps.subpic_ids else sps.subpic_ids
+        _check(sh.subpic_id in ids, "sh_subpic_id not in subpic id list")
+        sh.subpic_idx = ids.index(sh.subpic_id)
 
     num_tiles = pps.num_tiles
     slice_addr = 0
@@ -1095,7 +1095,11 @@ def parse_slice_header(r: BitReader, psman, nal_type: int, temporal_id: int,
             sh.ctu_addrs.extend(pps.tile_ctus(pps.tile_col_bd[tx], pps.tile_col_bd[tx + 1],
                                               pps.tile_row_bd[ty], pps.tile_row_bd[ty + 1]))
     else:
-        sh.ctu_addrs = list(pps.slice_maps[slice_addr]) if pps.slice_maps else []
+        # rect slices: the global slice index combines subpic index and the
+        # in-subpic address (single_slice_per_subpic: one per subpic)
+        global_idx = sh.subpic_idx if sps.num_subpics > 1 else slice_addr
+        sh.ctu_addrs = list(pps.slice_maps[global_idx]) \
+            if pps.slice_maps else []
 
     if ph.inter_slice_allowed:
         sh.slice_type = r.ue()

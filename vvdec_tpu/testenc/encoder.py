@@ -69,6 +69,16 @@ def make_sps(width: int, height: int, ctu: int = 32, bit_depth: int = 10,
     sps.log2_max_tb_size = 5 if ctu <= 32 else 6
     for k, v in kw.items():
         setattr(sps, k, v)
+    if sps.num_subpics > 1:
+        sps.subpic_info_present = True
+        if not sps.subpic_ids:
+            sps.subpic_ids = list(range(sps.num_subpics))
+        if sps.subpic_id_len <= 0:
+            sps.subpic_id_len = max(1, (sps.num_subpics - 1).bit_length())
+        if not sps.subpic_treated_as_pic:
+            sps.subpic_treated_as_pic = [True] * sps.num_subpics
+        if not sps.loop_filter_across_subpic:
+            sps.loop_filter_across_subpic = [False] * sps.num_subpics
     sps.chroma_qp_table = ChromaQpTable.default(sps.qp_bd_offset)
     return sps
 
@@ -723,7 +733,13 @@ def encode_picture(sps: SPS, pps: PPS, qp: int = 32, poc: int = 0,
                                and spec.get("lmcs", ph.lmcs_enabled))
         sh.explicit_scaling_list_used = ph.explicit_scaling_list_enabled
         sh.nal_type = nal_type
-        if pps.rect_slice or pps.no_pic_partition:
+        if sps.num_subpics > 1:
+            # single_slice_per_subpic: slice i covers subpic i
+            sh.subpic_id = sps.subpic_ids[i]
+            sh.subpic_idx = i
+            sh.slice_address = 0
+            sh.ctu_addrs = list(pps.slice_maps[i])
+        elif pps.rect_slice or pps.no_pic_partition:
             sh.slice_address = i
             sh.ctu_addrs = list(pps.slice_maps[i])
         else:

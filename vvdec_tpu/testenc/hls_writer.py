@@ -37,7 +37,6 @@ def write_ptl(w: BitWriter, sps: SPS) -> None:
 
 
 def write_sps(w: BitWriter, sps: SPS) -> None:
-    _unsupported(sps.num_subpics != 1, "subpictures")
     _unsupported(sps.max_sublayers != 1, "sublayers")
     _unsupported(sps.vps_id != 0, "VPS")
     _unsupported(sps.poc_msb_cycle_flag, "poc msb cycle")
@@ -67,7 +66,35 @@ def write_sps(w: BitWriter, sps: SPS) -> None:
     if have_conf:
         for v in sps.conf_win:
             w.ue(v)
-    w.flag(False)  # subpic_info_present
+    # subpicture info (mirrors parse_sps subpic block)
+    subpic_present = sps.subpic_info_present or sps.num_subpics > 1
+    w.flag(subpic_present)
+    if subpic_present:
+        ctb = sps.ctu_size
+        w_ctbs = (sps.pic_width_max + ctb - 1) // ctb
+        h_ctbs = (sps.pic_height_max + ctb - 1) // ctb
+        w.ue(sps.num_subpics - 1)
+        if sps.num_subpics > 1:
+            w.flag(sps.independent_subpics)
+            w.flag(False)  # sps_subpic_same_size_flag
+            cl2w = max(1, math.ceil(math.log2(w_ctbs))) if w_ctbs > 1 else 0
+            cl2h = max(1, math.ceil(math.log2(h_ctbs))) if h_ctbs > 1 else 0
+            for i in range(sps.num_subpics):
+                x, y = sps.subpic_ctu_top_left[i]
+                sw, sh_ = sps.subpic_size_ctus[i]
+                if i > 0 and sps.pic_width_max > ctb:
+                    w.u(x, cl2w)
+                if i > 0 and sps.pic_height_max > ctb:
+                    w.u(y, cl2h)
+                if i < sps.num_subpics - 1 and sps.pic_width_max > ctb:
+                    w.u(sw - 1, cl2w)
+                if i < sps.num_subpics - 1 and sps.pic_height_max > ctb:
+                    w.u(sh_ - 1, cl2h)
+                if not sps.independent_subpics:
+                    w.flag(sps.subpic_treated_as_pic[i])
+                    w.flag(sps.loop_filter_across_subpic[i])
+        w.ue(sps.subpic_id_len - 1)
+        w.flag(False)  # subpic_id_mapping_explicitly_signalled
     w.ue(sps.bit_depth - 8)
     w.flag(sps.entropy_coding_sync_enabled)
     w.flag(sps.entry_point_offsets_present)
@@ -453,14 +480,17 @@ def write_slice_header(w: BitWriter, sh: SliceHeader, ph: PicHeader,
     w.flag(sh.picture_header_in_slice_header)
     if sh.picture_header_in_slice_header:
         write_picture_header(w, ph, sps, pps)
-    _unsupported(sps.num_subpics > 1, "subpics")
+    if sps.subpic_info_present or sps.num_subpics > 1:
+        w.u(sh.subpic_id, sps.subpic_id_len)
     if not pps.rect_slice:
         if pps.num_tiles > 1:
             bits = math.ceil(math.log2(pps.num_tiles))
             w.u(sh.slice_address, bits)
     else:
-        if pps.num_slices_in_pic > 1:
-            bits = math.ceil(math.log2(pps.num_slices_in_pic))
+        # address indexes slices within the current subpicture
+        n_in_subpic = pps.num_slices_in_pic if sps.num_subpics == 1 else 1
+        if n_in_subpic > 1:
+            bits = math.ceil(math.log2(n_in_subpic))
             w.u(sh.slice_address, bits)
     if not pps.rect_slice and pps.num_tiles - sh.slice_address > 1:
         w.ue(sh.num_tiles_in_slice - 1)
