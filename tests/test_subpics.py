@@ -100,3 +100,44 @@ def test_subpic_layout_parsing():
     assert (x0, y0, x1, y1) == (64, 0, 128, 64)
     assert treated
     assert f.cs.subpic_at(70, 10) is f.cs.subpics[1]
+
+
+@pytest.mark.parametrize("lf_across", [False, True])
+@pytest.mark.parametrize("seed", [47, 48])
+def test_subpic_sao_across_boundary(tmp_path, seed, lf_across):
+    """SAO trimming at subpic/slice boundaries follows the
+    loop-filter-across flags (deriveLoopFilterBoundaryAvailibility)."""
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import I_SLICE, RandomDecisions, make_nal
+    from vvdec_tpu.testenc.hls_writer import write_pps, write_sps
+
+    sps = E.make_sps(128, 64, ctu=32, num_subpics=2,
+                     subpic_ctu_top_left=[(0, 0), (2, 0)],
+                     subpic_size_ctus=[(2, 2), (2, 2)],
+                     independent_subpics=False,
+                     subpic_treated_as_pic=[True, True],
+                     loop_filter_across_subpic=[lf_across, lf_across],
+                     sao_enabled=True)
+    sps.ptl.level_idc = 83
+    pps = E.make_pps(sps, no_pic_partition=False, num_exp_tile_cols=1,
+                     num_exp_tile_rows=1, tile_col_widths=[2],
+                     tile_row_heights=[2])
+    w = BitWriter()
+    write_sps(w, sps)
+    stream = make_nal(NalUnitType.SPS, w.bytes())
+    w = BitWriter()
+    write_pps(w, pps, sps)
+    stream += make_nal(NalUnitType.PPS, w.bytes())
+    slices = [dict(decisions=RandomDecisions(seed=seed * 10 + s,
+                                             split_prob=0.3, density=0.1,
+                                             sao_prob=0.9),
+                   slice_type=I_SLICE,
+                   sh_kw=dict(sao_enabled_luma=True,
+                              sao_enabled_chroma=True))
+              for s in range(2)]
+    nal, _ = E.encode_picture(sps, pps, qp=32, poc=0, idr=True,
+                              slices=slices)
+    stream += nal
+    _check(stream, tmp_path, f"sao{seed}{int(lf_across)}")

@@ -30,21 +30,49 @@ def sao_frame(cs: CodingStructure, planes: list[np.ndarray]) -> None:
     h_ctu = cs.pps.pic_height_in_ctu
     srcs = [p.copy() for p in planes]
 
+    def ctu_avail(rx, ry, nx, ny):
+        """Neighbor CTU (nx, ny) usable for SAO of CTU (rx, ry)?
+        (deriveLoopFilterBoundaryAvailibility: picture bounds + the
+        loop-filter-across slice/tile/subpic rules)."""
+        if nx < 0 or ny < 0 or nx >= w_ctu or ny >= h_ctu:
+            return False
+        y4a, x4a = (ry * ctu) >> 2, (rx * ctu) >> 2
+        y4b, x4b = (ny * ctu) >> 2, (nx * ctu) >> 2
+        pps = cs.pps
+        if not pps.loop_filter_across_slices \
+                and cs.slice_map[y4a, x4a] != cs.slice_map[y4b, x4b]:
+            return False
+        if not pps.loop_filter_across_tiles \
+                and cs.tile_map[y4a, x4a] != cs.tile_map[y4b, x4b]:
+            return False
+        if cs.subpics:
+            sp_a = cs.subpic_at(rx * ctu, ry * ctu)
+            sp_b = cs.subpic_at(nx * ctu, ny * ctu)
+            if sp_a is not sp_b and not (
+                    (sp_a is None or sp_a[5]) and (sp_b is None or sp_b[5])):
+                return False
+        return True
+
     for ry in range(h_ctu):
         for rx in range(w_ctu):
             params = cs.sao_params[ry * w_ctu + rx]
             if params is None or all(p["mode"] == 0 for p in params):
                 continue
-            # CTU boundary availability (deriveLoopFilterBoundaryAvailibility;
-            # single slice/tile: trimmed only at picture borders)
+            # diagonals exist when both orthogonal neighbours are in
+            # bounds, then apply their own boundary rule (reference
+            # fetches cuAboveLeft only if cuLeft && cuAbove)
+            in_l, in_r = rx > 0, rx + 1 < w_ctu
+            in_a, in_b = ry > 0, ry + 1 < h_ctu
             av = {
-                "L": rx > 0, "R": rx + 1 < w_ctu,
-                "A": ry > 0, "B": ry + 1 < h_ctu,
+                "L": ctu_avail(rx, ry, rx - 1, ry),
+                "R": ctu_avail(rx, ry, rx + 1, ry),
+                "A": ctu_avail(rx, ry, rx, ry - 1),
+                "B": ctu_avail(rx, ry, rx, ry + 1),
             }
-            av["AL"] = av["A"] and av["L"]
-            av["AR"] = av["A"] and av["R"]
-            av["BL"] = av["B"] and av["L"]
-            av["BR"] = av["B"] and av["R"]
+            av["AL"] = in_a and in_l and ctu_avail(rx, ry, rx - 1, ry - 1)
+            av["AR"] = in_a and in_r and ctu_avail(rx, ry, rx + 1, ry - 1)
+            av["BL"] = in_b and in_l and ctu_avail(rx, ry, rx - 1, ry + 1)
+            av["BR"] = in_b and in_r and ctu_avail(rx, ry, rx + 1, ry + 1)
             for comp in range(cs.num_comp):
                 p = params[comp]
                 if p["mode"] == 0:
