@@ -23,6 +23,40 @@ def _y4m_header(w: int, h: int, bit_depth: int, chroma_idc: int,
             .encode())
 
 
+def weave_fields(frames: list) -> list:
+    """Pair interlaced fields into woven frames, driven by the frame-field
+    info SEI (vvdecapp.cpp interlaced pairing).  `frames` is a list of
+    (planes, sei_list); returns a list of plane-lists."""
+    import numpy as np
+
+    from vvdec_tpu.hls.sei import SEI_FRAME_FIELD_INFO, parse_sei_payload
+    out = []
+    pending = None  # (planes, bottom_first)
+    for planes, seis in frames:
+        ffi = next((parse_sei_payload(m) for m in seis
+                    if m.payload_type == SEI_FRAME_FIELD_INFO), None)
+        if ffi is None or not getattr(ffi, "field_pic_flag", False):
+            out.append(planes)
+            continue
+        if pending is None:
+            pending = (planes, ffi.bottom_field_flag)
+            continue
+        first, first_bottom = pending
+        pending = None
+        top, bot = (planes, first) if first_bottom else (first, planes)
+        woven = []
+        for t, b in zip(top, bot):
+            fh, fw = t.shape
+            full = np.empty((fh * 2, fw), dtype=t.dtype)
+            full[0::2] = t
+            full[1::2] = b
+            woven.append(full)
+        out.append(woven)
+    if pending is not None:
+        out.append(pending[0])  # unpaired trailing field
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="vvdec_tpu",
@@ -94,7 +128,13 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 dec = Decoder(params)
                 frames = dec.decode(data) + dec.flush()
-                all_planes = [f.planes for f in frames]
+                if any(m.payload_type == 168  # frame-field info SEI
+                       for f in frames for m in f.sei):
+                    all_planes = weave_fields(
+                        [(f.planes, f.sei) for f in frames])
+                    frames = None  # woven output: plain plane lists
+                else:
+                    all_planes = [f.planes for f in frames]
             dt += time.monotonic() - t0
             if args.frames >= 0:
                 all_planes = all_planes[:args.frames]

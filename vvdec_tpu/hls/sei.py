@@ -239,3 +239,172 @@ def parse_fgc(msg: SeiMessage) -> FilmGrainCharacteristics:
             cm.intervals.append((lo, hi, vals))
     f.persistence = bool(r.u(1))
     return f
+
+
+# ---------------------------------------------------------------------------
+# structured payloads for the remaining common SEIs
+# (SEIread.cpp xParseSEI*; payload numbering include/vvdec/sei.h:51-77)
+# ---------------------------------------------------------------------------
+SEI_AMBIENT_VIEWING_ENVIRONMENT = 148
+SEI_CONTENT_COLOUR_VOLUME = 149
+
+
+@dataclass
+class FrameFieldInfo:
+    """Frame-field info SEI (xParseSEIFrameFieldInfo)."""
+
+    field_pic_flag: bool = False
+    bottom_field_flag: bool = False
+    pairing_indicated_flag: bool = False
+    paired_with_next_field: bool = False
+    display_fields_from_frame: bool = False
+    top_field_first: bool = False
+    display_elemental_periods: int = 1
+    source_scan_type: int = 0
+    duplicate_flag: bool = False
+
+
+def parse_frame_field_info(msg: SeiMessage) -> FrameFieldInfo:
+    from vvdec_tpu.bitstream.reader import BitReader
+    r = BitReader(msg.payload)
+    f = FrameFieldInfo()
+    f.field_pic_flag = bool(r.u(1))
+    if f.field_pic_flag:
+        f.bottom_field_flag = bool(r.u(1))
+        f.pairing_indicated_flag = bool(r.u(1))
+        if f.pairing_indicated_flag:
+            f.paired_with_next_field = bool(r.u(1))
+    else:
+        f.display_fields_from_frame = bool(r.u(1))
+        if f.display_fields_from_frame:
+            f.top_field_first = bool(r.u(1))
+        f.display_elemental_periods = r.u(8) + 1
+    f.source_scan_type = r.u(2)
+    f.duplicate_flag = bool(r.u(1))
+    return f
+
+
+@dataclass
+class MasteringDisplayColourVolume:
+    primaries: tuple = ()       # 3 x (x, y)
+    white_point: tuple = (0, 0)
+    max_luminance: int = 0
+    min_luminance: int = 0
+
+
+def parse_mastering_display(msg: SeiMessage) -> MasteringDisplayColourVolume:
+    from vvdec_tpu.bitstream.reader import BitReader
+    r = BitReader(msg.payload)
+    m = MasteringDisplayColourVolume()
+    m.primaries = tuple((r.u(16), r.u(16)) for _ in range(3))
+    m.white_point = (r.u(16), r.u(16))
+    m.max_luminance = r.u(32)
+    m.min_luminance = r.u(32)
+    return m
+
+
+@dataclass
+class ContentLightLevel:
+    max_content_light_level: int = 0
+    max_pic_average_light_level: int = 0
+
+
+def parse_content_light_level(msg: SeiMessage) -> ContentLightLevel:
+    from vvdec_tpu.bitstream.reader import BitReader
+    r = BitReader(msg.payload)
+    return ContentLightLevel(r.u(16), r.u(16))
+
+
+@dataclass
+class UserDataUnregistered:
+    uuid: bytes = b""
+    data: bytes = b""
+
+
+def parse_user_data_unregistered(msg: SeiMessage) -> UserDataUnregistered:
+    return UserDataUnregistered(msg.payload[:16], msg.payload[16:])
+
+
+@dataclass
+class ScalableNesting:
+    """Scalable nesting SEI header + the nested SEI messages
+    (xParseSEIScalableNesting)."""
+
+    ols_flag: bool = False
+    subpic_flag: bool = False
+    ols_idx: list = field(default_factory=list)
+    layer_id: list = field(default_factory=list)
+    subpic_ids: list = field(default_factory=list)
+    messages: list = field(default_factory=list)  # nested SeiMessage list
+
+
+def parse_scalable_nesting(msg: SeiMessage,
+                           subpic_id_len: int = 16) -> ScalableNesting:
+    from vvdec_tpu.bitstream.reader import BitReader
+    r = BitReader(msg.payload)
+    n = ScalableNesting()
+    n.ols_flag = bool(r.u(1))
+    n.subpic_flag = bool(r.u(1))
+    if n.ols_flag:
+        num_olss = r.ue() + 1
+        for _ in range(num_olss):
+            n.ols_idx.append(r.ue())
+    else:
+        all_layers = bool(r.u(1))
+        if not all_layers:
+            num_layers = r.ue() + 1
+            for _ in range(num_layers):
+                n.layer_id.append(r.u(6))
+    if n.subpic_flag:
+        num_subpics = r.ue() + 1
+        id_len = r.ue() + 1
+        for _ in range(num_subpics):
+            n.subpic_ids.append(r.u(id_len))
+    num_seis = r.ue() + 1
+    # byte-align before the nested SEI messages
+    while r.pos % 8:
+        r.u(1)
+    data = msg.payload[r.pos // 8:]
+    # nested messages use the standard SEI framing
+    pos = 0
+    for _ in range(num_seis):
+        if pos >= len(data):
+            break
+        ptype = 0
+        while data[pos] == 0xFF:
+            ptype += 255
+            pos += 1
+        ptype += data[pos]
+        pos += 1
+        size = 0
+        while data[pos] == 0xFF:
+            size += 255
+            pos += 1
+        size += data[pos]
+        pos += 1
+        n.messages.append(SeiMessage(ptype, data[pos:pos + size]))
+        pos += size
+    return n
+
+
+def parse_sei_payload(msg: SeiMessage):
+    """Structured view of a parsed SEI message (dispatch by payload type);
+    returns the raw message when no structured parser exists."""
+    try:
+        if msg.payload_type == SEI_DECODED_PICTURE_HASH:
+            return parse_dph(msg)
+        if msg.payload_type == SEI_FILM_GRAIN_CHARACTERISTICS:
+            return parse_fgc(msg)
+        if msg.payload_type == SEI_FRAME_FIELD_INFO:
+            return parse_frame_field_info(msg)
+        if msg.payload_type == SEI_MASTERING_DISPLAY_COLOUR_VOLUME:
+            return parse_mastering_display(msg)
+        if msg.payload_type == SEI_CONTENT_LIGHT_LEVEL_INFO:
+            return parse_content_light_level(msg)
+        if msg.payload_type == SEI_USER_DATA_UNREGISTERED:
+            return parse_user_data_unregistered(msg)
+        if msg.payload_type == SEI_SCALABLE_NESTING:
+            return parse_scalable_nesting(msg)
+    except (IndexError, ValueError):
+        return msg
+    return msg
