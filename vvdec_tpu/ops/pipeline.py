@@ -211,6 +211,10 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
             key = (comp != 0, w, h, hor, ver, lt, dq)
             groups.setdefault(key, []).append((comp, x, y, qp, smat))
 
+    # launch every shape-group's device computation first (async dispatch),
+    # then overlap the device->host readbacks — one blocking sync per frame
+    # instead of one per group (the host<->device link is latency-bound)
+    launched = []
     for (is_chroma, w, h, hor, ver, lt, dep_quant), items in groups.items():
         n = len(items)
         # bucket the batch dimension to powers of two so compiled shapes
@@ -224,12 +228,21 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
         fn = _itx_fn(h, w, hor, ver, cs.sps.bit_depth, dep_quant,
                      use_sl=lt is not None)
         if lt is not None:
-            out = np.asarray(fn(jnp.asarray(levels), jnp.asarray(qps),
-                                jnp.asarray(items[0][4])))
+            out = fn(jnp.asarray(levels), jnp.asarray(qps),
+                     jnp.asarray(items[0][4]))
         else:
-            out = np.asarray(fn(jnp.asarray(levels), jnp.asarray(qps)))
-        for (comp, x, y, _, _), blk in zip(items, out[:n]):
-            resi[comp][y: y + h, x: x + w] = blk
+            out = fn(jnp.asarray(levels), jnp.asarray(qps))
+        launched.append((items, n, out))
+    for _, _, out in launched:
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+    for items, n, out in launched:
+        host = np.asarray(out)
+        for (comp, x, y, _, _), blk in zip(items, host[:n]):
+            bh, bw = blk.shape
+            resi[comp][y: y + bh, x: x + bw] = blk
     return resi
 
 
