@@ -435,6 +435,30 @@ class CtuDecoder:
         self._wpp_ctx: dict = {}
         sub_idx = 0
 
+        # native C syntax walk (decode mode): same per-CTU loop, the tree /
+        # CU / TU / residual syntax runs in native/walk*.c
+        walk = None
+        if self.dec is not None:
+            from vvdec_tpu.cabac.native_walk import SliceWalk, native_walk_ok
+            if native_walk_ok(self):
+                walk = SliceWalk(self)
+        try:
+            self._code_slice_ctus(ctu_addrs, sub_start, sub_of, tile_of,
+                                  wavefronts, sh, walk)
+        finally:
+            if walk is not None:
+                walk.finish()
+        if self.dec is not None and not self.dec.finish_ok():
+            raise ValueError("CABAC stop pattern check failed at end of slice")
+        if self.enc is not None:
+            self._flush_substream()
+
+    def _code_slice_ctus(self, ctu_addrs, sub_start, sub_of, tile_of,
+                         wavefronts, sh, walk) -> None:
+        pps = self.pps
+        ctu_size = self.sps.ctu_size
+        w_ctu = pps.pic_width_in_ctu
+        sub_idx = 0
         for i, addr in enumerate(ctu_addrs):
             cx = (addr % w_ctu) * ctu_size
             cy = (addr // w_ctu) * ctu_size
@@ -466,12 +490,17 @@ class CtuDecoder:
                         ctx_state.init(sh.qp_y, sh.slice_type)
                 # QP predictor restarts per tile / WPP row
                 self.qps = [sh.qp_y, sh.qp_y]
+                if walk is not None:
+                    walk.reset_qp()
             if self.enc is not None \
                     and (addr // w_ctu, tile_of(addr)[0]) != self._enc_hist_row:
                 # encode-mode IBC candidate state resets per CTU row/tile
                 self._enc_hist_row = (addr // w_ctu, tile_of(addr)[0])
                 self.enc_hist.reset()
-            self.coding_tree_unit(cx, cy)
+            if walk is not None:
+                walk.ctu(cx, cy)
+            else:
+                self.coding_tree_unit(cx, cy)
             if wavefronts:
                 t = tile_of(addr)
                 row = addr // w_ctu
@@ -485,10 +514,6 @@ class CtuDecoder:
                 trm = self._trm(want=1)
                 if not trm:
                     raise ValueError(f"expected terminating bit after CTU {addr}")
-        if self.dec is not None and not self.dec.finish_ok():
-            raise ValueError("CABAC stop pattern check failed at end of slice")
-        if self.enc is not None:
-            self._flush_substream()
 
     def _flush_substream(self) -> None:
         """Finish the current encoder substream: arithmetic flush + stop
@@ -2324,10 +2349,26 @@ class CtuDecoder:
         tmpl_cp_sum1 = -1
         max_cg_x = max_cg_y = 0
 
+        # SBT + MTS zero-out: sub-blocks in the zeroed region are skipped
+        # entirely (CABACReader.cpp:2414-2425 skipBlkPreCond)
+        skip_pre = (ch == 0 and self.sps.mts_enabled and cu.sbt_info != 0
+                    and w <= 32 and h <= 32)
+
         for subset_id in range((scan_pos_last >> log2_cg), -1, -1):
             cg_pos = int(scan_cg[subset_id])
             cg_y = cg_pos // w_groups
             cg_x = cg_pos - cg_y * w_groups
+            if skip_pre and ((h == 32 and cg_y >= (16 >> lg_ch))
+                             or (w == 32 and cg_x >= (16 >> lg_cw))):
+                if enc_flat is not None:
+                    assert not any(
+                        enc_flat[int(scan[p])] != 0
+                        for p in range(subset_id << log2_cg,
+                                       (subset_id << log2_cg)
+                                       + (1 << log2_cg))), \
+                        "encoder produced coefficients in the SBT+MTS " \
+                        "zero-out region"
+                continue
             min_sub_pos = subset_id << log2_cg
             max_sub_pos = min_sub_pos + (1 << log2_cg) - 1
             is_last_cg = (scan_pos_last >> log2_cg) == subset_id
@@ -2780,12 +2821,19 @@ class CtuDecoder:
             w, h, ch, self.max_log2_tr_range)
         bdpcm = cu.bdpcm_mode if comp == 0 else cu.bdpcm_mode_chroma
         state_trans = DQ_STATE_TRANS_TABLE if self.sh.dep_quant_used else 0
+        # dep-quant writeback is gated on mts != MTS_SKIP
+        # (CABACReader.cpp:2460); the state machine still runs
+        dep_quant_out = int(self.sh.dep_quant_used
+                            and tu.mts_idx[comp] != MTS_SKIP)
+        # SBT + MTS zero-out precondition (CABACReader.cpp:2414-2425)
+        skip_pre = int(ch == 0 and self.sps.mts_enabled and cu.sbt_info != 0
+                       and w <= 32 and h <= 32)
 
         out = np.zeros(w * h, dtype=np.int32)
         scan_pos_last, max_cg_x, max_cg_y = self.dec._d.decode_residual(
             *head,
             state_trans, int(self.sh.sign_data_hiding_used), int(bool(bdpcm)),
-            self.max_log2_tr_range,
+            self.max_log2_tr_range, dep_quant_out, skip_pre,
             scan_b, scan_cg_b, out)
 
         if tu.mts_idx[comp] != MTS_SKIP and w >= 4 and h >= 4:

@@ -21,10 +21,17 @@ def _so_path(name: str) -> str:
     return os.path.join(_HERE, name + suffix)
 
 
+_DEPS = {"_cabac": ("walk.c", "walk2.c", "walk3.c")}
+
+
 def _build(name: str) -> bool:
     src = os.path.join(_HERE, name.lstrip("_") + ".c")
     out = _so_path(name)
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    src_mtime = max([os.path.getmtime(src)]
+                    + [os.path.getmtime(os.path.join(_HERE, d))
+                       for d in _DEPS.get(name, ())
+                       if os.path.exists(os.path.join(_HERE, d))])
+    if os.path.exists(out) and os.path.getmtime(out) >= src_mtime:
         return True
     include = sysconfig.get_paths()["include"]
     cc = os.environ.get("CC", "cc")

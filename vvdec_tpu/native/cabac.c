@@ -462,13 +462,15 @@ static PyObject *Decoder_decode_residual(Decoder *self, PyObject *args)
     int sig_b0, sig_b1, sig_b2, par_b, gt1_b, gt2_b, sig_grp_b;
     long long state_trans;
     int sign_hiding, bdpcm, max_log2_tr;
+    int dep_quant_out, skip_pre;
     Py_buffer scan_buf, scan_cg_buf, out_buf;
     if (!PyArg_ParseTuple(
-            args, "iiiiiiiiiiiiiiiiiiLiiiy*y*w*", &w, &h, &ch, &lg_cw,
+            args, "iiiiiiiiiiiiiiiiiiLiiiiiy*y*w*", &w, &h, &ch, &lg_cw,
             &lg_ch, &last_ctx_x, &last_ctx_y, &last_shift_x, &last_shift_y,
             &max_last_x, &max_last_y, &sig_b0, &sig_b1, &sig_b2, &par_b,
             &gt1_b, &gt2_b, &sig_grp_b, &state_trans, &sign_hiding, &bdpcm,
-            &max_log2_tr, &scan_buf, &scan_cg_buf, &out_buf))
+            &max_log2_tr, &dep_quant_out, &skip_pre, &scan_buf, &scan_cg_buf,
+            &out_buf))
         return NULL;
     const int32_t *scan = (const int32_t *)scan_buf.buf;
     const int32_t *scan_cg = (const int32_t *)scan_cg_buf.buf;
@@ -527,6 +529,11 @@ static PyObject *Decoder_decode_residual(Decoder *self, PyObject *args)
         int cg_pos = scan_cg[subset_id];
         int cg_y = cg_pos / w_groups;
         int cg_x = cg_pos - cg_y * w_groups;
+        /* SBT + MTS zero-out precondition (CABACReader.cpp:2414-2425) */
+        if (skip_pre
+            && ((h == 32 && cg_y >= (16 >> lg_ch))
+                || (w == 32 && cg_x >= (16 >> lg_cw))))
+            continue;
         int min_sub_pos = subset_id << log2_cg;
         int max_sub_pos = min_sub_pos + (1 << log2_cg) - 1;
         int is_last_cg = (scan_pos_last >> log2_cg) == subset_id;
@@ -683,8 +690,9 @@ static PyObject *Decoder_decode_residual(Decoder *self, PyObject *args)
         }
     }
 
-    /* final signed write-back (dep-quant / sign application) */
-    int dep_quant = state_trans != 0;
+    /* final signed write-back (dep-quant / sign application; depQuant is
+     * gated on mts != MTS_SKIP by the caller — CABACReader.cpp:2460) */
+    int dep_quant = dep_quant_out;
     for (int si = n_subsets_out - 1; si >= 0; si--) {
         int nnz = sub_meta[si][0];
         uint32_t sign_pattern = (uint32_t)sub_meta[si][1];
@@ -1113,6 +1121,11 @@ static PyObject *mod_deblock_chroma(PyObject *self, PyObject *args)
     Py_RETURN_NONE;
 }
 
+/* full syntax walk (coding tree / CU / TU / residual) — see walk.c */
+#include "walk.c"
+#include "walk2.c"
+#include "walk3.c"
+
 static PyMemberDef Decoder_members[] = {
     {"pos", T_PYSSIZET, offsetof(Decoder, pos), 0, "read position"},
     {"end", T_PYSSIZET, offsetof(Decoder, end), 0, "end position"},
@@ -1147,6 +1160,8 @@ static PyMethodDef Decoder_methods[] = {
     {"ctx_load", (PyCFunction)Decoder_ctx_load, METH_O, NULL},
     {"decode_residual", (PyCFunction)Decoder_decode_residual, METH_VARARGS,
      NULL},
+    {"walk_begin", (PyCFunction)Decoder_walk_begin, METH_VARARGS,
+     "start a native syntax-walk session for one slice"},
     {NULL},
 };
 
@@ -1180,10 +1195,17 @@ PyMODINIT_FUNC PyInit__cabac(void)
     PyObject *m;
     if (PyType_Ready(&DecoderType) < 0)
         return NULL;
+    if (PyType_Ready(&WalkType) < 0)
+        return NULL;
     m = PyModule_Create(&cabacmodule);
     if (!m)
         return NULL;
     Py_INCREF(&DecoderType);
     PyModule_AddObject(m, "Decoder", (PyObject *)&DecoderType);
+    PyModule_AddIntConstant(m, "WALK_PARAM_COUNT", WP_COUNT);
+    PyModule_AddIntConstant(m, "WALK_CU_NF", CU_NF);
+    PyModule_AddIntConstant(m, "WALK_TU_NF", TUF_NF);
+    PyModule_AddIntConstant(m, "WALK_SAO_STRIDE", SAO_STRIDE);
+    PyModule_AddIntConstant(m, "WALK_ALF_STRIDE", ALF_STRIDE);
     return m;
 }
