@@ -42,21 +42,20 @@ MAX_QP = 63
 
 
 class EdgeParams:
-    """Per-4x4-cell edge parameter maps for one direction."""
+    """Per-4x4-cell edge parameter maps for one direction.
 
-    def __init__(self, h4: int, w4: int):
-        self.bs_y = np.zeros((h4, w4), dtype=np.int8)
-        self.bs_cb = np.zeros((h4, w4), dtype=np.int8)
-        self.bs_cr = np.zeros((h4, w4), dtype=np.int8)
-        self.qp_y = np.zeros((h4, w4), dtype=np.int16)
-        self.qp_cb = np.zeros((h4, w4), dtype=np.int16)
-        self.qp_cr = np.zeros((h4, w4), dtype=np.int16)
-        self.max_fl_p = np.zeros((h4, w4), dtype=np.int8)
-        self.max_fl_q = np.zeros((h4, w4), dtype=np.int8)
-        self.cmfl = np.zeros((h4, w4), dtype=np.int8)  # chroma long filter flag
-        # transform-edge flag (the "128" bit of sideMaxFiltLength) used by
-        # the subblock-CU refinement pass (LoopFilter.cpp:707)
-        self.te = np.zeros((h4, w4), dtype=np.int8)
+    All planes are views into one packed int16 tensor [10, h4, w4] (plane
+    order matches the EP_* enum in native/walk4.c) so the native strength
+    derivation fills them in one call."""
+
+    PLANES = ("bs_y", "bs_cb", "bs_cr", "qp_y", "qp_cb", "qp_cr",
+              "max_fl_p", "max_fl_q", "cmfl", "te")
+
+    def __init__(self, h4: int, w4: int, buf: np.ndarray | None = None):
+        self.buf = np.zeros((len(self.PLANES), h4, w4), dtype=np.int16) \
+            if buf is None else buf
+        for i, name in enumerate(self.PLANES):
+            setattr(self, name, self.buf[i])
 
 
 class Deblocker:
@@ -66,9 +65,19 @@ class Deblocker:
         self.bit_depth = cs.sps.bit_depth
         self.pel_max = (1 << self.bit_depth) - 1
         h4, w4 = cs.h >> 2, cs.w >> 2
-        self.edges = [EdgeParams(h4, w4), EdgeParams(h4, w4)]  # [VER, HOR]
+        self.ep_buf = np.zeros((2, len(EdgeParams.PLANES), h4, w4),
+                               dtype=np.int16)
+        self.edges = [EdgeParams(h4, w4, self.ep_buf[0]),
+                      EdgeParams(h4, w4, self.ep_buf[1])]  # [VER, HOR]
+        self.tu_map = None
+        self.tu_map_c = None
+
+    def _build_tu_maps(self) -> None:
         # per-4x4 (luma units) TU index maps, separately per plane — local
-        # dual tree produces luma-only and chroma-only TUs
+        # dual tree produces luma-only and chroma-only TUs.  Only needed by
+        # the Python derivation path; the native path builds its own.
+        cs = self.cs
+        h4, w4 = cs.h >> 2, cs.w >> 2
         self.tu_map = np.full((h4, w4), -1, dtype=np.int32)
         self.tu_map_c = np.full((h4, w4), -1, dtype=np.int32)
         for i, tu in enumerate(cs.tus):
@@ -82,10 +91,52 @@ class Deblocker:
                 self.tu_map_c[y >> 2:(y + h) >> 2, x >> 2:(x + w) >> 2] = i
 
     # ---------------- strength derivation ----------------
+    def _native_derive(self) -> bool:
+        """Derive strengths from the syntax walk's flat records in C."""
+        cs = self.cs
+        nw = getattr(cs, "_nw", None)
+        if nw is None or len(cs.cus) != int(nw["counts"][0]):
+            return False
+        from vvdec_tpu.native import native_cabac
+        nc = native_cabac()
+        if nc is None or not hasattr(nc, "deblock_strengths"):
+            return False
+        n_cus, n_tus = int(nw["counts"][0]), int(nw["counts"][1])
+        # recon-derived flags the parse records don't carry
+        cu_extra = np.fromiter(
+            ((1 if (cu.affine_flag or cu.merge_type == 1) else 0)
+             for cu in cs.cus), dtype=np.uint8, count=n_cus)
+        sl_flags = np.fromiter(
+            ((1 if s.deblocking_disabled else 0) | (2 if s.is_b else 0)
+             for s in cs.shs), dtype=np.uint8, count=len(cs.shs))
+        pocs = np.full((2, 16), np.iinfo(np.int32).min, dtype=np.int32)
+        ref_pocs = getattr(cs, "ref_pocs", [[], []])
+        for lst in range(2):
+            for ri, p in enumerate(ref_pocs[lst][:16]):
+                pocs[lst, ri] = p
+        subpics = np.asarray(
+            [[sp[0], sp[1], sp[2], sp[3], int(sp[4]), int(sp[5])]
+             for sp in cs.subpics], dtype=np.int32) \
+            if cs.subpics else np.zeros((0, 6), dtype=np.int32)
+        dummy = np.zeros(1, dtype=np.int32)
+        nc.deblock_strengths(
+            self.ep_buf, nw["cu_rec"], nw["tu_rec"], n_cus, n_tus,
+            cu_extra.tobytes(), sl_flags.tobytes(), len(cs.shs),
+            cs.cu_map, cs.cu_map_c if cs.cu_map_c is not None else dummy,
+            cs.mi_mv, cs.mi_ref, pocs, subpics.tobytes(), len(cs.subpics),
+            cs.w, cs.h, cs.sub_w, cs.sub_h, cs.num_comp,
+            cs.sps.qp_bd_offset,
+            int(cs.pps.loop_filter_across_slices),
+            int(cs.pps.loop_filter_across_tiles))
+        return True
+
     def derive_strengths(self) -> None:
         cs = self.cs
         if all(s.deblocking_disabled for s in cs.shs):
             return
+        if self._native_derive():
+            return
+        self._build_tu_maps()
         for tu in cs.tus:
             cu = cs.cus[tu.cu_idx]
             if cs.sh_of(cu).deblocking_disabled:

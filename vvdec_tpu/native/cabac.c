@@ -1125,6 +1125,7 @@ static PyObject *mod_deblock_chroma(PyObject *self, PyObject *args)
 #include "walk.c"
 #include "walk2.c"
 #include "walk3.c"
+#include "walk4.c"
 
 static PyMemberDef Decoder_members[] = {
     {"pos", T_PYSSIZET, offsetof(Decoder, pos), 0, "read position"},
@@ -1181,6 +1182,8 @@ static PyTypeObject DecoderType = {
 static PyMethodDef module_methods[] = {
     {"deblock_luma", (PyCFunction)mod_deblock_luma, METH_VARARGS, NULL},
     {"deblock_chroma", (PyCFunction)mod_deblock_chroma, METH_VARARGS, NULL},
+    {"deblock_strengths", (PyCFunction)mod_deblock_strengths, METH_VARARGS,
+     "derive deblocking boundary strengths from walk records"},
     {NULL},
 };
 
