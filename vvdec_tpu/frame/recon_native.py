@@ -71,6 +71,9 @@ class NativeFastPath:
         bank, offs, ids = _matrix_bank()
         self.bank, self.offs = bank, offs
 
+        if self._init_from_records(recon, cs):
+            return
+
         n = len(cs.tus)
         td = np.zeros((n, TD_STRIDE), dtype=np.int32)
         from vvdec_tpu.frame.recon_np import get_tr_types
@@ -139,6 +142,33 @@ class NativeFastPath:
         # contiguous planes shared with the engine
         self._z32 = np.zeros(1, dtype=np.int32)
         self.active = True
+
+    def _init_from_records(self, recon, cs) -> bool:
+        """Build the TD tensor in C from the syntax walk's flat records
+        (native/walk5.c) — no per-TU Python loop."""
+        nw = getattr(cs, "_nw", None)
+        if nw is None or len(cs.tus) != int(nw["counts"][1]):
+            return False
+        from vvdec_tpu.native import native_cabac
+        nc = native_cabac()
+        if nc is None or not hasattr(nc, "build_intra_td"):
+            return False
+        n_cus, n_tus = int(nw["counts"][0]), int(nw["counts"][1])
+        td = np.zeros((max(1, n_tus), TD_STRIDE), dtype=np.int32)
+        cu_meta = np.zeros((max(1, n_cus), 6), dtype=np.int32)
+        sl_dq = np.fromiter((1 if s.dep_quant_used else 0 for s in cs.shs),
+                            dtype=np.uint8, count=len(cs.shs))
+        nc.build_intra_td(
+            td, cu_meta, nw["cu_rec"], nw["tu_rec"], n_cus, n_tus,
+            sl_dq.tobytes(), len(cs.shs), cs.cu_map,
+            cs.sps.chroma_format_idc, cs.w, cs.h, cs.sub_w, cs.sub_h,
+            cs.num_comp, int(cs.sps.mts_enabled),
+            int(cs.sps.explicit_mts_intra), cs.sps.qp_bd_offset)
+        self.td = td
+        self.cu_meta = cu_meta
+        self._z32 = np.zeros(1, dtype=np.int32)
+        self.active = True
+        return True
 
     def run_from(self, start: int) -> int:
         """Process TUs [start, r) natively; returns r (first unhandled)."""

@@ -1126,6 +1126,7 @@ static PyObject *mod_deblock_chroma(PyObject *self, PyObject *args)
 #include "walk2.c"
 #include "walk3.c"
 #include "walk4.c"
+#include "walk5.c"
 
 static PyMemberDef Decoder_members[] = {
     {"pos", T_PYSSIZET, offsetof(Decoder, pos), 0, "read position"},
@@ -1184,6 +1185,8 @@ static PyMethodDef module_methods[] = {
     {"deblock_chroma", (PyCFunction)mod_deblock_chroma, METH_VARARGS, NULL},
     {"deblock_strengths", (PyCFunction)mod_deblock_strengths, METH_VARARGS,
      "derive deblocking boundary strengths from walk records"},
+    {"build_intra_td", (PyCFunction)mod_build_intra_td, METH_VARARGS,
+     "build intra fast-path TU descriptors from walk records"},
     {NULL},
 };
 
