@@ -599,6 +599,29 @@ def _filter_1d(arr: np.ndarray, coeffs: np.ndarray, axis: int) -> np.ndarray:
 
 
 ALT_HPEL_IF = np.array([0, 3, 9, 20, 20, 9, 3, 0], dtype=np.int32)
+_ALT_HPEL_2D = ALT_HPEL_IF[None, :]
+
+_NC = None
+_IF_BYTES: dict = {}
+
+
+def _native_mod():
+    global _NC
+    if _NC is None:
+        from vvdec_tpu.native import native_cabac
+        _NC = native_cabac() or False
+    return _NC or None
+
+
+def _coef_bytes(table: np.ndarray, frac: int) -> bytes:
+    """int32 coefficient row as bytes, cached (the table ref is kept in the
+    cache entry so the id() key stays valid)."""
+    key = (id(table), frac)
+    ent = _IF_BYTES.get(key)
+    if ent is None:
+        b = np.ascontiguousarray(table[frac], dtype=np.int32).tobytes()
+        ent = _IF_BYTES[key] = (table, b)
+    return ent[1]
 
 
 def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
@@ -642,6 +665,28 @@ def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
     if bounds is not None:  # treated-as-pic subpic: replicate subpic edges
         lo_x, lo_y = bounds[0], bounds[1]
         hi_x, hi_y = bounds[2] - 1, bounds[3] - 1
+    bd = bit_depth
+
+    # native pixel core (vvdec_tpu/native/walk6.c): same gather + FIR +
+    # shift semantics; fraction/coefficient selection stays here
+    nc = _native_mod()
+    if nc is not None and ref.dtype == np.int32 and w <= 128 \
+            and ref.flags["C_CONTIGUOUS"]:
+        def _cb(frac):
+            if frac == 0:
+                return b""
+            if comp == 0 and alt_hpel and frac == 8:
+                return _coef_bytes(_ALT_HPEL_2D, 0)
+            if comp == 0 and luma_table is not None:
+                return _coef_bytes(luma_table, frac)
+            return _coef_bytes(table, frac)
+        out = np.empty((h, w), dtype=np.int32)
+        nc.mc_block(ref, ww, hh, x + ix, y + iy, w, h, _cb(fx), _cb(fy),
+                    taps, bd, 1 if intermediate else 0,
+                    -1 if wrap_off is None else wrap_off,
+                    lo_x, lo_y, hi_x, hi_y, out)
+        return out.astype(np.int64)
+
     if wrap_off is not None:
         xs = wrap_cols(np.arange(x0, x0 + w + taps - 1), ww, wrap_off)
     else:
@@ -649,7 +694,6 @@ def mc_block(ref: np.ndarray, x: int, y: int, w: int, h: int,
     ys = np.clip(np.arange(y0, y0 + h + taps - 1), lo_y, hi_y)
     win = ref[np.ix_(ys, xs)].astype(np.int64)
 
-    bd = bit_depth
     head = max(2, IF_INTERNAL_PREC - bd)
 
     if fx == 0 and fy == 0:

@@ -256,6 +256,45 @@ def scaling_matrix_for(cs: CodingStructure, tu: TransformUnit,
     return tables.get((lt, w.bit_length() - 1, h.bit_length() - 1))
 
 
+_ITX_NC = None
+_ITX_MAT: dict = {}
+
+
+def _native_itx(cs, tu, cu, comp, x, y, w, h, qp, dep_quant, bd, scale_mat):
+    """Per-TU dequant + ITX via native/walk7.c, or None for fallback."""
+    global _ITX_NC
+    if _ITX_NC is None:
+        from vvdec_tpu.native import native_cabac
+        nc = native_cabac()
+        _ITX_NC = nc if (nc is not None and hasattr(nc, "itx_block")) \
+            else False
+    if _ITX_NC is False:
+        return None
+    plane = cs.coef[comp]
+    if plane.dtype != np.int32 or not plane.flags["C_CONTIGUOUS"]:
+        return None
+    hor, ver = get_tr_types(cs, tu, cu, comp)
+    kh = (hor, w)
+    kv = (ver, h)
+    mh = _ITX_MAT.get(kh)
+    if mh is None:
+        mh = _ITX_MAT[kh] = np.ascontiguousarray(
+            tr_matrix(hor, w), dtype=np.int32).tobytes()
+    mv = _ITX_MAT.get(kv)
+    if mv is None:
+        mv = _ITX_MAT[kv] = np.ascontiguousarray(
+            tr_matrix(ver, h), dtype=np.int32).tobytes()
+    if scale_mat is not None:
+        sm = np.ascontiguousarray(scale_mat, dtype=np.int32).tobytes()
+    else:
+        sm = b""
+    out = np.empty((h, w), dtype=np.int64)
+    _ITX_NC.itx_block(plane, plane.shape[1], x, y, w, h, qp,
+                      int(dep_quant), tu.max_scan_x[comp],
+                      tu.max_scan_y[comp], bd, mh, mv, sm, out)
+    return out
+
+
 def mip_size_id(w: int, h: int) -> int:
     """Parity: getMipSizeId (UnitTools.cpp:3748)."""
     if w == 4 and h == 4:
@@ -1215,11 +1254,17 @@ class IntraReconstructor:
         if tu.mts_idx[comp] == MTS_SKIP:
             # transform skip / BDPCM: residual = dequantized levels
             return ts_residual(cs, tu, cu, comp)
+        scale_mat = scaling_matrix_for(cs, tu, cu, comp)
+        if cu.lfnst_idx == 0 and w > 1 and h > 1 and w <= 64 and h <= 64:
+            out = _native_itx(cs, tu, cu, comp, x, y, w, h, qp,
+                              bool(dep_quant), self.bit_depth, scale_mat)
+            if out is not None:
+                return out
         deq = dequant_block(levels, qp, w.bit_length() - 1,
                             h.bit_length() - 1, self.bit_depth,
                             dep_quant, tu.max_scan_x[comp],
                             tu.max_scan_y[comp],
-                            scale_mat=scaling_matrix_for(cs, tu, cu, comp))
+                            scale_mat=scale_mat)
         if cu.lfnst_idx:
             deq = apply_inv_lfnst(cs, deq, tu, cu, comp, self.final_mode)
         hor, ver = get_tr_types(cs, tu, cu, comp)

@@ -21,7 +21,8 @@ def _so_path(name: str) -> str:
     return os.path.join(_HERE, name + suffix)
 
 
-_DEPS = {"_cabac": ("walk.c", "walk2.c", "walk3.c", "walk4.c", "walk5.c")}
+_DEPS = {"_cabac": ("walk.c", "walk2.c", "walk3.c", "walk4.c", "walk5.c",
+                    "walk6.c", "walk7.c")}
 
 
 def _build(name: str) -> bool:

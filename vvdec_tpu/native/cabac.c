@@ -1127,6 +1127,8 @@ static PyObject *mod_deblock_chroma(PyObject *self, PyObject *args)
 #include "walk3.c"
 #include "walk4.c"
 #include "walk5.c"
+#include "walk6.c"
+#include "walk7.c"
 
 static PyMemberDef Decoder_members[] = {
     {"pos", T_PYSSIZET, offsetof(Decoder, pos), 0, "read position"},
@@ -1187,6 +1189,10 @@ static PyMethodDef module_methods[] = {
      "derive deblocking boundary strengths from walk records"},
     {"build_intra_td", (PyCFunction)mod_build_intra_td, METH_VARARGS,
      "build intra fast-path TU descriptors from walk records"},
+    {"mc_block", (PyCFunction)mod_mc_block, METH_VARARGS,
+     "motion-compensated block interpolation (N-tap separable FIR)"},
+    {"itx_block", (PyCFunction)mod_itx_block, METH_VARARGS,
+     "per-TU dequant + separable inverse transform"},
     {NULL},
 };
 

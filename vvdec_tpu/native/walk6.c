@@ -1,0 +1,169 @@
+/* Native motion-compensation block filter.
+ *
+ * C port of inter_np.mc_block's pixel work (window gather with
+ * clamp/wraparound/subpic bounds + separable N-tap FIR with the exact
+ * 14-bit intermediate shifts) — parity with vvdec InterpolationFilter
+ * (filterHor/filterVer/filterCopy, InterpolationFilter.cpp; IF_INTERNAL_PREC
+ * semantics InterpolationFilter.h:65).  Fraction/coefficient selection
+ * stays in Python (inter_np.mc_block).
+ *
+ * #included by cabac.c after walk5.c.
+ */
+
+#define IF_PREC 14
+#define IF_OFFS (1 << (IF_PREC - 1))
+#define IF_FILT 6
+
+/* mc_block(ref y* i32, W, H, x0 (incl. int mv), y0, w, h,
+ *   cx y* i32[taps] or b"", cy y* i32[taps] or b"", taps, bd,
+ *   intermediate, wrap_off(-1 none), lo_x, lo_y, hi_x, hi_y, out w* i32) */
+static PyObject *mod_mc_block(PyObject *self, PyObject *args)
+{
+    Py_buffer b_ref, b_cx, b_cy, b_out;
+    int W, H, x0, y0, w, h, taps, bd, intermediate, wrap_off;
+    int lo_x, lo_y, hi_x, hi_y;
+    if (!PyArg_ParseTuple(args, "y*iiiiiiy*y*iiiiiiiiw*",
+                          &b_ref, &W, &H, &x0, &y0, &w, &h, &b_cx, &b_cy,
+                          &taps, &bd, &intermediate, &wrap_off, &lo_x, &lo_y,
+                          &hi_x, &hi_y, &b_out))
+        return NULL;
+    const int32_t *ref = (const int32_t *)b_ref.buf;
+    const int32_t *cx = (const int32_t *)b_cx.buf;
+    const int32_t *cy = (const int32_t *)b_cy.buf;
+    int has_fx = b_cx.len >= (Py_ssize_t)sizeof(int32_t);
+    int has_fy = b_cy.len >= (Py_ssize_t)sizeof(int32_t);
+    int32_t *out = (int32_t *)b_out.buf;
+    int half = taps / 2 - 1;
+    int wx0 = x0 - half, wy0 = y0 - half;
+    int ew = w + taps - 1, eh = h + taps - 1;
+    int head = IF_PREC - bd;
+    if (head < 2) head = 2;
+    int pel_max = (1 << bd) - 1;
+
+    /* index maps with clamp / wraparound (wrap_cols semantics) */
+    int xs_buf[64 + 16], ys_buf[64 + 16];
+    int *xs = xs_buf, *ys = ys_buf;
+    int xs_heap = 0;
+    if (ew > (int)(sizeof(xs_buf) / sizeof(int))
+        || eh > (int)(sizeof(ys_buf) / sizeof(int))) {
+        xs = (int *)malloc(sizeof(int) * (ew + eh));
+        if (!xs) {
+            PyErr_NoMemory();
+            goto fail;
+        }
+        ys = xs + ew;
+        xs_heap = 1;
+    }
+    for (int i = 0; i < ew; i++) {
+        int v = wx0 + i;
+        if (wrap_off >= 0) {
+            int o = v < 0 ? 0 : (v > W - 1 ? W - 1 : v);
+            if (v < 0)
+                o = v >= -wrap_off ? v + wrap_off : 0;
+            else if (v >= W)
+                o = v < W + wrap_off ? v - wrap_off : W - 1;
+            v = o;
+        } else {
+            if (v < lo_x) v = lo_x;
+            if (v > hi_x) v = hi_x;
+        }
+        xs[i] = v;
+    }
+    for (int i = 0; i < eh; i++) {
+        int v = wy0 + i;
+        if (v < lo_y) v = lo_y;
+        if (v > hi_y) v = hi_y;
+        ys[i] = v;
+    }
+
+    if (!has_fx && !has_fy) {
+        for (int r = 0; r < h; r++) {
+            const int32_t *row = ref + (size_t)ys[half + r] * W;
+            int32_t *o = out + (size_t)r * w;
+            if (intermediate) {
+                for (int c = 0; c < w; c++)
+                    o[c] = (row[xs[half + c]] << head) - IF_OFFS;
+            } else {
+                for (int c = 0; c < w; c++)
+                    o[c] = row[xs[half + c]];
+            }
+        }
+    } else if (has_fx && has_fy) {
+        /* pass 1 horizontal over the full vertical extent */
+        static int32_t tmp[(128 + 16) * 128]; /* [eh][w], w,h <= 128 */
+        if (w > 128 || eh > 128 + 16) {
+            PyErr_SetString(PyExc_ValueError, "mc_block too large");
+            goto fail;
+        }
+        int s1 = IF_FILT - head;
+        int64_t off1 = -((int64_t)IF_OFFS << s1);
+        for (int r = 0; r < eh; r++) {
+            const int32_t *row = ref + (size_t)ys[r] * W;
+            int32_t *t = tmp + (size_t)r * w;
+            for (int c = 0; c < w; c++) {
+                int64_t acc = 0;
+                for (int k = 0; k < taps; k++)
+                    acc += (int64_t)row[xs[c + k]] * cx[k];
+                t[c] = (int32_t)((acc + off1) >> s1);
+            }
+        }
+        for (int r = 0; r < h; r++) {
+            int32_t *o = out + (size_t)r * w;
+            for (int c = 0; c < w; c++) {
+                int64_t acc = 0;
+                for (int k = 0; k < taps; k++)
+                    acc += (int64_t)tmp[(size_t)(r + k) * w + c] * cy[k];
+                if (intermediate) {
+                    o[c] = (int32_t)(acc >> IF_FILT);
+                } else {
+                    int s2 = IF_FILT + head;
+                    int64_t off2 = ((int64_t)1 << (s2 - 1))
+                                   + ((int64_t)IF_OFFS << IF_FILT);
+                    int64_t v = (acc + off2) >> s2;
+                    if (v < 0) v = 0;
+                    if (v > pel_max) v = pel_max;
+                    o[c] = (int32_t)v;
+                }
+            }
+        }
+    } else {
+        int s = intermediate ? IF_FILT - head : IF_FILT;
+        int64_t off = intermediate ? -((int64_t)IF_OFFS << s)
+                                   : ((int64_t)1 << (s - 1));
+        for (int r = 0; r < h; r++) {
+            int32_t *o = out + (size_t)r * w;
+            for (int c = 0; c < w; c++) {
+                int64_t acc = 0;
+                if (has_fx) {
+                    const int32_t *row = ref + (size_t)ys[half + r] * W;
+                    for (int k = 0; k < taps; k++)
+                        acc += (int64_t)row[xs[c + k]] * cx[k];
+                } else {
+                    for (int k = 0; k < taps; k++)
+                        acc += (int64_t)ref[(size_t)ys[r + k] * W
+                                            + xs[half + c]] * cy[k];
+                }
+                int64_t v = (acc + off) >> s;
+                if (!intermediate) {
+                    if (v < 0) v = 0;
+                    if (v > pel_max) v = pel_max;
+                }
+                o[c] = (int32_t)v;
+            }
+        }
+    }
+
+    if (xs_heap) free(xs);
+    PyBuffer_Release(&b_ref);
+    PyBuffer_Release(&b_cx);
+    PyBuffer_Release(&b_cy);
+    PyBuffer_Release(&b_out);
+    Py_RETURN_NONE;
+fail:
+    if (xs_heap) free(xs);
+    PyBuffer_Release(&b_ref);
+    PyBuffer_Release(&b_cx);
+    PyBuffer_Release(&b_cy);
+    PyBuffer_Release(&b_out);
+    return NULL;
+}
