@@ -59,9 +59,10 @@ class NativeFastPath:
         eng = native_recon()
         if eng is None:
             return
-        # frame-level gates: the engine handles plain intra frames only
-        if any(not s.is_intra for s in cs.shs):
-            return
+        # frame-level gates: intra TUs only (inter/IBC TUs are ineligible in
+        # the descriptor tensor and fall back per TU, preserving parse
+        # order); IBC needs the virtual-buffer fill ordering and LMCS the
+        # reshaped-domain handling, both Python-side
         if cs.sps.ibc_enabled or recon.reshaper is not None \
                 or cs.scaling_list is not None:
             return
