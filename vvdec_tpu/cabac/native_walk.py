@@ -23,6 +23,129 @@ _GROW = 8192
 _HEADROOM = 4100  # worst-case CUs/TUs of one 128x128 CTU, with margin
 
 
+class LazyRecList(list):
+    """List whose elements materialize from flat records on first access.
+
+    Slots hold None until touched; __iter__ materializes everything (for
+    legacy full-scan consumers).  Mutations of materialized objects persist
+    (the object is cached in its slot)."""
+
+    def __init__(self, mat) -> None:
+        super().__init__()
+        self._mat = mat
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        v = list.__getitem__(self, i)
+        if v is None:
+            if i < 0:
+                i += len(self)
+            v = self._mat(i)
+            list.__setitem__(self, i, v)
+        return v
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def materialized(self):
+        """(index, obj) pairs of already-materialized slots only."""
+        for i, v in enumerate(list.__iter__(self)):
+            if v is not None:
+                yield i, v
+
+
+# CU/TU record field indices — order must match the enums in native/walk.c
+CU_FIELDS = (
+    "x", "y", "w", "h", "cx", "cy", "cw", "ch",
+    "has_luma", "has_chroma", "ch_type", "tree_type", "mode_type",
+    "qt_depth", "mt_depth", "depth", "pred_mode", "skip", "qp",
+    "chroma_qp_adj", "intra_dir0", "intra_dir1", "bdpcm", "bdpcm_c",
+    "mip_flag", "mip_transpose", "multi_ref", "isp", "lfnst",
+    "root_cbf", "pcbf0", "pcbf1", "pcbf2", "sbt_info",
+    "merge_flag", "merge_idx", "inter_dir",
+    "mvd0x", "mvd0y", "mvd1x", "mvd1y",
+    "mvda00x", "mvda00y", "mvda01x", "mvda01y",
+    "mvda10x", "mvda10y", "mvda11x", "mvda11y",
+    "ref0", "ref1", "mvp0", "mvp1", "smvd", "mmvd_flag", "mmvd_idx",
+    "imv", "bcw", "affine", "aff_type", "ciip", "geo", "geo_dir",
+    "geo_idx0", "geo_idx1", "slice_idx", "tile_idx",
+    "first_tu", "num_tu",
+)
+CU_F = {name: i for i, name in enumerate(CU_FIELDS)}
+
+
+def _materialize_cu(cs, nw, idx):
+    r = nw["cu_rec"][idx].tolist()
+    (x, y, w, h, cx, cy, cw, ch, has_l, has_c, ch_type, tree,
+     mode_type, qt, mt, depth, pred, skip, qp, cqa, dir0, dir1,
+     bdpcm, bdpcm_c, mip, mip_t, mrl, isp, lfnst, root, p0, p1, p2,
+     sbt, mrg, mrg_idx, inter_dir, m0x, m0y, m1x, m1y,
+     a00x, a00y, a01x, a01y, a10x, a10y, a11x, a11y,
+     ref0, ref1, mvp0, mvp1, smvd, mmvd_f, mmvd_i, imv, bcw,
+     aff, aff_t, ciip, geo, geo_dir, g0, g1, slice_idx, tile_idx,
+     first_tu, num_tu) = r
+    cu = CodingUnit.__new__(CodingUnit)
+    is_intra_cu = pred == 1
+    cu.__dict__ = {
+        "idx": idx, "x": x, "y": y, "w": w, "h": h,
+        "cx": cx, "cy": cy, "cw": cw, "ch": ch,
+        "has_luma": bool(has_l), "has_chroma": bool(has_c),
+        "ch_type": ch_type, "tree_type": tree,
+        "mode_type": mode_type, "qt_depth": qt, "mt_depth": mt,
+        "depth": depth, "pred_mode": pred, "skip": bool(skip),
+        "qp": qp, "chroma_qp_adj": cqa,
+        "intra_dir": [dir0, dir1],
+        "bdpcm_mode": bdpcm, "bdpcm_mode_chroma": bdpcm_c,
+        "mip_flag": bool(mip), "mip_transpose": bool(mip_t),
+        "mip_mode": 0, "multi_ref_idx": mrl, "isp_mode": isp,
+        "lfnst_idx": lfnst, "color_transform": False,
+        "root_cbf": bool(root),
+        "plane_cbf": [bool(p0), bool(p1), bool(p2)],
+        "sbt_info": sbt, "merge_flag": bool(mrg),
+        "merge_idx": mrg_idx, "inter_dir": inter_dir,
+        "mv": [] if is_intra_cu else [[0, 0], [0, 0]],
+        "mvd": [] if is_intra_cu else [[m0x, m0y], [m1x, m1y]],
+        "mvd_aff": [] if is_intra_cu else
+        [[[a00x, a00y], [a01x, a01y]],
+         [[a10x, a10y], [a11x, a11y]]],
+        "ref_idx": [ref0, ref1], "mvp_idx": [mvp0, mvp1],
+        "smvd_mode": smvd, "mmvd_flag": bool(mmvd_f),
+        "mmvd_idx": mmvd_i, "imv": imv, "bcw_idx": bcw,
+        "alt_hpel": False, "affine_flag": bool(aff),
+        "affine_type": aff_t, "merge_type": 0, "cpmv": [],
+        "ciip_flag": bool(ciip), "geo_flag": bool(geo),
+        "geo_split_dir": geo_dir, "geo_idx": [g0, g1],
+        "split_hist": (),
+        "tus": [cs.tus[k] for k in range(first_tu, first_tu + num_tu)],
+        "slice_idx": slice_idx, "tile_idx": tile_idx,
+    }
+    return cu
+
+
+def _materialize_tu(cs, nw, idx):
+    (cu_idx, part_idx,
+     bx0, by0, bw0, bh0, bx1, by1, bw1, bh1, bx2, by2, bw2, bh2,
+     cbf0, cbf1, cbf2, mts0, mts1, mts2, joint, qp, cqp0, cqp1,
+     msx0, msx1, msx2, msy0, msy1, msy2) = nw["tu_rec"][idx].tolist()
+    tu = TransformUnit.__new__(TransformUnit)
+    tu.__dict__ = {
+        "cu_idx": cu_idx,
+        "blocks": [(bx0, by0, bw0, bh0) if bw0 else None,
+                   (bx1, by1, bw1, bh1) if bw1 else None,
+                   (bx2, by2, bw2, bh2) if bw2 else None],
+        "cbf": [bool(cbf0), bool(cbf1), bool(cbf2)],
+        "mts_idx": [mts0, mts1, mts2],
+        "joint_cbcr": joint, "qp": qp,
+        "chroma_qp": [cqp0, cqp1],
+        "max_scan_x": [msx0, msx1, msx2],
+        "max_scan_y": [msy0, msy1, msy2],
+        "part_idx": part_idx, "order": idx,
+    }
+    return tu
+
+
 def native_walk_ok(coder) -> bool:
     """Whether the native walk can decode this slice."""
     if os.environ.get("VVDEC_TPU_PY_WALK") == "1":
@@ -195,79 +318,18 @@ class SliceWalk:
         self.sess.ctu(cx, cy)
 
     def finish(self) -> None:
-        """Materialize this slice's records into Python objects."""
+        """Publish this slice's records: CU/TU objects materialize lazily
+        on first Python access (the C stages read the records directly)."""
         self.sess.close()
-        coder, cs, nw = self.coder, self.cs, self.nw
+        cs, nw = self.cs, self.nw
         cs.chroma_qp_adj = int(nw["state"][1])
-        cu_rows = nw["cu_rec"][self.cu_lo:int(nw["counts"][0])].tolist()
-        tu_rows = nw["tu_rec"][self.tu_lo:int(nw["counts"][1])].tolist()
-        cus = cs.cus
-        base = self.cu_lo
-        for i, r in enumerate(cu_rows):
-            (x, y, w, h, cx, cy, cw, ch, has_l, has_c, ch_type, tree,
-             mode_type, qt, mt, depth, pred, skip, qp, cqa, dir0, dir1,
-             bdpcm, bdpcm_c, mip, mip_t, mrl, isp, lfnst, root, p0, p1, p2,
-             sbt, mrg, mrg_idx, inter_dir, m0x, m0y, m1x, m1y,
-             a00x, a00y, a01x, a01y, a10x, a10y, a11x, a11y,
-             ref0, ref1, mvp0, mvp1, smvd, mmvd_f, mmvd_i, imv, bcw,
-             aff, aff_t, ciip, geo, geo_dir, g0, g1, slice_idx, tile_idx,
-             _first_tu, _num_tu) = r
-            cu = CodingUnit.__new__(CodingUnit)
-            is_intra_cu = pred == 1
-            cu.__dict__ = {
-                "idx": base + i, "x": x, "y": y, "w": w, "h": h,
-                "cx": cx, "cy": cy, "cw": cw, "ch": ch,
-                "has_luma": bool(has_l), "has_chroma": bool(has_c),
-                "ch_type": ch_type, "tree_type": tree,
-                "mode_type": mode_type, "qt_depth": qt, "mt_depth": mt,
-                "depth": depth, "pred_mode": pred, "skip": bool(skip),
-                "qp": qp, "chroma_qp_adj": cqa,
-                "intra_dir": [dir0, dir1],
-                "bdpcm_mode": bdpcm, "bdpcm_mode_chroma": bdpcm_c,
-                "mip_flag": bool(mip), "mip_transpose": bool(mip_t),
-                "mip_mode": 0, "multi_ref_idx": mrl, "isp_mode": isp,
-                "lfnst_idx": lfnst, "color_transform": False,
-                "root_cbf": bool(root),
-                "plane_cbf": [bool(p0), bool(p1), bool(p2)],
-                "sbt_info": sbt, "merge_flag": bool(mrg),
-                "merge_idx": mrg_idx, "inter_dir": inter_dir,
-                "mv": [] if is_intra_cu else [[0, 0], [0, 0]],
-                "mvd": [] if is_intra_cu else [[m0x, m0y], [m1x, m1y]],
-                "mvd_aff": [] if is_intra_cu else
-                [[[a00x, a00y], [a01x, a01y]],
-                 [[a10x, a10y], [a11x, a11y]]],
-                "ref_idx": [ref0, ref1], "mvp_idx": [mvp0, mvp1],
-                "smvd_mode": smvd, "mmvd_flag": bool(mmvd_f),
-                "mmvd_idx": mmvd_i, "imv": imv, "bcw_idx": bcw,
-                "alt_hpel": False, "affine_flag": bool(aff),
-                "affine_type": aff_t, "merge_type": 0, "cpmv": [],
-                "ciip_flag": bool(ciip), "geo_flag": bool(geo),
-                "geo_split_dir": geo_dir, "geo_idx": [g0, g1],
-                "split_hist": (), "tus": [],
-                "slice_idx": slice_idx, "tile_idx": tile_idx,
-            }
-            cus.append(cu)
-        for r in tu_rows:
-            (cu_idx, part_idx,
-             bx0, by0, bw0, bh0, bx1, by1, bw1, bh1, bx2, by2, bw2, bh2,
-             cbf0, cbf1, cbf2, mts0, mts1, mts2, joint, qp, cqp0, cqp1,
-             msx0, msx1, msx2, msy0, msy1, msy2) = r
-            tu = TransformUnit.__new__(TransformUnit)
-            tu.__dict__ = {
-                "cu_idx": cu_idx,
-                "blocks": [(bx0, by0, bw0, bh0) if bw0 else None,
-                           (bx1, by1, bw1, bh1) if bw1 else None,
-                           (bx2, by2, bw2, bh2) if bw2 else None],
-                "cbf": [bool(cbf0), bool(cbf1), bool(cbf2)],
-                "mts_idx": [mts0, mts1, mts2],
-                "joint_cbcr": joint, "qp": qp,
-                "chroma_qp": [cqp0, cqp1],
-                "max_scan_x": [msx0, msx1, msx2],
-                "max_scan_y": [msy0, msy1, msy2],
-                "part_idx": part_idx, "order": 0,
-            }
-            cs.tus.append(tu)
-            cus[cu_idx].tus.append(tu)
+        n_cus, n_tus = int(nw["counts"][0]), int(nw["counts"][1])
+        if not isinstance(cs.cus, LazyRecList):
+            assert not cs.cus and not cs.tus
+            cs.cus = LazyRecList(lambda i: _materialize_cu(cs, nw, i))
+            cs.tus = LazyRecList(lambda i: _materialize_tu(cs, nw, i))
+        cs.cus.extend([None] * (n_cus - len(cs.cus)))
+        cs.tus.extend([None] * (n_tus - len(cs.tus)))
         self._materialize_ctu_params()
 
     def _materialize_ctu_params(self) -> None:

@@ -102,10 +102,20 @@ class Deblocker:
         if nc is None or not hasattr(nc, "deblock_strengths"):
             return False
         n_cus, n_tus = int(nw["counts"][0]), int(nw["counts"][1])
-        # recon-derived flags the parse records don't carry
-        cu_extra = np.fromiter(
-            ((1 if (cu.affine_flag or cu.merge_type == 1) else 0)
-             for cu in cs.cus), dtype=np.uint8, count=n_cus)
+        # subblock-motion flag: affine from the parse records; SbTMVP
+        # (merge_type == 1) is recon-derived and only exists on
+        # materialized (inter) CU objects
+        from vvdec_tpu.cabac.native_walk import CU_F, LazyRecList
+        cu_extra = (nw["cu_rec"][:n_cus, CU_F["affine"]] != 0) \
+            .astype(np.uint8)
+        if isinstance(cs.cus, LazyRecList):
+            for i, cu in cs.cus.materialized():
+                if cu.merge_type == 1 or cu.affine_flag:
+                    cu_extra[i] = 1
+        else:
+            for i, cu in enumerate(cs.cus):
+                if cu.merge_type == 1 or cu.affine_flag:
+                    cu_extra[i] = 1
         sl_flags = np.fromiter(
             ((1 if s.deblocking_disabled else 0) | (2 if s.is_b else 0)
              for s in cs.shs), dtype=np.uint8, count=len(cs.shs))

@@ -1340,8 +1340,10 @@ class IntraReconstructor:
 
     def run(self) -> list[np.ndarray]:
         from vvdec_tpu.frame.inter_np import MotionHist
-        for i, tu in enumerate(self.cs.tus):
-            tu.order = i
+        if type(self.cs.tus) is list:
+            # parse order index; lazily-materialized TUs carry it already
+            for i, tu in enumerate(self.cs.tus):
+                tu.order = i
         self._hist = MotionHist()
         last_ctu_row = -1
         prev_cu = None
