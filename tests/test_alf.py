@@ -146,3 +146,83 @@ class TestAlfInter:
                     ref_deltas=(d, ()))
             stream += nal
         _check(stream, tmp_path, 4)
+
+
+class TestAlfAcrossBoundaries:
+    """ALF clipping at slice/tile boundaries with loop_filter_across* = 0
+    (AdaptiveLoopFilter.cpp:176-265 clipTop/Bottom/Left/Right)."""
+
+    def _stream(self, seed, pps_kw, n_frames=2, wh=(96, 64), ctu=32):
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import (RandomDecisions,
+                                               encode_picture, make_alf_aps,
+                                               make_nal)
+        from vvdec_tpu.testenc.hls_writer import write_pps, write_sps
+
+        sps = E.make_sps(wh[0], wh[1], ctu=ctu, alf_enabled=True,
+                         ccalf_enabled=True, entry_point_offsets_present=True)
+        sps.ptl.level_idc = 83
+        pps = E.make_pps(sps, **pps_kw)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        apss = {}
+        for i in range(2):
+            aps, nal = make_alf_aps(seed * 10 + i, aps_id=i, cc=True)
+            apss[i] = aps
+            stream += nal
+        sh_kw = dict(alf_enabled=[True, True, True],
+                     num_alf_aps_ids_luma=2,
+                     alf_aps_ids_luma=[0, 1], alf_aps_id_chroma=0)
+        if apss[0].cc_alf.new_filter[0]:
+            sh_kw.update(ccalf_cb_enabled=True, ccalf_cb_aps_id=0)
+        if apss[1].cc_alf.new_filter[1]:
+            sh_kw.update(ccalf_cr_enabled=True, ccalf_cr_aps_id=1)
+        n_slices = pps_kw.get("num_slices_in_pic", 1)
+        for f in range(n_frames):
+            if n_slices > 1:
+                slices = [dict(decisions=RandomDecisions(
+                                   seed=seed * 100 + f * 10 + i,
+                                   split_prob=0.4),
+                               slice_type=2, sh_kw=dict(sh_kw))
+                          for i in range(n_slices)]
+                nal, _ = encode_picture(sps, pps, poc=f, idr=True,
+                                        slices=slices, alf_apss=apss)
+            else:
+                dec = RandomDecisions(seed=seed * 100 + f, split_prob=0.4)
+                nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=f,
+                                        idr=True, sh_kw=sh_kw,
+                                        alf_apss=apss)
+            stream += nal
+        return stream
+
+    TILES = dict(no_pic_partition=False, num_exp_tile_cols=2,
+                 num_exp_tile_rows=2, tile_col_widths=[2, 1],
+                 tile_row_heights=[1, 1], rect_slice=True,
+                 single_slice_per_subpic=True)
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_alf_tiles_no_across(self, seed, tmp_path):
+        pps_kw = dict(self.TILES, loop_filter_across_tiles=False)
+        _check(self._stream(seed, pps_kw), tmp_path, 2)
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_alf_slices_no_across(self, seed, tmp_path):
+        pps_kw = dict(self.TILES, single_slice_per_subpic=False,
+                      num_slices_in_pic=4,
+                      slice_top_left_tile_idx=[0, 1, 2, 3],
+                      slice_width_in_tiles=[1, 1, 1, 1],
+                      slice_height_in_tiles=[1, 1, 1, 1],
+                      loop_filter_across_slices=False,
+                      loop_filter_across_tiles=True)
+        _check(self._stream(seed, pps_kw), tmp_path, 2)
+
+    def test_alf_tiles_across_enabled_unchanged(self, tmp_path):
+        # control: across enabled must keep filtering over the boundary
+        pps_kw = dict(self.TILES, loop_filter_across_tiles=True)
+        _check(self._stream(7, pps_kw), tmp_path, 2)

@@ -88,17 +88,22 @@ def build_chroma_coeff(alf, alt: int, bd: int):
 
 
 def classify(src: np.ndarray, x0: int, y0: int, w: int, h: int, bd: int,
-             vb_ctu_h: int, vb_pos: int):
+             vb_ctu_h: int, vb_pos: int, bounds: tuple | None = None):
     """deriveClassificationBlk over an area; returns (class, transpose)
-    int arrays of shape [h/4, w/4]."""
+    int arrays of shape [h/4, w/4].  bounds: optional (lo_x, lo_y, hi_x,
+    hi_y) sample-clamp window — the ALF boundary clipping for CTUs whose
+    neighbors are unavailable (loop-filter-across rules,
+    AdaptiveLoopFilter.cpp:176-265)."""
     hh, ww = src.shape
     s = src.astype(np.int64)
+    lo_x, lo_y, hi_x, hi_y = bounds if bounds is not None \
+        else (0, 0, ww - 1, hh - 1)
 
     def row(r):
-        return np.clip(r, 0, hh - 1)
+        return np.clip(r, lo_y, hi_y)
 
     def col(c):
-        return np.clip(c, 0, ww - 1)
+        return np.clip(c, lo_x, hi_x)
 
     gh = (h + 4) // 2 + 1
     gw = (w + 4) // 2 + 1
@@ -221,16 +226,19 @@ def _vb_row_offsets(y_abs: int, vb_ctu_h: int, vb_pos: int, chroma: bool):
 def filter_luma_area(src: np.ndarray, dst: np.ndarray, cls, tr,
                      coeff_sets: np.ndarray, clip_sets: np.ndarray,
                      x0: int, y0: int, w: int, h: int, bd: int,
-                     vb_ctu_h: int, vb_pos: int) -> None:
+                     vb_ctu_h: int, vb_pos: int,
+                     bounds: tuple | None = None) -> None:
     """7x7 clipped diamond (filterBlk<ALF_FILTER_7>); cls/tr indexed by
     absolute 4x4 position."""
     hh, ww = src.shape
     s = src.astype(np.int64)
     pel_max = (1 << bd) - 1
+    lo_x, lo_y, hi_x, hi_y = bounds if bounds is not None \
+        else (0, 0, ww - 1, hh - 1)
 
     def at(r, cdelta, base_cols):
-        return s[np.clip(r, 0, hh - 1)][np.clip(base_cols + cdelta, 0,
-                                                ww - 1)]
+        return s[np.clip(r, lo_y, hi_y)][np.clip(base_cols + cdelta, lo_x,
+                                                 hi_x)]
 
     for bi in range(0, h, 4):
         for bj in range(0, w, 4):
@@ -261,15 +269,18 @@ def filter_luma_area(src: np.ndarray, dst: np.ndarray, cls, tr,
 
 def filter_chroma_area(src: np.ndarray, dst: np.ndarray, coeff, clip,
                        x0: int, y0: int, w: int, h: int, bd: int,
-                       vb_ctu_h: int, vb_pos: int) -> None:
+                       vb_ctu_h: int, vb_pos: int,
+                       bounds: tuple | None = None) -> None:
     """5x5 clipped diamond (filterBlk<ALF_FILTER_5>)."""
     hh, ww = src.shape
     s = src.astype(np.int64)
     pel_max = (1 << bd) - 1
+    lo_x, lo_y, hi_x, hi_y = bounds if bounds is not None \
+        else (0, 0, ww - 1, hh - 1)
 
     def at(r, cdelta, base_cols):
-        return s[np.clip(r, 0, hh - 1)][np.clip(base_cols + cdelta, 0,
-                                                ww - 1)]
+        return s[np.clip(r, lo_y, hi_y)][np.clip(base_cols + cdelta, lo_x,
+                                                 hi_x)]
 
     for bi in range(0, h, 4):
         for bj in range(0, w, 4):
@@ -295,18 +306,20 @@ def filter_chroma_area(src: np.ndarray, dst: np.ndarray, coeff, clip,
 
 def filter_cc_area(luma_src: np.ndarray, dst: np.ndarray, coeff,
                    cx0: int, cy0: int, cw: int, chh: int, bd: int,
-                   scale_x: int, scale_y: int, vb_ctu_h: int, vb_pos: int
-                   ) -> None:
+                   scale_x: int, scale_y: int, vb_ctu_h: int, vb_pos: int,
+                   bounds: tuple | None = None) -> None:
     """CC-ALF correction on one chroma area from the pre-ALF luma
     (filterBlkCcAlf, AdaptiveLoopFilter.cpp:1348).  dst modified in place
-    (already contains the chroma-ALF output)."""
+    (already contains the chroma-ALF output).  bounds in luma coords."""
     hh, ww = luma_src.shape
     s = luma_src.astype(np.int64)
     pel_max = (1 << bd) - 1
     half = 1 << bd >> 1
+    lo_x, lo_y, hi_x, hi_y = bounds if bounds is not None \
+        else (0, 0, ww - 1, hh - 1)
 
     def lat(r, c):
-        return s[np.clip(r, 0, hh - 1)][np.clip(c, 0, ww - 1)]
+        return s[np.clip(r, lo_y, hi_y)][np.clip(c, lo_x, hi_x)]
 
     for ci in range(chh):
         y = cy0 + ci
@@ -332,6 +345,54 @@ def filter_cc_area(luma_src: np.ndarray, dst: np.ndarray, coeff,
         acc = np.clip(acc + half, 0, pel_max) - half
         out = acc + dst[y, cx0:cx0 + cw].astype(np.int64)
         dst[y, cx0:cx0 + cw] = np.clip(out, 0, pel_max)
+
+
+def _alf_clip_bounds(cs, x0: int, y0: int, w: int, h: int) -> tuple | None:
+    """Per-CTU sample-clamp window from the loop-filter-across rules
+    (AdaptiveLoopFilter.cpp:176-265: clipTop/Bottom/Left/Right via
+    CU::isAvailable on the neighbor CTUs), or None when unrestricted.
+    Note: the subpic restriction uses the CURRENT CTU's subpic flag only
+    (unlike deblocking, which requires both)."""
+    pps = cs.pps
+    ctu = cs.sps.ctu_size
+    sp_cur = cs.subpic_at(x0, y0) if cs.subpics else None
+    lf_subpic = bool(sp_cur[5]) if sp_cur is not None else True
+    lf_tiles = True
+    if not pps.no_pic_partition \
+            and pps.num_tile_cols * pps.num_tile_rows > 1:
+        lf_tiles = bool(pps.loop_filter_across_tiles)
+    lf_slices = bool(pps.loop_filter_across_slices) if len(cs.shs) > 1 \
+        else True
+    if lf_subpic and lf_tiles and lf_slices:
+        return None
+
+    si_c = int(cs.slice_map[y0 >> 2, x0 >> 2])
+    ti_c = int(cs.tile_map[y0 >> 2, x0 >> 2]) \
+        if not pps.no_pic_partition else 0
+
+    def avail(nx, ny):
+        if not lf_slices \
+                and int(cs.slice_map[ny >> 2, nx >> 2]) != si_c:
+            return False
+        if not lf_tiles \
+                and int(cs.tile_map[ny >> 2, nx >> 2]) != ti_c:
+            return False
+        if not lf_subpic and cs.subpic_at(nx, ny) is not sp_cur:
+            return False
+        return True
+
+    lo_x, lo_y, hi_x, hi_y = 0, 0, cs.w - 1, cs.h - 1
+    if x0 >= ctu and not avail(x0 - ctu, y0):
+        lo_x = x0
+    if x0 + ctu < cs.w and not avail(x0 + ctu, y0):
+        hi_x = x0 + w - 1
+    if y0 >= ctu and not avail(x0, y0 - ctu):
+        lo_y = y0
+    if y0 + ctu < cs.h and not avail(x0, y0 + ctu):
+        hi_y = y0 + h - 1
+    if lo_x == 0 and lo_y == 0 and hi_x == cs.w - 1 and hi_y == cs.h - 1:
+        return None
+    return (lo_x, lo_y, hi_x, hi_y)
 
 
 def alf_frame(cs, planes: list) -> list:
@@ -373,18 +434,31 @@ def alf_frame(cs, planes: list) -> list:
             h = min(ctu, cs.h - y0)
             si = int(cs.slice_map[y0 >> 2, x0 >> 2])
             sh = cs.shs[si if 0 <= si < len(cs.shs) else 0]
+            bounds = _alf_clip_bounds(cs, x0, y0, w, h)
             if sh.alf_enabled[0] and p["enable"][0]:
                 idx = p["filt_idx"]
                 if idx < NUM_FIXED_FILTER_SETS:
                     co, cl = fixed_sets[idx], fixed_clip
                 else:
                     co, cl = luma_tables[(si, idx - NUM_FIXED_FILTER_SETS)]
+                if bounds is not None:
+                    # clipped CTU: re-classify with the clamp window
+                    c_b, t_b = classify(planes[0], x0, y0, w, h, bd,
+                                        vb_luma_h, vb_luma_pos, bounds)
+                    cls[y0 >> 2:(y0 + h) >> 2, x0 >> 2:(x0 + w) >> 2] = c_b
+                    tr[y0 >> 2:(y0 + h) >> 2, x0 >> 2:(x0 + w) >> 2] = t_b
                 filter_luma_area(planes[0], out[0], cls, tr, co, cl,
-                                 x0, y0, w, h, bd, vb_luma_h, vb_luma_pos)
+                                 x0, y0, w, h, bd, vb_luma_h, vb_luma_pos,
+                                 bounds)
             if cs.num_comp > 1:
                 cx0, cy0 = x0 // cs.sub_w, y0 // cs.sub_h
                 cw = w // cs.sub_w
                 chh = h // cs.sub_h
+                bounds_c = None
+                if bounds is not None:
+                    bounds_c = (bounds[0] // cs.sub_w, bounds[1] // cs.sub_h,
+                                (bounds[2] + 1) // cs.sub_w - 1,
+                                (bounds[3] + 1) // cs.sub_h - 1)
                 for comp in (1, 2):
                     if sh.alf_enabled[comp] and p["enable"][comp]:
                         aps = cs.alf_apss[sh.alf_aps_id_chroma]
@@ -392,7 +466,7 @@ def alf_frame(cs, planes: list) -> list:
                         coeff, clip = build_chroma_coeff(aps.alf, alt, bd)
                         filter_chroma_area(planes[comp], out[comp], coeff,
                                            clip, cx0, cy0, cw, chh, bd,
-                                           vb_chma_h, vb_chma_pos)
+                                           vb_chma_h, vb_chma_pos, bounds_c)
                 for comp in (1, 2):
                     cc_on = sh.ccalf_cb_enabled if comp == 1 \
                         else sh.ccalf_cr_enabled
@@ -405,5 +479,5 @@ def alf_frame(cs, planes: list) -> list:
                         filter_cc_area(planes[0], out[comp], coeff,
                                        cx0, cy0, cw, chh, bd,
                                        cs.sub_w - 1, cs.sub_h - 1,
-                                       vb_luma_h, vb_luma_pos)
+                                       vb_luma_h, vb_luma_pos, bounds)
     return out
