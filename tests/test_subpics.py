@@ -141,3 +141,65 @@ def test_subpic_sao_across_boundary(tmp_path, seed, lf_across):
                               slices=slices)
     stream += nal
     _check(stream, tmp_path, f"sao{seed}{int(lf_across)}")
+
+
+def _subpic_multislice_stream(seed, n_frames=2, mv_range=32):
+    """128x128, 2 row-band subpics, each containing TWO tile-aligned rect
+    slices (multi-slice-per-subpic: sh_slice_address indexes within the
+    subpic, NumSlicesInSubpic > 1)."""
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import P_SLICE, I_SLICE, \
+        RandomDecisions, make_nal
+    from vvdec_tpu.testenc.hls_writer import write_pps, write_sps
+
+    sps = E.make_sps(128, 128, ctu=32, num_subpics=2,
+                     subpic_ctu_top_left=[(0, 0), (0, 2)],
+                     subpic_size_ctus=[(4, 2), (4, 2)],
+                     independent_subpics=False,
+                     subpic_treated_as_pic=[True, True],
+                     loop_filter_across_subpic=[False, False],
+                     entry_point_offsets_present=True)
+    sps.ptl.level_idc = 83
+    pps = E.make_pps(sps, no_pic_partition=False, num_exp_tile_cols=2,
+                     num_exp_tile_rows=2, tile_col_widths=[2, 2],
+                     tile_row_heights=[2, 2], rect_slice=True,
+                     single_slice_per_subpic=False, num_slices_in_pic=4,
+                     slice_top_left_tile_idx=[0, 1, 2, 3],
+                     slice_width_in_tiles=[1, 1, 1, 1],
+                     slice_height_in_tiles=[1, 1, 1, 1])
+    assert pps.slices_of_subpic == [[0, 1], [2, 3]]
+    w = BitWriter()
+    write_sps(w, sps)
+    stream = make_nal(NalUnitType.SPS, w.bytes())
+    w = BitWriter()
+    write_pps(w, pps, sps)
+    stream += make_nal(NalUnitType.PPS, w.bytes())
+    for f in range(n_frames):
+        st = I_SLICE if f == 0 else P_SLICE
+        slices = []
+        for s in range(4):
+            spec = dict(
+                decisions=RandomDecisions(
+                    seed=seed * 100 + f * 10 + s, split_prob=0.3,
+                    density=0.1, inter_prob=0.8 if st == P_SLICE else 0.0,
+                    mv_range=mv_range),
+                slice_type=st)
+            if st == P_SLICE:
+                spec["ref_deltas"] = ((1,), ())
+            slices.append(spec)
+        nal, _ = E.encode_picture(sps, pps, qp=32, poc=f, idr=f == 0,
+                                  slices=slices)
+        stream += nal
+    return stream
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_subpic_multislice_intra(tmp_path, seed):
+    _check(_subpic_multislice_stream(seed, n_frames=1), tmp_path, "msp")
+
+
+@pytest.mark.parametrize("seed", [53])
+def test_subpic_multislice_inter(tmp_path, seed):
+    _check(_subpic_multislice_stream(seed, n_frames=3), tmp_path, "mspi")

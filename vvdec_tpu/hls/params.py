@@ -421,6 +421,8 @@ class PPS:
     ctu_to_tile_row: list[int] = field(default_factory=list)
     # slice maps: per slice, list of CTU raster addresses
     slice_maps: list[list[int]] = field(default_factory=list)
+    # per-subpic list of picture-level slice indices (spec 6.5.1)
+    slices_of_subpic: list[list[int]] = field(default_factory=list)
 
     @property
     def num_tiles(self) -> int:
@@ -544,6 +546,23 @@ class PPS:
                                     ctus.append(y * W + x)
                 self.slice_maps.append(ctus)
         # raster-scan slices: maps are built per slice header (addCtusToSlice)
+
+        # subpic -> slice mapping (spec 6.5.1 SubpicIdxForSlice /
+        # NumSlicesInSubpic): each rect slice belongs to the subpic
+        # containing its first CTU; sh_slice_address indexes within it
+        self.slices_of_subpic = [[] for _ in range(max(1, sps.num_subpics))]
+        W = self.pic_width_in_ctu
+        for s, ctus in enumerate(self.slice_maps):
+            if not ctus:
+                continue
+            x, y = ctus[0] % W, ctus[0] // W
+            k = 0
+            for i, ((sx0, sy0), (sw, shh)) in enumerate(
+                    zip(sps.subpic_ctu_top_left, sps.subpic_size_ctus)):
+                if sx0 <= x < sx0 + sw and sy0 <= y < sy0 + shh:
+                    k = i
+                    break
+            self.slices_of_subpic[k].append(s)
 
     def tile_ctus(self, tile_x0: int, tile_x1: int, tile_y0: int, tile_y1: int) -> list[int]:
         """CTU raster addresses of the tile-aligned rectangle [x0,x1)x[y0,y1) in CTUs."""

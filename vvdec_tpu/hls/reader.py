@@ -1070,8 +1070,11 @@ def parse_slice_header(r: BitReader, psman, nal_type: int, temporal_id: int,
             bits = math.ceil(math.log2(num_tiles))
             slice_addr = r.u(bits)
     else:
-        # index within current subpic (single-subpic: num slices in subpic)
-        num_slices_in_subpic = pps.num_slices_in_pic if pps.num_subpics == 1 else 1
+        # sh_slice_address indexes slices within the current subpicture
+        # (NumSlicesInSubpic, spec 7.4.8.1; multi-slice subpics supported)
+        in_subpic = pps.slices_of_subpic[sh.subpic_idx] \
+            if sh.subpic_idx < len(pps.slices_of_subpic) else []
+        num_slices_in_subpic = len(in_subpic)
         if num_slices_in_subpic > 1:
             bits = math.ceil(math.log2(num_slices_in_subpic))
             slice_addr = r.u(bits)
@@ -1095,9 +1098,13 @@ def parse_slice_header(r: BitReader, psman, nal_type: int, temporal_id: int,
             sh.ctu_addrs.extend(pps.tile_ctus(pps.tile_col_bd[tx], pps.tile_col_bd[tx + 1],
                                               pps.tile_row_bd[ty], pps.tile_row_bd[ty + 1]))
     else:
-        # rect slices: the global slice index combines subpic index and the
-        # in-subpic address (single_slice_per_subpic: one per subpic)
-        global_idx = sh.subpic_idx if sps.num_subpics > 1 else slice_addr
+        # rect slices: picture-level slice index = the slice_addr-th slice
+        # of the current subpic (SliceSubpicToPicIdx)
+        if in_subpic:
+            _check(slice_addr < len(in_subpic), "sh_slice_address range")
+            global_idx = in_subpic[slice_addr]
+        else:
+            global_idx = slice_addr
         sh.ctu_addrs = list(pps.slice_maps[global_idx]) \
             if pps.slice_maps else []
 

@@ -734,10 +734,13 @@ def encode_picture(sps: SPS, pps: PPS, qp: int = 32, poc: int = 0,
         sh.explicit_scaling_list_used = ph.explicit_scaling_list_enabled
         sh.nal_type = nal_type
         if sps.num_subpics > 1:
-            # single_slice_per_subpic: slice i covers subpic i
-            sh.subpic_id = sps.subpic_ids[i]
-            sh.subpic_idx = i
-            sh.slice_address = 0
+            # slice i is the j-th slice of subpic k (pps.slices_of_subpic;
+            # single_slice_per_subpic reduces to k == i, j == 0)
+            k = next(kk for kk, lst in enumerate(pps.slices_of_subpic)
+                     if i in lst)
+            sh.subpic_id = sps.subpic_ids[k]
+            sh.subpic_idx = k
+            sh.slice_address = pps.slices_of_subpic[k].index(i)
             sh.ctu_addrs = list(pps.slice_maps[i])
         elif pps.rect_slice or pps.no_pic_partition:
             sh.slice_address = i

@@ -488,7 +488,11 @@ def write_slice_header(w: BitWriter, sh: SliceHeader, ph: PicHeader,
             w.u(sh.slice_address, bits)
     else:
         # address indexes slices within the current subpicture
-        n_in_subpic = pps.num_slices_in_pic if sps.num_subpics == 1 else 1
+        # (NumSlicesInSubpic; sh.slice_address is the in-subpic index)
+        idx = getattr(sh, "subpic_idx", 0)
+        in_subpic = pps.slices_of_subpic[idx] \
+            if idx < len(pps.slices_of_subpic) else []
+        n_in_subpic = len(in_subpic) if in_subpic else pps.num_slices_in_pic
         if n_in_subpic > 1:
             bits = math.ceil(math.log2(n_in_subpic))
             w.u(sh.slice_address, bits)
