@@ -126,3 +126,47 @@ def test_rpr_affine_bit_exact(tmp_path, seed):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     assert decode_to_yuv(stream) == out.read_bytes()
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_rpr_with_gpm(tmp_path, seed):
+    """GPM partitions with scaled references: each geo part routes through
+    RPR interpolation (motionCompensationGeo -> xPredInterUni)."""
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.decoder import decode_to_yuv
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import B_SLICE, RandomDecisions, make_nal
+    from vvdec_tpu.testenc.hls_writer import write_pps, write_sps
+
+    sps = E.make_sps(96, 64, rpr_enabled=True,
+                     res_change_in_clvs_allowed=True,
+                     gpm_enabled=True, max_num_gpm_cand=4)
+    pps0 = E.make_pps(sps)
+    pps1 = E.make_pps(sps, pps_id=1, pic_width=64, pic_height=48)
+    bw = BitWriter()
+    write_sps(bw, sps)
+    stream = make_nal(NalUnitType.SPS, bw.bytes())
+    for p in (pps0, pps1):
+        bw = BitWriter()
+        write_pps(bw, p, sps)
+        stream += make_nal(NalUnitType.PPS, bw.bytes())
+    dec = RandomDecisions(seed=seed, split_prob=0.3, inter_prob=0.8,
+                          mv_range=24)
+    nal, _ = E.encode_frame(sps, pps0, dec, qp=32, poc=0, idr=True)
+    stream += nal
+    for i in range(1, 3):
+        dec = RandomDecisions(seed=seed + i, split_prob=0.3, inter_prob=0.9,
+                              mv_range=24, bi_prob=0.5, geo_prob=0.5,
+                              max_gpm_cand=4)
+        nal, _ = E.encode_frame(sps, pps1, dec, qp=32, poc=i, idr=False,
+                                slice_type=B_SLICE,
+                                ref_deltas=((i,), (i,)))
+        stream += nal
+    bit = tmp_path / "rprgeo.266"
+    bit.write_bytes(stream)
+    out = tmp_path / "ref.yuv"
+    r = subprocess.run([VVDECAPP, "-b", str(bit), "-o", str(out), "-t", "1"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert decode_to_yuv(stream) == out.read_bytes()

@@ -203,3 +203,51 @@ def test_subpic_multislice_intra(tmp_path, seed):
 @pytest.mark.parametrize("seed", [53])
 def test_subpic_multislice_inter(tmp_path, seed):
     _check(_subpic_multislice_stream(seed, n_frames=3), tmp_path, "mspi")
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_subpic_gpm_treated_as_pic(tmp_path, seed):
+    """GPM parts inside treated-as-pic subpics: each part's gather clamps
+    to the subpic rectangle (clipMvInSubpic + subpic-edge replication)."""
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import B_SLICE, I_SLICE, \
+        RandomDecisions, make_nal
+    from vvdec_tpu.testenc.hls_writer import write_pps, write_sps
+
+    sps = E.make_sps(128, 64, ctu=32, num_subpics=2,
+                     subpic_ctu_top_left=[(0, 0), (2, 0)],
+                     subpic_size_ctus=[(2, 2), (2, 2)],
+                     independent_subpics=False,
+                     subpic_treated_as_pic=[True, True],
+                     loop_filter_across_subpic=[False, False],
+                     gpm_enabled=True, max_num_gpm_cand=4)
+    sps.ptl.level_idc = 83
+    pps = E.make_pps(sps, no_pic_partition=False, num_exp_tile_cols=1,
+                     num_exp_tile_rows=1, tile_col_widths=[2],
+                     tile_row_heights=[2])
+    w = BitWriter()
+    write_sps(w, sps)
+    stream = make_nal(NalUnitType.SPS, w.bytes())
+    w = BitWriter()
+    write_pps(w, pps, sps)
+    stream += make_nal(NalUnitType.PPS, w.bytes())
+    for f in range(3):
+        st = I_SLICE if f == 0 else B_SLICE
+        slices = []
+        for s in range(2):
+            spec = dict(
+                decisions=RandomDecisions(
+                    seed=seed * 100 + f * 10 + s, split_prob=0.3,
+                    density=0.1, inter_prob=0.9 if st == B_SLICE else 0.0,
+                    mv_range=48, bi_prob=0.5, geo_prob=0.5,
+                    max_gpm_cand=4),
+                slice_type=st)
+            if st == B_SLICE:
+                spec["ref_deltas"] = ((1,), (1,))
+            slices.append(spec)
+        nal, _ = E.encode_picture(sps, pps, qp=32, poc=f, idr=f == 0,
+                                  slices=slices)
+        stream += nal
+    _check(stream, tmp_path, "gpmsp")

@@ -1978,22 +1978,51 @@ class IntraReconstructor:
             lst = 0 if c[0] == 1 else 1
             ref = c[3 + lst]
             planes = cs.ref_planes[lst][ref]
+            scl = getattr(cs, "ref_scaled", None)
+            scaled = scl[lst][ref] if scl and 0 <= ref < len(scl[lst]) \
+                else None
+            if scaled is not None:
+                # each GPM part routes through the regular uni MC, so a
+                # scaled reference uses RPR interpolation with the
+                # unclipped MV (motionCompensationGeo -> xPredInterUni)
+                from vvdec_tpu.frame.rpr_np import rpr_mc_block
+                scaling, ref_pps = scaled
+                part = []
+                for comp in range(cs.num_comp):
+                    bx, by = (cu.x, cu.y) if comp == 0 else (cu.cx, cu.cy)
+                    bw, bh = (cu.w, cu.h) if comp == 0 else (cu.cw, cu.ch)
+                    part.append(rpr_mc_block(
+                        planes[comp], scaling, cs.pps, ref_pps,
+                        cs.sps.chroma_format_idc, comp, bx, by, bw, bh,
+                        tuple(c[1 + lst]), self.bit_depth, True,
+                        hor_collocated=cs.sps.chroma_hor_collocated,
+                        ver_collocated=cs.sps.chroma_ver_collocated))
+                parts.append(part)
+                continue
             mvc = I.clip_mv(c[1 + lst], cu.x, cu.y, cs, size=(cu.w, cu.h))
             mvc, woff = self._wrap(mvc, cu.x, cu.y, cu.w, cu.h)
+            # treated-as-pic subpicture: gather window = subpic rect
+            sp = cs.subpic_at(cu.x, cu.y) if cs.subpics else None
+            bl = bc = None
+            if sp is not None and sp[4]:
+                bl = (sp[0], sp[1], sp[2], sp[3])
+                bc = (sp[0] // cs.sub_w, sp[1] // cs.sub_h,
+                      sp[2] // cs.sub_w, sp[3] // cs.sub_h)
             part = []
             for comp in range(cs.num_comp):
                 if comp == 0:
                     part.append(I.mc_block(planes[0], cu.x, cu.y, cu.w, cu.h,
                                            mvc, 0, self.bit_depth,
                                            (cs.sub_w, cs.sub_h), True,
-                                           wrap_off=woff))
+                                           wrap_off=woff, bounds=bl))
                 else:
                     part.append(I.mc_block(planes[comp], cu.cx, cu.cy,
                                            cu.cw, cu.ch, mvc, comp,
                                            self.bit_depth,
                                            (cs.sub_w, cs.sub_h), True,
                                            wrap_off=None if woff is None
-                                           else woff >> (cs.sub_w - 1)))
+                                           else woff >> (cs.sub_w - 1),
+                                           bounds=bc))
             parts.append(part)
         shift = max(2, I.IF_INTERNAL_PREC - self.bit_depth) + 3
         offset = (1 << (shift - 1)) + (I.IF_INTERNAL_OFFS << 3)
