@@ -395,6 +395,42 @@ def _alf_clip_bounds(cs, x0: int, y0: int, w: int, h: int) -> tuple | None:
     return (lo_x, lo_y, hi_x, hi_y)
 
 
+def _alf_vb_areas(cs, x0: int, y0: int, w: int, h: int,
+                  region_bounds: tuple | None) -> list:
+    """Split a CTU area at picture-header/SPS virtual boundaries
+    (AdaptiveLoopFilter filterCTU numHor/VerVirBndry loop): each sub-area
+    filters with sample clamping at its VB-side edges.  Returns
+    [(ax, ay, aw, ah, bounds)]."""
+    vbx, vby = cs.virtual_boundaries()
+    if not vbx and not vby:
+        return [(x0, y0, w, h, region_bounds)]
+    rb = region_bounds if region_bounds is not None \
+        else (0, 0, cs.w - 1, cs.h - 1)
+    xs = sorted({x0, x0 + w} | {v for v in vbx if x0 < v < x0 + w})
+    ys = sorted({y0, y0 + h} | {v for v in vby if y0 < v < y0 + h})
+    clip_l, clip_r = x0 in vbx, (x0 + w) in vbx
+    clip_t, clip_b = y0 in vby, (y0 + h) in vby
+    if len(xs) == 2 and len(ys) == 2 \
+            and not (clip_l or clip_r or clip_t or clip_b):
+        return [(x0, y0, w, h, region_bounds)]
+    out = []
+    for j in range(len(ys) - 1):
+        for i in range(len(xs) - 1):
+            ax, ay = xs[i], ys[j]
+            aw, ah = xs[i + 1] - ax, ys[j + 1] - ay
+            lo_x = max(rb[0], ax if (i > 0 or clip_l) else 0)
+            hi_x = min(rb[2], (xs[i + 1] - 1)
+                       if (i < len(xs) - 2 or clip_r) else cs.w - 1)
+            lo_y = max(rb[1], ay if (j > 0 or clip_t) else 0)
+            hi_y = min(rb[3], (ys[j + 1] - 1)
+                       if (j < len(ys) - 2 or clip_b) else cs.h - 1)
+            b = (lo_x, lo_y, hi_x, hi_y)
+            if b == (0, 0, cs.w - 1, cs.h - 1):
+                b = None
+            out.append((ax, ay, aw, ah, b))
+    return out
+
+
 def alf_frame(cs, planes: list) -> list:
     """Whole-frame ALF pass; returns new plane list (the m_alfBuf swap)."""
     if not any(any(s_.alf_enabled) or s_.ccalf_cb_enabled
@@ -434,50 +470,58 @@ def alf_frame(cs, planes: list) -> list:
             h = min(ctu, cs.h - y0)
             si = int(cs.slice_map[y0 >> 2, x0 >> 2])
             sh = cs.shs[si if 0 <= si < len(cs.shs) else 0]
-            bounds = _alf_clip_bounds(cs, x0, y0, w, h)
-            if sh.alf_enabled[0] and p["enable"][0]:
-                idx = p["filt_idx"]
-                if idx < NUM_FIXED_FILTER_SETS:
-                    co, cl = fixed_sets[idx], fixed_clip
-                else:
-                    co, cl = luma_tables[(si, idx - NUM_FIXED_FILTER_SETS)]
-                if bounds is not None:
-                    # clipped CTU: re-classify with the clamp window
-                    c_b, t_b = classify(planes[0], x0, y0, w, h, bd,
-                                        vb_luma_h, vb_luma_pos, bounds)
-                    cls[y0 >> 2:(y0 + h) >> 2, x0 >> 2:(x0 + w) >> 2] = c_b
-                    tr[y0 >> 2:(y0 + h) >> 2, x0 >> 2:(x0 + w) >> 2] = t_b
-                filter_luma_area(planes[0], out[0], cls, tr, co, cl,
-                                 x0, y0, w, h, bd, vb_luma_h, vb_luma_pos,
-                                 bounds)
-            if cs.num_comp > 1:
-                cx0, cy0 = x0 // cs.sub_w, y0 // cs.sub_h
-                cw = w // cs.sub_w
-                chh = h // cs.sub_h
-                bounds_c = None
-                if bounds is not None:
-                    bounds_c = (bounds[0] // cs.sub_w, bounds[1] // cs.sub_h,
-                                (bounds[2] + 1) // cs.sub_w - 1,
-                                (bounds[3] + 1) // cs.sub_h - 1)
-                for comp in (1, 2):
-                    if sh.alf_enabled[comp] and p["enable"][comp]:
-                        aps = cs.alf_apss[sh.alf_aps_id_chroma]
-                        alt = p["alt"][comp - 1]
-                        coeff, clip = build_chroma_coeff(aps.alf, alt, bd)
-                        filter_chroma_area(planes[comp], out[comp], coeff,
-                                           clip, cx0, cy0, cw, chh, bd,
-                                           vb_chma_h, vb_chma_pos, bounds_c)
-                for comp in (1, 2):
-                    cc_on = sh.ccalf_cb_enabled if comp == 1 \
-                        else sh.ccalf_cr_enabled
-                    fidx = p["cc"][comp - 1]
-                    if cc_on and fidx:
-                        aps_id = sh.ccalf_cb_aps_id if comp == 1 \
-                            else sh.ccalf_cr_aps_id
-                        coeff = cs.alf_apss[aps_id].cc_alf \
-                            .coeff[comp - 1][fidx - 1]
-                        filter_cc_area(planes[0], out[comp], coeff,
-                                       cx0, cy0, cw, chh, bd,
-                                       cs.sub_w - 1, cs.sub_h - 1,
-                                       vb_luma_h, vb_luma_pos, bounds)
+            region = _alf_clip_bounds(cs, x0, y0, w, h)
+            for ax, ay, aw, ah, bounds in _alf_vb_areas(cs, x0, y0, w, h,
+                                                        region):
+                if sh.alf_enabled[0] and p["enable"][0]:
+                    idx = p["filt_idx"]
+                    if idx < NUM_FIXED_FILTER_SETS:
+                        co, cl = fixed_sets[idx], fixed_clip
+                    else:
+                        co, cl = luma_tables[(si,
+                                              idx - NUM_FIXED_FILTER_SETS)]
+                    if bounds is not None:
+                        # clipped area: re-classify with the clamp window
+                        c_b, t_b = classify(planes[0], ax, ay, aw, ah, bd,
+                                            vb_luma_h, vb_luma_pos, bounds)
+                        cls[ay >> 2:(ay + ah) >> 2,
+                            ax >> 2:(ax + aw) >> 2] = c_b
+                        tr[ay >> 2:(ay + ah) >> 2,
+                           ax >> 2:(ax + aw) >> 2] = t_b
+                    filter_luma_area(planes[0], out[0], cls, tr, co, cl,
+                                     ax, ay, aw, ah, bd, vb_luma_h,
+                                     vb_luma_pos, bounds)
+                if cs.num_comp > 1:
+                    cx0, cy0 = ax // cs.sub_w, ay // cs.sub_h
+                    cw = aw // cs.sub_w
+                    chh = ah // cs.sub_h
+                    bounds_c = None
+                    if bounds is not None:
+                        bounds_c = (bounds[0] // cs.sub_w,
+                                    bounds[1] // cs.sub_h,
+                                    (bounds[2] + 1) // cs.sub_w - 1,
+                                    (bounds[3] + 1) // cs.sub_h - 1)
+                    for comp in (1, 2):
+                        if sh.alf_enabled[comp] and p["enable"][comp]:
+                            aps = cs.alf_apss[sh.alf_aps_id_chroma]
+                            alt = p["alt"][comp - 1]
+                            coeff, clip = build_chroma_coeff(aps.alf, alt,
+                                                             bd)
+                            filter_chroma_area(planes[comp], out[comp],
+                                               coeff, clip, cx0, cy0, cw,
+                                               chh, bd, vb_chma_h,
+                                               vb_chma_pos, bounds_c)
+                    for comp in (1, 2):
+                        cc_on = sh.ccalf_cb_enabled if comp == 1 \
+                            else sh.ccalf_cr_enabled
+                        fidx = p["cc"][comp - 1]
+                        if cc_on and fidx:
+                            aps_id = sh.ccalf_cb_aps_id if comp == 1 \
+                                else sh.ccalf_cr_aps_id
+                            coeff = cs.alf_apss[aps_id].cc_alf \
+                                .coeff[comp - 1][fidx - 1]
+                            filter_cc_area(planes[0], out[comp], coeff,
+                                           cx0, cy0, cw, chh, bd,
+                                           cs.sub_w - 1, cs.sub_h - 1,
+                                           vb_luma_h, vb_luma_pos, bounds)
     return out

@@ -140,11 +140,32 @@ class Deblocker:
             int(cs.pps.loop_filter_across_tiles))
         return True
 
+    def _apply_virtual_boundaries(self) -> None:
+        """Edges coinciding with a virtual boundary are not deblocked
+        (xDeriveEdgefilterParam, LoopFilter.cpp): clear the edge cells at
+        each boundary position in the respective direction."""
+        vbx, vby = self.cs.virtual_boundaries()
+        for v in vbx:
+            ep = self.edges[0]
+            col = v >> 2
+            if 0 < col < ep.bs_y.shape[1]:
+                for name in ("bs_y", "bs_cb", "bs_cr", "te",
+                             "max_fl_p", "max_fl_q", "cmfl"):
+                    getattr(ep, name)[:, col] = 0
+        for v in vby:
+            ep = self.edges[1]
+            row = v >> 2
+            if 0 < row < ep.bs_y.shape[0]:
+                for name in ("bs_y", "bs_cb", "bs_cr", "te",
+                             "max_fl_p", "max_fl_q", "cmfl"):
+                    getattr(ep, name)[row, :] = 0
+
     def derive_strengths(self) -> None:
         cs = self.cs
         if all(s.deblocking_disabled for s in cs.shs):
             return
         if self._native_derive():
+            self._apply_virtual_boundaries()
             return
         self._build_tu_maps()
         for tu in cs.tus:
@@ -161,6 +182,7 @@ class Deblocker:
             if cu.affine_flag or cu.merge_type == 1:
                 self._subblock_edges(cu, 0)
                 self._subblock_edges(cu, 1)
+        self._apply_virtual_boundaries()
 
     def _cu_filter_edge_allowed(self, cu, dir_: int) -> bool:
         """CU-boundary edge filterable? (xGetLoopfilterParam)."""

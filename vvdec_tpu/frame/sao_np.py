@@ -29,6 +29,7 @@ def sao_frame(cs: CodingStructure, planes: list[np.ndarray]) -> None:
     w_ctu = cs.pps.pic_width_in_ctu
     h_ctu = cs.pps.pic_height_in_ctu
     srcs = [p.copy() for p in planes]
+    vbx, vby = cs.virtual_boundaries()
 
     def ctu_avail(rx, ry, nx, ny):
         """Neighbor CTU (nx, ny) usable for SAO of CTU (rx, ry)?
@@ -84,11 +85,15 @@ def sao_frame(cs: CodingStructure, planes: list[np.ndarray]) -> None:
                 y0 = (ry * ctu) // sy
                 bw = min(ctu // sx, cw - x0)
                 bh = min(ctu // sy, chh - y0)
+                vbx_c = [v // sx for v in vbx]
+                vby_c = [v // sy for v in vby]
                 _apply(srcs[comp], planes[comp], x0, y0, bw, bh,
-                       int(p["type"]), p["offsets"], av, bd, pel_max)
+                       int(p["type"]), p["offsets"], av, bd, pel_max,
+                       vbx_c, vby_c)
 
 
-def _apply(src, res, x0, y0, w, h, type_idc, offsets, av, bd, pel_max):
+def _apply(src, res, x0, y0, w, h, type_idc, offsets, av, bd, pel_max,
+           vbx_c=(), vby_c=()):
     if type_idc == 4:  # band offset
         blk = src[y0:y0 + h, x0:x0 + w].astype(np.int32)
         band = blk >> (bd - 5)
@@ -135,6 +140,21 @@ def _apply(src, res, x0, y0, w, h, type_idc, offsets, av, bd, pel_max):
         mask[0, (s_x if av["A"] else w - 1): (w if av["AR"] else w - 1)] = True
         # last line: [BL?0:1, B?endX:1)
         mask[h - 1, (0 if av["BL"] else 1): (e_x if av["B"] else 1)] = True
+
+    # virtual boundaries: samples at vb and vb-1 in the direction(s) the
+    # EO class reads are left unfiltered (SampleAdaptiveOffset::
+    # isProcessDisabled — EO_0 checks vertical VBs only, EO_90 horizontal
+    # only, the diagonal classes both)
+    if type_idc != 1:
+        for v in vbx_c:
+            for lx in (v - x0, v - 1 - x0):
+                if 0 <= lx < w:
+                    mask[:, lx] = False
+    if type_idc != 0:
+        for v in vby_c:
+            for ly in (v - y0, v - 1 - y0):
+                if 0 <= ly < h:
+                    mask[ly, :] = False
 
     out = np.clip(c + offsets[edge], 0, pel_max)
     region = res[y0:y0 + h, x0:x0 + w]

@@ -289,6 +289,21 @@ class CodingStructure:
             return None
         return cu
 
+    def virtual_boundaries(self) -> tuple[list[int], list[int]]:
+        """(vertical xs, horizontal ys) in luma samples — SPS positions, or
+        the picture header's when signalled per picture
+        (PicHeader::getVirtualBoundariesPosX semantics)."""
+        sps, ph = self.sps, self.ph
+        if not sps.virtual_boundaries_enabled:
+            return [], []
+        if sps.virtual_boundaries_present:
+            return (list(getattr(sps, "virtual_boundary_pos_x", [])),
+                    list(getattr(sps, "virtual_boundary_pos_y", [])))
+        if getattr(ph, "virtual_boundaries_present", False):
+            return (list(getattr(ph, "virtual_boundary_pos_x", [])),
+                    list(getattr(ph, "virtual_boundary_pos_y", [])))
+        return [], []
+
     def subpic_at(self, x: int, y: int):
         """Subpic tuple (x0, y0, x1, y1, treated, lf_across) covering the
         luma position, or None without subpictures (PPS::getSubPicFromPos)."""

@@ -40,7 +40,9 @@ def write_sps(w: BitWriter, sps: SPS) -> None:
     _unsupported(sps.max_sublayers != 1, "sublayers")
     _unsupported(sps.vps_id != 0, "VPS")
     _unsupported(sps.poc_msb_cycle_flag, "poc msb cycle")
-    _unsupported(sps.virtual_boundaries_enabled, "virtual boundaries")
+    _unsupported(sps.virtual_boundaries_enabled
+                 and not sps.virtual_boundaries_present,
+                 "PH-signalled virtual boundaries")
     _unsupported(sps.ladf_enabled, "LADF")
     _unsupported(sps.act_enabled, "ACT")
     _unsupported(sps.timing_hrd_params_present, "HRD")
@@ -224,7 +226,18 @@ def write_sps(w: BitWriter, sps: SPS) -> None:
         w.flag(sps.scaling_matrix_for_lfnst_disabled)
     w.flag(sps.dep_quant_enabled)
     w.flag(sps.sign_data_hiding_enabled)
-    w.flag(False)  # virtual boundaries
+    w.flag(sps.virtual_boundaries_enabled)
+    if sps.virtual_boundaries_enabled:
+        w.flag(sps.virtual_boundaries_present)
+        if sps.virtual_boundaries_present:
+            xs = getattr(sps, "virtual_boundary_pos_x", [])
+            ys = getattr(sps, "virtual_boundary_pos_y", [])
+            w.ue(len(xs))
+            for v in xs:
+                w.ue((v >> 3) - 1)
+            w.ue(len(ys))
+            for v in ys:
+                w.ue((v >> 3) - 1)
     w.flag(False)  # timing_hrd_params_present
     w.flag(sps.field_seq_flag)
     w.flag(False)  # vui_parameters_present
