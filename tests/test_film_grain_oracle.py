@@ -1,0 +1,123 @@
+"""Film grain synthesis bit-exactness vs the reference decoder (-fg 1):
+exact VFGS model (FilmGrain.cpp / FilmGrainImpl.cpp)."""
+
+import os
+import subprocess
+
+import pytest
+
+VVDECAPP = os.environ.get("VVDECAPP", "/tmp/vvdec_bin/vvdecapp")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(VVDECAPP), reason="reference vvdecapp not built")
+
+
+def _fgc_sei(model_id=0, log2_scale=5, luma=None, cb=None, cr=None,
+             persistence=True):
+    """FGC SEI from per-component interval lists [(lo, hi, [values...])]."""
+    from vvdec_tpu.hls.sei import SEI_FILM_GRAIN_CHARACTERISTICS, SeiMessage
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    comps = [luma, cb, cr]
+    w = BitWriter()
+    w.u(0, 1)                # cancel
+    w.u(model_id, 2)
+    w.u(0, 1)                # separate_colour_description
+    w.u(0, 2)                # blending_mode_id
+    w.u(log2_scale, 4)
+    for c in range(3):
+        w.u(1 if comps[c] else 0, 1)
+    for c in range(3):
+        if not comps[c]:
+            continue
+        n_vals = max(len(v[2]) for v in comps[c])
+        w.u(len(comps[c]) - 1, 8)
+        w.u(n_vals - 1, 3)
+        for lo, hi, vals in comps[c]:
+            w.u(lo, 8)
+            w.u(hi, 8)
+            for i in range(n_vals):
+                w.se(vals[i] if i < len(vals) else 0)
+    w.u(1 if persistence else 0, 1)
+    w.u(1, 1)                # rbsp stop
+    while w.bitpos % 8:
+        w.u(0, 1)
+    return SeiMessage(payload_type=SEI_FILM_GRAIN_CHARACTERISTICS,
+                      payload=w.bytes())
+
+
+def _grain_stream(seed, sei, n_frames=3, wh=(192, 96)):
+    """IDR (+FGC SEI) followed by P frames; grain persists over the CLVS."""
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.hls.sei import write_sei_nal
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import RandomDecisions, make_nal
+    from vvdec_tpu.testenc.hls_writer import write_pps, write_sps
+
+    sps = E.make_sps(wh[0], wh[1])
+    pps = E.make_pps(sps)
+    w = BitWriter()
+    write_sps(w, sps)
+    stream = make_nal(NalUnitType.SPS, w.bytes())
+    w = BitWriter()
+    write_pps(w, pps, sps)
+    stream += make_nal(NalUnitType.PPS, w.bytes())
+    stream += make_nal(NalUnitType.PREFIX_SEI, write_sei_nal([sei]))
+    # IDR + P frames: FGC persistence spans the CLVS, so the grain seed
+    # evolution across output frames is exercised
+    from vvdec_tpu.testenc.encoder import P_SLICE
+    for f in range(n_frames):
+        dec = RandomDecisions(seed=seed * 100 + f, split_prob=0.4,
+                              density=0.15,
+                              inter_prob=0.7 if f else 0.0, mv_range=24)
+        if f == 0:
+            nal, _ = E.encode_frame(sps, pps, dec, qp=30, poc=0, idr=True)
+        else:
+            nal, _ = E.encode_frame(sps, pps, dec, qp=30, poc=f, idr=False,
+                                    slice_type=P_SLICE,
+                                    ref_deltas=((1,), ()))
+        stream += nal
+    return stream
+
+
+def _check(stream, tmp_path, n_frames):
+    from vvdec_tpu.api import Decoder, DecoderParams
+    bit = tmp_path / "fg.266"
+    bit.write_bytes(stream)
+    out = tmp_path / "fg_ref.yuv"
+    # NOTE: the reference film-grain tasks deadlock with -t 1;
+    # use 2 threads (grain output is thread-count independent)
+    r = subprocess.run([VVDECAPP, "-b", str(bit), "-o", str(out), "-t", "2",
+                        "-fg", "1"], capture_output=True, text=True,
+                       timeout=120)
+    assert r.returncode == 0, r.stderr
+    ref = out.read_bytes()
+    dec = Decoder(DecoderParams(film_grain_synthesis=True))
+    got = b""
+    frames = dec.decode(stream) + dec.flush()
+    for f in frames:
+        for p in f.planes:
+            got += p.astype("<u2").tobytes()
+    assert len(frames) == n_frames
+    assert got == ref, "film grain output differs from reference"
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_grain_ff_luma_only(tmp_path, seed):
+    sei = _fgc_sei(luma=[(0, 255, [40, 8, 8])])
+    _check(_grain_stream(seed, sei), tmp_path, 3)
+
+
+def test_grain_ff_multi_interval_chroma(tmp_path):
+    sei = _fgc_sei(log2_scale=6,
+                   luma=[(0, 127, [60, 8, 8]), (128, 255, [30, 12, 6])],
+                   cb=[(0, 255, [40, 8, 8])],
+                   cr=[(0, 255, [24, 10, 10])])
+    _check(_grain_stream(7, sei), tmp_path, 3)
+
+
+def test_grain_ar_model(tmp_path):
+    # model_id 1: AR-filtered pattern (make_ar_pattern)
+    sei = _fgc_sei(model_id=1, log2_scale=7,
+                   luma=[(0, 255, [48, 20, 0, 10, 128, 5])])
+    _check(_grain_stream(9, sei), tmp_path, 3)

@@ -55,6 +55,7 @@ class Decoder:
             strict_hash=self.params.verify_picture_hash,
             err_policy=self.params.err_handling)
         self._fg = None  # film-grain synthesizer (lazy, FGC-SEI driven)
+        self._fg_state = "none"
 
     # -- lifecycle ---------------------------------------------------------
     def close(self) -> None:
@@ -107,17 +108,31 @@ class Decoder:
 
     def _apply_film_grain(self, pic, planes):
         """FGC-SEI-driven film grain synthesis on output (VVDecImpl::
-        xAddGrain, vvdecimpl.cpp:894).  No-op without an FGC SEI."""
-        from vvdec_tpu.hls.sei import SEI_FILM_GRAIN_CHARACTERISTICS
-        fgc = next((m for m in pic.sei
+        xAddGrain, vvdecimpl.cpp:894; exact VFGS model).  The synthesizer
+        is persistent — grain seeds evolve across output frames — and the
+        FGC state follows the persistence flag (xUpdateFGC)."""
+        from vvdec_tpu.hls.sei import (SEI_FILM_GRAIN_CHARACTERISTICS,
+                                       parse_fgc)
+        if pic.is_idr:
+            # FGC persistence ends at a CLVS start (vvdecimpl.cpp:985)
+            self._fg_state = "none"
+        msg = next((m for m in pic.sei
                     if m.payload_type == SEI_FILM_GRAIN_CHARACTERISTICS),
                    None)
-        if fgc is None and self._fg is None:
+        if msg is not None:
+            fgc = parse_fgc(msg)
+            if fgc.cancel:
+                self._fg_state = "none"
+            else:
+                if self._fg is None:
+                    from vvdec_tpu.frame.film_grain import \
+                        FilmGrainSynthesizer
+                    self._fg = FilmGrainSynthesizer()
+                self._fg.update_fgc(fgc)
+                self._fg_state = "persist" if fgc.persistence else "once"
+        if self._fg is None or self._fg_state == "none":
             return planes
-        from vvdec_tpu.frame.film_grain import FilmGrainSynthesizer
-        if fgc is not None:
-            self._fg = FilmGrainSynthesizer.from_sei(
-                fgc, pic.bit_depth, pic.chroma_format_idc)
-        if self._fg is None or not self._fg.enabled:
-            return planes
-        return self._fg.apply(planes, pic.poc)
+        out = self._fg.apply(planes, pic.bit_depth, pic.chroma_format_idc)
+        if self._fg_state != "persist":
+            self._fg_state = "none"
+        return out
