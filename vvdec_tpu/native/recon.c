@@ -542,9 +542,11 @@ static void dequant_itx(const Ctx *c, int comp, int x, int y, int w, int h,
     if (target_bd > MAX_TR_RANGE + 1) target_bd = MAX_TR_RANGE + 1;
     int64_t input_max = ((int64_t)1 << (target_bd - 1)) - 1;
 
-    /* dequantized coefficients, bounded region only */
-    int64_t deq[64 * 64];
-    memset(deq, 0, sizeof(int64_t) * (size_t)w * h);
+    /* dequantized coefficients, bounded region only.  Values are clipped
+     * to the 16-bit transform range, so the transform passes fit int32:
+     * |acc| <= 64 * 2^15 * 2^7 = 2^28. */
+    int32_t deq[64 * 64];
+    memset(deq, 0, sizeof(int32_t) * (size_t)w * h);
     for (int yy = 0; yy <= max_y; yy++) {
         for (int xx = 0; xx <= max_x; xx++) {
             int64_t lv = coef[(size_t)(y + yy) * W + (x + xx)];
@@ -556,34 +558,54 @@ static void dequant_itx(const Ctx *c, int comp, int x, int y, int w, int h,
                     right_shift;
             else
                 d = (cl * scale) << (-right_shift);
-            deq[(size_t)yy * w + xx] = lclip(d, TR_CLIP_MIN, TR_CLIP_MAX);
+            deq[(size_t)yy * w + xx] = (int32_t)lclip(d, TR_CLIP_MIN,
+                                                      TR_CLIP_MAX);
         }
     }
 
-    /* pass 1 (vertical): t[x][j] = sum_k deq[k][x] * mv[k][j] */
+    /* pass 1 (vertical): t[x][j] = sum_k deq[k][x] * mv[k][j] —
+     * accumulate per nonzero coefficient with a contiguous inner loop
+     * (sparse coefficients skip entirely) */
     int s1 = 7;
     int s2 = (6 + MAX_TR_RANGE - 1) - c->bit_depth;
-    int64_t t[64 * 64];
+    int32_t t[64 * 64];
     int kmax1 = max_y + 1; /* rows with nonzero coeffs */
     int xmax = max_x + 1;  /* cols with nonzero coeffs */
     for (int xx = 0; xx < xmax; xx++) {
+        int32_t acc[64];
+        memset(acc, 0, sizeof(int32_t) * h);
+        for (int k = 0; k < kmax1; k++) {
+            int32_t cv = deq[(size_t)k * w + xx];
+            if (cv == 0) continue;
+            const int32_t *mvr = mv + (size_t)k * h;
+            for (int j = 0; j < h; j++)
+                acc[j] += cv * mvr[j];
+        }
+        int32_t *tc = t + (size_t)xx * h;
         for (int j = 0; j < h; j++) {
-            int64_t acc = 0;
-            for (int k = 0; k < kmax1; k++)
-                acc += deq[(size_t)k * w + xx] * mv[(size_t)k * h + j];
-            t[(size_t)xx * h + j] =
-                lclip((acc + (1 << (s1 - 1))) >> s1, TR_CLIP_MIN, TR_CLIP_MAX);
+            int32_t v = (acc[j] + (1 << (s1 - 1))) >> s1;
+            if (v < TR_CLIP_MIN) v = TR_CLIP_MIN;
+            if (v > TR_CLIP_MAX) v = TR_CLIP_MAX;
+            tc[j] = v;
         }
     }
     /* pass 2 (horizontal): r[j][x'] = sum_k t[k][j] * mh[k][x'] */
     for (int j = 0; j < h; j++) {
+        int32_t acc[64];
+        memset(acc, 0, sizeof(int32_t) * w);
+        for (int k = 0; k < xmax; k++) {
+            int32_t v = t[(size_t)k * h + j];
+            if (v == 0) continue;
+            const int32_t *mhr = mh + (size_t)k * w;
+            for (int xp = 0; xp < w; xp++)
+                acc[xp] += v * mhr[xp];
+        }
+        int64_t *rr = resi + (size_t)j * w;
         for (int xp = 0; xp < w; xp++) {
-            int64_t acc = 0;
-            for (int k = 0; k < xmax; k++)
-                acc += t[(size_t)k * h + j] * mh[(size_t)k * w + xp];
-            resi[(size_t)j * w + xp] = lclip(
-                (acc + ((int64_t)1 << (s2 - 1))) >> s2, TR_CLIP_MIN,
-                TR_CLIP_MAX);
+            int32_t v = (acc[xp] + (1 << (s2 - 1))) >> s2;
+            if (v < TR_CLIP_MIN) v = TR_CLIP_MIN;
+            if (v > TR_CLIP_MAX) v = TR_CLIP_MAX;
+            rr[xp] = v;
         }
     }
 }

@@ -63,8 +63,11 @@ static PyObject *mod_itx_block(PyObject *self, PyObject *args)
     if (target_bd > ITX_MAX_TR_RANGE + 1) target_bd = ITX_MAX_TR_RANGE + 1;
     int64_t input_max = ((int64_t)1 << (target_bd - 1)) - 1;
 
-    static int64_t deq[64 * 64];
-    memset(deq, 0, sizeof(int64_t) * (size_t)w * h);
+    /* coefficients clip to the 16-bit transform range -> the transform
+     * passes fit int32 (|acc| <= 64 * 2^15 * 2^7 = 2^28); accumulate per
+     * nonzero coefficient with contiguous inner loops */
+    static int32_t deq[64 * 64];
+    memset(deq, 0, sizeof(int32_t) * (size_t)w * h);
     for (int yy = 0; yy <= max_y; yy++) {
         for (int xx = 0; xx <= max_x; xx++) {
             int64_t lv = coef[(size_t)(y + yy) * W + (x + xx)];
@@ -79,33 +82,50 @@ static PyObject *mod_itx_block(PyObject *self, PyObject *args)
                     >> right_shift;
             else
                 d = (cl * sc) << (-right_shift);
-            deq[(size_t)yy * w + xx] = itx_clip(d, ITX_CLIP_MIN,
-                                                ITX_CLIP_MAX);
+            deq[(size_t)yy * w + xx] = (int32_t)itx_clip(d, ITX_CLIP_MIN,
+                                                         ITX_CLIP_MAX);
         }
     }
 
     int s1 = 7;
     int s2 = (6 + ITX_MAX_TR_RANGE - 1) - bd;
-    static int64_t t[64 * 64];
+    static int32_t t[64 * 64];
     int kmax = max_y + 1;
     int xmax = max_x + 1;
     for (int xx = 0; xx < xmax; xx++) {
+        int32_t acc[64];
+        memset(acc, 0, sizeof(int32_t) * h);
+        for (int k = 0; k < kmax; k++) {
+            int32_t cv = deq[(size_t)k * w + xx];
+            if (cv == 0) continue;
+            const int32_t *mvr = mv + (size_t)k * h;
+            for (int j = 0; j < h; j++)
+                acc[j] += cv * mvr[j];
+        }
+        int32_t *tc = t + (size_t)xx * h;
         for (int j = 0; j < h; j++) {
-            int64_t acc = 0;
-            for (int k = 0; k < kmax; k++)
-                acc += deq[(size_t)k * w + xx] * mv[(size_t)k * h + j];
-            t[(size_t)xx * h + j] = itx_clip(
-                (acc + (1 << (s1 - 1))) >> s1, ITX_CLIP_MIN, ITX_CLIP_MAX);
+            int32_t v = (acc[j] + (1 << (s1 - 1))) >> s1;
+            if (v < ITX_CLIP_MIN) v = ITX_CLIP_MIN;
+            if (v > ITX_CLIP_MAX) v = ITX_CLIP_MAX;
+            tc[j] = v;
         }
     }
     for (int j = 0; j < h; j++) {
+        int32_t acc[64];
+        memset(acc, 0, sizeof(int32_t) * w);
+        for (int k = 0; k < xmax; k++) {
+            int32_t v = t[(size_t)k * h + j];
+            if (v == 0) continue;
+            const int32_t *mhr = mh + (size_t)k * w;
+            for (int xp = 0; xp < w; xp++)
+                acc[xp] += v * mhr[xp];
+        }
+        int64_t *rr = out + (size_t)j * w;
         for (int xp = 0; xp < w; xp++) {
-            int64_t acc = 0;
-            for (int k = 0; k < xmax; k++)
-                acc += t[(size_t)k * h + j] * mh[(size_t)k * w + xp];
-            out[(size_t)j * w + xp] = itx_clip(
-                (acc + ((int64_t)1 << (s2 - 1))) >> s2, ITX_CLIP_MIN,
-                ITX_CLIP_MAX);
+            int32_t v = (acc[xp] + (1 << (s2 - 1))) >> s2;
+            if (v < ITX_CLIP_MIN) v = ITX_CLIP_MIN;
+            if (v > ITX_CLIP_MAX) v = ITX_CLIP_MAX;
+            rr[xp] = v;
         }
     }
 
