@@ -38,3 +38,22 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         from __graft_entry__ import dryrun_multichip
         dryrun_multichip(8)
+
+
+def test_sao_device_stage_matches_host():
+    """Whole-frame device SAO (ops/pipeline.sao_frame_jax) vs the host
+    golden, on a SAO-enabled inter stream."""
+    import numpy as np
+
+    from tests.test_oracle import _inter_stream
+    from vvdec_tpu.decoder import decode_annexb
+    from vvdec_tpu.hls.params import B_SLICE
+
+    stream = _inter_stream(
+        5, 4, B_SLICE, lambda f: ((1,), (1,)),
+        dict(split_prob=0.4, inter_prob=0.6, skip_prob=0.2, mv_range=24),
+        sao=True)
+    ref = decode_annexb(stream)
+    got = decode_annexb(stream, use_jax=True)
+    assert all(np.array_equal(a, b)
+               for fa, fb in zip(ref, got) for a, b in zip(fa, fb))

@@ -426,9 +426,13 @@ class StreamDecoder:
                 planes = IntraReconstructor(cs).run()
             with profiler.stage("deblock"):
                 deblock_frame(cs, planes)
-        from vvdec_tpu.frame.sao_np import sao_frame
         with profiler.stage("sao"):
-            sao_frame(cs, planes)
+            if self.use_jax:
+                from vvdec_tpu.ops.pipeline import sao_frame_jax
+                sao_frame_jax(cs, planes)
+            else:
+                from vvdec_tpu.frame.sao_np import sao_frame
+                sao_frame(cs, planes)
         from vvdec_tpu.frame.alf_np import alf_frame
         with profiler.stage("alf"):
             planes = alf_frame(cs, planes)

@@ -92,6 +92,125 @@ def sao_frame(cs: CodingStructure, planes: list[np.ndarray]) -> None:
                        vbx_c, vby_c)
 
 
+def sao_prepare_maps(cs: CodingStructure):
+    """Host-side SAO parameter tensors for the device (JAX) stage.
+
+    Per component: (type_map uint8 [Hc,Wc] with 255 = off, ctu_idx int32
+    [Hc,Wc], tables int32 [n_ctu, 37] (idx 0..4 = EO class offsets,
+    5..36 = BO table), mask bool [Hc,Wc]).  The mask encodes the same
+    per-class trimming and virtual-boundary rules as _apply."""
+    ctu = cs.sps.ctu_size
+    w_ctu = cs.pps.pic_width_in_ctu
+    h_ctu = cs.pps.pic_height_in_ctu
+    n_ctu = w_ctu * h_ctu
+    vbx, vby = cs.virtual_boundaries()
+    out = []
+    # availability closure identical to sao_frame's
+    def ctu_avail(rx, ry, nx, ny):
+        if nx < 0 or ny < 0 or nx >= w_ctu or ny >= h_ctu:
+            return False
+        y4a, x4a = (ry * ctu) >> 2, (rx * ctu) >> 2
+        y4b, x4b = (ny * ctu) >> 2, (nx * ctu) >> 2
+        pps = cs.pps
+        if not pps.loop_filter_across_slices \
+                and cs.slice_map[y4a, x4a] != cs.slice_map[y4b, x4b]:
+            return False
+        if not pps.loop_filter_across_tiles \
+                and cs.tile_map[y4a, x4a] != cs.tile_map[y4b, x4b]:
+            return False
+        if cs.subpics:
+            sp_a = cs.subpic_at(rx * ctu, ry * ctu)
+            sp_b = cs.subpic_at(nx * ctu, ny * ctu)
+            if sp_a is not sp_b and not (
+                    (sp_a is None or sp_a[5]) and (sp_b is None or sp_b[5])):
+                return False
+        return True
+
+    for comp in range(cs.num_comp):
+        sx = cs.sub_w if comp else 1
+        sy = cs.sub_h if comp else 1
+        cw, chh = cs.comp_size[comp]
+        type_map = np.full((chh, cw), 255, dtype=np.uint8)
+        ctu_idx = np.zeros((chh, cw), dtype=np.int32)
+        tables = np.zeros((n_ctu, 37), dtype=np.int32)
+        mask_all = np.zeros((chh, cw), dtype=bool)
+        vbx_c = [v // sx for v in vbx]
+        vby_c = [v // sy for v in vby]
+        for ry in range(h_ctu):
+            for rx in range(w_ctu):
+                params = cs.sao_params[ry * w_ctu + rx]
+                if params is None:
+                    continue
+                p = params[comp]
+                if p["mode"] == 0:
+                    continue
+                in_l, in_r = rx > 0, rx + 1 < w_ctu
+                in_a, in_b = ry > 0, ry + 1 < h_ctu
+                av = {
+                    "L": ctu_avail(rx, ry, rx - 1, ry),
+                    "R": ctu_avail(rx, ry, rx + 1, ry),
+                    "A": ctu_avail(rx, ry, rx, ry - 1),
+                    "B": ctu_avail(rx, ry, rx, ry + 1),
+                }
+                av["AL"] = in_a and in_l and ctu_avail(rx, ry, rx - 1,
+                                                       ry - 1)
+                av["AR"] = in_a and in_r and ctu_avail(rx, ry, rx + 1,
+                                                       ry - 1)
+                av["BL"] = in_b and in_l and ctu_avail(rx, ry, rx - 1,
+                                                       ry + 1)
+                av["BR"] = in_b and in_r and ctu_avail(rx, ry, rx + 1,
+                                                       ry + 1)
+                x0 = (rx * ctu) // sx
+                y0 = (ry * ctu) // sy
+                bw = min(ctu // sx, cw - x0)
+                bh = min(ctu // sy, chh - y0)
+                t = int(p["type"])
+                addr = ry * w_ctu + rx
+                type_map[y0:y0 + bh, x0:x0 + bw] = t
+                ctu_idx[y0:y0 + bh, x0:x0 + bw] = addr
+                if t == 4:
+                    tables[addr, 5:] = p["offsets"]
+                    mask_all[y0:y0 + bh, x0:x0 + bw] = True
+                    continue
+                tables[addr, :5] = p["offsets"]
+                mask = np.zeros((bh, bw), dtype=bool)
+                _eo_mask(mask, bw, bh, t, av)
+                if t != 1:
+                    for v in vbx_c:
+                        for lx in (v - x0, v - 1 - x0):
+                            if 0 <= lx < bw:
+                                mask[:, lx] = False
+                if t != 0:
+                    for v in vby_c:
+                        for ly in (v - y0, v - 1 - y0):
+                            if 0 <= ly < bh:
+                                mask[ly, :] = False
+                mask_all[y0:y0 + bh, x0:x0 + bw] = mask
+        out.append((type_map, ctu_idx, tables, mask_all))
+    return out
+
+
+def _eo_mask(mask, w, h, type_idc, av):
+    """Per-class trimming mask (shared by _apply and the device stage)."""
+    s_x = 0 if av["L"] else 1
+    e_x = w if av["R"] else w - 1
+    s_y = 0 if av["A"] else 1
+    e_y = h if av["B"] else h - 1
+    if type_idc == 0:
+        mask[:, s_x:e_x] = True
+    elif type_idc == 1:
+        mask[s_y:e_y, :] = True
+    elif type_idc == 2:
+        mask[1:h - 1, s_x:e_x] = True
+        mask[0, (0 if av["AL"] else 1): (e_x if av["A"] else 1)] = True
+        mask[h - 1, (s_x if av["B"] else w - 1):
+             (w if av["BR"] else w - 1)] = True
+    else:
+        mask[1:h - 1, s_x:e_x] = True
+        mask[0, (s_x if av["A"] else w - 1): (w if av["AR"] else w - 1)] = True
+        mask[h - 1, (0 if av["BL"] else 1): (e_x if av["B"] else 1)] = True
+
+
 def _apply(src, res, x0, y0, w, h, type_idc, offsets, av, bd, pel_max,
            vbx_c=(), vby_c=()):
     if type_idc == 4:  # band offset
@@ -120,26 +239,7 @@ def _apply(src, res, x0, y0, w, h, type_idc, offsets, av, bd, pel_max,
     edge = _sgn(c - n1) + _sgn(c - n2) + 2
 
     mask = np.zeros((h, w), dtype=bool)
-    s_x = 0 if av["L"] else 1
-    e_x = w if av["R"] else w - 1
-    s_y = 0 if av["A"] else 1
-    e_y = h if av["B"] else h - 1
-    if type_idc == 0:
-        mask[:, s_x:e_x] = True
-    elif type_idc == 1:
-        mask[s_y:e_y, :] = True
-    elif type_idc == 2:
-        mask[1:h - 1, s_x:e_x] = True
-        # first line: [AL?0:1, A?endX:1)
-        mask[0, (0 if av["AL"] else 1): (e_x if av["A"] else 1)] = True
-        # last line: [B?startX:w-1, BR?w:w-1)
-        mask[h - 1, (s_x if av["B"] else w - 1): (w if av["BR"] else w - 1)] = True
-    else:
-        mask[1:h - 1, s_x:e_x] = True
-        # first line: [A?startX:w-1, AR?w:w-1)
-        mask[0, (s_x if av["A"] else w - 1): (w if av["AR"] else w - 1)] = True
-        # last line: [BL?0:1, B?endX:1)
-        mask[h - 1, (0 if av["BL"] else 1): (e_x if av["B"] else 1)] = True
+    _eo_mask(mask, w, h, type_idc, av)
 
     # virtual boundaries: samples at vb and vb-1 in the direction(s) the
     # EO class reads are left unfiltered (SampleAdaptiveOffset::

@@ -256,3 +256,58 @@ def reconstruct_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
     planes = r.run()
     deblock_frame(cs, planes)
     return planes
+
+
+# ======================================================================
+# Stage 4: SAO — whole-frame device kernel
+# ======================================================================
+@functools.lru_cache(maxsize=None)
+def _sao_apply_fn(h: int, w: int, bd: int):
+    """Jitted whole-frame SAO: per-pixel edge classification for all four
+    EO classes + band offset, parameter lookup via per-pixel CTU index
+    (parity: SampleAdaptiveOffset::offsetBlock_core, vectorized).  All
+    int32; bit-exact."""
+    pel_max = (1 << bd) - 1
+    band_shift = bd - 5
+
+    def apply(src, typ, ctu_idx, tables, mask):
+        c = src.astype(jnp.int32)
+        pad = jnp.pad(c, 1, mode="edge")
+
+        def sgn(a):
+            return jnp.sign(a).astype(jnp.int32)
+
+        n = [
+            (pad[1:-1, :-2], pad[1:-1, 2:]),    # EO 0 deg
+            (pad[:-2, 1:-1], pad[2:, 1:-1]),    # EO 90
+            (pad[:-2, :-2], pad[2:, 2:]),       # EO 135
+            (pad[:-2, 2:], pad[2:, :-2]),       # EO 45
+        ]
+        edges = [sgn(c - a) + sgn(c - b) + 2 for a, b in n]
+        edge = edges[0]
+        for t in range(1, 4):
+            edge = jnp.where(typ == t, edges[t], edge)
+        band = c >> band_shift
+        idx = jnp.where(typ == 4, 5 + band, edge)
+        off = tables[ctu_idx, idx]
+        out = jnp.clip(c + off, 0, pel_max)
+        return jnp.where(mask, out, c).astype(src.dtype)
+
+    return jax.jit(apply)
+
+
+def sao_frame_jax(cs: CodingStructure, planes: list[np.ndarray]) -> None:
+    """In-place SAO with the pixel work on device; parameter maps built on
+    host (frame/sao_np.sao_prepare_maps)."""
+    if not any(s_.sao_enabled_luma or s_.sao_enabled_chroma
+               for s_ in cs.shs):
+        return
+    from vvdec_tpu.frame.sao_np import sao_prepare_maps
+    bd = cs.sps.bit_depth
+    maps = sao_prepare_maps(cs)
+    for comp, (type_map, ctu_idx, tables, mask) in enumerate(maps):
+        if not mask.any():
+            continue
+        fn = _sao_apply_fn(planes[comp].shape[0], planes[comp].shape[1], bd)
+        planes[comp][:] = np.asarray(
+            fn(planes[comp], type_map, ctu_idx, tables, mask))
