@@ -198,3 +198,42 @@ def test_film_grain_cancel_flag():
     f = (dec.decode(sei_nal + stream) + dec.flush())[0]
     for p, q in zip(f.planes, plain):
         assert np.array_equal(p, q)
+
+
+def test_external_buffer_allocator():
+    """vvdec_decoder_open_with_allocator analog: output planes land in
+    app-provided buffers, released through frame_unref."""
+    import numpy as np
+
+    from vvdec_tpu.api import Decoder, DecoderParams
+    from vvdec_tpu.testenc.encoder import generate_stream
+
+    stream, _ = generate_stream(width=64, height=64, n_frames=2, seed=3,
+                                dec_kw=dict(split_prob=0.4))
+    allocated, released = [], []
+
+    def alloc(w, h, bd, fmt):
+        bufs = [np.zeros((h, w), dtype=np.uint16),
+                np.zeros((h // 2, w // 2), dtype=np.uint16),
+                np.zeros((h // 2, w // 2), dtype=np.uint16)]
+        allocated.append(bufs)
+        return bufs
+
+    dec = Decoder(DecoderParams(buffer_allocator=alloc,
+                                buffer_unref=released.append))
+    ref = Decoder().decode(stream) + Decoder().flush()
+    frames = dec.decode(stream) + dec.flush()
+    assert len(allocated) == 2
+    for f, bufs in zip(frames, allocated):
+        assert f.planes is bufs
+        assert bufs[0].any()
+        dec.frame_unref(f)
+    assert len(released) == 2
+
+
+def test_decoder_info_and_version():
+    from vvdec_tpu import api
+    info = Decoder().get_decoder_info() if False else \
+        api.Decoder().get_decoder_info()
+    assert "vvdec_tpu" in info and "KERNELS=" in info
+    assert api.version()

@@ -27,6 +27,13 @@ class DecoderParams:
     # "strict" raises, "conceal" grey-fills broken pictures and synthesizes
     # lost references, continuing the stream
     err_handling: str = "strict"
+    # external frame-buffer allocator (vvdec_decoder_open_with_allocator,
+    # vvdec.h.in:514-523): called per output frame with
+    # (width, height, bit_depth, chroma_format_idc) and must return a list
+    # of writable numpy arrays the decoded planes are placed into;
+    # buffer_unref is invoked from frame_unref with the same list
+    buffer_allocator: object = None
+    buffer_unref: object = None
 
 
 @dataclass
@@ -80,6 +87,8 @@ class Decoder:
 
     def frame_unref(self, frame: Frame) -> None:
         """Release the frame's DPB slot (vvdec_frame_unref)."""
+        if self.params.buffer_unref is not None and frame.planes:
+            self.params.buffer_unref(frame.planes)
         if frame.picture is not None:
             self._core.plm.release(frame.picture)
             frame.picture = None
@@ -97,11 +106,26 @@ class Decoder:
     def get_hash_error_count(self) -> int:
         return self._core.hash_errors
 
+    def get_decoder_info(self) -> str:
+        """Capability string (DecLib::create banner, DecLib.cpp:145-160)."""
+        from vvdec_tpu.native import native_cabac, native_recon
+        native = "C" if (native_cabac() and native_recon()) else "python"
+        dev = "jax" if self.params.use_device_pipeline else "host"
+        return (f"vvdec_tpu {version()} [KERNELS={native}; RECON={dev}; "
+                f"FGS={int(self.params.film_grain_synthesis)}]")
+
     # -- helpers -----------------------------------------------------------
     def _to_frame(self, pic) -> Frame:
         planes = pic.planes
         if self.params.film_grain_synthesis:
             planes = self._apply_film_grain(pic, planes)
+        if self.params.buffer_allocator is not None:
+            bufs = self.params.buffer_allocator(
+                pic.width, pic.height, pic.bit_depth,
+                pic.chroma_format_idc)
+            for dst, src in zip(bufs, planes):
+                dst[...] = src
+            planes = bufs
         return Frame(planes=planes, width=pic.width, height=pic.height,
                      bit_depth=pic.bit_depth, poc=pic.poc, sei=pic.sei,
                      chroma_format_idc=pic.chroma_format_idc, picture=pic)
@@ -136,3 +160,8 @@ class Decoder:
         if self._fg_state != "persist":
             self._fg_state = "none"
         return out
+
+
+def version() -> str:
+    """Library version string (vvdec_get_version analog)."""
+    return "0.1.0"
