@@ -281,17 +281,17 @@ static int wide_angle(int width, int height, int mode) {
 
 /* planar prediction into pred[h][w] (xPredIntraPlanarCore) */
 static void pred_planar(const int32_t *top, const int32_t *left, int w, int h,
-                        int64_t *pred) {
+                        int32_t *pred) {
     int log2w = ilog2(w), log2h = ilog2(h);
-    int64_t bottom_left = left[1 + h];
-    int64_t top_right = top[1 + w];
-    int64_t offset = (int64_t)1 << (log2w + log2h);
+    int32_t bottom_left = left[1 + h];
+    int32_t top_right = top[1 + w];
+    int32_t offset = 1 << (log2w + log2h);
     for (int yy = 0; yy < h; yy++) {
-        int64_t lv = left[1 + yy];
+        int32_t lv = left[1 + yy];
         for (int xx = 0; xx < w; xx++) {
-            int64_t tv = top[1 + xx];
-            int64_t hor = (lv << log2w) + (int64_t)(xx + 1) * (top_right - lv);
-            int64_t ver = (tv << log2h) + (int64_t)(yy + 1) * (bottom_left - tv);
+            int32_t tv = top[1 + xx];
+            int32_t hor = (lv << log2w) + (xx + 1) * (top_right - lv);
+            int32_t ver = (tv << log2h) + (yy + 1) * (bottom_left - tv);
             pred[(size_t)yy * w + xx] =
                 ((hor << log2h) + (ver << log2w) + offset) >>
                 (1 + log2w + log2h);
@@ -300,32 +300,32 @@ static void pred_planar(const int32_t *top, const int32_t *left, int w, int h,
 }
 
 static void pred_dc(const int32_t *top, const int32_t *left, int w, int h,
-                    int64_t *pred) {
-    int64_t s = 0;
+                    int32_t *pred) {
+    int32_t s = 0;
     int denom = (w == h) ? (w << 1) : (w > h ? w : h);
     int i;
     if (w >= h)
         for (i = 0; i < w; i++) s += top[1 + i];
     if (w <= h)
         for (i = 0; i < h; i++) s += left[1 + i];
-    int64_t dc = (s + (denom >> 1)) >> (bitlen(denom) - 1);
+    int32_t dc = (s + (denom >> 1)) >> (bitlen(denom) - 1);
     for (i = 0; i < w * h; i++) pred[i] = dc;
 }
 
 /* PDPC for DC/planar (IntraPredSampleFilterCore) */
-static void pdpc_dc_planar(int64_t *pred, const int32_t *top,
+static void pdpc_dc_planar(int32_t *pred, const int32_t *top,
                            const int32_t *left, int w, int h) {
     int scale = ((ilog2(w) - 2) + (ilog2(h) - 2) + 2) >> 2;
     for (int yy = 0; yy < h; yy++) {
         int sh = (yy << 1) >> scale;
         int wt = sh > 31 ? 0 : (32 >> sh);
-        int64_t lv_t = 0; /* per-row top weight applies to top[x] */
+        int32_t lv_t = 0; /* per-row top weight applies to top[x] */
         (void)lv_t;
         for (int xx = 0; xx < w; xx++) {
             int shl = (xx << 1) >> scale;
             int wl = shl > 31 ? 0 : (32 >> shl);
-            int64_t v = pred[(size_t)yy * w + xx];
-            int64_t lv = left[1 + yy], tv = top[1 + xx];
+            int32_t v = pred[(size_t)yy * w + xx];
+            int32_t lv = left[1 + yy], tv = top[1 + xx];
             pred[(size_t)yy * w + xx] =
                 v + ((wl * (lv - v) + wt * (tv - v) + 32) >> 6);
         }
@@ -338,7 +338,7 @@ static void pdpc_dc_planar(int64_t *pred, const int32_t *top,
  * in the block's orientation (internally swaps for horizontal modes). */
 static void pred_angular(const Ctx *c, const int32_t *top,
                          const int32_t *left, int w0, int h0, int mode,
-                         int comp, int64_t *pred_out) {
+                         int comp, int32_t *pred_out) {
     int pred_mode = wide_angle(w0, h0, mode);
     int top_len = 2 * w0, left_len = 2 * h0;
     int is_ver = pred_mode >= DIA_IDX;
@@ -399,8 +399,8 @@ static void pred_angular(const Ctx *c, const int32_t *top,
     }
 
     /* dst in swapped orientation [h][w] */
-    int64_t dst_local[64 * 64];
-    int64_t *dst = dst_local;
+    int32_t dst_local[64 * 64];
+    int32_t *dst = dst_local;
     int pdpc_ok = (w >= 4 && h >= 4);
     /* NOTE: PDPC enablement uses the swapped dims here, matching the
      * numpy golden (w,h are swapped together so the test is symmetric) */
@@ -420,9 +420,8 @@ static void pred_angular(const Ctx *c, const int32_t *top,
                 for (int xx = 0; xx < lev; xx++) {
                     int sh = (xx << 1) >> scale;
                     int wl = sh > 31 ? 0 : (32 >> sh);
-                    int64_t v = ((int64_t)wl * (left_v - corner) +
-                                 (int64_t)ref_main[off + xx + 1] * 64 + 32) >>
-                                6;
+                    int32_t v = (wl * (left_v - corner) +
+                                 ref_main[off + xx + 1] * 64 + 32) >> 6;
                     dst[(size_t)yy * w + xx] = lclip(v, 0, c->pel_max);
                 }
             }
@@ -441,16 +440,16 @@ static void pred_angular(const Ctx *c, const int32_t *top,
                 int use_cubic = !filter_flag;
                 const int(*f)[4] = use_cubic ? CHROMA_FILTER : GAUSS_FILTER;
                 for (int yy = 0; yy < h; yy++) {
-                    int64_t delta = (int64_t)angle * (yy + 1);
+                    int32_t delta = angle * (yy + 1);
                     int di = (int)(delta >> 5);
                     int frac = (int)(delta & 31);
                     const int *co = f[frac];
                     int base = off + di + 1;
                     for (int xx = 0; xx < w; xx++) {
-                        int64_t v = ((int64_t)co[0] * ref_main[base + xx - 1] +
-                                     (int64_t)co[1] * ref_main[base + xx] +
-                                     (int64_t)co[2] * ref_main[base + xx + 1] +
-                                     (int64_t)co[3] * ref_main[base + xx + 2] +
+                        int32_t v = (co[0] * ref_main[base + xx - 1] +
+                                     co[1] * ref_main[base + xx] +
+                                     co[2] * ref_main[base + xx + 1] +
+                                     co[3] * ref_main[base + xx + 2] +
                                      32) >>
                                     6;
                         if (use_cubic) v = lclip(v, 0, c->pel_max);
@@ -459,21 +458,21 @@ static void pred_angular(const Ctx *c, const int32_t *top,
                 }
             } else {
                 for (int yy = 0; yy < h; yy++) {
-                    int64_t delta = (int64_t)angle * (yy + 1);
+                    int32_t delta = angle * (yy + 1);
                     int di = (int)(delta >> 5);
                     int frac = (int)(delta & 31);
                     int base = off + di + 1;
                     for (int xx = 0; xx < w; xx++) {
                         dst[(size_t)yy * w + xx] =
-                            ((int64_t)(32 - frac) * ref_main[base + xx] +
-                             (int64_t)frac * ref_main[base + xx + 1] + 16) >>
+                            ((32 - frac) * ref_main[base + xx] +
+                             frac * ref_main[base + xx + 1] + 16) >>
                             5;
                     }
                 }
             }
         } else {
             for (int yy = 0; yy < h; yy++) {
-                int64_t delta = (int64_t)angle * (yy + 1);
+                int32_t delta = angle * (yy + 1);
                 int base = off + (int)(delta >> 5) + 1;
                 for (int xx = 0; xx < w; xx++)
                     dst[(size_t)yy * w + xx] = ref_main[base + xx];
@@ -495,8 +494,8 @@ static void pred_angular(const Ctx *c, const int32_t *top,
                     for (int yy = 0; yy < h; yy++) {
                         int sidx = yy + (inv_sum >> 9) + 1;
                         if (sidx > side_len - 1) sidx = side_len - 1;
-                        int64_t lv = side_src[sidx];
-                        int64_t sub = dst[(size_t)yy * w + xx];
+                        int32_t lv = side_src[sidx];
+                        int32_t sub = dst[(size_t)yy * w + xx];
                         dst[(size_t)yy * w + xx] =
                             sub + ((wl * (lv - sub) + 32) >> 6);
                     }
@@ -511,7 +510,7 @@ static void pred_angular(const Ctx *c, const int32_t *top,
             for (int xx = 0; xx < w0; xx++)
                 pred_out[(size_t)yy * w0 + xx] = dst[(size_t)xx * h0 + yy];
     } else {
-        memcpy(pred_out, dst, sizeof(int64_t) * (size_t)w0 * h0);
+        memcpy(pred_out, dst, sizeof(int32_t) * (size_t)w0 * h0);
     }
 }
 
@@ -520,7 +519,7 @@ static void pred_angular(const Ctx *c, const int32_t *top,
  * TrQuant_EMT.cpp _fastInverseMM).  coef plane region at (x,y). */
 static void dequant_itx(const Ctx *c, int comp, int x, int y, int w, int h,
                         int qp, int dep_quant, int max_x, int max_y,
-                        const int32_t *mh, const int32_t *mv, int64_t *resi) {
+                        const int32_t *mh, const int32_t *mv, int32_t *resi) {
     int pi = comp ? 1 : 0;
     const int32_t *coef = c->coef[comp];
     int W = c->W[pi];
@@ -600,7 +599,7 @@ static void dequant_itx(const Ctx *c, int comp, int x, int y, int w, int h,
             for (int xp = 0; xp < w; xp++)
                 acc[xp] += v * mhr[xp];
         }
-        int64_t *rr = resi + (size_t)j * w;
+        int32_t *rr = resi + (size_t)j * w;
         for (int xp = 0; xp < w; xp++) {
             int32_t v = (acc[xp] + (1 << (s2 - 1))) >> s2;
             if (v < TR_CLIP_MIN) v = TR_CLIP_MIN;
@@ -657,8 +656,8 @@ static PyObject *mod_run_from(PyObject *self, PyObject *args) {
 
     const int32_t *td = (const int32_t *)td_buf.buf;
     int i = start;
-    static int64_t pred[64 * 64];
-    static int64_t resi[64 * 64];
+    static int32_t pred[64 * 64];
+    static int32_t resi[64 * 64];
     static int32_t top[260], left[260], ftop[260], fleft[260];
 
     for (; i < n_tus; i++) {
@@ -706,7 +705,7 @@ static PyObject *mod_run_from(PyObject *self, PyObject *args) {
                             mhp, mvp, resi);
                 for (int yy = 0; yy < h; yy++)
                     for (int xx = 0; xx < w; xx++) {
-                        int64_t v = pred[(size_t)yy * w + xx] +
+                        int32_t v = pred[(size_t)yy * w + xx] +
                                     resi[(size_t)yy * w + xx];
                         reco[(size_t)(y + yy) * W + (x + xx)] =
                             (int32_t)lclip(v, 0, c.pel_max);
