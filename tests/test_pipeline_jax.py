@@ -57,3 +57,38 @@ def test_sao_device_stage_matches_host():
     got = decode_annexb(stream, use_jax=True)
     assert all(np.array_equal(a, b)
                for fa, fb in zip(ref, got) for a, b in zip(fa, fb))
+
+
+def test_alf_device_stage_matches_host():
+    """Whole-frame device ALF/CC-ALF (ops/pipeline.alf_frame_jax) vs the
+    host golden, incl. inter frames."""
+    import numpy as np
+
+    from tests.test_alf import _alf_stream
+    from vvdec_tpu.decoder import decode_annexb
+
+    stream = _alf_stream(2, 4, 1, dict(temporal_mvp_enabled=True),
+                         dict(split_prob=0.4, inter_prob=0.7, skip_prob=0.2,
+                              mv_range=40, bi_prob=0.5), n_aps=3)
+    ref = decode_annexb(stream)
+    got = decode_annexb(stream, use_jax=True)
+    assert all(np.array_equal(a, b)
+               for fa, fb in zip(ref, got) for a, b in zip(fa, fb))
+
+
+def test_alf_device_stage_boundaries():
+    """Device ALF with loop-filter-across disabled (clamp windows) and
+    virtual boundaries (sub-area splits)."""
+    import numpy as np
+
+    from tests.test_alf import TestAlfAcrossBoundaries
+    from tests.test_virtual_boundaries import _vb_stream
+    from vvdec_tpu.decoder import decode_annexb
+
+    t = TestAlfAcrossBoundaries()
+    pps_kw = dict(t.TILES, loop_filter_across_tiles=False)
+    for stream in (t._stream(1, pps_kw), _vb_stream(2, alf=True)):
+        ref = decode_annexb(stream)
+        got = decode_annexb(stream, use_jax=True)
+        assert all(np.array_equal(a, b)
+                   for fa, fb in zip(ref, got) for a, b in zip(fa, fb))

@@ -433,9 +433,13 @@ class StreamDecoder:
             else:
                 from vvdec_tpu.frame.sao_np import sao_frame
                 sao_frame(cs, planes)
-        from vvdec_tpu.frame.alf_np import alf_frame
         with profiler.stage("alf"):
-            planes = alf_frame(cs, planes)
+            if self.use_jax:
+                from vvdec_tpu.ops.pipeline import alf_frame_jax
+                planes = alf_frame_jax(cs, planes)
+            else:
+                from vvdec_tpu.frame.alf_np import alf_frame
+                planes = alf_frame(cs, planes)
         # DMVR-refined MVs enter the motion field only after deblocking
         # strength derivation (TaskFinishMotionInfo, DecCu.cpp:161-213)
         for x2, y2, mv0, mv1 in getattr(cs, "dmvr_fixups", ()):

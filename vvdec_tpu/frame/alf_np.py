@@ -525,3 +525,170 @@ def alf_frame(cs, planes: list) -> list:
                                            cs.sub_w - 1, cs.sub_h - 1,
                                            vb_luma_h, vb_luma_pos, bounds)
     return out
+
+
+def alf_prepare_maps(cs, planes: list, bd: int):
+    """Host-side parameter tensors for the device (JAX) ALF stage.
+
+    Returns None when ALF is entirely off, else a dict with, per plane:
+    classification/transpose maps (luma), per-4x4 filter-bank indices,
+    stacked coefficient/clip banks, per-pixel clamp-window maps (loop-
+    filter-across + virtual-boundary sub-areas) and enable masks, plus the
+    CC-ALF coefficient bank and per-4x4 (chroma) filter indices."""
+    if not any(any(s_.alf_enabled) or s_.ccalf_cb_enabled
+               or s_.ccalf_cr_enabled for s_ in cs.shs):
+        return None
+    ctu = cs.sps.ctu_size
+    vb_luma_h, vb_luma_pos = ctu, ctu - 4
+    sub_y = cs.sub_h
+    vb_chma_h = ctu // sub_y
+    vb_chma_pos = vb_chma_h - 2
+
+    fixed_sets, fixed_clip = build_fixed_sets(bd)
+    luma_tables = {}
+    for si, s_ in enumerate(cs.shs):
+        for i, aps_id in enumerate(s_.alf_aps_ids_luma):
+            aps = cs.alf_apss[aps_id]
+            luma_tables[(si, i)] = build_luma_coeff(aps.alf, bd)
+
+    cls = tr = None
+    if any(s_.alf_enabled[0] for s_ in cs.shs):
+        cls, tr = classify(planes[0], 0, 0, cs.w, cs.h, bd,
+                           vb_luma_h, vb_luma_pos)
+
+    h, w = planes[0].shape
+    # luma banks: id 0..n-1 -> (coeff [4,25,13], clip [4,25,13])
+    bank_key_to_id: dict = {}
+    banks_co: list = []
+    banks_cl: list = []
+
+    def bank_id(si, idx):
+        key = ("fixed", idx) if idx < NUM_FIXED_FILTER_SETS else (si, idx)
+        if key not in bank_key_to_id:
+            if idx < NUM_FIXED_FILTER_SETS:
+                co, cl = fixed_sets[idx], fixed_clip
+            else:
+                co, cl = luma_tables[(si, idx - NUM_FIXED_FILTER_SETS)]
+            bank_key_to_id[key] = len(banks_co)
+            banks_co.append(co)
+            banks_cl.append(cl)
+        return bank_key_to_id[key]
+
+    set_map = np.zeros((h >> 2, w >> 2), dtype=np.int32)
+    mask_y = np.zeros((h, w), dtype=bool)
+    lo_x = np.zeros((h, w), dtype=np.int32)
+    lo_y = np.zeros((h, w), dtype=np.int32)
+    hi_x = np.full((h, w), w - 1, dtype=np.int32)
+    hi_y = np.full((h, w), h - 1, dtype=np.int32)
+
+    cw_c, ch_c = cs.comp_size[1] if cs.num_comp > 1 else (1, 1)
+    lo_xc = np.zeros((ch_c, cw_c), dtype=np.int32)
+    lo_yc = np.zeros((ch_c, cw_c), dtype=np.int32)
+    hi_xc = np.full((ch_c, cw_c), cw_c - 1, dtype=np.int32)
+    hi_yc = np.full((ch_c, cw_c), ch_c - 1, dtype=np.int32)
+    chroma_alt = np.zeros((2, (ch_c + 3) >> 2, (cw_c + 3) >> 2),
+                          dtype=np.int32)
+    mask_c = np.zeros((2, ch_c, cw_c), dtype=bool)
+    cc_idx = np.zeros((2, ch_c, cw_c), dtype=np.int32)  # 0 = off, else 1+i
+    chroma_banks_co: list = []
+    chroma_banks_cl: list = []
+    chroma_bank_ids: dict = {}
+    cc_banks: list = [np.zeros(7, dtype=np.int64)]
+    cc_bank_ids: dict = {}
+
+    w_ctu = cs.pps.pic_width_in_ctu
+    h_ctu = cs.pps.pic_height_in_ctu
+    any_luma = any_chroma = any_cc = False
+    for ry in range(h_ctu):
+        for rx in range(w_ctu):
+            p = cs.alf_params[ry * w_ctu + rx]
+            if p is None:
+                continue
+            x0, y0 = rx * ctu, ry * ctu
+            cw = min(ctu, cs.w - x0)
+            chh = min(ctu, cs.h - y0)
+            si = int(cs.slice_map[y0 >> 2, x0 >> 2])
+            sh = cs.shs[si if 0 <= si < len(cs.shs) else 0]
+            region = _alf_clip_bounds(cs, x0, y0, cw, chh)
+            for ax, ay, aw, ah, bounds in _alf_vb_areas(cs, x0, y0, cw, chh,
+                                                        region):
+                if bounds is not None:
+                    b = bounds
+                    lo_x[ay:ay + ah, ax:ax + aw] = b[0]
+                    lo_y[ay:ay + ah, ax:ax + aw] = b[1]
+                    hi_x[ay:ay + ah, ax:ax + aw] = b[2]
+                    hi_y[ay:ay + ah, ax:ax + aw] = b[3]
+                    if cs.num_comp > 1:
+                        bx0, by0 = ax // cs.sub_w, ay // cs.sub_h
+                        bw_, bh_ = aw // cs.sub_w, ah // cs.sub_h
+                        lo_xc[by0:by0 + bh_, bx0:bx0 + bw_] = \
+                            b[0] // cs.sub_w
+                        lo_yc[by0:by0 + bh_, bx0:bx0 + bw_] = \
+                            b[1] // cs.sub_h
+                        hi_xc[by0:by0 + bh_, bx0:bx0 + bw_] = \
+                            (b[2] + 1) // cs.sub_w - 1
+                        hi_yc[by0:by0 + bh_, bx0:bx0 + bw_] = \
+                            (b[3] + 1) // cs.sub_h - 1
+                if sh.alf_enabled[0] and p["enable"][0]:
+                    any_luma = True
+                    if bounds is not None and cls is not None:
+                        c_b, t_b = classify(planes[0], ax, ay, aw, ah, bd,
+                                            vb_luma_h, vb_luma_pos, bounds)
+                        cls[ay >> 2:(ay + ah) >> 2,
+                            ax >> 2:(ax + aw) >> 2] = c_b
+                        tr[ay >> 2:(ay + ah) >> 2,
+                           ax >> 2:(ax + aw) >> 2] = t_b
+                    set_map[ay >> 2:(ay + ah) >> 2, ax >> 2:(ax + aw) >> 2] \
+                        = bank_id(si, p["filt_idx"])
+                    mask_y[ay:ay + ah, ax:ax + aw] = True
+                if cs.num_comp > 1:
+                    cx0, cy0 = ax // cs.sub_w, ay // cs.sub_h
+                    ccw = aw // cs.sub_w
+                    cch = ah // cs.sub_h
+                    for comp in (1, 2):
+                        if sh.alf_enabled[comp] and p["enable"][comp]:
+                            any_chroma = True
+                            aps = cs.alf_apss[sh.alf_aps_id_chroma]
+                            alt = p["alt"][comp - 1]
+                            key = (sh.alf_aps_id_chroma, alt)
+                            if key not in chroma_bank_ids:
+                                co, cl = build_chroma_coeff(aps.alf, alt,
+                                                            bd)
+                                chroma_bank_ids[key] = len(chroma_banks_co)
+                                chroma_banks_co.append(co)
+                                chroma_banks_cl.append(cl)
+                            cid = chroma_bank_ids[key]
+                            chroma_alt[comp - 1,
+                                       cy0 >> 2:(cy0 + cch + 3) >> 2,
+                                       cx0 >> 2:(cx0 + ccw + 3) >> 2] = cid
+                            mask_c[comp - 1, cy0:cy0 + cch,
+                                   cx0:cx0 + ccw] = True
+                        cc_on = sh.ccalf_cb_enabled if comp == 1 \
+                            else sh.ccalf_cr_enabled
+                        fidx = p["cc"][comp - 1]
+                        if cc_on and fidx:
+                            any_cc = True
+                            aps_id = sh.ccalf_cb_aps_id if comp == 1 \
+                                else sh.ccalf_cr_aps_id
+                            coeff = cs.alf_apss[aps_id].cc_alf \
+                                .coeff[comp - 1][fidx - 1]
+                            key = (aps_id, comp, fidx)
+                            if key not in cc_bank_ids:
+                                cc_bank_ids[key] = len(cc_banks)
+                                cc_banks.append(
+                                    np.asarray(coeff, dtype=np.int64))
+                            cc_idx[comp - 1, cy0:cy0 + cch,
+                                   cx0:cx0 + ccw] = cc_bank_ids[key]
+
+    return dict(
+        cls=cls, tr=tr, set_map=set_map, mask_y=mask_y,
+        banks_co=np.stack(banks_co) if banks_co else None,
+        banks_cl=np.stack(banks_cl) if banks_cl else None,
+        lo_x=lo_x, lo_y=lo_y, hi_x=hi_x, hi_y=hi_y,
+        chroma_alt=chroma_alt, mask_c=mask_c,
+        chroma_co=np.stack(chroma_banks_co) if chroma_banks_co else None,
+        chroma_cl=np.stack(chroma_banks_cl) if chroma_banks_cl else None,
+        cc_idx=cc_idx, cc_banks=np.stack(cc_banks),
+        lo_xc=lo_xc, lo_yc=lo_yc, hi_xc=hi_xc, hi_yc=hi_yc,
+        any_luma=any_luma, any_chroma=any_chroma, any_cc=any_cc,
+        vb=(vb_luma_h, vb_luma_pos, vb_chma_h, vb_chma_pos))

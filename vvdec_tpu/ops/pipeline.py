@@ -311,3 +311,184 @@ def sao_frame_jax(cs: CodingStructure, planes: list[np.ndarray]) -> None:
         fn = _sao_apply_fn(planes[comp].shape[0], planes[comp].shape[1], bd)
         planes[comp][:] = np.asarray(
             fn(planes[comp], type_map, ctu_idx, tables, mask))
+
+
+# ======================================================================
+# Stage 5: ALF + CC-ALF — whole-frame device kernels
+# ======================================================================
+_LUMA_TAPS = ((3, 0), (2, 1), (2, 0), (2, -1), (1, 2), (1, 1), (1, 0),
+              (1, -1), (1, -2), (0, 3), (0, 2), (0, 1))
+_CHROMA_TAPS = ((2, 0), (1, 1), (1, 0), (1, -1), (0, 2), (0, 1))
+
+
+def _vb_row_tables(h: int, vb_ctu_h: int, vb_pos: int, chroma: bool):
+    """Per-row clipped vertical tap distances + near-VB flag
+    (frame/alf_np._vb_row_offsets, vectorized)."""
+    from vvdec_tpu.frame.alf_np import _vb_row_offsets
+    d = np.zeros((h, 4), dtype=np.int32)
+    near = np.zeros(h, dtype=bool)
+    for y in range(h):
+        d1, d2, d3, nr = _vb_row_offsets(y, vb_ctu_h, vb_pos, chroma)
+        d[y] = (0, d1, d2, d3)
+        near[y] = nr
+    return d, near
+
+
+@functools.lru_cache(maxsize=None)
+def _alf_diamond_fn(h: int, w: int, bd: int, n_taps: int):
+    """Jitted clipped-diamond ALF filter (7x7 luma with n_taps=12, 5x5
+    chroma with n_taps=6): per-pixel coefficients/clips, per-row virtual
+    boundary tap clamping, per-pixel sample clamp windows.  Bit-exact
+    int32 (parity: AdaptiveLoopFilter::filterBlk)."""
+    taps = _LUMA_TAPS[:n_taps] if n_taps == 12 else _CHROMA_TAPS[:n_taps]
+    pel_max = (1 << bd) - 1
+
+    def apply(src, co, cl, dmap, near, lo_x, lo_y, hi_x, hi_y, mask):
+        # co/cl: [H, W, n_taps] per-pixel coefficients / clip bounds
+        s = src.astype(jnp.int32)
+        ys = jnp.arange(h)[:, None]
+        xs = jnp.arange(w)[None, :]
+        curr = s
+        acc = jnp.zeros((h, w), dtype=jnp.int32)
+
+        def at(ry, rx):
+            ry = jnp.clip(ry, lo_y, hi_y)
+            rx = jnp.clip(rx, lo_x, hi_x)
+            return s[ry, rx]
+
+        for k, (dy, dx) in enumerate(taps):
+            dd = dmap[:, dy][:, None]
+            a = at(ys + dd, xs + dx)
+            b = at(ys - dd, xs - dx)
+            ck = cl[:, :, k]
+            diff = jnp.clip(a - curr, -ck, ck) + jnp.clip(b - curr, -ck, ck)
+            acc = acc + co[:, :, k] * diff
+        nr = near[:, None]
+        out = jnp.where(nr, (acc + (1 << 9)) >> 10, (acc + 64) >> 7)
+        out = jnp.clip(out + curr, 0, pel_max)
+        return jnp.where(mask, out, s).astype(src.dtype)
+
+    return jax.jit(apply)
+
+
+@functools.lru_cache(maxsize=None)
+def _ccalf_fn(hc: int, wc: int, bd: int, scale_x: int, scale_y: int):
+    """Jitted CC-ALF correction from the pre-ALF luma
+    (filterBlkCcAlf, AdaptiveLoopFilter.cpp:1348)."""
+    pel_max = (1 << bd) - 1
+    half = (1 << bd) >> 1
+
+    def apply(luma, dst, coeff, off_rows, skip_rows, lo_x, lo_y, hi_x,
+              hi_y, active):
+        # coeff: [Hc, Wc, 7]; off_rows: [Hc, 3] (off1, off2, off3)
+        sl = luma.astype(jnp.int32)
+        ys = jnp.arange(hc)[:, None]
+        xs = jnp.arange(wc)[None, :]
+        ly = ys << scale_y
+        lx = xs << scale_x
+
+        def lat(ry, rx):
+            ry = jnp.clip(ry, lo_y, hi_y)
+            rx = jnp.clip(rx, lo_x, hi_x)
+            return sl[ry, rx]
+
+        off1 = off_rows[:, 0][:, None]
+        off2 = off_rows[:, 1][:, None]
+        off3 = off_rows[:, 2][:, None]
+        curr = lat(ly, lx)
+        acc = (coeff[:, :, 0] * (lat(ly + off2, lx) - curr)
+               + coeff[:, :, 1] * (lat(ly, lx - 1) - curr)
+               + coeff[:, :, 2] * (lat(ly, lx + 1) - curr)
+               + coeff[:, :, 3] * (lat(ly + off1, lx - 1) - curr)
+               + coeff[:, :, 4] * (lat(ly + off1, lx) - curr)
+               + coeff[:, :, 5] * (lat(ly + off1, lx + 1) - curr)
+               + coeff[:, :, 6] * (lat(ly + off3, lx) - curr))
+        acc = (acc + 64) >> 7
+        acc = jnp.clip(acc + half, 0, pel_max) - half
+        d = dst.astype(jnp.int32)
+        out = jnp.clip(acc + d, 0, pel_max)
+        use = active & ~skip_rows[:, None]
+        return jnp.where(use, out, d).astype(dst.dtype)
+
+    return jax.jit(apply)
+
+
+def alf_frame_jax(cs: CodingStructure, planes: list[np.ndarray]
+                  ) -> list[np.ndarray]:
+    """Whole-frame ALF with the pixel work on device (m_alfBuf swap
+    semantics); parameter maps built on host (alf_np.alf_prepare_maps)."""
+    from vvdec_tpu.frame.alf_np import alf_prepare_maps
+    bd = cs.sps.bit_depth
+    maps = alf_prepare_maps(cs, planes, bd)
+    if maps is None:
+        return planes
+    vb_luma_h, vb_luma_pos, vb_chma_h, vb_chma_pos = maps["vb"]
+    out = [p.copy() for p in planes]
+
+    if maps["any_luma"]:
+        h, w = planes[0].shape
+        cls4 = maps["cls"]
+        tr4 = maps["tr"]
+        # per-pixel coefficient/clip gather on host (cheap per 4x4)
+        co4 = maps["banks_co"][maps["set_map"], tr4, cls4]   # [h4, w4, 13]
+        cl4 = maps["banks_cl"][maps["set_map"], tr4, cls4]
+        co = np.repeat(np.repeat(co4[:, :, :12], 4, 0), 4, 1)[:h, :w] \
+            .astype(np.int32)
+        cl = np.repeat(np.repeat(cl4[:, :, :12], 4, 0), 4, 1)[:h, :w] \
+            .astype(np.int32)
+        dmap, near = _vb_row_tables(h, vb_luma_h, vb_luma_pos, False)
+        fn = _alf_diamond_fn(h, w, bd, 12)
+        out[0] = np.asarray(fn(planes[0], co, cl, dmap, near,
+                               maps["lo_x"], maps["lo_y"], maps["hi_x"],
+                               maps["hi_y"], maps["mask_y"]))
+
+    if cs.num_comp > 1 and (maps["any_chroma"] or maps["any_cc"]):
+        hc, wc = planes[1].shape
+        dmap_c, near_c = _vb_row_tables(hc, vb_chma_h, vb_chma_pos, True)
+        for comp in (1, 2):
+            if maps["any_chroma"] and maps["mask_c"][comp - 1].any():
+                alt4 = maps["chroma_alt"][comp - 1]
+                co4 = maps["chroma_co"][alt4]   # [hc4, wc4, 7]
+                cl4 = maps["chroma_cl"][alt4]
+                co = np.repeat(np.repeat(co4[:, :, :6], 4, 0),
+                               4, 1)[:hc, :wc].astype(np.int32)
+                cl = np.repeat(np.repeat(cl4[:, :, :6], 4, 0),
+                               4, 1)[:hc, :wc].astype(np.int32)
+                fn = _alf_diamond_fn(hc, wc, bd, 6)
+                out[comp] = np.asarray(fn(
+                    planes[comp], co, cl, dmap_c, near_c,
+                    maps["lo_xc"], maps["lo_yc"], maps["hi_xc"],
+                    maps["hi_yc"], maps["mask_c"][comp - 1]))
+            if maps["any_cc"] and (maps["cc_idx"][comp - 1] != 0).any():
+                coeff = maps["cc_banks"][maps["cc_idx"][comp - 1]] \
+                    .astype(np.int32)
+                scale_x, scale_y = cs.sub_w - 1, cs.sub_h - 1
+                # luma-coord clamp windows gathered at each chroma pixel's
+                # collocated luma position
+                lyi = (np.arange(hc) << scale_y)[:, None]
+                lxi = (np.arange(wc) << scale_x)[None, :]
+                lo_x_g = maps["lo_x"][lyi, lxi]
+                lo_y_g = maps["lo_y"][lyi, lxi]
+                hi_x_g = maps["hi_x"][lyi, lxi]
+                hi_y_g = maps["hi_y"][lyi, lxi]
+                off_rows = np.zeros((hc, 3), dtype=np.int32)
+                skip_rows = np.zeros(hc, dtype=bool)
+                for y in range(hc):
+                    ly = y << scale_y
+                    pos = ly & (vb_luma_h - 1)
+                    if scale_y == 0 and pos in (vb_luma_pos,
+                                                vb_luma_pos + 1):
+                        skip_rows[y] = True
+                        continue
+                    o1, o2, o3 = 1, -1, 2
+                    if pos in (vb_luma_pos - 2, vb_luma_pos + 1):
+                        o3 = o1
+                    elif pos in (vb_luma_pos - 1, vb_luma_pos):
+                        o1 = o2 = o3 = 0
+                    off_rows[y] = (o1, o2, o3)
+                fn = _ccalf_fn(hc, wc, bd, scale_x, scale_y)
+                out[comp] = np.asarray(fn(
+                    planes[0], out[comp], coeff, off_rows, skip_rows,
+                    lo_x_g, lo_y_g, hi_x_g, hi_y_g,
+                    maps["cc_idx"][comp - 1] != 0))
+    return out
