@@ -92,3 +92,37 @@ def test_alf_device_stage_boundaries():
         got = decode_annexb(stream, use_jax=True)
         assert all(np.array_equal(a, b)
                    for fa, fb in zip(ref, got) for a, b in zip(fa, fb))
+
+
+def test_deblock_device_stage_matches_host():
+    """Whole-frame device deblocking (ops/pipeline.deblock_frame_jax) vs
+    the host golden, on inter streams with large blocks (long filters)."""
+    import numpy as np
+
+    from tests.test_oracle import _inter_stream
+    from vvdec_tpu.decoder import decode_annexb
+    from vvdec_tpu.hls.params import B_SLICE
+
+    stream = _inter_stream(
+        9, 4, B_SLICE, lambda f: ((1,), (1,)),
+        dict(split_prob=0.25, inter_prob=0.7, skip_prob=0.2, mv_range=32,
+             bi_prob=0.5))
+    ref = decode_annexb(stream)
+    got = decode_annexb(stream, use_jax=True)
+    assert all(np.array_equal(a, b)
+               for fa, fb in zip(ref, got) for a, b in zip(fa, fb))
+
+
+def test_deblock_device_stage_boundaries():
+    """Device deblocking with virtual boundaries (strengths zeroed on VB
+    rows/cols) stays bit-exact vs the host golden."""
+    import numpy as np
+
+    from tests.test_virtual_boundaries import _vb_stream
+    from vvdec_tpu.decoder import decode_annexb
+
+    stream = _vb_stream(3, n_frames=2)
+    ref = decode_annexb(stream)
+    got = decode_annexb(stream, use_jax=True)
+    assert all(np.array_equal(a, b)
+               for fa, fb in zip(ref, got) for a, b in zip(fa, fb))
