@@ -37,15 +37,22 @@ MAX_NUM_HMVP_AMVP = 4
 
 
 class MotionHist:
-    """History-based MVP tables (regular inter + IBC, MotionInfo.h:237)."""
+    """History-based MVP tables (regular inter + IBC, MotionInfo.h:237).
+
+    The regular LUT is mirrored into a flat int32 buffer (`buf`/`nbuf`,
+    oldest entry first, rows (dir, mv0x, mv0y, mv1x, mv1y, r0, r1, bcw,
+    alt)) so the native candidate-derivation kernels can read it."""
 
     def __init__(self) -> None:
         self.lut: list[tuple] = []  # entries: (inter_dir, mv0, mv1, r0, r1)
         self.lut_ibc: list[tuple] = []  # entries: (bvx, bvy)
+        self.buf = np.zeros((MAX_NUM_HMVP, 9), dtype=np.int32)
+        self.nbuf = np.zeros(1, dtype=np.int32)
 
     def reset(self) -> None:
         self.lut = []
         self.lut_ibc = []
+        self.nbuf[0] = 0
 
     @staticmethod
     def _add(lut: list, mi) -> None:
@@ -60,6 +67,10 @@ class MotionHist:
 
     def add(self, mi: tuple) -> None:
         self._add(self.lut, mi)
+        for i, e in enumerate(self.lut):
+            self.buf[i] = (e[0], e[1][0], e[1][1], e[2][0], e[2][1],
+                           e[3], e[4], e[5], int(e[6]))
+        self.nbuf[0] = len(self.lut)
 
     def add_ibc(self, bv: tuple) -> None:
         self._add(self.lut_ibc, bv)
@@ -236,11 +247,113 @@ def tmvp_positions(cs: CodingStructure, cu: CodingUnit):
     return c0_avail, pos_c0, pos_c1
 
 
+def _motion_ctx(cs: CodingStructure, hist: MotionHist):
+    """Native candidate-derivation context (walk8.c MotionCtx), built once
+    per picture over the flat CU records + motion-field planes; None when
+    the native path is unavailable (Python fallback)."""
+    cached = getattr(cs, "_mctx", None)
+    if cached is not None:
+        ctx, hist_ref = cached
+        return ctx if hist_ref is hist else None
+    ctx = _build_motion_ctx(cs, hist)
+    cs._mctx = (ctx, hist)
+    return ctx
+
+
+def _build_motion_ctx(cs, hist):
+    import os
+    if os.environ.get("VVDEC_TPU_NO_NATIVE") == "1" \
+            or os.environ.get("VVDEC_TPU_NO_NATIVE_MOTION") == "1":
+        return None
+    nw = getattr(cs, "_nw", None)
+    if nw is None or not len(cs.cus):
+        return None
+    from vvdec_tpu.native import native_cabac
+    nc = native_cabac()
+    if nc is None or not hasattr(nc, "MotionCtx"):
+        return None
+    n_cu = len(cs.cus)
+    ref_pocs = getattr(cs, "ref_pocs", None)
+    if ref_pocs is None or any(len(lst) > 17 for lst in ref_pocs):
+        return None
+    from vvdec_tpu.cabac.native_walk import CU_F
+    rec = nw["cu_rec"]
+    side = np.empty((n_cu, 2), dtype=np.int32)
+    side[:, 0] = rec[:n_cu, CU_F["bcw"]]
+    side[:, 1] = rec[:n_cu, CU_F["imv"]]
+    cs._mctx_side = side
+    pocs_cur = np.zeros((2, 17), dtype=np.int32)
+    for lst in range(2):
+        pocs_cur[lst, : len(ref_pocs[lst])] = ref_pocs[lst]
+    # per-slice table + deduped collocated pictures
+    cols: list[tuple] = []
+    col_ids: dict[int, int] = {}
+    slt = np.zeros((len(cs.shs), 5), dtype=np.int32)
+    tmvp = bool(cs.ph.temporal_mvp_enabled)
+    keep = [side, pocs_cur, slt, hist.buf, hist.nbuf]
+    for i, sh in enumerate(cs.shs):
+        slt[i, 0] = int(sh.is_b)
+        slt[i, 1] = sh.num_ref_idx_active[0]
+        slt[i, 2] = sh.num_ref_idx_active[1]
+        slt[i, 3] = -1
+        slt[i, 4] = int(sh.collocated_from_l0)
+        if tmvp and sh.slice_type != 2:  # not I_SLICE
+            col_lst = (1 - int(sh.collocated_from_l0)) if sh.is_b else 0
+            ref_cols = getattr(cs, "ref_cols", None)
+            if ref_cols is None or sh.collocated_ref_idx >= len(
+                    ref_cols[col_lst]):
+                return None
+            col = ref_cols[col_lst][sh.collocated_ref_idx]
+            if col is None:
+                continue
+            ci = col_ids.get(id(col))
+            if ci is None:
+                if not (col.ref_idx.flags["C_CONTIGUOUS"]
+                        and col.mv.flags["C_CONTIGUOUS"]
+                        and col.ref_idx.dtype == np.int8
+                        and all(len(p) <= 17 for p in col.ref_pocs)):
+                    return None
+                cpocs = np.zeros((2, 17), dtype=np.int32)
+                for lst in range(2):
+                    cpocs[lst, : len(col.ref_pocs[lst])] = \
+                        col.ref_pocs[lst]
+                keep.append(cpocs)
+                ci = len(cols)
+                cols.append((col.ref_idx, col.mv, int(col.poc), cpocs,
+                             int(col.ref_idx.shape[1]),
+                             int(col.ref_idx.shape[0])))
+                col_ids[id(col)] = ci
+            slt[i, 3] = ci
+    if cs.mi_ref.dtype != np.int8 or not cs.mi_ref.flags["C_CONTIGUOUS"] \
+            or not cs.mi_mv.flags["C_CONTIGUOUS"] \
+            or not cs.cu_map.flags["C_CONTIGUOUS"]:
+        return None
+    ctx = nc.MotionCtx(
+        rec, cs.cu_map, cs.mi_ref, cs.mi_mv, side, hist.buf, hist.nbuf,
+        slt, pocs_cur, cols,
+        (n_cu, cs.w, cs.h, int(cs.cu_map.shape[1]),
+         int(cs.cu_map.shape[0]), cs.ctu_log2,
+         int(cs.sps.entropy_coding_sync_enabled)),
+        (cs.sps.max_num_merge_cand, int(tmvp), int(cs.check_ldc),
+         cs.shs[0].poc))
+    cs._mctx_keep = keep
+    cs._mctx_out = np.empty((cs.sps.max_num_merge_cand, 9), dtype=np.int32)
+    cs._mctx_amvp = np.empty(4, dtype=np.int32)
+    return ctx
+
+
 def derive_merge(cs: CodingStructure, cu: CodingUnit, hist: MotionHist,
                  is_b: bool) -> list[tuple]:
     """Regular merge candidate list (full list; idx selection by caller).
     Each candidate: (inter_dir, mv0, mv1, ref0, ref1)."""
     max_cand = cs.sps.max_num_merge_cand
+    if getattr(cu, "idx", -1) >= 0:
+        ctx = _motion_ctx(cs, hist)
+        if ctx is not None:
+            out = cs._mctx_out
+            n = ctx.merge_list(cu.idx, out)
+            return [(r[0], (r[1], r[2]), (r[3], r[4]), r[5], r[6], r[7],
+                     bool(r[8])) for r in out[:n].tolist()]
     cands: list[tuple] = []
     x, y, w, h = cu.x, cu.y, cu.w, cu.h
 
@@ -473,6 +586,13 @@ AMVR_SHIFT = {0: 2, 1: 4, 2: 6, 3: 3}  # imv -> internal-precision shift
 def fill_mvp(cs: CodingStructure, cu: CodingUnit, lst: int, ref_idx: int,
              hist: MotionHist) -> list[tuple]:
     """AMVP candidate pair (PU::fillMvpCand)."""
+    if getattr(cu, "idx", -1) >= 0:
+        ctx = _motion_ctx(cs, hist)
+        if ctx is not None:
+            out = cs._mctx_amvp
+            ctx.amvp_list(cu.idx, lst, ref_idx, out)
+            o = out.tolist()
+            return [(o[0], o[1]), (o[2], o[3])]
     shift = AMVR_SHIFT[cu.imv]
     cands: list[tuple] = []
     x, y, w, h = cu.x, cu.y, cu.w, cu.h

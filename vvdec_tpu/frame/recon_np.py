@@ -1377,6 +1377,12 @@ class IntraReconstructor:
                     last_ctu_row = row
                 if cu.pred_mode != MODE_INTRA:
                     self._derive_motion(cu)
+                    # derived bcw/imv feed later neighbors' mi_at reads
+                    # through the native candidate-derivation side table
+                    side = getattr(self.cs, "_mctx_side", None)
+                    if side is not None and cu.idx >= 0:
+                        side[cu.idx, 0] = cu.bcw_idx
+                        side[cu.idx, 1] = cu.imv
             self.reconstruct_tu(tu, cu)
         cs = self.cs
         if self.reshaper is not None and any(s.lmcs_enabled

@@ -1129,6 +1129,7 @@ static PyObject *mod_deblock_chroma(PyObject *self, PyObject *args)
 #include "walk5.c"
 #include "walk6.c"
 #include "walk7.c"
+#include "walk8.c"
 
 static PyMemberDef Decoder_members[] = {
     {"pos", T_PYSSIZET, offsetof(Decoder, pos), 0, "read position"},
@@ -1209,11 +1210,15 @@ PyMODINIT_FUNC PyInit__cabac(void)
         return NULL;
     if (PyType_Ready(&WalkType) < 0)
         return NULL;
+    if (PyType_Ready(&MotionCtxType) < 0)
+        return NULL;
     m = PyModule_Create(&cabacmodule);
     if (!m)
         return NULL;
     Py_INCREF(&DecoderType);
     PyModule_AddObject(m, "Decoder", (PyObject *)&DecoderType);
+    Py_INCREF(&MotionCtxType);
+    PyModule_AddObject(m, "MotionCtx", (PyObject *)&MotionCtxType);
     PyModule_AddIntConstant(m, "WALK_PARAM_COUNT", WP_COUNT);
     PyModule_AddIntConstant(m, "WALK_CU_NF", CU_NF);
     PyModule_AddIntConstant(m, "WALK_TU_NF", TUF_NF);
