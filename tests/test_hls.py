@@ -186,3 +186,85 @@ class TestChromaQpTable:
         # identity-ish: qp 30 maps near 30
         assert abs(t.map_qp(0, 30) - 30) <= 1
         assert t.map_qp(0, 63) <= 63
+
+
+class TestHrdParams:
+    """general/ols_timing_hrd_parameters (spec 7.3.5; reference
+    HLSyntaxReader::parseGeneralHrdParameters/parseOlsHrdParameters)."""
+
+    HRD = {
+        "num_units_in_tick": 1001, "time_scale": 60000,
+        "nal_hrd": True, "vcl_hrd": False,
+        "same_pic_timing_in_all_ols": True, "du_hrd": False,
+        "bit_rate_scale": 4, "cpb_size_scale": 2, "cpb_cnt": 2,
+        "ols": {"sublayers": {0: {
+            "fixed_pic_rate_general": True,
+            "fixed_pic_rate_within_cvs": True,
+            "elemental_duration_in_tc": 1,
+            "nal": [
+                {"bit_rate_value": 100, "cpb_size_value": 200,
+                 "cbr": False},
+                {"bit_rate_value": 300, "cpb_size_value": 200,
+                 "cbr": True},
+            ]}}},
+    }
+
+    def test_roundtrip(self):
+        sps = make_test_sps()
+        sps.timing_hrd_params_present = True
+        sps.hrd_params = dict(self.HRD)
+        rbsp = mk_rbsp(lambda w: write_sps(w, sps))
+        got = parse_sps(rbsp)
+        h = got.hrd_params
+        assert h["num_units_in_tick"] == 1001
+        assert h["time_scale"] == 60000
+        assert h["nal_hrd"] and not h["vcl_hrd"]
+        assert h["cpb_cnt"] == 2
+        sl = h["ols"]["sublayers"][0]
+        assert sl["fixed_pic_rate_within_cvs"]
+        assert sl["elemental_duration_in_tc"] == 1
+        assert sl["nal"][1] == {"bit_rate_value": 300,
+                                "cpb_size_value": 200, "cbr": True}
+        # tool flags after the HRD block must parse undisturbed
+        assert got.pic_width_max == 64 and got.bit_depth == 10
+
+    def test_low_delay_single_cpb(self):
+        """low_delay_hrd_flag is present only with signalled NAL/VCL HRD
+        and hrd_cpb_cnt_minus1 == 0 (HLSyntaxReader.cpp:1288-1293)."""
+        sps = make_test_sps()
+        sps.timing_hrd_params_present = True
+        sps.hrd_params = {
+            "num_units_in_tick": 1, "time_scale": 25,
+            "nal_hrd": True, "vcl_hrd": False, "du_hrd": False,
+            "same_pic_timing_in_all_ols": False,
+            "bit_rate_scale": 0, "cpb_size_scale": 0, "cpb_cnt": 1,
+            "ols": {"sublayers": {0: {
+                "fixed_pic_rate_general": False,
+                "fixed_pic_rate_within_cvs": False,
+                "low_delay_hrd": True,
+                "nal": [{"bit_rate_value": 5, "cpb_size_value": 6,
+                         "cbr": False}]}}},
+        }
+        rbsp = mk_rbsp(lambda w: write_sps(w, sps))
+        got = parse_sps(rbsp)
+        sl = got.hrd_params["ols"]["sublayers"][0]
+        assert sl["low_delay_hrd"] is True
+        assert got.hrd_params["time_scale"] == 25
+
+    def test_no_nal_vcl_no_low_delay_flag(self):
+        """With neither NAL nor VCL HRD signalled, no low_delay flag is
+        coded (inferred 0) and parsing resumes cleanly after the block."""
+        sps = make_test_sps()
+        sps.timing_hrd_params_present = True
+        sps.hrd_params = {
+            "num_units_in_tick": 1, "time_scale": 25,
+            "nal_hrd": False, "vcl_hrd": False, "du_hrd": False,
+            "ols": {"sublayers": {0: {
+                "fixed_pic_rate_general": False,
+                "fixed_pic_rate_within_cvs": False}}},
+        }
+        rbsp = mk_rbsp(lambda w: write_sps(w, sps))
+        got = parse_sps(rbsp)
+        sl = got.hrd_params["ols"]["sublayers"][0]
+        assert "low_delay_hrd" not in sl
+        assert got.pic_width_max == 64

@@ -578,3 +578,51 @@ class TestGpmBitExact:
         ref = ref_decode(stream, tmp_path, expect_frames=4)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestHrdOracle:
+    def test_sps_with_hrd_accepted(self, tmp_path):
+        """The reference parser must accept our
+        general/ols_timing_hrd_parameters layout and the decode must stay
+        bit-exact (a layout slip would corrupt every SPS field after it)."""
+        import hashlib
+
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions
+        from vvdec_tpu.testenc.hls_writer import (make_nal, write_pps,
+                                                  write_sps)
+
+        sps = E.make_sps(64, 64)
+        sps.ptl_dpb_hrd_params_present = True
+        sps.timing_hrd_params_present = True
+        sps.hrd_params = {
+            "num_units_in_tick": 1001, "time_scale": 60000,
+            "nal_hrd": True, "vcl_hrd": True, "du_hrd": False,
+            "same_pic_timing_in_all_ols": True,
+            "bit_rate_scale": 4, "cpb_size_scale": 2, "cpb_cnt": 1,
+            "ols": {"sublayers": {0: {
+                "fixed_pic_rate_general": True,
+                "fixed_pic_rate_within_cvs": True,
+                "elemental_duration_in_tc": 1,
+                "nal": [{"bit_rate_value": 100, "cpb_size_value": 200,
+                         "cbr": False}],
+                "vcl": [{"bit_rate_value": 100, "cpb_size_value": 200,
+                         "cbr": True}],
+            }}},
+        }
+        pps = E.make_pps(sps)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        dec = RandomDecisions(seed=3, split_prob=0.5)
+        nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=0, idr=True)
+        stream += nal
+        ref = ref_decode(stream, tmp_path)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

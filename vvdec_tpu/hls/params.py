@@ -320,6 +320,7 @@ class SPS:
     virtual_boundary_pos_x: list[int] = field(default_factory=list)
     virtual_boundary_pos_y: list[int] = field(default_factory=list)
     timing_hrd_params_present: bool = False
+    hrd_params: dict | None = None
     field_seq_flag: bool = False
     vui_present: bool = False
     vui_payload: bytes = b""

@@ -168,6 +168,77 @@ def _dpb_parameters(r: BitReader, sps: SPS, max_sublayers_minus1: int,
         sps.max_latency_increase_plus1[i] = r.ue()
 
 
+def _read_general_timing_hrd(r) -> dict:
+    """general_timing_hrd_parameters() (spec 7.3.5.1; reference
+    HLSyntaxReader::parseGeneralHrdParameters)."""
+    hrd = {
+        "num_units_in_tick": r.u(32),
+        "time_scale": r.u(32),
+        "nal_hrd": r.flag(),
+        "vcl_hrd": r.flag(),
+    }
+    _check(hrd["num_units_in_tick"] > 0, "num_units_in_tick must be > 0")
+    _check(hrd["time_scale"] > 0, "time_scale must be > 0")
+    hrd["du_hrd"] = False
+    if hrd["nal_hrd"] or hrd["vcl_hrd"]:
+        hrd["same_pic_timing_in_all_ols"] = r.flag()
+        hrd["du_hrd"] = r.flag()
+        if hrd["du_hrd"]:
+            hrd["tick_divisor"] = r.u(8) + 2
+        hrd["bit_rate_scale"] = r.u(4)
+        hrd["cpb_size_scale"] = r.u(4)
+        if hrd["du_hrd"]:
+            hrd["cpb_size_du_scale"] = r.u(4)
+        hrd["cpb_cnt"] = r.ue() + 1
+        _check(hrd["cpb_cnt"] <= 32, "hrd_cpb_cnt_minus1 out of range")
+    return hrd
+
+
+def _read_sublayer_hrd(r, hrd: dict) -> list[dict]:
+    """sublayer_hrd_parameters() (spec 7.3.5.3)."""
+    out = []
+    for _ in range(hrd.get("cpb_cnt", 1)):
+        e = {"bit_rate_value": r.ue() + 1, "cpb_size_value": r.ue() + 1}
+        if out:
+            _check(e["bit_rate_value"] > out[-1]["bit_rate_value"],
+                   "bit_rate_value_minus1 must increase with j")
+            _check(e["cpb_size_value"] <= out[-1]["cpb_size_value"],
+                   "cpb_size_value_minus1 must not increase with j")
+        if hrd["du_hrd"]:
+            e["cpb_size_du_value"] = r.ue() + 1
+            e["bit_rate_du_value"] = r.ue() + 1
+        e["cbr"] = r.flag()
+        out.append(e)
+    return out
+
+
+def _read_ols_timing_hrd(r, hrd: dict, first: int, last: int) -> dict:
+    """ols_timing_hrd_parameters() (spec 7.3.5.2; reference
+    HLSyntaxReader::parseOlsHrdParameters)."""
+    ols: dict = {"sublayers": {}}
+    for i in range(first, last + 1):
+        sl: dict = {}
+        sl["fixed_pic_rate_general"] = r.flag()
+        if sl["fixed_pic_rate_general"]:
+            sl["fixed_pic_rate_within_cvs"] = True
+        else:
+            sl["fixed_pic_rate_within_cvs"] = r.flag()
+        if sl["fixed_pic_rate_within_cvs"]:
+            sl["elemental_duration_in_tc"] = r.ue() + 1
+            _check(sl["elemental_duration_in_tc"] <= 2048,
+                   "elemental_duration_in_tc_minus1 out of range")
+        elif (hrd["nal_hrd"] or hrd["vcl_hrd"]) and hrd["cpb_cnt"] == 1:
+            # present only with signalled HRD and a single CPB
+            # (HLSyntaxReader.cpp:1288-1293); inferred 0 otherwise
+            sl["low_delay_hrd"] = r.flag()
+        if hrd["nal_hrd"]:
+            sl["nal"] = _read_sublayer_hrd(r, hrd)
+        if hrd["vcl_hrd"]:
+            sl["vcl"] = _read_sublayer_hrd(r, hrd)
+        ols["sublayers"][i] = sl
+    return ols
+
+
 def parse_sps(rbsp: bytes) -> SPS:
     r = BitReader(rbsp, pos=16)  # skip 2-byte NAL header
     sps = SPS()
@@ -465,7 +536,14 @@ def parse_sps(rbsp: bytes) -> SPS:
     if sps.ptl_dpb_hrd_params_present:
         sps.timing_hrd_params_present = r.flag()
         if sps.timing_hrd_params_present:
-            raise NotImplementedError("general_timing_hrd_parameters not yet supported")
+            hrd = _read_general_timing_hrd(r)
+            sublayer_cpb = False
+            if sps.max_sublayers > 1:
+                sublayer_cpb = r.flag()
+            first = 0 if sublayer_cpb else sps.max_sublayers - 1
+            hrd["ols"] = _read_ols_timing_hrd(r, hrd, first,
+                                              sps.max_sublayers - 1)
+            sps.hrd_params = hrd
     sps.field_seq_flag = r.flag()
     sps.vui_present = r.flag()
     if sps.vui_present:

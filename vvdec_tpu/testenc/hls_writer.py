@@ -36,6 +36,49 @@ def write_ptl(w: BitWriter, sps: SPS) -> None:
     w.u(0, 8)  # ptl_num_sub_profiles
 
 
+def _write_general_timing_hrd(w, hrd: dict) -> None:
+    w.u(hrd["num_units_in_tick"], 32)
+    w.u(hrd["time_scale"], 32)
+    w.flag(hrd["nal_hrd"])
+    w.flag(hrd["vcl_hrd"])
+    if hrd["nal_hrd"] or hrd["vcl_hrd"]:
+        w.flag(hrd.get("same_pic_timing_in_all_ols", False))
+        w.flag(hrd["du_hrd"])
+        if hrd["du_hrd"]:
+            w.u(hrd["tick_divisor"] - 2, 8)
+        w.u(hrd["bit_rate_scale"], 4)
+        w.u(hrd["cpb_size_scale"], 4)
+        if hrd["du_hrd"]:
+            w.u(hrd["cpb_size_du_scale"], 4)
+        w.ue(hrd["cpb_cnt"] - 1)
+
+
+def _write_sublayer_hrd(w, hrd: dict, entries: list) -> None:
+    for e in entries:
+        w.ue(e["bit_rate_value"] - 1)
+        w.ue(e["cpb_size_value"] - 1)
+        if hrd["du_hrd"]:
+            w.ue(e["cpb_size_du_value"] - 1)
+            w.ue(e["bit_rate_du_value"] - 1)
+        w.flag(e["cbr"])
+
+
+def _write_ols_timing_hrd(w, hrd: dict, sublayers: dict) -> None:
+    for i in sorted(sublayers):
+        sl = sublayers[i]
+        w.flag(sl["fixed_pic_rate_general"])
+        if not sl["fixed_pic_rate_general"]:
+            w.flag(sl["fixed_pic_rate_within_cvs"])
+        if sl["fixed_pic_rate_within_cvs"]:
+            w.ue(sl["elemental_duration_in_tc"] - 1)
+        elif (hrd["nal_hrd"] or hrd["vcl_hrd"]) and hrd["cpb_cnt"] == 1:
+            w.flag(sl.get("low_delay_hrd", False))
+        if hrd["nal_hrd"]:
+            _write_sublayer_hrd(w, hrd, sl["nal"])
+        if hrd["vcl_hrd"]:
+            _write_sublayer_hrd(w, hrd, sl["vcl"])
+
+
 def write_sps(w: BitWriter, sps: SPS) -> None:
     _unsupported(sps.max_sublayers != 1, "sublayers")
     _unsupported(sps.vps_id != 0, "VPS")
@@ -45,7 +88,6 @@ def write_sps(w: BitWriter, sps: SPS) -> None:
                  "PH-signalled virtual boundaries")
     _unsupported(sps.ladf_enabled, "LADF")
     _unsupported(sps.act_enabled, "ACT")
-    _unsupported(sps.timing_hrd_params_present, "HRD")
     _unsupported(sps.vui_present, "VUI")
     _unsupported(bool(sps.extra_ph_bit_present) or bool(sps.extra_sh_bit_present),
                  "extra PH/SH bits")
@@ -238,7 +280,13 @@ def write_sps(w: BitWriter, sps: SPS) -> None:
             w.ue(len(ys))
             for v in ys:
                 w.ue((v >> 3) - 1)
-    w.flag(False)  # timing_hrd_params_present
+    w.flag(sps.timing_hrd_params_present)
+    if sps.timing_hrd_params_present:
+        _write_general_timing_hrd(w, sps.hrd_params)
+        # sps.max_sublayers == 1: no sublayer_cpb_params flag; OLS HRD
+        # covers the single (highest) sublayer only
+        _write_ols_timing_hrd(w, sps.hrd_params,
+                              sps.hrd_params["ols"]["sublayers"])
     w.flag(sps.field_seq_flag)
     w.flag(False)  # vui_parameters_present
     w.flag(False)  # sps_extension
