@@ -268,3 +268,53 @@ class TestHrdParams:
         sl = got.hrd_params["ols"]["sublayers"][0]
         assert "low_delay_hrd" not in sl
         assert got.pic_width_max == 64
+
+
+class TestVuiParams:
+    """vui_parameters (spec 7.3.6; reference HLSyntaxReader::parseVUI
+    HLSyntaxReader.cpp:1082)."""
+
+    def test_roundtrip(self):
+        sps = make_test_sps()
+        sps.vui_present = True
+        sps.vui = {
+            "progressive_source": True, "interlaced_source": False,
+            "non_packed_constraint": False,
+            "non_projected_constraint": True,
+            "aspect_ratio_constant": True, "aspect_ratio_idc": 255,
+            "sar_width": 4, "sar_height": 3,
+            "colour_primaries": 9, "transfer_characteristics": 16,
+            "matrix_coeffs": 9, "full_range": False,
+            "chroma_sample_loc_type": 2,
+        }
+        rbsp = mk_rbsp(lambda w: write_sps(w, sps))
+        got = parse_sps(rbsp)
+        v = got.vui
+        assert v["progressive_source"] and not v["interlaced_source"]
+        assert v["sar_width"] == 4 and v["sar_height"] == 3
+        assert v["colour_primaries"] == 9
+        assert v["transfer_characteristics"] == 16
+        assert v["matrix_coeffs"] == 9
+        assert v["chroma_sample_loc_type"] == 2
+        assert got.pic_width_max == 64  # SPS tail parses undisturbed
+
+    def test_fixed_sar_table(self):
+        sps = make_test_sps()
+        sps.vui_present = True
+        sps.vui = {"aspect_ratio_idc": 14}  # 4:3 from the fixed table
+        rbsp = mk_rbsp(lambda w: write_sps(w, sps))
+        got = parse_sps(rbsp)
+        assert got.vui["sar_width"] == 4 and got.vui["sar_height"] == 3
+
+    def test_interlaced_chroma_loc(self):
+        sps = make_test_sps()
+        sps.vui_present = True
+        sps.vui = {
+            "progressive_source": False, "interlaced_source": True,
+            "chroma_sample_loc_type_top": 1,
+            "chroma_sample_loc_type_bottom": 3,
+        }
+        rbsp = mk_rbsp(lambda w: write_sps(w, sps))
+        got = parse_sps(rbsp)
+        assert got.vui["chroma_sample_loc_type_top"] == 1
+        assert got.vui["chroma_sample_loc_type_bottom"] == 3

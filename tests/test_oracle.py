@@ -626,3 +626,40 @@ class TestHrdOracle:
         ref = ref_decode(stream, tmp_path)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+    def test_sps_with_vui_accepted(self, tmp_path):
+        """The reference parser must accept our vui_parameters layout
+        (payload size, alignment, trailing bits) and decode bit-exact."""
+        import hashlib
+
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions
+        from vvdec_tpu.testenc.hls_writer import (make_nal, write_pps,
+                                                  write_sps)
+
+        sps = E.make_sps(64, 64)
+        sps.vui_present = True
+        sps.vui = {
+            "progressive_source": True,
+            "aspect_ratio_constant": True, "aspect_ratio_idc": 1,
+            "colour_primaries": 1, "transfer_characteristics": 1,
+            "matrix_coeffs": 1, "full_range": False,
+            "chroma_sample_loc_type": 0,
+        }
+        pps = E.make_pps(sps)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        nal, _ = E.encode_frame(sps, pps, RandomDecisions(seed=4,
+                                                          split_prob=0.5),
+                                qp=32, poc=0, idr=True)
+        stream += nal
+        ref = ref_decode(stream, tmp_path)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

@@ -324,6 +324,7 @@ class SPS:
     field_seq_flag: bool = False
     vui_present: bool = False
     vui_payload: bytes = b""
+    vui: dict | None = None
 
     # -- derived -----------------------------------------------------------
     @property

@@ -239,6 +239,53 @@ def _read_ols_timing_hrd(r, hrd: dict, first: int, last: int) -> dict:
     return ols
 
 
+# fixed sample-aspect-ratio table (H.273 / reference SARFixedRatios)
+_SAR_FIXED = ((1, 1), (12, 11), (10, 11), (16, 11), (40, 33), (24, 11),
+              (20, 11), (32, 11), (80, 33), (18, 11), (15, 11), (64, 33),
+              (160, 99), (4, 3), (3, 2), (2, 1))
+
+
+def parse_vui(payload: bytes) -> dict:
+    """vui_parameters() from the byte-aligned VUI payload
+    (spec 7.3.6; reference HLSyntaxReader::parseVUI HLSyntaxReader.cpp:1082)."""
+    r = BitReader(payload)
+    v: dict = {
+        "progressive_source": r.flag(),
+        "interlaced_source": r.flag(),
+        "non_packed_constraint": r.flag(),
+        "non_projected_constraint": r.flag(),
+    }
+    if r.flag():  # aspect_ratio_info_present
+        v["aspect_ratio_constant"] = r.flag()
+        idc = r.u(8)
+        v["aspect_ratio_idc"] = idc
+        if idc == 255:
+            v["sar_width"] = r.u(16)
+            v["sar_height"] = r.u(16)
+        elif 0 < idc <= len(_SAR_FIXED):
+            v["sar_width"], v["sar_height"] = _SAR_FIXED[idc - 1]
+    if r.flag():  # overscan_info_present
+        v["overscan_appropriate"] = r.flag()
+    if r.flag():  # colour_description_present
+        v["colour_primaries"] = r.u(8)
+        v["transfer_characteristics"] = r.u(8)
+        v["matrix_coeffs"] = r.u(8)
+        v["full_range"] = r.flag()
+    if r.flag():  # chroma_loc_info_present
+        if v["progressive_source"] and not v["interlaced_source"]:
+            v["chroma_sample_loc_type"] = r.ue()
+            _check(v["chroma_sample_loc_type"] <= 6,
+                   "vui_chroma_sample_loc_type_frame out of range")
+        else:
+            v["chroma_sample_loc_type_top"] = r.ue()
+            v["chroma_sample_loc_type_bottom"] = r.ue()
+            _check(v["chroma_sample_loc_type_top"] <= 6
+                   and v["chroma_sample_loc_type_bottom"] <= 6,
+                   "vui_chroma_sample_loc_type field out of range")
+    # trailing payload-extension / alignment bits are tolerated
+    return v
+
+
 def parse_sps(rbsp: bytes) -> SPS:
     r = BitReader(rbsp, pos=16)  # skip 2-byte NAL header
     sps = SPS()
@@ -551,6 +598,7 @@ def parse_sps(rbsp: bytes) -> SPS:
         _check(vui_size <= 1024, "vui payload too large")
         r.align()
         sps.vui_payload = r.read_bytes(vui_size)
+        sps.vui = parse_vui(sps.vui_payload)
     if r.flag():  # sps_extension_present_flag
         while r.more_rbsp_data():
             r.u(1)

@@ -79,6 +79,48 @@ def _write_ols_timing_hrd(w, hrd: dict, sublayers: dict) -> None:
             _write_sublayer_hrd(w, hrd, sl["vcl"])
 
 
+def _vui_payload_bytes(v: dict) -> bytes:
+    """Serialize vui_parameters() + payload trailing bits (spec 7.3.6)."""
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    w = BitWriter()
+    w.flag(v.get("progressive_source", False))
+    w.flag(v.get("interlaced_source", False))
+    w.flag(v.get("non_packed_constraint", False))
+    w.flag(v.get("non_projected_constraint", False))
+    has_ar = "aspect_ratio_idc" in v
+    w.flag(has_ar)
+    if has_ar:
+        w.flag(v.get("aspect_ratio_constant", True))
+        w.u(v["aspect_ratio_idc"], 8)
+        if v["aspect_ratio_idc"] == 255:
+            w.u(v["sar_width"], 16)
+            w.u(v["sar_height"], 16)
+    has_os = "overscan_appropriate" in v
+    w.flag(has_os)
+    if has_os:
+        w.flag(v["overscan_appropriate"])
+    has_cd = "colour_primaries" in v
+    w.flag(has_cd)
+    if has_cd:
+        w.u(v["colour_primaries"], 8)
+        w.u(v["transfer_characteristics"], 8)
+        w.u(v["matrix_coeffs"], 8)
+        w.flag(v.get("full_range", False))
+    has_cl = ("chroma_sample_loc_type" in v
+              or "chroma_sample_loc_type_top" in v)
+    w.flag(has_cl)
+    if has_cl:
+        if v.get("progressive_source") and not v.get("interlaced_source"):
+            w.ue(v["chroma_sample_loc_type"])
+        else:
+            w.ue(v["chroma_sample_loc_type_top"])
+            w.ue(v["chroma_sample_loc_type_bottom"])
+    # vui_payload trailing: bit_equal_to_one + zero-pad to the byte
+    w.u(1, 1)
+    w.byte_align(0)
+    return w.bytes()
+
+
 def write_sps(w: BitWriter, sps: SPS) -> None:
     _unsupported(sps.max_sublayers != 1, "sublayers")
     _unsupported(sps.vps_id != 0, "VPS")
@@ -88,7 +130,6 @@ def write_sps(w: BitWriter, sps: SPS) -> None:
                  "PH-signalled virtual boundaries")
     _unsupported(sps.ladf_enabled, "LADF")
     _unsupported(sps.act_enabled, "ACT")
-    _unsupported(sps.vui_present, "VUI")
     _unsupported(bool(sps.extra_ph_bit_present) or bool(sps.extra_sh_bit_present),
                  "extra PH/SH bits")
 
@@ -288,7 +329,13 @@ def write_sps(w: BitWriter, sps: SPS) -> None:
         _write_ols_timing_hrd(w, sps.hrd_params,
                               sps.hrd_params["ols"]["sublayers"])
     w.flag(sps.field_seq_flag)
-    w.flag(False)  # vui_parameters_present
+    w.flag(sps.vui_present)
+    if sps.vui_present:
+        payload = _vui_payload_bytes(sps.vui)
+        w.ue(len(payload) - 1)
+        w.byte_align(0)  # sps_vui_alignment_zero_bit
+        for b in payload:
+            w.u(b, 8)
     w.flag(False)  # sps_extension
     w.rbsp_trailing()
 
