@@ -237,3 +237,36 @@ def test_decoder_info_and_version():
         api.Decoder().get_decoder_info()
     assert "vvdec_tpu" in info and "KERNELS=" in info
     assert api.version()
+
+
+def test_frame_exposes_vui_and_hrd():
+    """Frames carry the parsed SPS VUI/HRD like vvdecFrame->picAttributes."""
+    from vvdec_tpu.api import Decoder
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import RandomDecisions
+    from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+    sps = E.make_sps(64, 64)
+    sps.vui_present = True
+    sps.vui = {"progressive_source": True, "aspect_ratio_constant": True,
+               "aspect_ratio_idc": 1, "colour_primaries": 9,
+               "transfer_characteristics": 16, "matrix_coeffs": 9,
+               "full_range": False}
+    pps = E.make_pps(sps)
+    w = BitWriter()
+    write_sps(w, sps)
+    stream = make_nal(NalUnitType.SPS, w.bytes())
+    w = BitWriter()
+    write_pps(w, pps, sps)
+    stream += make_nal(NalUnitType.PPS, w.bytes())
+    nal, _ = E.encode_frame(sps, pps, RandomDecisions(seed=1), qp=32,
+                            poc=0, idr=True)
+    stream += nal
+    with Decoder() as dec:
+        frames = dec.decode(stream) + dec.flush()
+    assert len(frames) == 1
+    assert frames[0].vui["colour_primaries"] == 9
+    assert frames[0].vui["sar_width"] == 1  # from the fixed SAR table
+    assert frames[0].hrd is None

@@ -49,6 +49,9 @@ class Frame:
     sei: list = field(default_factory=list)
     chroma_format_idc: int = 1
     picture: object = None               # internal DPB handle
+    # picAttributes analogs (vvdecPicAttributes: vui/hrd from the SPS)
+    vui: dict | None = None
+    hrd: dict | None = None
 
 
 class Decoder:
@@ -128,7 +131,9 @@ class Decoder:
             planes = bufs
         return Frame(planes=planes, width=pic.width, height=pic.height,
                      bit_depth=pic.bit_depth, poc=pic.poc, sei=pic.sei,
-                     chroma_format_idc=pic.chroma_format_idc, picture=pic)
+                     chroma_format_idc=pic.chroma_format_idc, picture=pic,
+                     vui=getattr(pic, "vui", None),
+                     hrd=getattr(pic, "hrd", None))
 
     def _apply_film_grain(self, pic, planes):
         """FGC-SEI-driven film grain synthesis on output (VVDecImpl::

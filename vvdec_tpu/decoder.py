@@ -342,7 +342,8 @@ class StreamDecoder:
                 poc=f.poc, planes=[p.astype(np.uint16) for p in planes],
                 bit_depth=cs.sps.bit_depth, is_idr=f.is_idr, sei=f.sei,
                 width=cs.w, height=cs.h,
-                chroma_format_idc=cs.sps.chroma_format_idc, error=True))
+                chroma_format_idc=cs.sps.chroma_format_idc, error=True,
+                vui=cs.sps.vui, hrd=cs.sps.hrd_params))
 
     def _reconstruct_inner(self, f: ParsedFrame) -> None:
         from vvdec_tpu.dpb import DecodedPicture
@@ -485,7 +486,8 @@ class StreamDecoder:
             poc=f.poc, planes=out_planes, bit_depth=cs.sps.bit_depth,
             is_idr=f.is_idr, sei=f.sei, width=cs.w, height=cs.h,
             chroma_format_idc=cs.sps.chroma_format_idc, error=pic_error,
-            needed_for_output=needed))
+            needed_for_output=needed, vui=cs.sps.vui,
+            hrd=cs.sps.hrd_params))
 
 
 def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:

@@ -33,6 +33,8 @@ class DecodedPicture:
     height: int = 0
     chroma_format_idc: int = 1
     error: bool = False                # concealed / partly broken picture
+    vui: dict | None = None            # parsed SPS VUI (picAttributes->vui)
+    hrd: dict | None = None            # parsed SPS HRD (picAttributes->hrd)
 
 
 class PicListManager:
