@@ -663,3 +663,53 @@ class TestHrdOracle:
         ref = ref_decode(stream, tmp_path)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestNativeMotionParity:
+    """The native candidate-derivation kernels (walk8.c MotionCtx) must be
+    bit-identical to the Python derivation across the full inter toolset."""
+
+    @pytest.mark.parametrize("seed", (0, 3))
+    def test_full_toolset_ab(self, seed, monkeypatch):
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.hls.params import B_SLICE
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions
+        from vvdec_tpu.testenc.hls_writer import (make_nal, write_pps,
+                                                  write_sps)
+
+        sps = E.make_sps(96, 64, affine_enabled=True, affine_6param=True,
+                         temporal_mvp_enabled=True, sbtmvp_enabled=True,
+                         mmvd_enabled=True, smvd_enabled=True,
+                         gpm_enabled=True, ciip_enabled=True,
+                         bcw_enabled=True, amvr_enabled=True,
+                         dmvr_enabled=True, bdof_enabled=True)
+        pps = E.make_pps(sps)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        dk = dict(split_prob=0.5, inter_prob=0.8, skip_prob=0.15,
+                  mv_range=48, bi_prob=0.6, affine_prob=0.25,
+                  affine_merge_prob=0.3, geo_prob=0.2, mmvd_prob=0.2,
+                  ciip_prob=0.15, smvd_prob=0.2, bcw_prob=0.3,
+                  amvr_prob=0.3)
+        for f in range(4):
+            dec = RandomDecisions(seed=seed * 100 + f, **dk)
+            if f == 0:
+                nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=0,
+                                        idr=True)
+            else:
+                nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=f,
+                                        idr=False, slice_type=B_SLICE,
+                                        ref_deltas=((1,), (1,)))
+            stream += nal
+        monkeypatch.setenv("VVDEC_TPU_NO_NATIVE_MOTION", "1")
+        a = decode_to_yuv(stream)
+        monkeypatch.delenv("VVDEC_TPU_NO_NATIVE_MOTION")
+        b = decode_to_yuv(stream)
+        assert a == b
