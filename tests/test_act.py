@@ -1,0 +1,118 @@
+"""Adaptive colour transform (ACT, 4:4:4) — oracle tests vs the reference
+decoder (CABACReader::adaptive_color_transform, DecCu::xIntraRecACT,
+QpParam DELTA_QP_ACT), plus the small-CU bi-prediction restriction the
+4:4:4 coverage exposed (PU::restrictBiPredMergeCandsOne)."""
+
+import hashlib
+import os
+
+import pytest
+
+from tests.test_oracle import VVDECAPP, ref_decode
+from vvdec_tpu.decoder import decode_to_yuv
+from vvdec_tpu.testenc.encoder import generate_stream
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(VVDECAPP), reason="reference vvdecapp not built")
+
+
+def _check(tmp_path, n_frames=2, **kw):
+    stream, _ = generate_stream(n_frames=n_frames, **kw)
+    ref = ref_decode(stream, tmp_path, expect_frames=n_frames)
+    out = decode_to_yuv(stream)
+    assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+S = dict(chroma_format=3, act_enabled=True)
+
+
+class TestActIntra:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_basic(self, seed, tmp_path):
+        _check(tmp_path, width=64, height=64, seed=seed, sps_kw=dict(S),
+               dec_kw=dict(split_prob=0.5, act_prob=0.7))
+
+    @pytest.mark.parametrize("qp", (22, 40))
+    def test_qp_offsets(self, qp, tmp_path):
+        """DELTA_QP_ACT = (-5, 1, 3, 1) with [0, 63+off] clipping."""
+        _check(tmp_path, width=64, height=64, seed=2, qp=qp,
+               sps_kw=dict(S), dec_kw=dict(split_prob=0.5, act_prob=0.6))
+
+    def test_with_jccr(self, tmp_path):
+        _check(tmp_path, width=64, height=64, seed=3,
+               sps_kw=dict(S, joint_cbcr_enabled=True),
+               dec_kw=dict(split_prob=0.5, act_prob=0.6, jccr_prob=0.5))
+
+    def test_with_lfnst_mts(self, tmp_path):
+        _check(tmp_path, width=64, height=64, seed=4,
+               sps_kw=dict(S, lfnst_enabled=True, mts_enabled=True,
+                           explicit_mts_intra=True),
+               dec_kw=dict(split_prob=0.5, act_prob=0.6))
+
+    def test_with_transform_skip_bdpcm(self, tmp_path):
+        """Luma BDPCM allowed under ACT; chroma BDPCM suppressed
+        (CU::bdpcmAllowed, UnitTools.cpp:3554)."""
+        _check(tmp_path, width=64, height=64, seed=5,
+               sps_kw=dict(S, transform_skip_enabled=True,
+                           bdpcm_enabled=True),
+               dec_kw=dict(split_prob=0.5, act_prob=0.6))
+
+    def test_qp_delta(self, tmp_path):
+        _check(tmp_path, width=64, height=64, seed=6,
+               sps_kw=dict(S), pps_kw=dict(cu_qp_delta_subdiv=2),
+               dec_kw=dict(split_prob=0.5, act_prob=0.6, qp_delta_range=6))
+
+
+def _act_inter_stream(seed, n, dk, sps_kw=None, qp=32):
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.hls.params import B_SLICE
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import RandomDecisions
+    from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+    sps = E.make_sps(96, 64, chroma_format=3, **(sps_kw or {}))
+    pps = E.make_pps(sps)
+    w = BitWriter()
+    write_sps(w, sps)
+    st = make_nal(NalUnitType.SPS, w.bytes())
+    w = BitWriter()
+    write_pps(w, pps, sps)
+    st += make_nal(NalUnitType.PPS, w.bytes())
+    for f in range(n):
+        dec = RandomDecisions(seed=seed * 100 + f, **dk)
+        if f == 0:
+            nal, _ = E.encode_frame(sps, pps, dec, qp=qp, poc=0, idr=True)
+        else:
+            nal, _ = E.encode_frame(sps, pps, dec, qp=qp, poc=f, idr=False,
+                                    slice_type=B_SLICE,
+                                    ref_deltas=((1,), (1,)))
+        st += nal
+    return st
+
+
+class TestActInter:
+    DK = dict(split_prob=0.5, act_prob=0.6, inter_prob=0.7, skip_prob=0.2,
+              mv_range=24, bi_prob=0.5)
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_inter_act(self, seed, tmp_path):
+        stream = _act_inter_stream(seed, 4, self.DK,
+                                   sps_kw=dict(act_enabled=True))
+        ref = ref_decode(stream, tmp_path, expect_frames=4)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestSmallCuBiRestriction:
+    """4:4:4 inter exposes 4x8/8x4 merge CUs whose bi candidates must drop
+    to L0 uni-prediction (PU::restrictBiPredMergeCandsOne)."""
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_444_inter(self, seed, tmp_path):
+        dk = dict(split_prob=0.5, inter_prob=0.7, skip_prob=0.2,
+                  mv_range=24, bi_prob=0.5)
+        stream = _act_inter_stream(seed + 10, 3, dk)
+        ref = ref_decode(stream, tmp_path, expect_frames=3)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()

@@ -1247,6 +1247,16 @@ class CtuDecoder:
         intern_fwd = (1, 2, 0, 3, 4)
         cu.bcw_idx = intern_fwd[parsing_order[idx]]
 
+    def adaptive_color_transform(self, cu: CodingUnit) -> None:
+        """cu_act_enabled_flag (CABACReader::adaptive_color_transform,
+        CABACReader.cpp:1466): single-tree 4:4:4 only."""
+        if not self.sps.act_enabled or cu.tree_type != TREE_D:
+            return
+        want = None
+        if self.enc is not None:
+            want = int(self.decisions.act_flag(cu))
+        cu.color_transform = bool(self._bin(ctx("ACTFlag"), want=want))
+
     def rqt_root_cbf(self, cu: CodingUnit) -> bool:
         want = None
         if self.enc is not None:
@@ -1417,8 +1427,8 @@ class CtuDecoder:
 
         cs.add_cu(cu)
 
-        if self.sps.act_enabled:
-            raise NotImplementedError("adaptive color transform")
+        if cu.pred_mode == MODE_INTRA:
+            self.adaptive_color_transform(cu)
 
         if cu.pred_mode == MODE_INTRA:
             if cu.ch_type == 0 and cu.has_luma:
@@ -1549,7 +1559,10 @@ class CtuDecoder:
         if comp_ch == 0:
             allowed = cu.w <= max_ts and cu.h <= max_ts and cu.has_luma
         else:
-            allowed = cu.cw <= max_ts and cu.ch <= max_ts and cu.has_chroma
+            # chroma BDPCM is disallowed under ACT (CU::bdpcmAllowed,
+            # UnitTools.cpp:3554)
+            allowed = cu.cw <= max_ts and cu.ch <= max_ts \
+                and cu.has_chroma and not cu.color_transform
         if not allowed:
             return
         ctx_id = 0 if comp_ch == 0 else 2
@@ -1865,6 +1878,8 @@ class CtuDecoder:
                 self._add_empty_tus(cu, node)
                 return
         cu.root_cbf = True
+        if cu.pred_mode != MODE_INTRA:  # inter / IBC (CABACReader.cpp:1432)
+            self.adaptive_color_transform(cu)
         self.violates_lfnst = [False, False]
         self.lfnst_last_scan_pos = False
         self.violates_mts = False

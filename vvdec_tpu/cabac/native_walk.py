@@ -155,7 +155,7 @@ def native_walk_ok(coder) -> bool:
     if not hasattr(coder.dec._d, "walk_begin"):
         return False
     if coder.sps.act_enabled:
-        return False  # Python walk raises NotImplementedError identically
+        return False  # ACT (4:4:4) decodes via the Python walk for now
     return True
 
 

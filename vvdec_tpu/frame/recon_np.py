@@ -199,6 +199,22 @@ def apply_inv_lfnst(cs: CodingStructure, deq: np.ndarray, tu: TransformUnit,
     return res
 
 
+ACT_QP_DELTA = (-5, 1, 3, 1)  # Y, Cb, Cr, joint-CbCr (CommonDef.h:397)
+
+
+def tu_qp(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
+          comp: int) -> int:
+    """Dequant QP for one TU component (QpParam, Quant.cpp:65): the
+    stored TU QPs plus the ACT colour-space offset (deblocking keeps the
+    unadjusted QPs, so the delta applies only here)."""
+    qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
+        else tu.chroma_qp[comp - 1]
+    if cu.color_transform:
+        idx = 0 if comp == 0 else (3 if tu.joint_cbcr == 3 else comp)
+        qp = max(0, min(63 + cs.sps.qp_bd_offset, qp + ACT_QP_DELTA[idx]))
+    return qp
+
+
 def ts_residual(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
                 comp: int) -> np.ndarray:
     """Transform-skip / BDPCM residual: (invResDPCM +) TS dequant.
@@ -221,7 +237,7 @@ def ts_residual(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
         max_x, max_y = w - 1, h - 1
     else:
         max_x, max_y = tu.max_scan_x[comp], tu.max_scan_y[comp]
-    qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 else tu.chroma_qp[comp - 1]
+    qp = tu_qp(cs, tu, cu, comp)
     return dequant_block(levels, qp, w.bit_length() - 1, h.bit_length() - 1,
                          cs.sps.bit_depth, bool(cs.sh_of(cu).dep_quant_used),
                          max_x, max_y, ts=True,
@@ -243,9 +259,11 @@ def scaling_matrix_for(cs: CodingStructure, tu: TransformUnit,
     lfnst_applied = cu.lfnst_idx > 0 and (sep_tree or comp == 0)
     if lfnst_applied and cs.sps.scaling_matrix_for_lfnst_disabled:
         return None
-    # disableSMForACT (colorTransform is always 0 until ACT lands)
+    # disableSMForACT (Quant.cpp:306): scaling lists off when the TU's
+    # colour space is the one the SPS disables them for
     if cs.sps.scaling_matrix_for_alt_cs_disabled \
-            and not cs.sps.scaling_matrix_designated_cs:
+            and cs.sps.scaling_matrix_designated_cs == bool(
+                cu.color_transform):
         return None
     tables = getattr(cs, "_dq_tables", None)
     if tables is None:
@@ -1247,9 +1265,9 @@ class IntraReconstructor:
             return self.residual_planes[comp][y: y + h, x: x + w]
         levels = cs.coef[comp][y: y + h, x: x + w]
         # luma: QpParam baseQp = qp + QpBdOffset (Quant.cpp:79);
-        # chroma qp already includes the offset (_set_chroma_qp)
-        qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
-            else tu.chroma_qp[comp - 1]
+        # chroma qp already includes the offset (_set_chroma_qp);
+        # ACT colour-space delta folded in by tu_qp
+        qp = tu_qp(cs, tu, cu, comp)
         dep_quant = cs.sh_of(cu).dep_quant_used
         if tu.mts_idx[comp] == MTS_SKIP:
             # transform skip / BDPCM: residual = dequantized levels
@@ -1270,8 +1288,63 @@ class IntraReconstructor:
         hor, ver = get_tr_types(cs, tu, cu, comp)
         return inverse_transform(deq, hor, ver, self.bit_depth)
 
+    def _reconstruct_tu_act(self, tu: TransformUnit, cu: CodingUnit) -> None:
+        """Intra TU under the adaptive colour transform (DecCu::xIntraRecACT,
+        DecCu.cpp:597): residuals of all three components are inverse
+        YCgCo-R converted first, chroma LMCS residual scaling applies to the
+        converted signal, then each component predicts and reconstructs
+        (prediction + residual added for every component — the conversion
+        mixes channels, so zero-cbf planes still receive residual)."""
+        cs = self.cs
+        x, y, w, h = tu.blocks[0]
+
+        def raw_resi(comp):
+            if comp == 1 and tu.joint_cbcr:
+                coded = 1 if (tu.joint_cbcr >> 1) else 2
+                r = self.tu_residual(tu, cu, coded).astype(np.int64)
+                neg = bool(cs.ph.joint_cbcr_sign)
+                if tu.joint_cbcr == 1:
+                    self._act_jccr = (((-r) >> 1) if neg else (r >> 1), r)
+                elif tu.joint_cbcr == 2:
+                    self._act_jccr = (r, ((-r) >> 1) if neg else (r >> 1))
+                else:
+                    self._act_jccr = (r, -r if neg else r)
+                return self._act_jccr[0]
+            if comp == 2 and tu.joint_cbcr:
+                return self._act_jccr[1]
+            if tu.cbf[comp]:
+                return self.tu_residual(tu, cu, comp).astype(np.int64)
+            return np.zeros((h, w), dtype=np.int64)
+
+        r0, r1, r2 = (raw_resi(c) for c in range(3))
+        # inverse YCgCo-R (UnitBuf::colorSpaceConvert, Buffer.cpp:809)
+        max_abs = (1 << (self.bit_depth + 1)) - 1
+        y0 = np.clip(r0, -max_abs - 1, max_abs)
+        cg = np.clip(r1, -max_abs - 1, max_abs)
+        co = np.clip(r2, -max_abs - 1, max_abs)
+        t = y0 - (cg >> 1)
+        resi = [cg + t, t - (co >> 1), None]
+        resi[2] = co + resi[1]
+        # chroma LMCS residual scaling on the converted residual
+        # (xIntraRecACT order, DecCu.cpp:618-631)
+        if self.reshaper is not None and cs.sh_of(cu).lmcs_enabled \
+                and cs.ph.chroma_residual_scale and w * h > 4:
+            for comp in (1, 2):
+                if tu.cbf[comp] or tu.joint_cbcr:
+                    inv = self.reshaper.chroma_adj_vpdu(self.reco, cs, x, y)
+                    resi[comp] = self.reshaper.scale_signal(resi[comp], inv)
+        for comp in range(3):
+            pred = self.predict_tu(tu, cu, comp)
+            self.reco[comp][y: y + h, x: x + w] = np.clip(
+                pred + resi[comp], 0, self.pel_max)
+        self.tu_order_map[y >> 2: (y + h) >> 2,
+                          x >> 2: (x + w) >> 2] = tu.order
+
     def reconstruct_tu(self, tu: TransformUnit, cu: CodingUnit) -> None:
         cs = self.cs
+        if cu.color_transform and cu.pred_mode == MODE_INTRA:
+            self._reconstruct_tu_act(tu, cu)
+            return
         comps = []
         if tu.blocks[0] is not None and cu.has_luma:
             comps.append(0)
@@ -1428,6 +1501,13 @@ class IntraReconstructor:
             cu.bcw_idx = bcw
             cu.alt_hpel = alt
             cu.imv = 3 if alt else 0  # propagate IMV_HPEL to neighbors
+            if cu.w + cu.h == 12 and cu.inter_dir == 3:
+                # 4x8/8x4 merge CUs drop to L0 uni-prediction
+                # (PU::restrictBiPredMergeCandsOne, UnitTools.cpp:3111)
+                cu.inter_dir = 1
+                cu.ref_idx[1] = -1
+                cu.mv[1] = [0, 0]
+                cu.bcw_idx = 0
         else:
             mv = [[0, 0], [0, 0]]
             sh_amvr = I.AMVR_SHIFT[cu.imv]

@@ -173,8 +173,8 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
                 from vvdec_tpu.frame.recon_np import (
                     apply_inv_lfnst, dequant_block, get_tr_types as gtt,
                     inverse_transform)
-                qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
-                    else tu.chroma_qp[comp - 1]
+                from vvdec_tpu.frame.recon_np import tu_qp
+                qp = tu_qp(cs, tu, cu, comp)
                 levels = cs.coef[comp][y: y + h, x: x + w]
                 from vvdec_tpu.frame.recon_np import scaling_matrix_for
                 deq = dequant_block(levels, qp, w.bit_length() - 1,
@@ -203,7 +203,8 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
                     deq, hor, ver, cs.sps.bit_depth)
                 continue
             hor, ver = get_tr_types(cs, tu, cu, comp)
-            qp = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 else tu.chroma_qp[comp - 1]
+            from vvdec_tpu.frame.recon_np import tu_qp
+            qp = tu_qp(cs, tu, cu, comp)
             if cs.scaling_list is not None:
                 from vvdec_tpu.frame.recon_np import scaling_matrix_for
                 smat = scaling_matrix_for(cs, tu, cu, comp)

@@ -111,7 +111,7 @@ class RandomDecisions(Decisions):
                  max_gpm_cand: int = 2, affine_prob: float = 0.0,
                  affine_merge_prob: float = 0.0, affine_6p_prob: float = 0.5,
                  affine_imv_prob: float = 0.0, aff_mv_range: int = 16,
-                 ibc_prob: float = 0.0):
+                 ibc_prob: float = 0.0, act_prob: float = 0.0):
         self.rnd = random.Random(seed)
         self.split_prob = split_prob
         self.cbf_prob = cbf_prob
@@ -142,6 +142,7 @@ class RandomDecisions(Decisions):
         self.affine_imv_prob = affine_imv_prob
         self.aff_mv_range = aff_mv_range
         self.ibc_prob = ibc_prob
+        self.act_prob = act_prob
         self._ibc_plans = {}
 
     def split(self, node, allowed):
@@ -247,6 +248,9 @@ class RandomDecisions(Decisions):
 
     def root_cbf(self, cu):
         return self.rnd.random() < self.cbf_prob
+
+    def act_flag(self, cu):
+        return self.rnd.random() < self.act_prob
 
     def smvd(self, cu):
         return self.rnd.random() < getattr(self, "smvd_prob", 0)

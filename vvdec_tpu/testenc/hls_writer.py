@@ -129,7 +129,6 @@ def write_sps(w: BitWriter, sps: SPS) -> None:
                  and not sps.virtual_boundaries_present,
                  "PH-signalled virtual boundaries")
     _unsupported(sps.ladf_enabled, "LADF")
-    _unsupported(sps.act_enabled, "ACT")
     _unsupported(bool(sps.extra_ph_bit_present) or bool(sps.extra_sh_bit_present),
                  "extra PH/SH bits")
 
