@@ -116,3 +116,62 @@ class TestSmallCuBiRestriction:
         ref = ref_decode(stream, tmp_path, expect_frames=3)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestFormatsFullToolset:
+    """Heavy inter toolset (affine/GPM/MMVD/SMVD/TMVP/SbTMVP/BCW/AMVR/
+    DMVR/BDOF/CIIP) across chroma formats, incl. 4:4:4 + ACT — oracle
+    bit-exactness vs the reference decoder."""
+
+    TOOLS = dict(affine_enabled=True, affine_6param=True,
+                 temporal_mvp_enabled=True, sbtmvp_enabled=True,
+                 mmvd_enabled=True, smvd_enabled=True, gpm_enabled=True,
+                 max_num_gpm_cand=2, ciip_enabled=True, bcw_enabled=True,
+                 amvr_enabled=True, dmvr_enabled=True, bdof_enabled=True)
+    DK = dict(split_prob=0.5, inter_prob=0.8, skip_prob=0.15, mv_range=48,
+              bi_prob=0.6, affine_prob=0.25, affine_merge_prob=0.3,
+              geo_prob=0.2, mmvd_prob=0.2, ciip_prob=0.15, smvd_prob=0.2,
+              bcw_prob=0.3, amvr_prob=0.3)
+
+    def _build(self, cf, seed, n, dk, sps_extra):
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.hls.params import B_SLICE
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions
+        from vvdec_tpu.testenc.hls_writer import (make_nal, write_pps,
+                                                  write_sps)
+
+        sps = E.make_sps(96, 64, chroma_format=cf, **sps_extra)
+        pps = E.make_pps(sps)
+        w = BitWriter()
+        write_sps(w, sps)
+        st = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        st += make_nal(NalUnitType.PPS, w.bytes())
+        for f in range(n):
+            dec = RandomDecisions(seed=seed * 100 + f, **dk)
+            if f == 0:
+                nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=0,
+                                        idr=True)
+            else:
+                nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=f,
+                                        idr=False, slice_type=B_SLICE,
+                                        ref_deltas=((1,), (1,)))
+            st += nal
+        return st
+
+    @pytest.mark.parametrize("cf", (0, 2, 3))
+    def test_format_full_toolset(self, cf, tmp_path):
+        stream = self._build(cf, cf, 4, self.DK, dict(self.TOOLS))
+        ref = ref_decode(stream, tmp_path, expect_frames=4)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+    def test_444_act_full_toolset(self, tmp_path):
+        stream = self._build(3, 51, 4, dict(self.DK, act_prob=0.4),
+                             dict(self.TOOLS, act_enabled=True))
+        ref = ref_decode(stream, tmp_path, expect_frames=4)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
