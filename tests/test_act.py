@@ -175,3 +175,30 @@ class TestFormatsFullToolset:
         ref = ref_decode(stream, tmp_path, expect_frames=4)
         out = decode_to_yuv(stream)
         assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+
+class TestActScalingLists:
+    """Explicit scaling lists under ACT: the colour-space disable gate
+    (disableSMForACT, Quant.cpp:306) in both polarities."""
+
+    @pytest.mark.parametrize("alt_disabled,designated", (
+        (True, False), (True, True), (False, False)))
+    def test_gate(self, alt_disabled, designated, tmp_path):
+        from tests.test_scaling_list import _stream
+
+        sps_kw = dict(chroma_format=3, act_enabled=True)
+        if alt_disabled:
+            sps_kw.update(scaling_matrix_for_alt_cs_disabled=True,
+                          scaling_matrix_designated_cs=designated)
+        stream = _stream(3, 2, 1, sps_kw,
+                         dict(split_prob=0.5, act_prob=0.6), chroma=True)
+        ref = ref_decode(stream, tmp_path, expect_frames=2)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+    def test_lmcs_act(self, tmp_path):
+        """Chroma LMCS residual scaling applies to the converted residual
+        (xIntraRecACT order, DecCu.cpp:618-631)."""
+        _check(tmp_path, width=64, height=64, seed=7,
+               sps_kw=dict(S, lmcs_enabled=True),
+               dec_kw=dict(split_prob=0.5, act_prob=0.6))

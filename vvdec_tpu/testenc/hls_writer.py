@@ -306,6 +306,10 @@ def write_sps(w: BitWriter, sps: SPS) -> None:
     w.flag(sps.explicit_scaling_list_enabled)
     if sps.lfnst_enabled and sps.explicit_scaling_list_enabled:
         w.flag(sps.scaling_matrix_for_lfnst_disabled)
+    if sps.act_enabled and sps.explicit_scaling_list_enabled:
+        w.flag(sps.scaling_matrix_for_alt_cs_disabled)
+        if sps.scaling_matrix_for_alt_cs_disabled:
+            w.flag(sps.scaling_matrix_designated_cs)
     w.flag(sps.dep_quant_enabled)
     w.flag(sps.sign_data_hiding_enabled)
     w.flag(sps.virtual_boundaries_enabled)
