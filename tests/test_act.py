@@ -202,3 +202,31 @@ class TestActScalingLists:
         _check(tmp_path, width=64, height=64, seed=7,
                sps_kw=dict(S, lmcs_enabled=True),
                dec_kw=dict(split_prob=0.5, act_prob=0.6))
+
+
+class TestActWithPartitioningTools:
+    """ACT / 4:4:4 combined with WPP and tiles (substream entry points,
+    per-tile context resets) — oracle bit-exactness."""
+
+    def test_wpp_444_act(self, tmp_path):
+        from tests.test_tiles_wpp import _stream
+
+        stream = _stream(1, 2, 2,
+                         dict(entropy_coding_sync_enabled=True,
+                              chroma_format=3, act_enabled=True),
+                         {}, dict(split_prob=0.5, act_prob=0.5))
+        ref = ref_decode(stream, tmp_path, expect_frames=2)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
+
+    def test_tiles_444_inter(self, tmp_path):
+        from tests.test_tiles_wpp import _stream
+
+        stream = _stream(3, 4, 0,
+                         dict(chroma_format=3, temporal_mvp_enabled=True),
+                         dict(tile_cols=[2, 1], tile_rows=[1, 1]),
+                         dict(split_prob=0.5, inter_prob=0.7,
+                              skip_prob=0.2, mv_range=40, bi_prob=0.5))
+        ref = ref_decode(stream, tmp_path, expect_frames=4)
+        out = decode_to_yuv(stream)
+        assert hashlib.md5(ref).hexdigest() == hashlib.md5(out).hexdigest()
