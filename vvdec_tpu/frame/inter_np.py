@@ -75,6 +75,14 @@ class MotionHist:
     def add_ibc(self, bv: tuple) -> None:
         self._add(self.lut_ibc, bv)
 
+    def sync_from_buf(self) -> None:
+        """Rebuild the Python mirror after the native inter driver
+        (walk9.c) updated buf/nbuf in place."""
+        self.lut = [
+            (int(r[0]), (int(r[1]), int(r[2])), (int(r[3]), int(r[4])),
+             int(r[5]), int(r[6]), int(r[7]), bool(r[8]))
+            for r in self.buf[: int(self.nbuf[0])]]
+
 
 def _mi_of(cu: CodingUnit) -> tuple:
     """(inter_dir, mv0, mv1, ref0, ref1, bcw_fwd, alt_hpel)."""

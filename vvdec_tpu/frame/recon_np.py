@@ -1421,10 +1421,17 @@ class IntraReconstructor:
         last_ctu_row = -1
         prev_cu = None
         ibc_on = self.cs.sps.ibc_enabled
-        # native fast path (C engine) for the common-tool intra subset;
-        # ineligible TUs fall back to the Python golden per TU
+        # native fast paths (C engines): intra TUs (recon.c) and whole
+        # inter CUs (walk9.c); ineligible TUs fall back to the Python
+        # golden per TU, preserving parse order
         from vvdec_tpu.frame.recon_native import NativeFastPath
         fp = NativeFastPath(self)
+        ifp = None
+        if not self.cs.sh.is_intra or len(self.cs.shs) > 1:
+            from vvdec_tpu.frame.inter_native import InterFastPath
+            ifp = InterFastPath(self)
+            if not ifp.active:
+                ifp = None
         tus = self.cs.tus
         n_tus = len(tus)
         i = 0
@@ -1433,6 +1440,18 @@ class IntraReconstructor:
                 j = fp.run_from(i)
                 if j > i:
                     i = j
+                    continue
+            if ifp is not None:
+                # share the HMVP-reset key with the C driver
+                if last_ctu_row != -1:
+                    ifp.state[0], ifp.state[1] = last_ctu_row
+                j = ifp.run_from(i)
+                if j > i:
+                    i = j
+                    last_ctu_row = (int(ifp.state[0]), int(ifp.state[1]))
+                    cu = self.cs.cus[tus[j - 1].cu_idx]
+                    self._seen_cu = cu.idx
+                    prev_cu = cu
                     continue
             tu = tus[i]
             i += 1
@@ -1457,6 +1476,8 @@ class IntraReconstructor:
                         side[cu.idx, 0] = cu.bcw_idx
                         side[cu.idx, 1] = cu.imv
             self.reconstruct_tu(tu, cu)
+        if ifp is not None:
+            ifp.flush_fixups()
         cs = self.cs
         if self.reshaper is not None and any(s.lmcs_enabled
                                              for s in cs.shs):

@@ -22,7 +22,7 @@ def _so_path(name: str, local: bool = False) -> str:
 
 
 _DEPS = {"_cabac": ("walk.c", "walk2.c", "walk3.c", "walk4.c", "walk5.c",
-                    "walk6.c", "walk7.c", "walk8.c")}
+                    "walk6.c", "walk7.c", "walk8.c", "walk9.c")}
 
 
 def _build(name: str) -> str | None:

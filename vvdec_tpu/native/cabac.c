@@ -1130,6 +1130,7 @@ static PyObject *mod_deblock_chroma(PyObject *self, PyObject *args)
 #include "walk6.c"
 #include "walk7.c"
 #include "walk8.c"
+#include "walk9.c"
 
 static PyMemberDef Decoder_members[] = {
     {"pos", T_PYSSIZET, offsetof(Decoder, pos), 0, "read position"},
@@ -1212,6 +1213,8 @@ PyMODINIT_FUNC PyInit__cabac(void)
         return NULL;
     if (PyType_Ready(&MotionCtxType) < 0)
         return NULL;
+    if (PyType_Ready(&InterCtxType) < 0)
+        return NULL;
     m = PyModule_Create(&cabacmodule);
     if (!m)
         return NULL;
@@ -1219,6 +1222,10 @@ PyMODINIT_FUNC PyInit__cabac(void)
     PyModule_AddObject(m, "Decoder", (PyObject *)&DecoderType);
     Py_INCREF(&MotionCtxType);
     PyModule_AddObject(m, "MotionCtx", (PyObject *)&MotionCtxType);
+    Py_INCREF(&InterCtxType);
+    PyModule_AddObject(m, "InterCtx", (PyObject *)&InterCtxType);
+    PyModule_AddIntConstant(m, "INTER_PARAM_COUNT", IP_COUNT);
+    PyModule_AddIntConstant(m, "INTER_SLICE_NF", IS_NF);
     PyModule_AddIntConstant(m, "WALK_PARAM_COUNT", WP_COUNT);
     PyModule_AddIntConstant(m, "WALK_CU_NF", CU_NF);
     PyModule_AddIntConstant(m, "WALK_TU_NF", TUF_NF);

@@ -14,25 +14,17 @@
 #define IF_OFFS (1 << (IF_PREC - 1))
 #define IF_FILT 6
 
-/* mc_block(ref y* i32, W, H, x0 (incl. int mv), y0, w, h,
- *   cx y* i32[taps] or b"", cy y* i32[taps] or b"", taps, bd,
- *   intermediate, wrap_off(-1 none), lo_x, lo_y, hi_x, hi_y, out w* i32) */
-static PyObject *mod_mc_block(PyObject *self, PyObject *args)
+/* core: N-tap separable MC over a clamped/wrapped gather window.
+ * cx/cy NULL => integer position on that axis.  Returns 0, or -1 with a
+ * Python exception set (block too large / OOM). */
+static int mc_block_core(const int32_t *ref, int W, int H, int x0, int y0,
+                         int w, int h, const int32_t *cx, const int32_t *cy,
+                         int taps, int bd, int intermediate, int wrap_off,
+                         int lo_x, int lo_y, int hi_x, int hi_y,
+                         int32_t *out)
 {
-    Py_buffer b_ref, b_cx, b_cy, b_out;
-    int W, H, x0, y0, w, h, taps, bd, intermediate, wrap_off;
-    int lo_x, lo_y, hi_x, hi_y;
-    if (!PyArg_ParseTuple(args, "y*iiiiiiy*y*iiiiiiiiw*",
-                          &b_ref, &W, &H, &x0, &y0, &w, &h, &b_cx, &b_cy,
-                          &taps, &bd, &intermediate, &wrap_off, &lo_x, &lo_y,
-                          &hi_x, &hi_y, &b_out))
-        return NULL;
-    const int32_t *ref = (const int32_t *)b_ref.buf;
-    const int32_t *cx = (const int32_t *)b_cx.buf;
-    const int32_t *cy = (const int32_t *)b_cy.buf;
-    int has_fx = b_cx.len >= (Py_ssize_t)sizeof(int32_t);
-    int has_fy = b_cy.len >= (Py_ssize_t)sizeof(int32_t);
-    int32_t *out = (int32_t *)b_out.buf;
+    int has_fx = cx != NULL;
+    int has_fy = cy != NULL;
     int half = taps / 2 - 1;
     int wx0 = x0 - half, wy0 = y0 - half;
     int ew = w + taps - 1, eh = h + taps - 1;
@@ -49,7 +41,7 @@ static PyObject *mod_mc_block(PyObject *self, PyObject *args)
         xs = (int *)malloc(sizeof(int) * (ew + eh));
         if (!xs) {
             PyErr_NoMemory();
-            goto fail;
+            return -1;
         }
         ys = xs + ew;
         xs_heap = 1;
@@ -92,8 +84,9 @@ static PyObject *mod_mc_block(PyObject *self, PyObject *args)
         /* pass 1 horizontal over the full vertical extent */
         static int32_t tmp[(128 + 16) * 128]; /* [eh][w], w,h <= 128 */
         if (w > 128 || eh > 128 + 16) {
+            if (xs_heap) free(xs);
             PyErr_SetString(PyExc_ValueError, "mc_block too large");
-            goto fail;
+            return -1;
         }
         int s1 = IF_FILT - head;
         int64_t off1 = -((int64_t)IF_OFFS << s1);
@@ -154,16 +147,35 @@ static PyObject *mod_mc_block(PyObject *self, PyObject *args)
     }
 
     if (xs_heap) free(xs);
+    return 0;
+}
+
+/* mc_block(ref y* i32, W, H, x0 (incl. int mv), y0, w, h,
+ *   cx y* i32[taps] or b"", cy y* i32[taps] or b"", taps, bd,
+ *   intermediate, wrap_off(-1 none), lo_x, lo_y, hi_x, hi_y, out w* i32) */
+static PyObject *mod_mc_block(PyObject *self, PyObject *args)
+{
+    Py_buffer b_ref, b_cx, b_cy, b_out;
+    int W, H, x0, y0, w, h, taps, bd, intermediate, wrap_off;
+    int lo_x, lo_y, hi_x, hi_y;
+    if (!PyArg_ParseTuple(args, "y*iiiiiiy*y*iiiiiiiiw*",
+                          &b_ref, &W, &H, &x0, &y0, &w, &h, &b_cx, &b_cy,
+                          &taps, &bd, &intermediate, &wrap_off, &lo_x, &lo_y,
+                          &hi_x, &hi_y, &b_out))
+        return NULL;
+    int has_fx = b_cx.len >= (Py_ssize_t)sizeof(int32_t);
+    int has_fy = b_cy.len >= (Py_ssize_t)sizeof(int32_t);
+    int rc = mc_block_core(
+        (const int32_t *)b_ref.buf, W, H, x0, y0, w, h,
+        has_fx ? (const int32_t *)b_cx.buf : NULL,
+        has_fy ? (const int32_t *)b_cy.buf : NULL,
+        taps, bd, intermediate, wrap_off, lo_x, lo_y, hi_x, hi_y,
+        (int32_t *)b_out.buf);
     PyBuffer_Release(&b_ref);
     PyBuffer_Release(&b_cx);
     PyBuffer_Release(&b_cy);
     PyBuffer_Release(&b_out);
+    if (rc < 0)
+        return NULL;
     Py_RETURN_NONE;
-fail:
-    if (xs_heap) free(xs);
-    PyBuffer_Release(&b_ref);
-    PyBuffer_Release(&b_cx);
-    PyBuffer_Release(&b_cy);
-    PyBuffer_Release(&b_out);
-    return NULL;
 }

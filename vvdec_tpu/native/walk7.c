@@ -23,26 +23,14 @@ static inline int64_t itx_clip(int64_t v, int64_t lo, int64_t hi)
     return v < lo ? lo : (v > hi ? hi : v);
 }
 
-/* itx_block(coef y* i32 plane, W, x, y, w, h, qp, dep_quant, max_x, max_y,
- *   bd, mh y* i32[w*w], mv y* i32[h*h], scale y* i32[h*w] or b"",
- *   out w* i64[h*w]) */
-static PyObject *mod_itx_block(PyObject *self, PyObject *args)
+/* core: dequant + separable inverse transform of one TU (w, h >= 2).
+ * out: int64 [h][w]. */
+static void itx_block_core(const int32_t *coef, int W, int x, int y, int w,
+                           int h, int qp, int dep_quant, int max_x,
+                           int max_y, int bd, const int32_t *mh,
+                           const int32_t *mv, const int32_t *scale_mat,
+                           int64_t *out)
 {
-    Py_buffer b_coef, b_mh, b_mv, b_scale, b_out;
-    int W, x, y, w, h, qp, dep_quant, max_x, max_y, bd;
-    if (!PyArg_ParseTuple(args, "y*iiiiiiiiiiy*y*y*w*",
-                          &b_coef, &W, &x, &y, &w, &h, &qp, &dep_quant,
-                          &max_x, &max_y, &bd, &b_mh, &b_mv, &b_scale,
-                          &b_out))
-        return NULL;
-    const int32_t *coef = (const int32_t *)b_coef.buf;
-    const int32_t *mh = (const int32_t *)b_mh.buf;
-    const int32_t *mv = (const int32_t *)b_mv.buf;
-    const int32_t *scale_mat =
-        b_scale.len >= (Py_ssize_t)sizeof(int32_t)
-            ? (const int32_t *)b_scale.buf : NULL;
-    int64_t *out = (int64_t *)b_out.buf;
-
     int log2w = w_ilog2(w), log2h = w_ilog2(h);
     int transform_shift = ITX_MAX_TR_RANGE - bd - ((log2w + log2h) >> 1);
     int needs_sqrt2 = ((log2w + log2h) & 1) == 1;
@@ -128,7 +116,26 @@ static PyObject *mod_itx_block(PyObject *self, PyObject *args)
             rr[xp] = v;
         }
     }
+}
 
+/* itx_block(coef y* i32 plane, W, x, y, w, h, qp, dep_quant, max_x, max_y,
+ *   bd, mh y* i32[w*w], mv y* i32[h*h], scale y* i32[h*w] or b"",
+ *   out w* i64[h*w]) */
+static PyObject *mod_itx_block(PyObject *self, PyObject *args)
+{
+    Py_buffer b_coef, b_mh, b_mv, b_scale, b_out;
+    int W, x, y, w, h, qp, dep_quant, max_x, max_y, bd;
+    if (!PyArg_ParseTuple(args, "y*iiiiiiiiiiy*y*y*w*",
+                          &b_coef, &W, &x, &y, &w, &h, &qp, &dep_quant,
+                          &max_x, &max_y, &bd, &b_mh, &b_mv, &b_scale,
+                          &b_out))
+        return NULL;
+    itx_block_core((const int32_t *)b_coef.buf, W, x, y, w, h, qp,
+                   dep_quant, max_x, max_y, bd,
+                   (const int32_t *)b_mh.buf, (const int32_t *)b_mv.buf,
+                   b_scale.len >= (Py_ssize_t)sizeof(int32_t)
+                       ? (const int32_t *)b_scale.buf : NULL,
+                   (int64_t *)b_out.buf);
     PyBuffer_Release(&b_coef);
     PyBuffer_Release(&b_mh);
     PyBuffer_Release(&b_mv);

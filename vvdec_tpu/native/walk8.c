@@ -219,13 +219,9 @@ static void mc_tmvp_pos(const MotionCtx *mc, const int32_t *cu,
 
 /* ---- regular merge list (inter_np.derive_merge) ---- */
 
-static PyObject *MotionCtx_merge_list(MotionCtx *self, PyObject *args)
+/* core: regular merge list into out [max_merge, MC_ENT]; returns count */
+static int mc_merge_core(MotionCtx *self, int idx, int32_t *out)
 {
-    int idx;
-    Py_buffer out_buf;
-    if (!PyArg_ParseTuple(args, "iw*", &idx, &out_buf))
-        return NULL;
-    int32_t *out = (int32_t *)out_buf.buf; /* [max_merge, MC_ENT] */
     const int32_t *cu = MC_CU(self, idx);
     const int32_t *slt = self->slice_tab
         + (size_t)cu[CU_SLICE_IDX] * SLT_NF;
@@ -246,11 +242,7 @@ static PyObject *MotionCtx_merge_list(MotionCtx *self, PyObject *args)
                MC_ENT * sizeof(int32_t));                                \
         n++;                                                             \
     } while (0)
-#define DONE()                                                           \
-    do {                                                                 \
-        PyBuffer_Release(&out_buf);                                      \
-        return PyLong_FromLong(n);                                       \
-    } while (0)
+#define DONE() return n
 
     int32_t mi_b1[MC_ENT], mi_a1[MC_ENT], tmp[MC_ENT];
     int has_b1 = 0, has_a1 = 0;
@@ -442,6 +434,17 @@ static PyObject *MotionCtx_merge_list(MotionCtx *self, PyObject *args)
 #undef DONE
 }
 
+static PyObject *MotionCtx_merge_list(MotionCtx *self, PyObject *args)
+{
+    int idx;
+    Py_buffer out_buf;
+    if (!PyArg_ParseTuple(args, "iw*", &idx, &out_buf))
+        return NULL;
+    int n = mc_merge_core(self, idx, (int32_t *)out_buf.buf);
+    PyBuffer_Release(&out_buf);
+    return PyLong_FromLong(n);
+}
+
 /* ---- AMVP pair (inter_np.fill_mvp) ---- */
 
 static void mc_round_amvr(int32_t mv[2], int shift)
@@ -483,13 +486,10 @@ static int mc_amvp_try(const MotionCtx *mc, int idx, int lst,
     return 0;
 }
 
-static PyObject *MotionCtx_amvp_list(MotionCtx *self, PyObject *args)
+/* core: AMVP candidate pair into out[4] = (mv0x, mv0y, mv1x, mv1y) */
+static void mc_amvp_core(MotionCtx *self, int idx, int lst, int ref_idx,
+                         int32_t *out)
 {
-    int idx, lst, ref_idx;
-    Py_buffer out_buf;
-    if (!PyArg_ParseTuple(args, "iiiw*", &idx, &lst, &ref_idx, &out_buf))
-        return NULL;
-    int32_t *out = (int32_t *)out_buf.buf; /* [2, 2] */
     const int32_t *cu = MC_CU(self, idx);
     const int32_t *slt = self->slice_tab
         + (size_t)cu[CU_SLICE_IDX] * SLT_NF;
@@ -558,6 +558,15 @@ static PyObject *MotionCtx_amvp_list(MotionCtx *self, PyObject *args)
     out[1] = cands[0][1];
     out[2] = cands[1][0];
     out[3] = cands[1][1];
+}
+
+static PyObject *MotionCtx_amvp_list(MotionCtx *self, PyObject *args)
+{
+    int idx, lst, ref_idx;
+    Py_buffer out_buf;
+    if (!PyArg_ParseTuple(args, "iiiw*", &idx, &lst, &ref_idx, &out_buf))
+        return NULL;
+    mc_amvp_core(self, idx, lst, ref_idx, (int32_t *)out_buf.buf);
     PyBuffer_Release(&out_buf);
     Py_RETURN_NONE;
 }
