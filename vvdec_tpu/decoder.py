@@ -185,6 +185,33 @@ class FrameParser:
         return None
 
 
+class _DeferredFrame:
+    """In-flight device-filtered frame: resolves to pixel planes on first
+    use (as a reference or for output), running the deferred DPH check."""
+
+    def __init__(self, dec, pending, sei, poc, bit_depth) -> None:
+        self._dec = dec
+        self._pending = pending
+        self._sei = sei
+        self._poc = poc
+        self._bd = bit_depth
+        self._planes32 = None
+        self._u16 = None
+
+    def resolve_int32(self) -> list:
+        if self._planes32 is None:
+            self._planes32 = self._pending.resolve()
+            self._pending = None
+            self._u16 = [p.astype(np.uint16) for p in self._planes32]
+            self._dec._check_dph(self._sei, self._u16, self._bd,
+                                 self._poc)
+        return self._planes32
+
+    def resolve_u16(self) -> list:
+        self.resolve_int32()
+        return self._u16
+
+
 def t_is_ref(nal_type) -> bool:
     return True  # RASL/RADL handling arrives with inter support
 
@@ -288,13 +315,21 @@ class StreamDecoder:
         return [np.full((h, w), grey, dtype=np.int32)
                 for (w, h) in cs.comp_size]
 
+    def _ref_planes_of(self, poc: int) -> list:
+        """Reference planes by POC, resolving in-flight device frames."""
+        v = self._refs[poc]
+        if isinstance(v, _DeferredFrame):
+            v = v.resolve_int32()
+            self._refs[poc] = v
+        return v
+
     def _substitute_ref(self, poc: int, cs):
         """Lost reference: the closest decoded picture, or a grey frame
         (DecLibParser::prepareUnavailablePicture + findClosestPic)."""
         self.error_pictures += 1
         if self._refs:
             best = min(self._refs, key=lambda p: (abs(p - poc), p))
-            return self._refs[best], self._ref_cols[best]
+            return self._ref_planes_of(best), self._ref_cols[best]
         from vvdec_tpu.frame.inter_np import ColMotion
         planes = self._grey_planes(cs)
         return planes, ColMotion(cs, poc)
@@ -399,7 +434,7 @@ class StreamDecoder:
                         self._refs[ref_poc] = planes_c
                         self._ref_cols[ref_poc] = col_c
                         pic_error = True
-                    cs.ref_planes[lst].append(self._refs[ref_poc])
+                    cs.ref_planes[lst].append(self._ref_planes_of(ref_poc))
                     cs.ref_cols[lst].append(self._ref_cols[ref_poc])
                     # RPR: record per-ref scaling when the reference uses a
                     # different size/scaling window (Slice::scaleRefPicList)
@@ -418,27 +453,30 @@ class StreamDecoder:
                 for p in cs.ref_pocs[lst][: sh_ref.num_ref_idx_active[lst]])
         from vvdec_tpu.utils.trace import msg, profiler, trace, INFO
         t_pic = time.monotonic()
+        use_dev = False
         if self.use_jax:
-            with profiler.stage("recon(jax)"):
-                from vvdec_tpu.ops.pipeline import reconstruct_frame_jax
-                planes = reconstruct_frame_jax(cs)
+            from vvdec_tpu.ops.device_pipeline import (
+                device_filter_eligible, filter_frame_device)
+            use_dev = device_filter_eligible(cs)
+        with profiler.stage("recon"):
+            planes = IntraReconstructor(cs).run()
+        deferred = None
+        if use_dev:
+            # whole in-loop filter chain + output packing on device, one
+            # async dispatch; deblock strength derivation (host C) runs
+            # inside — before the DMVR MV fixups below, same as the host
+            # path (TaskFinishMotionInfo ordering)
+            with profiler.stage("filter(submit)"):
+                pending = filter_frame_device(cs, planes)
+            deferred = _DeferredFrame(self, pending, f.sei, f.poc,
+                                      cs.sps.bit_depth)
         else:
-            with profiler.stage("recon"):
-                planes = IntraReconstructor(cs).run()
             with profiler.stage("deblock"):
                 deblock_frame(cs, planes)
-        with profiler.stage("sao"):
-            if self.use_jax:
-                from vvdec_tpu.ops.pipeline import sao_frame_jax
-                sao_frame_jax(cs, planes)
-            else:
+            with profiler.stage("sao"):
                 from vvdec_tpu.frame.sao_np import sao_frame
                 sao_frame(cs, planes)
-        with profiler.stage("alf"):
-            if self.use_jax:
-                from vvdec_tpu.ops.pipeline import alf_frame_jax
-                planes = alf_frame_jax(cs, planes)
-            else:
+            with profiler.stage("alf"):
                 from vvdec_tpu.frame.alf_np import alf_frame
                 planes = alf_frame(cs, planes)
         # DMVR-refined MVs enter the motion field only after deblocking
@@ -446,27 +484,13 @@ class StreamDecoder:
         for x2, y2, mv0, mv1 in getattr(cs, "dmvr_fixups", ()):
             cs.mi_mv[y2 >> 2, x2 >> 2, 0] = mv0
             cs.mi_mv[y2 >> 2, x2 >> 2, 1] = mv1
-        self._refs[f.poc] = planes
+        self._refs[f.poc] = deferred if use_dev else planes
         self._ref_pps[f.poc] = cs.pps
         from vvdec_tpu.frame.inter_np import ColMotion
         self._ref_cols[f.poc] = ColMotion(cs, f.poc)
-        out_planes = [p.astype(np.uint16) for p in planes]
-        # decoded-picture-hash verification (DecLib::checkPictureHashSEI,
-        # DecLib.cpp:480)
-        from vvdec_tpu.hls.sei import (
-            SEI_DECODED_PICTURE_HASH, calc_picture_hash, parse_dph,
-        )
-        for m in f.sei:
-            if m.payload_type == SEI_DECODED_PICTURE_HASH:
-                dph = parse_dph(m)
-                got = calc_picture_hash(out_planes, cs.sps.bit_depth,
-                                        dph.method)
-                if got != dph.digest:
-                    self.hash_errors += 1
-                    if self.strict_hash:
-                        raise ValueError(
-                            f"decoded picture hash mismatch at POC {f.poc}: "
-                            f"{got.hex()} != {dph.digest.hex()}")
+        if not use_dev:
+            out_planes = [p.astype(np.uint16) for p in planes]
+            self._check_dph(f.sei, out_planes, cs.sps.bit_depth, f.poc)
         # per-POC decode log + trace (reference per-picture log line,
         # DecLib.cpp:395-438; D_PIC trace channel)
         st = "IDR" if f.is_idr else ("I" if cs.sh.is_intra else
@@ -483,11 +507,31 @@ class StreamDecoder:
             else:
                 needed = False
         self.plm.add(DecodedPicture(
-            poc=f.poc, planes=out_planes, bit_depth=cs.sps.bit_depth,
+            poc=f.poc,
+            planes=None if use_dev else out_planes,
+            pending=deferred,
+            bit_depth=cs.sps.bit_depth,
             is_idr=f.is_idr, sei=f.sei, width=cs.w, height=cs.h,
             chroma_format_idc=cs.sps.chroma_format_idc, error=pic_error,
             needed_for_output=needed, vui=cs.sps.vui,
             hrd=cs.sps.hrd_params))
+
+    def _check_dph(self, sei, out_planes, bit_depth, poc) -> None:
+        # decoded-picture-hash verification (DecLib::checkPictureHashSEI,
+        # DecLib.cpp:480)
+        from vvdec_tpu.hls.sei import (
+            SEI_DECODED_PICTURE_HASH, calc_picture_hash, parse_dph,
+        )
+        for m in sei:
+            if m.payload_type == SEI_DECODED_PICTURE_HASH:
+                dph = parse_dph(m)
+                got = calc_picture_hash(out_planes, bit_depth, dph.method)
+                if got != dph.digest:
+                    self.hash_errors += 1
+                    if self.strict_hash:
+                        raise ValueError(
+                            f"decoded picture hash mismatch at POC {poc}: "
+                            f"{got.hex()} != {dph.digest.hex()}")
 
 
 def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:

@@ -10,31 +10,53 @@ first output, and application-side frame locking (vvdec_frame_unref).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
 MAX_OUT_OF_ORDER_PICS = 3  # TypeDef.h:72
 
 
-@dataclass
 class DecodedPicture:
-    """A reconstructed picture held in the DPB."""
+    """A reconstructed picture held in the DPB.
 
-    poc: int
-    planes: list                       # uint16 numpy planes (Y, Cb, Cr)
-    bit_depth: int = 10
-    is_idr: bool = False
-    sei: list = field(default_factory=list)
-    needed_for_output: bool = True
-    reference_mark: bool = True        # still usable as a reference
-    finished: bool = True              # recon done (synchronous decode)
-    locked_by_application: bool = False
-    # source geometry for the output view (conformance window applied)
-    width: int = 0
-    height: int = 0
-    chroma_format_idc: int = 1
-    error: bool = False                # concealed / partly broken picture
-    vui: dict | None = None            # parsed SPS VUI (picAttributes->vui)
-    hrd: dict | None = None            # parsed SPS HRD (picAttributes->hrd)
+    `planes` may be deferred: with the device filter pipeline the pixel
+    data is an in-flight device readback (`pending`), resolved lazily on
+    first access — the decoder keeps parsing/reconstructing later frames
+    while filtered frames stream back from the TPU."""
+
+    def __init__(self, poc: int, planes: list | None = None,
+                 bit_depth: int = 10, is_idr: bool = False,
+                 sei: list | None = None, needed_for_output: bool = True,
+                 reference_mark: bool = True, finished: bool = True,
+                 locked_by_application: bool = False, width: int = 0,
+                 height: int = 0, chroma_format_idc: int = 1,
+                 error: bool = False, vui: dict | None = None,
+                 hrd: dict | None = None, pending=None) -> None:
+        self._planes = planes
+        self.pending = pending         # object with resolve_u16()
+        self.poc = poc
+        self.bit_depth = bit_depth
+        self.is_idr = is_idr
+        self.sei = sei if sei is not None else []
+        self.needed_for_output = needed_for_output
+        self.reference_mark = reference_mark
+        self.finished = finished
+        self.locked_by_application = locked_by_application
+        self.width = width
+        self.height = height
+        self.chroma_format_idc = chroma_format_idc
+        self.error = error
+        self.vui = vui
+        self.hrd = hrd
+
+    @property
+    def planes(self) -> list:
+        if self._planes is None and self.pending is not None:
+            self._planes = self.pending.resolve_u16()
+            self.pending = None
+        return self._planes
+
+    @planes.setter
+    def planes(self, v) -> None:
+        self._planes = v
+        self.pending = None
 
 
 class PicListManager:

@@ -266,7 +266,7 @@ def reconstruct_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
 # Stage 4: SAO — whole-frame device kernel
 # ======================================================================
 @functools.lru_cache(maxsize=None)
-def _sao_apply_fn(h: int, w: int, bd: int):
+def _sao_apply_core(h: int, w: int, bd: int):
     """Jitted whole-frame SAO: per-pixel edge classification for all four
     EO classes + band offset, parameter lookup via per-pixel CTU index
     (parity: SampleAdaptiveOffset::offsetBlock_core, vectorized).  All
@@ -297,7 +297,12 @@ def _sao_apply_fn(h: int, w: int, bd: int):
         out = jnp.clip(c + off, 0, pel_max)
         return jnp.where(mask, out, c).astype(src.dtype)
 
-    return jax.jit(apply)
+    return apply
+
+
+@functools.lru_cache(maxsize=None)
+def _sao_apply_fn(h: int, w: int, bd: int):
+    return jax.jit(_sao_apply_core(h, w, bd))
 
 
 def sao_frame_jax(cs: CodingStructure, planes: list[np.ndarray]) -> None:
@@ -339,7 +344,7 @@ def _vb_row_tables(h: int, vb_ctu_h: int, vb_pos: int, chroma: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _alf_diamond_fn(h: int, w: int, bd: int, n_taps: int):
+def _alf_diamond_core(h: int, w: int, bd: int, n_taps: int):
     """Jitted clipped-diamond ALF filter (7x7 luma with n_taps=12, 5x5
     chroma with n_taps=6): per-pixel coefficients/clips, per-row virtual
     boundary tap clamping, per-pixel sample clamp windows.  Bit-exact
@@ -372,11 +377,16 @@ def _alf_diamond_fn(h: int, w: int, bd: int, n_taps: int):
         out = jnp.clip(out + curr, 0, pel_max)
         return jnp.where(mask, out, s).astype(src.dtype)
 
-    return jax.jit(apply)
+    return apply
 
 
 @functools.lru_cache(maxsize=None)
-def _ccalf_fn(hc: int, wc: int, bd: int, scale_x: int, scale_y: int):
+def _alf_diamond_fn(h: int, w: int, bd: int, n_taps: int):
+    return jax.jit(_alf_diamond_core(h, w, bd, n_taps))
+
+
+@functools.lru_cache(maxsize=None)
+def _ccalf_core(hc: int, wc: int, bd: int, scale_x: int, scale_y: int):
     """Jitted CC-ALF correction from the pre-ALF luma
     (filterBlkCcAlf, AdaptiveLoopFilter.cpp:1348)."""
     pel_max = (1 << bd) - 1
@@ -414,7 +424,12 @@ def _ccalf_fn(hc: int, wc: int, bd: int, scale_x: int, scale_y: int):
         use = active & ~skip_rows[:, None]
         return jnp.where(use, out, d).astype(dst.dtype)
 
-    return jax.jit(apply)
+    return apply
+
+
+@functools.lru_cache(maxsize=None)
+def _ccalf_fn(hc: int, wc: int, bd: int, scale_x: int, scale_y: int):
+    return jax.jit(_ccalf_core(hc, wc, bd, scale_x, scale_y))
 
 
 def alf_frame_jax(cs: CodingStructure, planes: list[np.ndarray]
@@ -531,8 +546,8 @@ def _db_round(a, s):
 
 
 @functools.lru_cache(maxsize=None)
-def _deblock_luma_cells_fn(H: int, W: int, direction: int, bd: int,
-                           ctu_size: int, n_pad: int):
+def _deblock_luma_cells_core(H: int, W: int, direction: int, bd: int,
+                             ctu_size: int, n_pad: int):
     """Jitted batched luma edge-cell filter for one direction
     (xEdgeFilterLuma, reference LoopFilter.cpp:851-1070 — all active
     4-line cells run as one gather / filter / masked-scatter).
@@ -802,12 +817,19 @@ def _deblock_luma_cells_fn(H: int, W: int, direction: int, bd: int,
             upd, mode="drop")
         return flat.reshape(H, W).astype(plane.dtype)
 
-    return jax.jit(apply)
+    return apply
 
 
 @functools.lru_cache(maxsize=None)
-def _deblock_chroma_cells_fn(H: int, W: int, direction: int, bd: int,
-                             loop_len: int, sub_shift: int, n_pad: int):
+def _deblock_luma_cells_fn(H: int, W: int, direction: int, bd: int,
+                           ctu_size: int, n_pad: int):
+    return jax.jit(_deblock_luma_cells_core(H, W, direction, bd, ctu_size,
+                                            n_pad))
+
+
+@functools.lru_cache(maxsize=None)
+def _deblock_chroma_cells_core(H: int, W: int, direction: int, bd: int,
+                               loop_len: int, sub_shift: int, n_pad: int):
     """Jitted batched chroma edge-cell filter (xEdgeFilterChroma,
     reference LoopFilter.cpp:1072-1210; parity with the host C cell
     kernel mod_deblock_chroma).
@@ -936,7 +958,14 @@ def _deblock_chroma_cells_fn(H: int, W: int, direction: int, bd: int,
             upd, mode="drop")
         return flat.reshape(H, W).astype(plane.dtype)
 
-    return jax.jit(apply)
+    return apply
+
+
+@functools.lru_cache(maxsize=None)
+def _deblock_chroma_cells_fn(H: int, W: int, direction: int, bd: int,
+                             loop_len: int, sub_shift: int, n_pad: int):
+    return jax.jit(_deblock_chroma_cells_core(H, W, direction, bd,
+                                              loop_len, sub_shift, n_pad))
 
 
 def _pad_pow2(n: int, lo: int = 64) -> int:
