@@ -40,10 +40,20 @@ class ParsedFrame:
 class FrameParser:
     """Stateful NAL-stream parser producing per-frame CodingStructures."""
 
+    _GCI_NAL_RULES = (  # (gci flag, rejected NAL type) — DecLib.cpp:669-695
+        ("no_trail", NalUnitType.TRAIL), ("no_stsa", NalUnitType.STSA),
+        ("no_rasl", NalUnitType.RASL), ("no_radl", NalUnitType.RADL),
+        ("no_idr", NalUnitType.IDR_W_RADL), ("no_idr", NalUnitType.IDR_N_LP),
+        ("no_cra", NalUnitType.CRA), ("no_gdr", NalUnitType.GDR),
+        ("no_aps", NalUnitType.PREFIX_APS),
+        ("no_aps", NalUnitType.SUFFIX_APS),
+    )
+
     def __init__(self) -> None:
         self.psman = ParameterSetManager()
         self.prev_tid0_poc = 0
         self.cur_ph = None
+        self.active_sps = None
         self.pending_sei: list = []
         # in-progress multi-slice picture: (ParsedFrame, covered-CTU set,
         # total CTUs).  Pictures with the PH in the slice header always
@@ -66,8 +76,17 @@ class FrameParser:
         full_rbsp = bytes([0, (int(nal.nal_type) << 3) | (nal.temporal_id + 1)]) \
             + nal.rbsp
         t = nal.nal_type
+        self._check_nal_constraints(t)
         if t == NalUnitType.SPS:
             self.psman.store_sps(parse_sps(full_rbsp))
+        elif t == NalUnitType.VPS:
+            from vvdec_tpu.hls.reader import parse_vps
+            self.psman.store_vps(parse_vps(full_rbsp))
+        elif t == NalUnitType.DCI:
+            from vvdec_tpu.hls.reader import parse_dci
+            if nal.temporal_id != 0:
+                raise ValueError("TemporalId of a DCI NAL unit must be 0")
+            self.psman.store_dci(parse_dci(full_rbsp))
         elif t == NalUnitType.PPS:
             self.psman.store_pps(parse_pps(full_rbsp, self.psman.get_sps))
         elif t == NalUnitType.PH:
@@ -105,6 +124,21 @@ class FrameParser:
             pf.sei.extend(self.pending_sei)
             self.pending_sei = []
 
+    def _check_nal_constraints(self, t) -> None:
+        """General-constraint-info NAL gating vs the active SPS
+        (DecLib::xCheckNalUnitConstraintFlags, DecLib.cpp:669-695)."""
+        sps = self.active_sps
+        if sps is None or sps.ptl is None:
+            return
+        ci = sps.ptl.constraint_info
+        if ci is None or not ci.gci_present_flag:
+            return
+        for flag, rejected in self._GCI_NAL_RULES:
+            if t == rejected and ci.get(flag):
+                raise ValueError(
+                    f"non-conforming bitstream: {flag}_constraint_flag set "
+                    f"but stream contains a {rejected.name} NAL unit")
+
     def _parse_slice(self, full_rbsp: bytes, nal) -> ParsedFrame | None:
         """Parse one slice; returns the ParsedFrame when its picture is
         complete (all CTUs covered), else None.
@@ -123,6 +157,20 @@ class FrameParser:
         if self._pending is None:
             pps = self.psman.get_pps(ph.pps_id)
             sps = self.psman.get_sps(pps.sps_id)
+            # VPS activation checks (DecLibParser.cpp:453-476): a non-zero
+            # sps_video_parameter_set_id must resolve, and dependent layers
+            # are not decodable
+            if sps.vps_id > 0:
+                vps = self.psman.get_vps(sps.vps_id)
+                if vps is None:
+                    raise ValueError(f"no VPS with id {sps.vps_id} "
+                                     "for the active SPS")
+                layer_idx = (vps.layer_id.index(nal.layer_id)
+                             if nal.layer_id in vps.layer_id else 0)
+                if not vps.independent_layer[layer_idx]:
+                    raise ValueError(
+                        "decoding of dependent layers not supported")
+            self.active_sps = sps
             cs = CodingStructure(sps, pps, ph, sh)
             cs.scaling_list = None
             if sh.explicit_scaling_list_used:

@@ -131,6 +131,40 @@ class APS:
 
 
 @dataclass
+class DCI:
+    """Decoding capability information (vvdec DCI, Slice.h; parseDCI
+    HLSyntaxReader.cpp:2318)."""
+    ptls: list[ProfileTierLevel] = field(default_factory=list)
+
+    def same_as(self, other: "DCI") -> bool:
+        """Identity check for repeated DCI NALs (DCI::IsIndenticalDCI):
+        the reference compares profile/tier/level triples."""
+        if len(self.ptls) != len(other.ptls):
+            return False
+        return all(
+            (a.profile_idc, a.tier_flag, a.level_idc)
+            == (b.profile_idc, b.tier_flag, b.level_idc)
+            for a, b in zip(self.ptls, other.ptls))
+
+
+@dataclass
+class VPS:
+    """Video parameter set (H.266 7.3.2.3).  The reference keeps VPS
+    handling minimal (parseVPS is compiled out, DecLibParser.cpp:1525);
+    this build parses the layer/OLS head so multilayer streams are
+    rejected cleanly and single-layer VPS-bearing streams decode."""
+    vps_id: int = 0
+    max_layers: int = 1
+    max_sublayers: int = 1
+    layer_id: list[int] = field(default_factory=list)
+    independent_layer: list[bool] = field(default_factory=list)
+    all_independent_layers: bool = True
+    each_layer_is_an_ols: bool = True
+    ols_mode_idc: int = 0
+    ptls: list[ProfileTierLevel] = field(default_factory=list)
+
+
+@dataclass
 class ChromaQpTable:
     """sps chroma QP mapping table (derived full LUT per table)."""
 

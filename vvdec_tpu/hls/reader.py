@@ -22,6 +22,8 @@ from vvdec_tpu.hls.params import (
     MRG_MAX_NUM_CANDS,
     ChromaQpTable,
     ConstraintInfo,
+    DCI,
+    VPS,
     PicHeader,
     PPS,
     ProfileTierLevel,
@@ -112,6 +114,94 @@ def parse_profile_tier_level(r: BitReader, profile_tier_present: bool,
         ptl.num_sub_profiles = r.u(8)
         ptl.sub_profile_idc = [r.u(32) for _ in range(ptl.num_sub_profiles)]
     return ptl
+
+
+def parse_dci(rbsp: bytes) -> DCI:
+    """Decoding capability information (parseDCI, HLSyntaxReader.cpp:2318)."""
+    r = BitReader(rbsp, pos=16)
+    r.u(4)  # dci_reserved_zero_4bits
+    num_ptls = r.u(4) + 1
+    dci = DCI()
+    for _ in range(num_ptls):
+        dci.ptls.append(parse_profile_tier_level(r, True, 0))
+    if r.flag():  # dci_extension_flag
+        while r.more_rbsp_data():
+            r.u(1)
+    _check(r.u(1) == 1, "rbsp_stop_one_bit missing after DCI")
+    return dci
+
+
+def parse_vps(rbsp: bytes) -> VPS:
+    """Video parameter set head (H.266 7.3.2.3).  Parses the layer/OLS
+    structure and PTL list; multilayer-only payload tails (DPB / OLS HRD
+    tables) are not needed because dependent layers are rejected at slice
+    activation, matching the reference's stance (DecLibParser.cpp:476
+    "Decoding of dependent layers not implemented"; its parseVPS is
+    compiled out entirely, HLSyntaxReader.cpp:2349)."""
+    r = BitReader(rbsp, pos=16)
+    vps = VPS()
+    vps.vps_id = r.u(4)
+    _check(vps.vps_id != 0, "vps_video_parameter_set_id 0 is reserved")
+    vps.max_layers = r.u(6) + 1
+    vps.max_sublayers = r.u(3) + 1
+    _check(vps.max_sublayers <= 7, "vps_max_sublayers_minus1 out of range")
+    if vps.max_layers > 1 and vps.max_sublayers > 1:
+        all_same_sublayers = r.flag()  # vps_default_ptl_dpb_hrd_max_tid_flag
+    else:
+        all_same_sublayers = True
+    vps.all_independent_layers = True
+    if vps.max_layers > 1:
+        vps.all_independent_layers = r.flag()
+    vps.each_layer_is_an_ols = vps.max_layers == 1 \
+        or vps.all_independent_layers
+    vps.independent_layer = [True] * vps.max_layers
+    vps.layer_id = [0] * vps.max_layers
+    for i in range(vps.max_layers):
+        vps.layer_id[i] = r.u(6)
+        if i > 0 and not vps.all_independent_layers:
+            vps.independent_layer[i] = r.flag()
+            if not vps.independent_layer[i]:
+                max_tid_ref_present = r.flag()
+                n_direct = 0
+                for _j in range(i):
+                    if r.flag():  # vps_direct_ref_layer_flag[i][j]
+                        n_direct += 1
+                        if max_tid_ref_present:
+                            r.u(3)  # vps_max_tid_il_ref_pics_plus1
+                _check(n_direct > 0,
+                       "dependent layer with no direct reference layer")
+    num_ptls = 1
+    if vps.max_layers > 1:
+        if vps.all_independent_layers:
+            vps.each_layer_is_an_ols = r.flag()
+            if not vps.each_layer_is_an_ols:
+                vps.ols_mode_idc = 2
+        if not vps.each_layer_is_an_ols:
+            if not vps.all_independent_layers:
+                vps.ols_mode_idc = r.u(2)
+                _check(vps.ols_mode_idc <= 2, "vps_ols_mode_idc > 2")
+            if vps.ols_mode_idc == 2:
+                n_ols = r.u(8) + 2
+                for _i in range(1, n_ols):
+                    for _j in range(vps.max_layers):
+                        r.flag()  # vps_ols_output_layer_flag
+        num_ptls = r.u(8) + 1
+    pt_present = [True] + [False] * (num_ptls - 1)
+    ptl_max_tid = [vps.max_sublayers - 1] * num_ptls
+    for i in range(num_ptls):
+        if i > 0:
+            pt_present[i] = r.flag()
+        if not all_same_sublayers:
+            ptl_max_tid[i] = r.u(3)
+    cnt = 0
+    while not r.byte_aligned():
+        _check(r.u(1) == 0, "vps_ptl_alignment_zero_bit != 0")
+        cnt += 1
+    _check(cnt < 8, "more than 8 VPS PTL alignment bits")
+    for i in range(num_ptls):
+        vps.ptls.append(
+            parse_profile_tier_level(r, pt_present[i], ptl_max_tid[i]))
+    return vps
 
 
 def parse_ref_pic_list(r: BitReader, sps: SPS, rpl_idx: int) -> RefPicList:
@@ -1448,9 +1538,25 @@ class ParameterSetManager:
         self.sps: dict[int, SPS] = {}
         self.pps: dict[int, PPS] = {}
         self.aps: dict[tuple[int, int], object] = {}  # (type, id)
+        self.vps: dict[int, VPS] = {}
+        self.dci: DCI | None = None
 
     def store_sps(self, sps: SPS) -> None:
         self.sps[sps.sps_id] = sps
+
+    def store_vps(self, vps: VPS) -> None:
+        self.vps[vps.vps_id] = vps
+
+    def get_vps(self, vps_id: int) -> VPS | None:
+        return self.vps.get(vps_id)
+
+    def store_dci(self, dci: DCI) -> None:
+        """First DCI is kept; repeats must be identical
+        (DecLibParser::xDecodeDCI, DecLibParser.cpp:1536-1551)."""
+        if self.dci is None:
+            self.dci = dci
+        elif not self.dci.same_as(dci):
+            raise HlsError("two signalled DCIs are different")
 
     def store_pps(self, pps: PPS) -> None:
         self.pps[pps.pps_id] = pps

@@ -822,15 +822,24 @@ def generate_stream(width: int = 64, height: int = 64, n_frames: int = 1,
                     seed: int = 0, qp: int = 32, ctu: int = 32,
                     sps_kw: dict | None = None, pps_kw: dict | None = None,
                     dec_kw: dict | None = None, sh_kw: dict | None = None,
-                    ph_kw: dict | None = None,
+                    ph_kw: dict | None = None, with_vps_dci: bool = False,
                     ) -> tuple[bytes, list[CodingStructure]]:
     """Generate a full Annex-B stream of all-intra frames."""
     sps = make_sps(width, height, ctu=ctu, **(sps_kw or {}))
     pps = make_pps(sps, **(pps_kw or {}))
 
+    out = b""
+    if with_vps_dci:
+        from vvdec_tpu.testenc.hls_writer import write_dci, write_vps
+        w = BitWriter()
+        write_dci(w, sps)
+        out += make_nal(NalUnitType.DCI, w.bytes())
+        w = BitWriter()
+        write_vps(w, sps)
+        out += make_nal(NalUnitType.VPS, w.bytes())
     w = BitWriter()
     write_sps(w, sps)
-    out = make_nal(NalUnitType.SPS, w.bytes())
+    out += make_nal(NalUnitType.SPS, w.bytes())
     w = BitWriter()
     write_pps(w, pps, sps)
     out += make_nal(NalUnitType.PPS, w.bytes())

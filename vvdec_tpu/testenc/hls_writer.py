@@ -121,6 +121,34 @@ def _vui_payload_bytes(v: dict) -> bytes:
     return w.bytes()
 
 
+def write_dci(w: BitWriter, sps: SPS) -> None:
+    """decoding_capability_information() with one PTL (spec 7.3.2.1)."""
+    import types
+    w.u(0, 4)   # dci_reserved_zero_4bits
+    w.u(0, 4)   # dci_num_ptls_minus1
+    write_ptl(w, types.SimpleNamespace(ptl=sps.ptl, max_sublayers=1))
+    w.flag(False)  # dci_extension_flag
+    w.u(1, 1)      # rbsp_stop_one_bit
+    w.byte_align(0)
+
+
+def write_vps(w: BitWriter, sps: SPS, vps_id: int = 1) -> None:
+    """Single-layer video_parameter_set_rbsp() (spec 7.3.2.3)."""
+    import types
+    w.u(vps_id, 4)
+    w.u(0, 6)   # vps_max_layers_minus1
+    w.u(0, 3)   # vps_max_sublayers_minus1
+    w.u(0, 6)   # vps_layer_id[0]
+    # single layer: no OLS section; vps_num_ptls == 1, pt present, aligned
+    w.byte_align(0)
+    write_ptl(w, types.SimpleNamespace(ptl=sps.ptl, max_sublayers=1))
+    # single-layer stream: TotalNumOlss == 1, vps_num_ptls == 1 -> no
+    # ols_ptl_idx; each_layer_is_an_ols -> no DPB/HRD tables
+    w.flag(False)  # vps_extension_flag
+    w.u(1, 1)      # rbsp_stop_one_bit
+    w.byte_align(0)
+
+
 def write_sps(w: BitWriter, sps: SPS) -> None:
     _unsupported(sps.max_sublayers != 1, "sublayers")
     _unsupported(sps.vps_id != 0, "VPS")
