@@ -54,6 +54,7 @@ class FrameParser:
         self.prev_tid0_poc = 0
         self.cur_ph = None
         self.active_sps = None
+        self.last_bp = None  # last buffering period (HRD SEI context)
         self.pending_sei: list = []
         # in-progress multi-slice picture: (ParsedFrame, covered-CTU set,
         # total CTUs).  Pictures with the PH in the slice header always
@@ -97,8 +98,19 @@ class FrameParser:
             from vvdec_tpu.hls.reader import parse_aps
             self.psman.store_aps(parse_aps(full_rbsp))
         elif t in (NalUnitType.PREFIX_SEI, NalUnitType.SUFFIX_SEI):
-            from vvdec_tpu.hls.sei import parse_sei_nal
-            msgs = parse_sei_nal(full_rbsp)
+            from vvdec_tpu.hls.sei import (SEI_BUFFERING_PERIOD,
+                                           parse_buffering_period,
+                                           parse_sei_nal)
+            msgs = parse_sei_nal(full_rbsp, nal.temporal_id)
+            # remember the active buffering period: picture-timing and
+            # decoding-unit-info field lengths depend on it
+            # (SEIread.cpp:226-248)
+            for m in msgs:
+                if m.payload_type == SEI_BUFFERING_PERIOD:
+                    try:
+                        self.last_bp = parse_buffering_period(m)
+                    except (IndexError, ValueError):
+                        pass
             if t == NalUnitType.PREFIX_SEI or last_frame is None:
                 self.pending_sei.extend(msgs)
             else:
@@ -538,7 +550,8 @@ class StreamDecoder:
         self._ref_cols[f.poc] = ColMotion(cs, f.poc)
         if not use_dev:
             out_planes = [p.astype(np.uint16) for p in planes]
-            self._check_dph(f.sei, out_planes, cs.sps.bit_depth, f.poc)
+            self._check_dph(f.sei, out_planes, cs.sps.bit_depth, f.poc,
+                            cs=cs)
         # per-POC decode log + trace (reference per-picture log line,
         # DecLib.cpp:395-438; D_PIC trace channel)
         st = "IDR" if f.is_idr else ("I" if cs.sh.is_intra else
@@ -564,11 +577,14 @@ class StreamDecoder:
             needed_for_output=needed, vui=cs.sps.vui,
             hrd=cs.sps.hrd_params))
 
-    def _check_dph(self, sei, out_planes, bit_depth, poc) -> None:
+    def _check_dph(self, sei, out_planes, bit_depth, poc,
+                   cs=None) -> None:
         # decoded-picture-hash verification (DecLib::checkPictureHashSEI,
-        # DecLib.cpp:480)
+        # DecLib.cpp:480); per-subpicture hashes arrive nested in
+        # subpic-flagged scalable-nesting SEIs (DecLib.cpp:518-569)
         from vvdec_tpu.hls.sei import (
-            SEI_DECODED_PICTURE_HASH, calc_picture_hash, parse_dph,
+            SEI_DECODED_PICTURE_HASH, SEI_SCALABLE_NESTING,
+            calc_picture_hash, parse_dph, parse_scalable_nesting,
         )
         for m in sei:
             if m.payload_type == SEI_DECODED_PICTURE_HASH:
@@ -580,6 +596,41 @@ class StreamDecoder:
                         raise ValueError(
                             f"decoded picture hash mismatch at POC {poc}: "
                             f"{got.hex()} != {dph.digest.hex()}")
+                return
+        if cs is None or not cs.subpics:
+            return
+        ids = cs.pps.subpic_ids if cs.pps.subpic_ids else cs.sps.subpic_ids
+        sx, sy = cs.sub_w - 1, cs.sub_h - 1
+        for m in sei:
+            if m.payload_type != SEI_SCALABLE_NESTING:
+                continue
+            try:
+                nest = parse_scalable_nesting(m)
+            except (IndexError, ValueError):
+                continue
+            if not nest.subpic_flag:
+                continue
+            dphs = [n for n in nest.messages
+                    if n.payload_type == SEI_DECODED_PICTURE_HASH]
+            if not dphs:
+                continue
+            dph = parse_dph(dphs[0])
+            for sid in nest.subpic_ids:
+                if sid not in ids:
+                    continue
+                idx = ids.index(sid)
+                x0, y0, x1, y1 = cs.subpics[idx][:4]
+                views = [out_planes[0][y0:y1, x0:x1]]
+                for c in range(1, len(out_planes)):
+                    views.append(out_planes[c][y0 >> sy: y1 >> sy,
+                                               x0 >> sx: x1 >> sx])
+                got = calc_picture_hash(views, bit_depth, dph.method)
+                if got != dph.digest:
+                    self.hash_errors += 1
+                    if self.strict_hash:
+                        raise ValueError(
+                            f"subpicture {sid} hash mismatch at POC "
+                            f"{poc}: {got.hex()} != {dph.digest.hex()}")
 
 
 def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
