@@ -8,10 +8,12 @@ pipeline reconstructs per frame.
 
 from __future__ import annotations
 
+import sys
 import time
 from dataclasses import dataclass, field
 
 import numpy as np
+
 
 from vvdec_tpu.bitstream.nal import NalUnitType, read_nal_units
 from vvdec_tpu.bitstream.reader import BitReader
@@ -25,6 +27,19 @@ from vvdec_tpu.hls.reader import (
     parse_slice_header,
     parse_sps,
 )
+
+
+def u16_view(p: np.ndarray) -> np.ndarray:
+    """Zero-copy uint16 view of a clipped int32 plane: the 10-bit output
+    path hands out (strided) views of the internal reconstruction planes
+    instead of repacking (reference parity: vvdecimpl.cpp:953-1056 exposes
+    internal 16-bit reco pointers directly)."""
+    if p.dtype == np.uint16:
+        return p
+    if p.dtype == np.int32 and p.flags.c_contiguous \
+            and sys.byteorder == "little":
+        return p.view(np.uint16)[:, ::2]
+    return p.astype(np.uint16)
 
 
 @dataclass
@@ -262,7 +277,7 @@ class _DeferredFrame:
         if self._planes32 is None:
             self._planes32 = self._pending.resolve()
             self._pending = None
-            self._u16 = [p.astype(np.uint16) for p in self._planes32]
+            self._u16 = [u16_view(p) for p in self._planes32]
             self._dec._check_dph(self._sei, self._u16, self._bd,
                                  self._poc)
         return self._planes32
@@ -434,7 +449,7 @@ class StreamDecoder:
             self._ref_cols[f.poc] = ColMotion(cs, f.poc)
             self._ref_pps[f.poc] = cs.pps
             self.plm.add(DecodedPicture(
-                poc=f.poc, planes=[p.astype(np.uint16) for p in planes],
+                poc=f.poc, planes=[u16_view(p) for p in planes],
                 bit_depth=cs.sps.bit_depth, is_idr=f.is_idr, sei=f.sei,
                 width=cs.w, height=cs.h,
                 chroma_format_idc=cs.sps.chroma_format_idc, error=True,
@@ -549,7 +564,7 @@ class StreamDecoder:
         from vvdec_tpu.frame.inter_np import ColMotion
         self._ref_cols[f.poc] = ColMotion(cs, f.poc)
         if not use_dev:
-            out_planes = [p.astype(np.uint16) for p in planes]
+            out_planes = [u16_view(p) for p in planes]
             self._check_dph(f.sei, out_planes, cs.sps.bit_depth, f.poc,
                             cs=cs)
         # per-POC decode log + trace (reference per-picture log line,
