@@ -29,12 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from vvdec_tpu.ops.pipeline import (
-    _alf_diamond_core,
+    _alf_diamond_dense_core,
     _ccalf_core,
     _deblock_chroma_cells_core,
     _deblock_luma_cells_core,
     _pad_pow2,
-    _vb_row_tables,
 )
 
 _ACT_TH = np.array((0, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 4),
@@ -62,6 +61,134 @@ def device_filter_eligible(cs) -> bool:
 # ======================================================================
 # on-device ALF classification (deriveClassificationBlk, whole frame)
 # ======================================================================
+def _classify_dense(src, h: int, w: int, bd: int, vb_h: int, vb_pos: int):
+    """Whole-frame 4x4 ALF classification, gather- and stride-free.
+
+    The half-grid laplacians are evaluated at FULL resolution with
+    unit-stride pad+slice accesses (lane-strided slices relayout badly on
+    TPU); the per-4x4-block 16-point aggregation becomes a separable
+    shifted-add followed by a phase-masked reshape block-sum.  VB row
+    exceptions are compile-time row masks.  Bit-exact parity with
+    _classify_jnp."""
+    s = src.astype(jnp.int32)
+    # full-res laplacians: F[d][y, x] = lap as if (y, x) were a half-grid
+    # sample point.  Row access r(dy) = clip(y + dy, 0, h-1) with the VB
+    # exceptions dy=2 -> 1 (vb_lo rows) and dy=-1 -> 0 (vb_hi rows).
+    pad = jnp.pad(s, ((3, 5), (3, 5)), mode="edge")
+    ys = np.arange(-2, h + 2)  # sample rows evaluated (phase handles sel)
+    # evaluate at every y in [0, h+4) shifted by -2: F arrays indexed by
+    # u = y + 2 (u in [0, h+4))
+    H = h + 4
+    W = w + 4
+    vb_lo = (ys > 0) & (ys % vb_h == vb_pos - 2)
+    vb_hi = (ys > 0) & (~vb_lo) & (ys % vb_h == vb_pos)
+    vb_lo_r = jnp.asarray(vb_lo[:, None])
+    vb_hi_r = jnp.asarray(vb_hi[:, None])
+
+    def R(d, e):
+        # value s[clip(y+d, 0, h-1), clip(x+e, 0, w-1)] for y=u-2, x=v-2
+        base = pad[1 + d: 1 + d + H, 1 + e: 1 + e + W]
+        if d == 2:
+            base = jnp.where(vb_lo_r, pad[2: 2 + H, 1 + e: 1 + e + W],
+                             base)
+        if d == -1:
+            base = jnp.where(vb_hi_r, pad[1: 1 + H, 1 + e: 1 + e + W],
+                             base)
+        return base
+
+    y0v = R(0, 0) * 2
+    yup1 = R(1, 1) * 2
+    lap_v = jnp.abs(y0v - R(-1, 0) - R(1, 0)) \
+        + jnp.abs(yup1 - R(0, 1) - R(2, 1))
+    lap_h = jnp.abs(y0v - R(0, 1) - R(0, -1)) \
+        + jnp.abs(yup1 - R(1, 2) - R(1, 0))
+    lap_d0 = jnp.abs(y0v - R(-1, -1) - R(1, 1)) \
+        + jnp.abs(yup1 - R(0, 0) - R(2, 2))
+    lap_d1 = jnp.abs(y0v - R(1, -1) - R(-1, 1)) \
+        + jnp.abs(yup1 - R(2, 0) - R(0, 2))
+    lap = jnp.stack([lap_v, lap_h, lap_d0, lap_d1])  # [4, H, W] full-res
+
+    # 4x4-block 16-point sums: sum over offsets {-2,0,2,4}^2 around each
+    # block origin.  Separable shifted adds, then select the block-origin
+    # phase with a constant mask and reshape-sum.
+    h4, w4 = h // 4, w // 4
+    lapp = jnp.pad(lap, ((0, 0), (0, 0), (0, 6)))
+    colsum = None
+    for b in range(4):
+        t = lapp[:, :, 2 * b: 2 * b + W]
+        colsum = t if colsum is None else colsum + t
+    colsum = jnp.pad(colsum, ((0, 0), (0, 6), (0, 0)))
+    rows = [colsum[:, 2 * a: 2 * a + H, :] for a in range(4)]
+    sum4_full = rows[0] + rows[1] + rows[2] + rows[3]
+    # VB 3-row variants: rows at block y≡vb_pos-4 drop the last row
+    # (a=3); rows at y≡vb_pos drop the first (a=0)
+    yy = np.arange(H)
+    xx = np.arange(W)
+    # phase mask: block (i4, j4) origin sits at u = 4*i4, v = 4*j4
+    # (u = 2*gi with gi = 2*i4; sample row y = u - 2)
+    ph_y = (yy % 4 == 0) & (yy < 4 * h4)
+    ph_x = (xx % 4 == 0) & (xx < 4 * w4)
+    # VB 3-row variants keyed by the block's pixel row 4*i4 = u:
+    # (4*i4) % vb_h == vb_pos-4 drops the last half-row; == vb_pos drops
+    # the first
+    ymod_full = yy % vb_h
+    row_lo_f = jnp.asarray((ymod_full == vb_pos - 4)[None, :, None])
+    row_hi_f = jnp.asarray((ymod_full == vb_pos)[None, :, None])
+    sums_full = jnp.where(row_lo_f, sum4_full - rows[3],
+                          jnp.where(row_hi_f, sum4_full - rows[0],
+                                    sum4_full))
+    phase = jnp.asarray((ph_y[:, None] & ph_x[None, :]).astype(np.int32))
+    masked = sums_full * phase[None, :, :]
+    # block-sum [4, H, W] -> [4, h4, w4] via reshape (no strided slices)
+    crop = masked[:, : 4 * h4, : 4 * w4]
+    sums = crop.reshape(4, h4, 4, w4, 4).sum(axis=(2, 4))
+    sum_v, sum_h, sum_d0, sum_d1 = (sums[k] for k in range(4))
+    ymod = (4 * np.arange(h4)) % vb_h
+    row_lo = (ymod == vb_pos - 4)[None, :, None]
+    row_hi = (ymod == vb_pos)[None, :, None]
+
+    shift = bd + 4
+    temp_act = sum_v + sum_h
+    near = jnp.asarray(row_lo[0] | row_hi[0])
+    act = jnp.where(near, (temp_act * 96) >> shift,
+                    (temp_act * 64) >> shift)
+    act = jnp.clip(act, 0, 15)
+    # _ACT_TH as a monotone threshold count (values 0,1,2,2..2,3..3,4)
+    cls = ((act >= 1).astype(jnp.int32) + (act >= 2) + (act >= 7)
+           + (act >= 15))
+
+    vgh = sum_v > sum_h
+    hv1 = jnp.where(vgh, sum_v, sum_h)
+    hv0 = jnp.where(vgh, sum_h, sum_v)
+    dir_hv = jnp.where(vgh, 1, 3)
+    dgd = sum_d0 > sum_d1
+    d1 = jnp.where(dgd, sum_d0, sum_d1)
+    d0 = jnp.where(dgd, sum_d1, sum_d0)
+    dir_d = jnp.where(dgd, 0, 2)
+    dsel = (d1.astype(jnp.uint32) * hv0.astype(jnp.uint32)) \
+        > (hv1.astype(jnp.uint32) * d0.astype(jnp.uint32))
+    hvd1 = jnp.where(dsel, d1, hv1)
+    hvd0 = jnp.where(dsel, d0, hv0)
+    main_dir = jnp.where(dsel, dir_d, dir_hv)
+    sec_dir = jnp.where(dsel, dir_hv, dir_d)
+    strength = jnp.where(hvd1.astype(jnp.uint32) * 2
+                         > 9 * hvd0.astype(jnp.uint32), 2,
+                         jnp.where(hvd1 > 2 * hvd0, 1, 0))
+    cls = jnp.where(strength > 0,
+                    cls + (((main_dir & 1) << 1) + strength) * 5, cls)
+    # _TRANSPOSE[main_dir*2 + (sec_dir>>1)] = (0,1,0,2,2,3,1,3) as selects
+    idx = main_dir * 2 + (sec_dir >> 1)
+    tr = jnp.where(idx == 1, 1,
+                   jnp.where(idx == 3, 2,
+                             jnp.where(idx == 4, 2,
+                                       jnp.where(idx == 5, 3,
+                                                 jnp.where(idx == 6, 1,
+                                                           jnp.where(
+                                                               idx == 7, 3,
+                                                               0))))))
+    return cls, tr
+
+
 def _classify_jnp(src, h: int, w: int, bd: int, vb_h: int, vb_pos: int):
     """Whole-frame 4x4 ALF classification; parity with
     frame/alf_np.classify (bounds=None).  Returns (cls, tr) [h/4, w/4]."""
@@ -238,8 +365,6 @@ def _flat_layout(key):
                 ("banks_cl", (n_banks, 4, 25, 13)),
                 ("cbanks_co", (n_cb, 7)), ("cbanks_cl", (n_cb, 7)),
                 ("cc_banks", (n_cc, 7)),
-                ("dmap_y", (h, 4)), ("near_y", (h,)),
-                ("dmap_c", (max(1, hc), 4)), ("near_c", (max(1, hc),)),
                 ("cc_off", (max(1, hc), 3)), ("cc_skip", (max(1, hc),))]
     return out
 
@@ -293,8 +418,10 @@ def _chain_fn(key):
                         (sub_h if d == 0 else sub_w) - 1, db_n[i])
                     if db_n[i] else None)
 
-    alf_luma_fn = _alf_diamond_core(h, w, bd, 12) if alf_luma else None
-    alf_chroma_fn = _alf_diamond_core(hc, wc, bd, 6) if alf_chroma else None
+    alf_luma_fn = _alf_diamond_dense_core(
+        h, w, bd, 12, vb_luma_h, vb_luma_pos, False) if alf_luma else None
+    alf_chroma_fn = _alf_diamond_dense_core(
+        hc, wc, bd, 6, vb_chma_h, vb_chma_pos, True) if alf_chroma else None
     cc_fn = _ccalf_core(hc, wc, bd, sub_w - 1, sub_h - 1) if cc_on else None
 
     def pack(planes):
@@ -354,17 +481,13 @@ def _chain_fn(key):
             cbanks_co = P["cbanks_co"]
             cbanks_cl = P["cbanks_cl"]
             cc_banks = P["cc_banks"]
-            dmap_y = P["dmap_y"]
-            near_y = P["near_y"] != 0
-            dmap_c = P["dmap_c"]
-            near_c = P["near_c"] != 0
             cc_off_rows = P["cc_off"]
             cc_skip_rows = P["cc_skip"] != 0
             ctu4w = ctu >> 2
             log2c4 = ctu4w.bit_length() - 1
             if alf_luma:
-                cls, tr = _classify_jnp(planes[0], h, w, bd, vb_luma_h,
-                                        vb_luma_pos)
+                cls, tr = _classify_dense(planes[0], h, w, bd, vb_luma_h,
+                                          vb_luma_pos)
                 set4 = _expand_ctu4(set_ctu, h4, w4, log2c4, log2c4,
                                     w_ctu)
                 co4 = banks_co[set4, tr, cls][:, :, :12]
@@ -373,8 +496,7 @@ def _chain_fn(key):
                 cl = _rep4(cl4, h, w)
                 mask = _rep4(_expand_ctu4(en_y, h4, w4, log2c4, log2c4,
                                           w_ctu), h, w) != 0
-                out[0] = alf_luma_fn(planes[0], co, cl, dmap_y, near_y,
-                                     0, 0, w - 1, h - 1, mask)
+                out[0] = alf_luma_fn(planes[0], co, cl, mask)
             if num_comp > 1 and (alf_chroma or cc_on):
                 hc4, wc4 = (hc + 3) >> 2, (wc + 3) >> 2
                 lc4w = (ctu // sub_w) >> 2
@@ -394,8 +516,7 @@ def _chain_fn(key):
                         cl = _rep4(cl4, hc, wc)
                         maskc = _rep4(en4, hc, wc) != 0
                         out[comp] = alf_chroma_fn(
-                            planes[comp], co, cl, dmap_c, near_c,
-                            0, 0, wc - 1, hc - 1, maskc)
+                            planes[comp], co, cl, maskc)
                     if cc_on:
                         ysc = jax.lax.broadcasted_iota(
                             jnp.int32, (hc, wc), 0)
@@ -668,13 +789,8 @@ def _alf_inputs(cs, bd: int):
     if not (any_luma or any_chroma or any_cc):
         return None
     vb_luma_h, vb_luma_pos = ctu, ctu - 4
-    vb_chma_h = ctu // cs.sub_h
-    vb_chma_pos = vb_chma_h - 2
-    h, w = cs.comp_size[0][1], cs.comp_size[0][0]
-    dmap_y, near_y = _vb_row_tables(h, vb_luma_h, vb_luma_pos, False)
     if cs.num_comp > 1:
         hcc = cs.comp_size[1][1]
-        dmap_c, near_c = _vb_row_tables(hcc, vb_chma_h, vb_chma_pos, True)
         # CC-ALF per-row luma offsets / VB skip rows
         cc_off = np.zeros((hcc, 3), dtype=np.int32)
         cc_skip = np.zeros(hcc, dtype=bool)
@@ -692,8 +808,6 @@ def _alf_inputs(cs, bd: int):
                 o1 = o2 = o3 = 0
             cc_off[y] = (o1, o2, o3)
     else:
-        dmap_c = np.zeros((1, 4), dtype=np.int32)
-        near_c = np.zeros(1, dtype=bool)
         cc_off = np.zeros((1, 3), dtype=np.int32)
         cc_skip = np.zeros(1, dtype=bool)
     return {
@@ -710,7 +824,7 @@ def _alf_inputs(cs, bd: int):
             np.asarray(cbanks_cl, dtype=np.int32)
             if cbanks_cl else np.ones((1, 7), dtype=np.int32),
             np.asarray(cc_banks, dtype=np.int32),
-            dmap_y, near_y, dmap_c, near_c, cc_off, cc_skip),
+            cc_off, cc_skip),
     }
 
 
@@ -787,8 +901,7 @@ def filter_frame_device(cs, planes: list[np.ndarray]) -> PendingFrame:
     if alf is not None:
         names = ("en_y", "set_ctu", "en_c", "alt_ctu", "cc_ctu",
                  "banks_co", "banks_cl", "cbanks_co", "cbanks_cl",
-                 "cc_banks", "dmap_y", "near_y", "dmap_c", "near_c",
-                 "cc_off", "cc_skip")
+                 "cc_banks", "cc_off", "cc_skip")
         for name, a in zip(names, alf["arrays"]):
             arrays[name] = a
     flat = jnp.asarray(_flat_pack(key, arrays))

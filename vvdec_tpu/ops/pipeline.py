@@ -386,6 +386,49 @@ def _alf_diamond_fn(h: int, w: int, bd: int, n_taps: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _alf_diamond_dense_core(h: int, w: int, bd: int, n_taps: int,
+                            vb_h: int, vb_pos: int, chroma: bool):
+    """Dense clipped-diamond ALF for whole-frame bounds: every tap access
+    is a static pad+slice (no gathers — gathers cost ~100 ms/frame on TPU
+    at 480p, slices fuse into the elementwise chain).  The per-row virtual
+    boundary tap clamping becomes compile-time row masks selecting between
+    slice variants.  Bit-exact parity with _alf_diamond_core at
+    lo=(0,0), hi=(w-1,h-1)."""
+    taps = _LUMA_TAPS[:n_taps] if n_taps == 12 else _CHROMA_TAPS[:n_taps]
+    pel_max = (1 << bd) - 1
+    dmap, near = _vb_row_tables(h, vb_h, vb_pos, chroma)
+    near_rows = near[:, None]
+
+    def apply(src, co, cl, mask):
+        s = src.astype(jnp.int32)
+        pad = jnp.pad(s, 3, mode="edge")
+
+        def sh(dy, dx):
+            return pad[3 + dy: 3 + dy + h, 3 + dx: 3 + dx + w]
+
+        acc = jnp.zeros((h, w), dtype=jnp.int32)
+        for k, (dy, dx) in enumerate(taps):
+            dcol = dmap[:, dy]
+            a = sh(dy, dx)
+            b = sh(-dy, -dx)
+            for dv in sorted(set(dcol.tolist())):
+                if dv == dy:
+                    continue
+                rows = jnp.asarray((dcol == dv)[:, None])
+                a = jnp.where(rows, sh(dv, dx), a)
+                b = jnp.where(rows, sh(-dv, -dx), b)
+            ck = cl[:, :, k]
+            diff = jnp.clip(a - s, -ck, ck) + jnp.clip(b - s, -ck, ck)
+            acc = acc + co[:, :, k] * diff
+        nr = jnp.asarray(near_rows)
+        out = jnp.where(nr, (acc + (1 << 9)) >> 10, (acc + 64) >> 7)
+        out = jnp.clip(out + s, 0, pel_max)
+        return jnp.where(mask, out, s).astype(src.dtype)
+
+    return apply
+
+
+@functools.lru_cache(maxsize=None)
 def _ccalf_core(hc: int, wc: int, bd: int, scale_x: int, scale_y: int):
     """Jitted CC-ALF correction from the pre-ALF luma
     (filterBlkCcAlf, AdaptiveLoopFilter.cpp:1348)."""
