@@ -28,13 +28,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vvdec_tpu.ops.pipeline import (
-    _alf_diamond_dense_core,
-    _ccalf_core,
-    _deblock_chroma_cells_core,
-    _deblock_luma_cells_core,
-    _pad_pow2,
+from vvdec_tpu.ops.deblock_dense import (
+    deblock_chroma_dense_core,
+    deblock_luma_dense_core,
+    pack_chroma_grid,
+    pack_luma_grid,
 )
+from vvdec_tpu.ops.pipeline import _alf_diamond_dense_core
 
 _ACT_TH = np.array((0, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 4),
                    dtype=np.int32)
@@ -51,6 +51,9 @@ def device_filter_eligible(cs) -> bool:
     if cs.subpics:
         return False
     if len(cs.shs) > 1 and not cs.pps.loop_filter_across_slices:
+        return False
+    if len(cs.shs) > 16:
+        # per-slice offsets become a select chain in the dense deblock
         return False
     if not cs.pps.no_pic_partition \
             and not cs.pps.loop_filter_across_tiles:
@@ -278,19 +281,29 @@ def _classify_jnp(src, h: int, w: int, bd: int, vb_h: int, vb_pos: int):
 
 
 # ======================================================================
-# on-device SAO with per-CTU parameter expansion
+# on-device SAO with per-CTU parameter expansion (gather-free)
 # ======================================================================
-def _sao_plane(plane, sao_type, tables, *, h, w, log2cw, log2ch, w_ctu,
-               bd):
-    """SAO for one plane.  sao_type: [n_ctu] int32 (255 = off);
-    tables: [n_ctu, 37].  Availability = in-picture (gated)."""
+def _expand_ctu(vals, rep_y: int, rep_x: int, out_h: int, out_w: int,
+                w_ctu: int):
+    """Broadcast per-CTU values [n_ctu] (row-major) onto a dense grid by
+    reshape+repeat — no gathers (a per-pixel CTU-index gather costs
+    milliseconds per launch on TPU)."""
+    g = vals.reshape(-1, w_ctu)
+    return jnp.repeat(jnp.repeat(g, rep_y, 0), rep_x, 1)[:out_h, :out_w]
+
+
+def _sao_plane(plane, sao_type, vals, *, h, w, ctu_w, ctu_h, w_ctu, bd):
+    """SAO for one plane.  sao_type: [n_ctu] (255 = off); vals:
+    [n_ctu, 6] compact offsets — EO: (_, o0..o4); BO: (band, b0..b3, _).
+    Availability = in-picture (gated).  All parameter maps are CTU-grid
+    broadcasts; the only data-dependent selects are on the per-pixel
+    edge class / band index."""
     pel_max = (1 << bd) - 1
     band_shift = bd - 5
     c = plane.astype(jnp.int32)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    ctu_idx = (ys >> log2ch) * w_ctu + (xs >> log2cw)
-    typ = sao_type[ctu_idx]
+    typ = _expand_ctu(sao_type, ctu_h, ctu_w, h, w, w_ctu)
+    v = [_expand_ctu(vals[:, j], ctu_h, ctu_w, h, w, w_ctu)
+         for j in range(6)]
 
     pad = jnp.pad(c, 1, mode="edge")
     n = [
@@ -307,11 +320,18 @@ def _sao_plane(plane, sao_type, tables, *, h, w, log2cw, log2ch, w_ctu,
     edge = edges[0]
     for t in range(1, 4):
         edge = jnp.where(typ == t, edges[t], edge)
-    band = c >> band_shift
-    idx = jnp.where(typ == 4, 5 + band, edge)
-    off = tables[ctu_idx, idx]
+    off_eo = v[1]
+    for j in range(1, 5):
+        off_eo = jnp.where(edge == j, v[1 + j], off_eo)
+    rel = (c >> band_shift) - v[0]
+    off_bo = jnp.zeros_like(c)
+    for j in range(4):
+        off_bo = jnp.where((rel & 31) == j, v[1 + j], off_bo)
+    off = jnp.where(typ == 4, off_bo, off_eo)
     # per-class picture-border trimming (sao_np._eo_mask with full
     # in-picture availability)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     on_x = (xs > 0) & (xs < w - 1)
     on_y = (ys > 0) & (ys < h - 1)
     mask = jnp.where(
@@ -324,39 +344,110 @@ def _sao_plane(plane, sao_type, tables, *, h, w, log2cw, log2ch, w_ctu,
 
 
 # ======================================================================
+# on-device CC-ALF (gather-free; VB row rules are compile-time masks)
+# ======================================================================
+@functools.lru_cache(maxsize=None)
+def _ccalf_dense_core(h: int, w: int, hc: int, wc: int, bd: int,
+                      sub_w: int, sub_h: int, ctu: int, w_ctu: int,
+                      n_cc: int):
+    """CC-ALF correction computed densely at luma resolution (constant
+    pad+slice taps, per-row VB offset variants as static row masks),
+    then subsampled to the chroma grid via reshape/transpose — no
+    gathers.  Parity: filterBlkCcAlf (AdaptiveLoopFilter.cpp:1348) /
+    ops.pipeline._ccalf_core."""
+    pel_max = (1 << bd) - 1
+    half = (1 << bd) >> 1
+    sy, sx = sub_h - 1, sub_w - 1
+    vb_h, vb_pos = ctu, ctu - 4
+    ctu_h = -(-h // ctu)
+
+    # static per-luma-row offset-variant masks (cf. _alf_inputs cc_off)
+    ly = np.arange(h)
+    pos = ly & (vb_h - 1)
+    rz = (pos == vb_pos - 1) | (pos == vb_pos)          # o1=o2=o3=0
+    r31 = (pos == vb_pos - 2) | (pos == vb_pos + 1)     # o3 = o1
+    rz_m = jnp.asarray(rz[:, None])
+    r31_m = jnp.asarray(r31[:, None])
+    # chroma-row skip (444 only: collocated luma row on the VB rows)
+    yc = np.arange(hc)
+    posc = (yc << sy) & (vb_h - 1)
+    skip_c = (sy == 0) & ((posc == vb_pos) | (posc == vb_pos + 1))
+    skip_m = jnp.asarray(skip_c[:, None])
+
+    def _sub(a):
+        """[h, w] -> [hc, wc] at (y << sy, x << sx), no strided slices."""
+        if sy:
+            a = a.reshape(h >> sy, 1 << sy, w)[:, 0, :]
+        if sx:
+            a = a.T.reshape(w >> sx, 1 << sx, hc)[:, 0, :].T
+        return a
+
+    def apply(luma, dst, cc_banks, cc_ctu):
+        sl = luma.astype(jnp.int32)
+        pad = jnp.pad(sl, ((1, 2), (1, 1)), mode="edge")
+
+        def L(dy, dx):
+            return pad[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
+
+        curr = L(0, 0)
+        t0 = jnp.where(rz_m, curr, L(-1, 0))            # off2 tap
+        t3 = jnp.where(rz_m, L(0, -1), L(1, -1))        # off1 taps
+        t4 = jnp.where(rz_m, curr, L(1, 0))
+        t5 = jnp.where(rz_m, L(0, 1), L(1, 1))
+        t6 = jnp.where(rz_m, curr,
+                       jnp.where(r31_m, L(1, 0), L(2, 0)))  # off3 tap
+        # per-pixel coefficients: CTU broadcast + static bank select
+        cidx = _expand_ctu(cc_ctu, ctu, ctu, h, w, w_ctu)
+        acc = jnp.zeros((h, w), dtype=jnp.int32)
+        taps = (t0, L(0, -1), L(0, 1), t3, t4, t5, t6)
+        for k in range(7):
+            ck = jnp.zeros((), dtype=jnp.int32)
+            ck = jnp.broadcast_to(ck, (h, w))
+            for j in range(1, n_cc):
+                ck = jnp.where(cidx == j, cc_banks[j, k], ck)
+            acc = acc + ck * (taps[k] - curr)
+        acc = (acc + 64) >> 7
+        acc = jnp.clip(acc + half, 0, pel_max) - half
+        acc_c = _sub(acc)
+        cidx_c = _sub(cidx)
+        d = dst.astype(jnp.int32)
+        out = jnp.clip(acc_c + d, 0, pel_max)
+        use = (cidx_c != 0) & ~skip_m
+        return jnp.where(use, out, d).astype(dst.dtype)
+
+    return apply
+
+
+# ======================================================================
 # chain assembly
 # ======================================================================
-def _expand_ctu4(vals, h4, w4, log2cw4, log2ch4, w_ctu):
-    """Gather per-CTU values onto the 4x4 grid."""
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h4, w4), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h4, w4), 1)
-    return vals[(ys >> log2ch4) * w_ctu + (xs >> log2cw4)]
-
-
 def _rep4(a, h, w):
     return jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)[:h, :w]
 
 
 def _flat_layout(key):
     """Static (name, shape) list describing the packed parameter vector —
-    all per-frame parameters ride ONE host->device transfer (the tunnel
-    charges ~10 ms latency per transfer, so count matters more than
-    bytes)."""
+    all per-frame parameters ride ONE host->device int16 transfer (the
+    tunnel charges ~10 ms latency per transfer, so count matters more
+    than bytes; every field fits 15 bits, asserted at pack time)."""
     (h, w, hc, wc, bd, ctu, sub_w, sub_h, num_comp, w_ctu,
-     db_n, sao_on, alf_luma, alf_chroma, cc_on, n_banks, n_cb, n_cc,
-     pack_pad) = key
+     db_on, n_sl, sao_on, alf_luma, alf_chroma, cc_on, n_banks, n_cb,
+     n_cc, pack_pad) = key
     h_ctu = -(-h // ctu)
     n_ctu = w_ctu * h_ctu
+    h4g, w4g = h // 4, w // 4
     out = []
-    if db_n is not None:
-        for i in range(6):
-            if db_n[i]:
-                out.append((f"db{i}_cells", (db_n[i], 2)))
-                out.append((f"db{i}_prm", (db_n[i], 6)))
-                out.append((f"db{i}_n", (1,)))
+    if db_on:
+        out.append(("db_y", (2, h4g, w4g)))
+        if num_comp > 1:
+            out.append(("db_cb", (2, h4g, w4g)))
+            out.append(("db_cr", (2, h4g, w4g)))
+        if n_sl > 1:
+            out.append(("db_si", (h4g, w4g)))
+        out.append(("db_sltab", (n_sl, 6)))
     if sao_on:
         out.append(("sao_type", (num_comp, n_ctu)))
-        out.append(("sao_tab", (num_comp, n_ctu, 37)))
+        out.append(("sao_vals", (num_comp, n_ctu, 6)))
     if alf_luma or alf_chroma or cc_on:
         out += [("en_y", (n_ctu,)), ("set_ctu", (n_ctu,)),
                 ("en_c", (2, n_ctu)), ("alt_ctu", (2, n_ctu)),
@@ -364,8 +455,7 @@ def _flat_layout(key):
                 ("banks_co", (n_banks, 4, 25, 13)),
                 ("banks_cl", (n_banks, 4, 25, 13)),
                 ("cbanks_co", (n_cb, 7)), ("cbanks_cl", (n_cb, 7)),
-                ("cc_banks", (n_cc, 7)),
-                ("cc_off", (max(1, hc), 3)), ("cc_skip", (max(1, hc),))]
+                ("cc_banks", (n_cc, 7))]
     return out
 
 
@@ -374,9 +464,10 @@ def _flat_pack(key, arrays: dict) -> np.ndarray:
     for name, shape in _flat_layout(key):
         a = np.ascontiguousarray(arrays[name], dtype=np.int32)
         assert a.shape == shape, (name, a.shape, shape)
-        parts.append(a.reshape(-1))
+        assert a.min() >= -32768 and a.max() < 32768, (name, "int16 range")
+        parts.append(a.reshape(-1).astype(np.int16))
     if not parts:
-        return np.zeros(1, dtype=np.int32)
+        return np.zeros(1, dtype=np.int16)
     return np.concatenate(parts)
 
 
@@ -385,7 +476,7 @@ def _flat_unpack(key, flat):
     pos = 0
     for name, shape in _flat_layout(key):
         n = int(np.prod(shape))
-        out[name] = flat[pos:pos + n].reshape(shape)
+        out[name] = flat[pos:pos + n].reshape(shape).astype(jnp.int32)
         pos += n
     return out
 
@@ -394,35 +485,38 @@ def _flat_unpack(key, flat):
 def _chain_fn(key):
     """Build + jit the whole-frame filter chain for one static config."""
     (h, w, hc, wc, bd, ctu, sub_w, sub_h, num_comp, w_ctu,
-     db_n, sao_on, alf_luma, alf_chroma, cc_on, n_banks, n_cb, n_cc,
-     pack_pad) = key
+     db_on, n_sl, sao_on, alf_luma, alf_chroma, cc_on, n_banks, n_cb,
+     n_cc, pack_pad) = key
     ctu_log2 = ctu.bit_length() - 1
     pel_max = (1 << bd) - 1
     h4, w4 = h // 4, w // 4
+    h_ctu = -(-h // ctu)
     vb_luma_h, vb_luma_pos = ctu, ctu - 4
     vb_chma_h = ctu // sub_h
     vb_chma_pos = vb_chma_h - 2
 
-    db_fns = []
-    if db_n is not None:
-        for d in range(2):
-            db_fns.append(
-                _deblock_luma_cells_core(h, w, d, bd, ctu, db_n[d])
-                if db_n[d] else None)
-        for d in range(2):
-            for k in range(2):
-                i = 2 + d * 2 + k
-                db_fns.append(
-                    _deblock_chroma_cells_core(
-                        hc, wc, d, bd, 4 // (sub_h if d == 0 else sub_w),
-                        (sub_h if d == 0 else sub_w) - 1, db_n[i])
-                    if db_n[i] else None)
+    if db_on:
+        db_y = [deblock_luma_dense_core(h, w, bd, ctu, False, n_sl),
+                deblock_luma_dense_core(w, h, bd, ctu, True, n_sl)]
+        db_c = []
+        if num_comp > 1:
+            ctu_c = ctu // sub_h
+            for d in range(2):
+                L = 4 // (sub_h if d == 0 else sub_w)
+                fy = 4 // (sub_h if d == 0 else sub_w)
+                fx = 4 // (sub_w if d == 0 else sub_h)
+                dims = (hc, wc) if d == 0 else (wc, hc)
+                db_c.append([
+                    deblock_chroma_dense_core(
+                        dims[0], dims[1], bd, ctu_c, L, d == 1, fy, fx,
+                        n_sl, comp) for comp in (1, 2)])
 
     alf_luma_fn = _alf_diamond_dense_core(
         h, w, bd, 12, vb_luma_h, vb_luma_pos, False) if alf_luma else None
     alf_chroma_fn = _alf_diamond_dense_core(
         hc, wc, bd, 6, vb_chma_h, vb_chma_pos, True) if alf_chroma else None
-    cc_fn = _ccalf_core(hc, wc, bd, sub_w - 1, sub_h - 1) if cc_on else None
+    cc_fn = _ccalf_dense_core(h, w, hc, wc, bd, sub_w, sub_h, ctu,
+                              w_ctu, n_cc) if cc_on else None
 
     def pack(planes):
         flat = jnp.concatenate([p.reshape(-1) for p in planes])
@@ -442,31 +536,33 @@ def _chain_fn(key):
     def chain(planes, flat):
         planes = list(planes)
         P = _flat_unpack(key, flat)
-        # ---- deblocking: V then H, luma + chroma ----
-        if db_n is not None:
-            for d in range(2):
-                if db_fns[d] is not None:
-                    planes[0] = db_fns[d](planes[0], P[f"db{d}_cells"],
-                                          P[f"db{d}_prm"],
-                                          P[f"db{d}_n"][0])
-                for k in range(2):
-                    i = 2 + d * 2 + k
-                    if db_n[i]:
-                        planes[1 + k] = db_fns[i](
-                            planes[1 + k], P[f"db{i}_cells"],
-                            P[f"db{i}_prm"], P[f"db{i}_n"][0])
+        # ---- deblocking: per direction luma then chroma ----
+        if db_on:
+            sltab = P["db_sltab"]
+            si = P["db_si"] if n_sl > 1 else \
+                jnp.zeros((h // 4, w // 4), dtype=jnp.int32)
+            planes[0] = db_y[0](planes[0], P["db_y"][0], si, sltab)
+            if num_comp > 1:
+                for k, nm in enumerate(("db_cb", "db_cr")):
+                    planes[1 + k] = db_c[0][k](planes[1 + k], P[nm][0],
+                                               si, sltab)
+            planes[0] = db_y[1](planes[0].T, P["db_y"][1].T, si.T,
+                                sltab).T
+            if num_comp > 1:
+                for k, nm in enumerate(("db_cb", "db_cr")):
+                    planes[1 + k] = db_c[1][k](planes[1 + k].T,
+                                               P[nm][1].T, si.T,
+                                               sltab).T
         # ---- SAO ----
         if sao_on:
             for comp in range(num_comp):
-                lw = (ctu_log2 - (sub_w - 1).bit_length()) if comp else \
-                    ctu_log2
-                lh = (ctu_log2 - (sub_h - 1).bit_length()) if comp else \
-                    ctu_log2
+                cw_ = (ctu // sub_w) if comp else ctu
+                ch_ = (ctu // sub_h) if comp else ctu
                 ph_, pw_ = (hc, wc) if comp else (h, w)
                 planes[comp] = _sao_plane(
                     planes[comp], P["sao_type"][comp],
-                    P["sao_tab"][comp],
-                    h=ph_, w=pw_, log2cw=lw, log2ch=lh, w_ctu=w_ctu,
+                    P["sao_vals"][comp],
+                    h=ph_, w=pw_, ctu_w=cw_, ctu_h=ch_, w_ctu=w_ctu,
                     bd=bd)
         # ---- ALF (reads post-SAO, writes fresh buffers) ----
         out = list(planes)
@@ -481,35 +577,29 @@ def _chain_fn(key):
             cbanks_co = P["cbanks_co"]
             cbanks_cl = P["cbanks_cl"]
             cc_banks = P["cc_banks"]
-            cc_off_rows = P["cc_off"]
-            cc_skip_rows = P["cc_skip"] != 0
-            ctu4w = ctu >> 2
-            log2c4 = ctu4w.bit_length() - 1
+            ctu4 = ctu >> 2
             if alf_luma:
                 cls, tr = _classify_dense(planes[0], h, w, bd, vb_luma_h,
                                           vb_luma_pos)
-                set4 = _expand_ctu4(set_ctu, h4, w4, log2c4, log2c4,
-                                    w_ctu)
+                set4 = _expand_ctu(set_ctu, ctu4, ctu4, h4, w4, w_ctu)
                 co4 = banks_co[set4, tr, cls][:, :, :12]
                 cl4 = banks_cl[set4, tr, cls][:, :, :12]
                 co = _rep4(co4, h, w)
                 cl = _rep4(cl4, h, w)
-                mask = _rep4(_expand_ctu4(en_y, h4, w4, log2c4, log2c4,
-                                          w_ctu), h, w) != 0
+                mask = _rep4(_expand_ctu(en_y, ctu4, ctu4, h4, w4,
+                                         w_ctu), h, w) != 0
                 out[0] = alf_luma_fn(planes[0], co, cl, mask)
             if num_comp > 1 and (alf_chroma or cc_on):
                 hc4, wc4 = (hc + 3) >> 2, (wc + 3) >> 2
                 lc4w = (ctu // sub_w) >> 2
                 lc4h = (ctu // sub_h) >> 2
-                l2w = lc4w.bit_length() - 1
-                l2h = lc4h.bit_length() - 1
                 for k in range(2):
                     comp = 1 + k
                     if alf_chroma:
-                        en4 = _expand_ctu4(en_c[k], hc4, wc4, l2w, l2h,
-                                           w_ctu)
-                        alt4 = _expand_ctu4(alt_ctu[k], hc4, wc4, l2w,
-                                            l2h, w_ctu)
+                        en4 = _expand_ctu(en_c[k], lc4h, lc4w, hc4, wc4,
+                                          w_ctu)
+                        alt4 = _expand_ctu(alt_ctu[k], lc4h, lc4w, hc4,
+                                           wc4, w_ctu)
                         co4 = cbanks_co[alt4][:, :, :6]
                         cl4 = cbanks_cl[alt4][:, :, :6]
                         co = _rep4(co4, hc, wc)
@@ -518,17 +608,8 @@ def _chain_fn(key):
                         out[comp] = alf_chroma_fn(
                             planes[comp], co, cl, maskc)
                     if cc_on:
-                        ysc = jax.lax.broadcasted_iota(
-                            jnp.int32, (hc, wc), 0)
-                        xsc = jax.lax.broadcasted_iota(
-                            jnp.int32, (hc, wc), 1)
-                        cidx = cc_ctu[k][
-                            (ysc >> (ctu_log2 - (sub_h - 1)))
-                            * w_ctu + (xsc >> (ctu_log2 - (sub_w - 1)))]
-                        coeff = cc_banks[cidx]
-                        out[comp] = cc_fn(
-                            planes[0], out[comp], coeff, cc_off_rows,
-                            cc_skip_rows, 0, 0, w - 1, h - 1, cidx != 0)
+                        out[comp] = cc_fn(planes[0], out[comp],
+                                          cc_banks, cc_ctu[k])
         packed = pack(out[:num_comp])
         return tuple(out[:num_comp]), packed
 
@@ -538,137 +619,39 @@ def _chain_fn(key):
 # ======================================================================
 # host-side input assembly
 # ======================================================================
-def _deblock_inputs(cs):
-    """Compact deblock cell tensors (host strength derivation in C)."""
+def _deblock_grid_inputs(cs):
+    """Packed per-4x4-cell deblock grids (host strength derivation in
+    C): {"db_y": [2, h4, w4], "db_cb"/"db_cr": same (chroma formats),
+    "db_si": slice-index grid (multi-slice), "db_sltab": [n_sl, 6]
+    per-slice tc/beta offsets}."""
     from vvdec_tpu.frame.deblock_np import Deblocker
     if all(s.deblocking_disabled for s in cs.shs):
-        return None, None
+        return None
     db = Deblocker(cs, None)
     db.derive_strengths()
-    multi = len(cs.shs) > 1
-    n_pads = []
-    arrays = []
-    for dir_ in (0, 1):
-        ep = db.edges[dir_]
-        cells4 = np.argwhere(ep.bs_y > 0)
-        if len(cells4):
-            ys4, xs4 = cells4[:, 0], cells4[:, 1]
-            n = len(cells4)
-            n_pad = _pad_pow2(n)
-            cells = np.zeros((n_pad, 2), dtype=np.int32)
-            cells[:n, 0] = xs4 * 4
-            cells[:n, 1] = ys4 * 4
-            prm = np.zeros((n_pad, 6), dtype=np.int32)
-            prm[:n, 0] = ep.bs_y[ys4, xs4]
-            prm[:n, 1] = ep.qp_y[ys4, xs4]
-            prm[:n, 2] = ep.max_fl_p[ys4, xs4]
-            prm[:n, 3] = ep.max_fl_q[ys4, xs4]
-            if not multi:
-                prm[:n, 4] = cs.sh.tc_offset_div2
-                prm[:n, 5] = cs.sh.beta_offset_div2
-            else:
-                si = np.clip(cs.slice_map[ys4, xs4], 0, len(cs.shs) - 1)
-                prm[:n, 4] = np.array([s_.tc_offset_div2
-                                       for s_ in cs.shs])[si]
-                prm[:n, 5] = np.array([s_.beta_offset_div2
-                                       for s_ in cs.shs])[si]
-            n_pads.append(n_pad)
-            arrays.append((cells, prm, np.int32(n)))
-        else:
-            n_pads.append(0)
-            arrays.append(None)
-    # chroma (order: dir0 cb, dir0 cr, dir1 cb, dir1 cr)
-    chroma = []
-    for dir_ in (0, 1):
-        chroma.append(_chroma_cells(cs, db, dir_) if cs.num_comp > 1
-                      else (None, None))
-    for dir_ in (0, 1):
-        for k in range(2):
-            ent = chroma[dir_][k]
-            if ent is None:
-                n_pads.append(0)
-                arrays.append(None)
-            else:
-                n_pads.append(ent[0].shape[0])
-                arrays.append(ent)
-    return tuple(n_pads), arrays
-
-
-def _chroma_cells(cs, db, dir_):
-    """Per-direction chroma cell tensors for (Cb, Cr) — mirrors
-    ops/pipeline._deblock_chroma_dir_jax's assembly."""
-    ep = db.edges[dir_]
-    sh = cs.sh
-    multi = len(cs.shs) > 1
-    sub_w, sub_h = cs.sub_w, cs.sub_h
-    cw, chh = cs.comp_size[1]
-    perp_step = 8
-    par_step = 4 // sub_h if dir_ == 0 else 4 // sub_w
-    ctu_c_mask = (cs.sps.ctu_size // cs.sub_h) - 1
-    c0s = np.arange(perp_step, (cw if dir_ == 0 else chh), perp_step)
-    c1s = np.arange(0, (chh if dir_ == 0 else cw), par_step)
-    if len(c0s) == 0 or len(c1s) == 0:
-        return (None, None)
-    if dir_ == 0:
-        ccx_g = np.broadcast_to(c0s[None, :], (len(c1s), len(c0s)))
-        ccy_g = np.broadcast_to(c1s[:, None], (len(c1s), len(c0s)))
-    else:
-        ccx_g = np.broadcast_to(c1s[:, None], (len(c1s), len(c0s)))
-        ccy_g = np.broadcast_to(c0s[None, :], (len(c1s), len(c0s)))
-    cx4_g = (ccx_g * sub_w) >> 2
-    cy4_g = (ccy_g * sub_h) >> 2
-    bs_cb_g = ep.bs_cb[cy4_g, cx4_g]
-    bs_cr_g = ep.bs_cr[cy4_g, cx4_g]
-    any_mask = (bs_cb_g > 0) | (bs_cr_g > 0)
-    if not any_mask.any():
-        return (None, None)
-    ccx_a = ccx_g[any_mask].astype(np.int32)
-    ccy_a = ccy_g[any_mask].astype(np.int32)
-    cx4_a = cx4_g[any_mask]
-    cy4_a = cy4_g[any_mask]
-    hor_ctb = ((dir_ == 1) & ((ccy_a & ctu_c_mask) == 0)).astype(np.int32)
-    if multi:
-        si = np.clip(cs.slice_map[cy4_a, cx4_a], 0, len(cs.shs) - 1)
-    out = []
-    for comp in (1, 2):
-        bs_col = (bs_cb_g if comp == 1 else bs_cr_g)[any_mask]
-        large_col = ep.cmfl[cy4_a, cx4_a]
-        sel = (bs_col == 2) | ((large_col != 0) & (bs_col == 1))
-        if not sel.any():
-            out.append(None)
-            continue
-        n = int(sel.sum())
-        n_pad = _pad_pow2(n)
-        cells = np.zeros((n_pad, 2), dtype=np.int32)
-        cells[:n, 0] = ccx_a[sel]
-        cells[:n, 1] = ccy_a[sel]
-        prm = np.zeros((n_pad, 6), dtype=np.int32)
-        prm[:n, 0] = bs_col[sel]
-        prm[:n, 1] = (ep.qp_cb if comp == 1 else ep.qp_cr)[cy4_a,
-                                                           cx4_a][sel]
-        prm[:n, 2] = large_col[sel]
-        if not multi:
-            prm[:n, 3] = sh.cb_tc_offset_div2 if comp == 1 \
-                else sh.cr_tc_offset_div2
-            prm[:n, 4] = sh.cb_beta_offset_div2 if comp == 1 \
-                else sh.cr_beta_offset_div2
-        else:
-            attr_tc = "cb_tc_offset_div2" if comp == 1 \
-                else "cr_tc_offset_div2"
-            attr_b = "cb_beta_offset_div2" if comp == 1 \
-                else "cr_beta_offset_div2"
-            prm[:n, 3] = np.array([getattr(s_, attr_tc)
-                                   for s_ in cs.shs])[si[sel]]
-            prm[:n, 4] = np.array([getattr(s_, attr_b)
-                                   for s_ in cs.shs])[si[sel]]
-        prm[:n, 5] = hor_ctb[sel]
-        out.append((cells, prm, np.int32(n)))
-    return tuple(out)
+    out = {
+        "db_y": np.stack([pack_luma_grid(db.edges[0]),
+                          pack_luma_grid(db.edges[1])]),
+        "db_sltab": np.array(
+            [[s.tc_offset_div2, s.beta_offset_div2,
+              s.cb_tc_offset_div2, s.cb_beta_offset_div2,
+              s.cr_tc_offset_div2, s.cr_beta_offset_div2]
+             for s in cs.shs], dtype=np.int32),
+    }
+    if cs.num_comp > 1:
+        out["db_cb"] = np.stack([pack_chroma_grid(db.edges[0], 1),
+                                 pack_chroma_grid(db.edges[1], 1)])
+        out["db_cr"] = np.stack([pack_chroma_grid(db.edges[0], 2),
+                                 pack_chroma_grid(db.edges[1], 2)])
+    if len(cs.shs) > 1:
+        out["db_si"] = np.clip(cs.slice_map, 0, len(cs.shs) - 1) \
+            .astype(np.int16)
+    return out
 
 
 def _sao_inputs(cs):
-    """Per-CTU SAO tensors: type per comp [n_ctu] (255 off), tables
-    [n_ctu, 37]."""
+    """Per-CTU SAO tensors: type per comp [n_ctu] (255 off) + compact
+    values [n_ctu, 6] — EO: (_, o0..o4); BO: (band, b0..b3, _)."""
     if not any(s_.sao_enabled_luma or s_.sao_enabled_chroma
                for s_ in cs.shs):
         return None
@@ -676,7 +659,7 @@ def _sao_inputs(cs):
     h_ctu = cs.pps.pic_height_in_ctu
     n_ctu = w_ctu * h_ctu
     types = np.full((cs.num_comp, n_ctu), 255, dtype=np.int32)
-    tables = np.zeros((cs.num_comp, n_ctu, 37), dtype=np.int32)
+    vals = np.zeros((cs.num_comp, n_ctu, 6), dtype=np.int32)
     for addr in range(n_ctu):
         params = cs.sao_params[addr]
         if params is None:
@@ -688,12 +671,16 @@ def _sao_inputs(cs):
             t = int(p["type"])
             types[comp, addr] = t
             if t == 4:
-                tables[comp, addr, 5:] = p["offsets"]
+                band = int(p["band"])
+                vals[comp, addr, 0] = band
+                for k in range(4):
+                    vals[comp, addr, 1 + k] = p["offsets"][(band + k)
+                                                           % 32]
             else:
-                tables[comp, addr, :5] = p["offsets"]
+                vals[comp, addr, 1:6] = p["offsets"]
     if (types == 255).all():
         return None
-    return types, tables
+    return types, vals
 
 
 def _alf_inputs(cs, bd: int):
@@ -788,28 +775,6 @@ def _alf_inputs(cs, bd: int):
                         cc_ctu[k, addr] = cc_bank_ids[ckey]
     if not (any_luma or any_chroma or any_cc):
         return None
-    vb_luma_h, vb_luma_pos = ctu, ctu - 4
-    if cs.num_comp > 1:
-        hcc = cs.comp_size[1][1]
-        # CC-ALF per-row luma offsets / VB skip rows
-        cc_off = np.zeros((hcc, 3), dtype=np.int32)
-        cc_skip = np.zeros(hcc, dtype=bool)
-        sy = cs.sub_h - 1
-        for y in range(hcc):
-            ly = y << sy
-            pos = ly & (vb_luma_h - 1)
-            if sy == 0 and pos in (vb_luma_pos, vb_luma_pos + 1):
-                cc_skip[y] = True
-                continue
-            o1, o2, o3 = 1, -1, 2
-            if pos in (vb_luma_pos - 2, vb_luma_pos + 1):
-                o3 = o1
-            elif pos in (vb_luma_pos - 1, vb_luma_pos):
-                o1 = o2 = o3 = 0
-            cc_off[y] = (o1, o2, o3)
-    else:
-        cc_off = np.zeros((1, 3), dtype=np.int32)
-        cc_skip = np.zeros(1, dtype=bool)
     return {
         "any": (any_luma, any_chroma and cs.num_comp > 1,
                 any_cc and cs.num_comp > 1),
@@ -823,8 +788,7 @@ def _alf_inputs(cs, bd: int):
             if cbanks_co else np.zeros((1, 7), dtype=np.int32),
             np.asarray(cbanks_cl, dtype=np.int32)
             if cbanks_cl else np.ones((1, 7), dtype=np.int32),
-            np.asarray(cc_banks, dtype=np.int32),
-            cc_off, cc_skip),
+            np.asarray(cc_banks, dtype=np.int32)),
     }
 
 
@@ -873,15 +837,15 @@ def filter_frame_device(cs, planes: list[np.ndarray]) -> PendingFrame:
     num_comp = cs.num_comp
     h, w = planes[0].shape
     hc, wc = planes[1].shape if num_comp > 1 else (1, 1)
-    db_n, db_arrays = _deblock_inputs(cs)
+    db = _deblock_grid_inputs(cs)
     sao = _sao_inputs(cs)
     alf = _alf_inputs(cs, bd)
 
     total = sum(p.size for p in planes[:num_comp])
     pack_pad = (-total) % 4 if bd > 8 else 0
     key = (h, w, hc, wc, bd, cs.sps.ctu_size, cs.sub_w, cs.sub_h,
-           num_comp, cs.pps.pic_width_in_ctu, db_n,
-           sao is not None,
+           num_comp, cs.pps.pic_width_in_ctu, db is not None,
+           len(cs.shs), sao is not None,
            bool(alf and alf["any"][0]), bool(alf and alf["any"][1]),
            bool(alf and alf["any"][2]),
            0 if not alf else alf["arrays"][5].shape[0],
@@ -889,19 +853,15 @@ def filter_frame_device(cs, planes: list[np.ndarray]) -> PendingFrame:
            0 if not alf else alf["arrays"][9].shape[0], pack_pad)
     fn = _chain_fn(key)
     arrays = {}
-    if db_arrays is not None:
-        for i, e in enumerate(db_arrays):
-            if e is not None:
-                arrays[f"db{i}_cells"] = e[0]
-                arrays[f"db{i}_prm"] = e[1]
-                arrays[f"db{i}_n"] = np.asarray([e[2]], dtype=np.int32)
+    if db is not None:
+        arrays.update(db)
     if sao is not None:
         arrays["sao_type"] = sao[0][:num_comp]
-        arrays["sao_tab"] = sao[1][:num_comp]
+        arrays["sao_vals"] = sao[1][:num_comp]
     if alf is not None:
         names = ("en_y", "set_ctu", "en_c", "alt_ctu", "cc_ctu",
                  "banks_co", "banks_cl", "cbanks_co", "cbanks_cl",
-                 "cc_banks", "cc_off", "cc_skip")
+                 "cc_banks")
         for name, a in zip(names, alf["arrays"]):
             arrays[name] = a
     flat = jnp.asarray(_flat_pack(key, arrays))
