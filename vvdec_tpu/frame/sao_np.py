@@ -19,7 +19,45 @@ def _sgn(a: np.ndarray) -> np.ndarray:
 
 
 def sao_frame(cs: CodingStructure, planes: list[np.ndarray]) -> None:
-    """In-place SAO over reconstructed (deblocked) planes."""
+    """In-place SAO over reconstructed (deblocked) planes — whole-frame
+    vectorized: one padded copy and one edge-class evaluation per plane
+    (the per-CTU variant below, kept as the golden reference, re-padded
+    the full plane per CTU and dominated host decode time)."""
+    if not any(s_.sao_enabled_luma or s_.sao_enabled_chroma
+               for s_ in cs.shs):
+        return
+    bd = cs.sps.bit_depth
+    pel_max = (1 << bd) - 1
+    for comp, (type_map, ctu_idx, tables, mask) in enumerate(
+            sao_prepare_maps(cs)):
+        if not mask.any():
+            continue
+        c = planes[comp].astype(np.int32)
+        pad = np.pad(c, 1, mode="edge")
+        typ = type_map.astype(np.int32)
+        n = (
+            (pad[1:-1, :-2], pad[1:-1, 2:]),    # EO 0 deg
+            (pad[:-2, 1:-1], pad[2:, 1:-1]),    # EO 90
+            (pad[:-2, :-2], pad[2:, 2:]),       # EO 135
+            (pad[:-2, 2:], pad[2:, :-2]),       # EO 45
+        )
+        a, b = n[0]
+        for t in range(1, 4):
+            sel = typ == t
+            if sel.any():
+                a = np.where(sel, n[t][0], a)
+                b = np.where(sel, n[t][1], b)
+        edge = _sgn(c - a) + _sgn(c - b) + 2
+        idx = np.where(typ == 4, 5 + (c >> (bd - 5)), edge)
+        off = tables[ctu_idx, idx]
+        out = np.clip(c + off, 0, pel_max)
+        planes[comp][mask] = out[mask]
+
+
+def sao_frame_per_ctu(cs: CodingStructure,
+                      planes: list[np.ndarray]) -> None:
+    """Per-CTU golden SAO (scalar-block reference for the vectorized
+    paths above and the device stage)."""
     if not any(s_.sao_enabled_luma or s_.sao_enabled_chroma
                for s_ in cs.shs):
         return
