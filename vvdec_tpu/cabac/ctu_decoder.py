@@ -14,10 +14,12 @@ goes through the `_bin/_ep/_eps/_rem` wrappers, so context selection and state
 update are identical in both directions — the encoder half powers the test
 bitstream generator and is pinned against the reference decoder binary.
 
-Tool scope (round 1): full QT/BT/TT partitioning, intra CUs (DC/planar/
-angular via MPM, DM/listed chroma), DCT2 residuals with dep-quant and
-sign-data-hiding decode, CU delta-QP.  SPS-gated tools not yet implemented
-raise NotImplementedError when encountered in a stream.
+Tool scope: the complete Main10 syntax surface — QT/BT/TT partitioning
+(incl. dual tree and local dual tree), all intra modes (MPM/angular,
+MIP, ISP, MRL, CCLM, BDPCM), all inter modes (merge/MMVD/CIIP/GPM/
+affine/SMVD/AMVR/BCW, IBC), transform trees with MTS/LFNST/SBT/
+joint-CbCr/ACT, regular + transform-skip residual coding with dep-quant
+and sign-data-hiding, SAO/ALF CTU syntax, WPP/tile/slice substreams.
 """
 
 from __future__ import annotations
@@ -455,6 +457,10 @@ class CtuDecoder:
 
     def _code_slice_ctus(self, ctu_addrs, sub_start, sub_of, tile_of,
                          wavefronts, sh, walk) -> None:
+        if walk is not None and self.enc is None:
+            self._code_slice_ctus_walk(ctu_addrs, sub_start, sub_of,
+                                       tile_of, wavefronts, sh, walk)
+            return
         pps = self.pps
         ctu_size = self.sps.ctu_size
         w_ctu = pps.pic_width_in_ctu
@@ -514,6 +520,58 @@ class CtuDecoder:
                 trm = self._trm(want=1)
                 if not trm:
                     raise ValueError(f"expected terminating bit after CTU {addr}")
+
+    def _code_slice_ctus_walk(self, ctu_addrs, sub_start, sub_of, tile_of,
+                              wavefronts, sh, walk) -> None:
+        """Decode-mode CTU loop over the native walk: per substream, walk
+        the first CTU (then snapshot the WPP context), then batch the rest
+        through one C call holding a single GIL release — behaviorally
+        identical to the generic loop above."""
+        pps = self.pps
+        ctu_size = self.sps.ctu_size
+        w_ctu = pps.pic_width_in_ctu
+        # substream segments [a, b)
+        segs = []
+        start = 0
+        for i in range(1, len(ctu_addrs)):
+            if sub_of(ctu_addrs[i]) != sub_of(ctu_addrs[i - 1]):
+                segs.append((start, i))
+                start = i
+        segs.append((start, len(ctu_addrs)))
+        for sub_idx, (a, b) in enumerate(segs):
+            addr0 = ctu_addrs[a]
+            if sub_idx > 0:
+                new_tile = tile_of(addr0) != tile_of(ctu_addrs[a - 1])
+                self.dec.restart(sub_start[sub_idx],
+                                 sub_start[sub_idx + 1]
+                                 if sub_idx + 1 < len(sub_start) else None)
+                if new_tile:
+                    self.dec.ctx.init(sh.qp_y, sh.slice_type)
+                else:
+                    key = (tile_of(addr0), addr0 // w_ctu - 1)
+                    saved = self._wpp_ctx.get(key)
+                    if saved is not None:
+                        self.dec.ctx = saved.copy()
+                    else:
+                        self.dec.ctx.init(sh.qp_y, sh.slice_type)
+                self.qps = [sh.qp_y, sh.qp_y]
+                walk.reset_qp()
+            walk.ctu((addr0 % w_ctu) * ctu_size,
+                     (addr0 // w_ctu) * ctu_size)
+            if wavefronts:
+                self._wpp_ctx[(tile_of(addr0), addr0 // w_ctu)] = \
+                    self.dec.ctx.copy()
+            rest = ctu_addrs[a + 1: b]
+            if len(rest):
+                arr = np.asarray(rest, dtype=np.int32)
+                xy = np.empty((len(arr), 2), dtype=np.int32)
+                xy[:, 0] = (arr % w_ctu) * ctu_size
+                xy[:, 1] = (arr // w_ctu) * ctu_size
+                walk.ctu_run(xy)
+            trm = self._trm(want=1)
+            if not trm:
+                raise ValueError(
+                    f"expected terminating bit after CTU {ctu_addrs[b - 1]}")
 
     def _flush_substream(self) -> None:
         """Finish the current encoder substream: arithmetic flush + stop

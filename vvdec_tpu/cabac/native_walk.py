@@ -317,6 +317,25 @@ class SliceWalk:
             self._begin()
         self.sess.ctu(cx, cy)
 
+    def ctu_run(self, xy: np.ndarray) -> None:
+        """Walk a run of CTUs ((x, y) int32 pairs) in one native call per
+        record-capacity window — one GIL release for the whole run."""
+        pos = 0
+        n = len(xy)
+        while pos < n:
+            done = int(self.sess.ctu_run(
+                np.ascontiguousarray(xy[pos:]).tobytes(), n - pos,
+                _HEADROOM))
+            pos += done
+            if pos < n:
+                nw = self.nw
+                nw["cu_rec"] = np.vstack([nw["cu_rec"],
+                                          np.zeros_like(nw["cu_rec"])])
+                nw["tu_rec"] = np.vstack([nw["tu_rec"],
+                                          np.zeros_like(nw["tu_rec"])])
+                self.sess.close()
+                self._begin()
+
     def finish(self) -> None:
         """Publish this slice's records: CU/TU objects materialize lazily
         on first Python access (the C stages read the records directly)."""

@@ -306,18 +306,35 @@ class StreamDecoder:
     and DPB output bumping."""
 
     def __init__(self, use_jax: bool = False, strict_hash: bool = True,
-                 err_policy: str = "strict"):
+                 err_policy: str = "strict", threads: int = 0,
+                 parse_delay: int | None = None):
         """err_policy: "strict" raises on broken streams; "conceal" follows
         the reference's fault tolerance — lost references are synthesized
         (closest picture or grey, DecLibParser::prepareUnavailablePicture,
         PicListManager::findClosestPic) and broken pictures are grey-filled
-        and kept referenceable (DecLib::sanitizeBrokenPicture)."""
+        and kept referenceable (DecLib::sanitizeBrokenPicture).
+
+        threads >= 2 enables the recon-while-parse overlap (the reference's
+        RECO_WHILE_PARSE, TypeDef.h:69 + parse-ahead, DecLib.cpp:128-133):
+        a dedicated parse thread runs the CABAC walk (which releases the
+        GIL inside the C loops) up to `parse_delay` pictures ahead while
+        the calling thread reconstructs.  parse_delay defaults to
+        min(1.5 * threads, 48), the reference's default."""
         from vvdec_tpu.dpb import PicListManager
         self.parser = FrameParser()
         self.plm = PicListManager()
         self.use_jax = use_jax
         self.strict_hash = strict_hash
         self.err_policy = err_policy
+        self._parse_exec = None
+        self._last_parsed: ParsedFrame | None = None
+        if parse_delay is None:
+            parse_delay = min(int(threads * 1.5), 48) if threads else 1
+        self._parse_delay = max(1, parse_delay)
+        if threads >= 2:
+            from concurrent.futures import ThreadPoolExecutor
+            self._parse_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="vvdec-parse")
         self.hash_errors = 0
         self.error_pictures = 0
         self._refs: dict[int, list] = {}      # poc -> int planes (ref)
@@ -334,6 +351,8 @@ class StreamDecoder:
     def push(self, data: bytes) -> list:
         """Feed a chunk of Annex-B bytes (one AU or more); returns the
         pictures that became ready for output, in output order."""
+        if self._parse_exec is not None:
+            return self._push_threaded(data)
         out = []
         from vvdec_tpu.utils.trace import profiler
         for nal in read_nal_units(data):
@@ -358,6 +377,50 @@ class StreamDecoder:
                     self._reconstruct(self._pending)
                 self._pending = f
             out.extend(self._bump())
+        return out
+
+    def _parse_one(self, nal) -> list:
+        """Runs on the parse thread; serial, owns all parser state."""
+        try:
+            done = self.parser.feed_nal(nal, last_frame=self._last_parsed)
+        except Exception:
+            if self.err_policy != "conceal":
+                raise
+            done = []
+            if self.parser._pending is not None:
+                pf = self.parser._pending[0]
+                pf.broken = True
+                self.parser._pending = None
+                done = [pf]
+        if done:
+            self._last_parsed = done[-1]
+        return done
+
+    def _push_threaded(self, data: bytes) -> list:
+        """Recon-while-parse: the parse thread runs ahead up to the
+        parse-delay while this thread reconstructs completed pictures.
+        The CABAC walk and the C recon kernels both release the GIL, so
+        the two stages genuinely overlap."""
+        from collections import deque
+        out = []
+        futs: deque = deque()
+        # NAL count bound approximating the picture-count parse delay
+        bound = 4 + 2 * self._parse_delay
+
+        def drain_one():
+            done = futs.popleft().result()
+            for f in done:
+                if self._pending is not None:
+                    self._reconstruct(self._pending)
+                self._pending = f
+            out.extend(self._bump())
+
+        for nal in read_nal_units(data):
+            futs.append(self._parse_exec.submit(self._parse_one, nal))
+            while len(futs) > bound:
+                drain_one()
+        while futs:
+            drain_one()
         return out
 
     def flush(self) -> list:
@@ -648,17 +711,19 @@ class StreamDecoder:
                             f"{poc}: {got.hex()} != {dph.digest.hex()}")
 
 
-def decode_annexb(data: bytes, use_jax: bool = False) -> list[list[np.ndarray]]:
+def decode_annexb(data: bytes, use_jax: bool = False,
+                  threads: int = 0) -> list[list[np.ndarray]]:
     """Full decode: Annex-B stream -> list of frames in output order, each a
     list of uint16 planes (Y, Cb, Cr).  The numpy golden path; `use_jax=True`
     routes the reconstruction through the JAX device pipeline."""
-    dec = StreamDecoder(use_jax=use_jax)
+    dec = StreamDecoder(use_jax=use_jax, threads=threads)
     pics = dec.push(data)
     pics.extend(dec.flush())
     return [p.planes for p in pics]
 
 
-def decode_to_yuv(data: bytes, use_jax: bool = False) -> bytes:
+def decode_to_yuv(data: bytes, use_jax: bool = False,
+                  threads: int = 0) -> bytes:
     """Decode to the vvdecapp YUV output format: planar LE, one byte per
     sample for 8-bit streams, two bytes otherwise (vvdecHelper.h
     writeYUVToFile sample packing)."""
@@ -673,7 +738,7 @@ def decode_to_yuv(data: bytes, use_jax: bool = False) -> bytes:
             bd = parse_sps(full).bit_depth
             break
     out = b""
-    for planes in decode_annexb(data, use_jax=use_jax):
+    for planes in decode_annexb(data, use_jax=use_jax, threads=threads):
         for p in planes:
             out += p.astype("u1" if bd == 8 else "<u2").tobytes()
     return out

@@ -929,6 +929,7 @@ static PyObject *mod_deblock_luma(PyObject *self, PyObject *args)
     const int32_t *prm = (const int32_t *)params_buf.buf;
     int pel_max = (1 << bd) - 1;
 
+    Py_BEGIN_ALLOW_THREADS
     for (int i = 0; i < n; i++) {
         Cell c = {plane, W, dir, cells[2 * i], cells[2 * i + 1], pel_max};
         int bs = prm[6 * i], qp = prm[6 * i + 1];
@@ -997,6 +998,7 @@ static PyObject *mod_deblock_luma(PyObject *self, PyObject *args)
         for (int line = 0; line < 4; line++)
             pel_filter_luma(&c, line, tc, sw, thr_cut, filter_p, filter_q);
     }
+    Py_END_ALLOW_THREADS
     PyBuffer_Release(&plane_buf);
     PyBuffer_Release(&cells_buf);
     PyBuffer_Release(&params_buf);
@@ -1072,6 +1074,7 @@ static PyObject *mod_deblock_chroma(PyObject *self, PyObject *args)
     const int32_t *prm = (const int32_t *)params_buf.buf;
     int pel_max = (1 << bd) - 1;
 
+    Py_BEGIN_ALLOW_THREADS
     for (int i = 0; i < n; i++) {
         Cell c = {plane, W, dir, cells[2 * i], cells[2 * i + 1], pel_max};
         int bs = prm[6 * i], qp = prm[6 * i + 1];
@@ -1115,6 +1118,7 @@ static PyObject *mod_deblock_chroma(PyObject *self, PyObject *args)
         for (int line = 0; line < loop_len; line++)
             pel_filter_chroma(&c, line, tc, sw, hor_ctb);
     }
+    Py_END_ALLOW_THREADS
     PyBuffer_Release(&plane_buf);
     PyBuffer_Release(&cells_buf);
     PyBuffer_Release(&params_buf);

@@ -656,10 +656,12 @@ static PyObject *mod_run_from(PyObject *self, PyObject *args) {
 
     const int32_t *td = (const int32_t *)td_buf.buf;
     int i = start;
-    static int32_t pred[64 * 64];
-    static int32_t resi[64 * 64];
-    static int32_t top[260], left[260], ftop[260], fleft[260];
+    static _Thread_local int32_t pred[64 * 64];
+    static _Thread_local int32_t resi[64 * 64];
+    static _Thread_local int32_t top[260], left[260], ftop[260],
+        fleft[260];
 
+    Py_BEGIN_ALLOW_THREADS
     for (; i < n_tus; i++) {
         const int32_t *d = td + (size_t)i * TD_STRIDE;
         int flags = d[0];
@@ -723,6 +725,7 @@ static PyObject *mod_run_from(PyObject *self, PyObject *args) {
             for (int xx = ox >> 2; xx < (ox + ow) >> 2; xx++)
                 c.order_map[(size_t)yy * c.om_w + xx] = i;
     }
+    Py_END_ALLOW_THREADS
 
     PyBuffer_Release(&td_buf);
     PyBuffer_Release(&cm_buf);

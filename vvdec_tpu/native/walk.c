@@ -202,6 +202,11 @@ enum {
 
 static const int8_t LAST_PREFIX_CTX_T[8] = {0, 0, 0, 3, 6, 10, 15, 21};
 
+/* Deferred error message for GIL-released code paths: the hot walk /
+ * recon loops run under Py_BEGIN_ALLOW_THREADS, so error sites record a
+ * message here and the METH wrappers raise after re-acquiring the GIL. */
+static _Thread_local const char *g_walk_err;
+
 static inline int w_ilog2(int v) { return 31 - __builtin_clz((unsigned)v); }
 static inline int w_min(int a, int b) { return a < b ? a : b; }
 static inline int w_max(int a, int b) { return a > b ? a : b; }

@@ -123,7 +123,7 @@ static void w_residual_coding(Walk *ws, int32_t *tu, const int32_t *cu,
 static int w_add_tu(Walk *ws, int32_t *cu, int cu_idx, int part_idx)
 {
     if (ws->counts[1] >= ws->tu_cap) {
-        PyErr_SetString(PyExc_ValueError, "walk TU record capacity exceeded");
+        g_walk_err = "walk TU record capacity exceeded";
         return -1;
     }
     int ti = ws->counts[1];

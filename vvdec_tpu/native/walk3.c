@@ -97,7 +97,7 @@ static void w_pred_mode_syntax(Walk *ws, int32_t *cu, const WNode *node)
 static int w_code_cu(Walk *ws, const WNode *node)
 {
     if (ws->counts[0] >= ws->cu_cap) {
-        PyErr_SetString(PyExc_ValueError, "walk CU record capacity exceeded");
+        g_walk_err = "walk CU record capacity exceeded";
         return -1;
     }
     int ci = ws->counts[0];
@@ -164,8 +164,7 @@ static int w_code_cu(Walk *ws, const WNode *node)
     w_add_cu(ws, ci);
 
     if (WPAR(ws, WP_ACT_EN)) {
-        PyErr_SetString(PyExc_ValueError,
-                        "adaptive color transform not supported");
+        g_walk_err = "adaptive color transform not supported";
         return -1;
     }
 
@@ -560,8 +559,17 @@ static PyObject *Walk_ctu(Walk *self, PyObject *args)
         PyErr_SetString(PyExc_ValueError, "walk session closed");
         return NULL;
     }
-    if (w_ctu(self, cx, cy))
+    int rc;
+    g_walk_err = NULL;
+    Py_BEGIN_ALLOW_THREADS
+    rc = w_ctu(self, cx, cy);
+    Py_END_ALLOW_THREADS
+    if (rc) {
+        if (!PyErr_Occurred())
+            PyErr_SetString(PyExc_ValueError,
+                            g_walk_err ? g_walk_err : "walk error");
         return NULL;
+    }
     Py_RETURN_NONE;
 }
 
@@ -571,9 +579,50 @@ static PyObject *Walk_close(Walk *self, PyObject *Py_UNUSED(ignored))
     Py_RETURN_NONE;
 }
 
+/* ctu_run(xy: int32[n,2] buffer, n, headroom) -> number of CTUs walked.
+ * Walks consecutive CTUs under ONE GIL release (per-CTU release/acquire
+ * convoys against a concurrent recon thread); stops early when the
+ * CU/TU record headroom drops below `headroom` so the Python wrapper
+ * can regrow the arrays and resume. */
+static PyObject *Walk_ctu_run(Walk *self, PyObject *args)
+{
+    Py_buffer xy_buf;
+    int n, headroom;
+    if (!PyArg_ParseTuple(args, "y*ii", &xy_buf, &n, &headroom))
+        return NULL;
+    if (!self->bufs_ok) {
+        PyBuffer_Release(&xy_buf);
+        PyErr_SetString(PyExc_ValueError, "walk session closed");
+        return NULL;
+    }
+    const int32_t *xy = (const int32_t *)xy_buf.buf;
+    int done = 0, rc = 0;
+    g_walk_err = NULL;
+    Py_BEGIN_ALLOW_THREADS
+    for (; done < n; done++) {
+        if (self->counts[0] + headroom > self->cu_cap ||
+            self->counts[1] + headroom > self->tu_cap)
+            break;
+        rc = w_ctu(self, xy[2 * done], xy[2 * done + 1]);
+        if (rc)
+            break;
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&xy_buf);
+    if (rc) {
+        if (!PyErr_Occurred())
+            PyErr_SetString(PyExc_ValueError,
+                            g_walk_err ? g_walk_err : "walk error");
+        return NULL;
+    }
+    return PyLong_FromLong(done);
+}
+
 static PyMethodDef Walk_methods[] = {
     {"ctu", (PyCFunction)Walk_ctu, METH_VARARGS,
      "decode one CTU's full syntax"},
+    {"ctu_run", (PyCFunction)Walk_ctu_run, METH_VARARGS,
+     "decode a run of CTUs under one GIL release"},
     {"close", (PyCFunction)Walk_close, METH_NOARGS,
      "release buffer views"},
     {NULL},

@@ -390,6 +390,7 @@ static PyObject *mod_deblock_strengths(PyObject *self, PyObject *args)
         goto fail;
     }
     c.tu_map_c = c.tu_map + map_n;
+    Py_BEGIN_ALLOW_THREADS
     for (size_t i = 0; i < map_n * 2; i++)
         c.tu_map[i] = -1;
     for (int i = 0; i < c.n_tus; i++) {
@@ -429,6 +430,7 @@ static PyObject *mod_deblock_strengths(PyObject *self, PyObject *args)
             db_subblock_edges(&c, cu, 1);
         }
     }
+    Py_END_ALLOW_THREADS
 
     free(c.tu_map);
     PyBuffer_Release(&b_ep);

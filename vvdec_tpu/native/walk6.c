@@ -82,10 +82,10 @@ static int mc_block_core(const int32_t *ref, int W, int H, int x0, int y0,
         }
     } else if (has_fx && has_fy) {
         /* pass 1 horizontal over the full vertical extent */
-        static int32_t tmp[(128 + 16) * 128]; /* [eh][w], w,h <= 128 */
+        static _Thread_local int32_t tmp[(128 + 16) * 128]; /* [eh][w] */
         if (w > 128 || eh > 128 + 16) {
             if (xs_heap) free(xs);
-            PyErr_SetString(PyExc_ValueError, "mc_block too large");
+            g_walk_err = "mc_block too large";
             return -1;
         }
         int s1 = IF_FILT - head;

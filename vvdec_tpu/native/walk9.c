@@ -1345,6 +1345,8 @@ static PyObject *InterCtx_run_from(InterCtx *self, PyObject *args)
     if (!PyArg_ParseTuple(args, "i", &start))
         return NULL;
     int i = start;
+    g_walk_err = NULL;
+    Py_BEGIN_ALLOW_THREADS
     while (i < self->n_tus) {
         const int32_t *tu = self->tu_rec + (size_t)i * TUF_NF;
         int cu_idx = tu[TUF_CU_IDX];
@@ -1353,12 +1355,14 @@ static PyObject *InterCtx_run_from(InterCtx *self, PyObject *args)
             break;
         if (!ix_cu_eligible(self, cu))
             break;
-        if (ix_run_cu(self, cu_idx) < 0) {
-            if (PyErr_Occurred())
-                return NULL;
+        if (ix_run_cu(self, cu_idx) < 0)
             break;
-        }
         i = cu[CU_FIRST_TU] + cu[CU_NUM_TU];
+    }
+    Py_END_ALLOW_THREADS
+    if (g_walk_err) {
+        PyErr_SetString(PyExc_ValueError, g_walk_err);
+        return NULL;
     }
     return PyLong_FromLong(i);
 }
