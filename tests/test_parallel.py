@@ -61,3 +61,65 @@ def test_gop_parallel_decode_equivalence():
     for a, b in zip(serial, parallel):
         for p, q in zip(a, b):
             assert np.array_equal(p, q)
+
+
+class TestShardedChain:
+    """Row-sharded dense filter chain == unsharded device chain on real
+    decoded pictures (VERDICT round-1 item 4)."""
+
+    def _capture(self, stream):
+        from vvdec_tpu.decoder import decode_to_yuv
+        from vvdec_tpu.ops import device_pipeline as dp
+        captured = []
+        real = dp.filter_frame_device
+
+        def spy(cs, planes):
+            captured.append((cs, [p.copy() for p in planes]))
+            return real(cs, planes)
+
+        dp.filter_frame_device = spy
+        try:
+            decode_to_yuv(stream, use_jax=True)
+        finally:
+            dp.filter_frame_device = real
+        return captured, real
+
+    def test_sao_deblock_frame_and_row_sharded(self):
+        from vvdec_tpu.ops.sharded_chain import filter_frames_sharded
+        from vvdec_tpu.parallel import make_decode_mesh
+        from vvdec_tpu.testenc.encoder import generate_stream
+        # 96-high picture with 32-CTUs over 4 row shards -> 128-row pad
+        # (exercises the bottom-padding path)
+        s, _ = generate_stream(
+            width=128, height=96, ctu=32, n_frames=2, seed=21, qp=30,
+            sps_kw=dict(sao_enabled=True),
+            sh_kw=dict(sao_enabled_luma=True, sao_enabled_chroma=True),
+            dec_kw=dict(split_prob=0.5, sao_prob=0.8))
+        captured, real = self._capture(s)
+        assert len(captured) == 2
+        mesh = make_decode_mesh(8, rows=4)  # ("frame", "row") = (2, 4)
+        ref = [real(cs, planes).resolve()
+               for cs, planes in captured]
+        out = filter_frames_sharded(captured, mesh)
+        for r, o in zip(ref, out):
+            for a, b in zip(r, o):
+                assert np.array_equal(a, b)
+
+    def test_alf_ccalf_row_sharded(self):
+        import jax
+        from jax.sharding import Mesh
+        from vvdec_tpu.ops.sharded_chain import filter_frames_sharded
+        from vvdec_tpu.testenc.encoder import generate_stream
+        s, _ = generate_stream(
+            width=96, height=128, ctu=32, n_frames=1, seed=5, qp=30,
+            sps_kw=dict(sao_enabled=True, alf_enabled=True,
+                        ccalf_enabled=True),
+            sh_kw=dict(sao_enabled_luma=True, sao_enabled_chroma=True),
+            dec_kw=dict(split_prob=0.5, sao_prob=0.5))
+        captured, real = self._capture(s)
+        assert len(captured) == 1
+        mesh = Mesh(np.array(jax.devices()[:8]), ("row",))
+        ref = real(*captured[0]).resolve()
+        out = filter_frames_sharded(captured, mesh, axis="row")[0]
+        for a, b in zip(ref, out):
+            assert np.array_equal(a, b)

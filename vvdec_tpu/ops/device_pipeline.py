@@ -292,12 +292,18 @@ def _expand_ctu(vals, rep_y: int, rep_x: int, out_h: int, out_w: int,
     return jnp.repeat(jnp.repeat(g, rep_y, 0), rep_x, 1)[:out_h, :out_w]
 
 
-def _sao_plane(plane, sao_type, vals, *, h, w, ctu_w, ctu_h, w_ctu, bd):
+def _sao_plane(plane, sao_type, vals, *, h, w, ctu_w, ctu_h, w_ctu, bd,
+               row0=None, img_h=None):
     """SAO for one plane.  sao_type: [n_ctu] (255 = off); vals:
     [n_ctu, 6] compact offsets — EO: (_, o0..o4); BO: (band, b0..b3, _).
     Availability = in-picture (gated).  All parameter maps are CTU-grid
     broadcasts; the only data-dependent selects are on the per-pixel
-    edge class / band index."""
+    edge class / band index.
+
+    Row-sharded use: `row0` (traced) is the absolute image row of array
+    row 0 and `img_h` the full picture height, so the top/bottom border
+    trimming applies at the true picture edges rather than the shard
+    edges."""
     pel_max = (1 << bd) - 1
     band_shift = bd - 5
     c = plane.astype(jnp.int32)
@@ -333,7 +339,11 @@ def _sao_plane(plane, sao_type, vals, *, h, w, ctu_w, ctu_h, w_ctu, bd):
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     on_x = (xs > 0) & (xs < w - 1)
-    on_y = (ys > 0) & (ys < h - 1)
+    if row0 is not None:
+        ys_abs = ys + row0
+        on_y = (ys_abs > 0) & (ys_abs < img_h - 1)
+    else:
+        on_y = (ys > 0) & (ys < h - 1)
     mask = jnp.where(
         typ == 0, on_x,
         jnp.where(typ == 1, on_y,
