@@ -1,57 +1,139 @@
 #!/usr/bin/env python3
-"""Decode benchmark: all-intra Main10 stream (BASELINE config 1 shape).
+"""Decode benchmark over the staged BASELINE configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is fps / 60 (the real-time target anchor; the reference
-publishes no in-repo numbers — see BASELINE.md).
+Prints ONE JSON line for the headline config (all-intra 832x480 Main10,
+comparable across rounds; vs_baseline = fps / 60, the real-time anchor —
+the reference publishes no in-repo numbers, see BASELINE.md) and a full
+table for every config on stderr (recorded in BASELINE.md).
 
-Measures the fastest correct configuration: the native host fast path,
-GOP-parallel across worker processes when cores allow (the reference
-likewise uses every core), Pallas/JAX device stages where they win.
+Each config measures the fastest correct host configuration: serial,
+recon-while-parse threading (threads=2), GOP-parallel worker processes,
+and their combination.  The device (TPU) pipeline is measured separately
+(BASELINE.md): on this environment's ~30 MB/s, ~25 ms-RTT tunneled chip
+the per-frame plane transfers bound any device path below the host
+numbers, so the fastest correct end-to-end configuration is host-only;
+the device-resident chain throughput is reported alongside.
 """
 
 import json
 import os
+import sys
 import time
+
+
+def _ld_stream(w, h, n, seed, dec_kw, sps_kw=None, sh_on=False):
+    """IDR + low-delay P chain (refs: prev, prev2)."""
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.hls.params import P_SLICE
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import RandomDecisions
+    from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+    sps = E.make_sps(w, h, ctu=64, num_reorder_pics=[0], **(sps_kw or {}))
+    pps = E.make_pps(sps)
+    bw = BitWriter()
+    write_sps(bw, sps)
+    st = make_nal(NalUnitType.SPS, bw.bytes())
+    bw = BitWriter()
+    write_pps(bw, pps, sps)
+    st += make_nal(NalUnitType.PPS, bw.bytes())
+    sh_kw = dict(sao_enabled_luma=True, sao_enabled_chroma=True) \
+        if sh_on else None
+    for f in range(n):
+        dec = RandomDecisions(seed=seed * 100 + f, **dec_kw)
+        if f == 0:
+            nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=0, idr=True,
+                                    sh_kw=sh_kw)
+        else:
+            nal, _ = E.encode_frame(
+                sps, pps, dec, qp=32, poc=f, idr=False,
+                slice_type=P_SLICE,
+                ref_deltas=((1, 2) if f >= 2 else (1,), ()),
+                sh_kw=sh_kw)
+        st += nal
+    return st
+
+
+def _intra_stream(w, h, n, seed, filters=False):
+    from vvdec_tpu.testenc.encoder import generate_stream
+    sps_kw = dict(sao_enabled=True, alf_enabled=True) if filters else {}
+    sh_kw = dict(sao_enabled_luma=True, sao_enabled_chroma=True) \
+        if filters else None
+    dec_kw = dict(split_prob=0.35, density=0.1)
+    if filters:
+        dec_kw["sao_prob"] = 0.5
+    s, _ = generate_stream(width=w, height=h, ctu=64, n_frames=n,
+                           seed=1, qp=32, sps_kw=sps_kw, sh_kw=sh_kw,
+                           dec_kw=dec_kw)
+    return s
+
+
+def _best_fps(stream, n_frames, pool):
+    """Fastest correct configuration for one stream."""
+    from vvdec_tpu.decoder import decode_to_yuv
+    from vvdec_tpu.parallel import decode_annexb_parallel
+
+    results = {}
+
+    def run(name, fn):
+        fn()  # warm
+        t0 = time.time()
+        fn()
+        results[name] = n_frames / (time.time() - t0)
+
+    run("serial", lambda: decode_to_yuv(stream))
+    run("threads=2", lambda: decode_to_yuv(stream, threads=2))
+    if pool is not None:
+        run("pool", lambda: decode_annexb_parallel(stream, executor=pool))
+        run("pool+threads",
+            lambda: decode_annexb_parallel(stream, executor=pool,
+                                           threads=2))
+    best = max(results, key=results.get)
+    return results[best], best, results
 
 
 def main() -> None:
     from vvdec_tpu.decoder import decode_to_yuv
-    from vvdec_tpu.parallel import decode_annexb_parallel, make_worker_pool
-    from vvdec_tpu.testenc.encoder import generate_stream
+    from vvdec_tpu.parallel import make_worker_pool
 
-    width, height, n_frames = 832, 480, 8
-    stream, _ = generate_stream(width=width, height=height, ctu=64,
-                                n_frames=n_frames, seed=1, qp=32,
-                                dec_kw=dict(split_prob=0.35, density=0.1))
-    # warmup (native extension build, caches)
-    warm, _ = generate_stream(width=width, height=height, ctu=64,
-                              n_frames=1, seed=1, qp=32,
-                              dec_kw=dict(split_prob=0.35, density=0.1))
-    decode_to_yuv(warm)
+    workers = min(os.cpu_count() or 1, 8)
+    pool = make_worker_pool(workers) if workers > 1 else None
+    inter_kw = dict(split_prob=0.35, inter_prob=0.85, skip_prob=0.3,
+                    mv_range=32)
 
-    t0 = time.time()
-    decode_to_yuv(stream)
-    serial_fps = n_frames / (time.time() - t0)
+    configs = [
+        ("all-intra 832x480", _intra_stream(832, 480, 8, 1), 8,
+         832 * 480),
+        ("all-intra+SAO/ALF 832x480",
+         _intra_stream(832, 480, 8, 1, filters=True), 8, 832 * 480),
+        ("inter-LD 832x480",
+         _ld_stream(832, 480, 12, 5, inter_kw), 12, 832 * 480),
+        ("all-intra+SAO/ALF 1920x1080",
+         _intra_stream(1920, 1080, 4, 1, filters=True), 4, 1920 * 1080),
+        ("inter-LD 1920x1080",
+         _ld_stream(1920, 1080, 6, 5, inter_kw), 6, 1920 * 1080),
+    ]
 
-    best = serial_fps
-    workers = min(os.cpu_count() or 1, n_frames)
-    if workers > 1:
-        pool = make_worker_pool(workers)
-        try:
-            decode_annexb_parallel(stream, executor=pool)  # pool warm
-            t0 = time.time()
-            decode_annexb_parallel(stream, executor=pool)
-            par_fps = n_frames / (time.time() - t0)
-        finally:
+    headline = None
+    try:
+        for name, stream, n, pels in configs:
+            fps, cfg, all_r = _best_fps(stream, n, pool)
+            print(f"{name}: {fps:.1f} fps ({fps * pels / 1e6:.1f} MP/s) "
+                  f"best={cfg} " + " ".join(
+                      f"{k}={v:.1f}" for k, v in all_r.items()),
+                  file=sys.stderr)
+            if headline is None:
+                headline = fps
+    finally:
+        if pool is not None:
             pool.shutdown()
-        best = max(best, par_fps)
 
     print(json.dumps({
-        "metric": f"all-intra {width}x{height} Main10 decode",
-        "value": round(best, 4),
+        "metric": "all-intra 832x480 Main10 decode",
+        "value": round(headline, 4),
         "unit": "frames/s",
-        "vs_baseline": round(best / 60.0, 5),
+        "vs_baseline": round(headline / 60.0, 5),
     }))
 
 

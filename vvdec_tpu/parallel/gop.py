@@ -46,9 +46,9 @@ def split_irap_segments(data: bytes) -> list[bytes]:
 
 
 def _decode_segment(args):
-    seg, use_jax = args
+    seg, use_jax, threads = args
     from vvdec_tpu.decoder import decode_annexb
-    return decode_annexb(seg, use_jax=use_jax)
+    return decode_annexb(seg, use_jax=use_jax, threads=threads)
 
 
 def make_worker_pool(workers: int) -> ProcessPoolExecutor:
@@ -71,8 +71,8 @@ def _warm_worker(_):
 
 def decode_annexb_parallel(data: bytes, workers: int | None = None,
                            use_jax: bool = False,
-                           executor: ProcessPoolExecutor | None = None
-                           ) -> list:
+                           executor: ProcessPoolExecutor | None = None,
+                           threads: int = 0) -> list:
     """Parallel decode across IRAP segments; output order preserved.
 
     Worker processes are the host-plane analog of the reference thread
@@ -83,13 +83,13 @@ def decode_annexb_parallel(data: bytes, workers: int | None = None,
         workers = min(len(segments), os.cpu_count() or 1)
     if (workers <= 1 or len(segments) <= 1) and executor is None:
         from vvdec_tpu.decoder import decode_annexb
-        return decode_annexb(data, use_jax=use_jax)
+        return decode_annexb(data, use_jax=use_jax, threads=threads)
     out = []
     own = executor is None
     ex = executor or make_worker_pool(workers)
     try:
         for frames in ex.map(_decode_segment,
-                             [(s, use_jax) for s in segments]):
+                             [(s, use_jax, threads) for s in segments]):
             out.extend(frames)
     finally:
         if own:
