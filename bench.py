@@ -57,16 +57,46 @@ def _ld_stream(w, h, n, seed, dec_kw, sps_kw=None, sh_on=False):
 
 def _intra_stream(w, h, n, seed, filters=False):
     from vvdec_tpu.testenc.encoder import generate_stream
-    sps_kw = dict(sao_enabled=True, alf_enabled=True) if filters else {}
-    sh_kw = dict(sao_enabled_luma=True, sao_enabled_chroma=True) \
-        if filters else None
-    dec_kw = dict(split_prob=0.35, density=0.1)
-    if filters:
-        dec_kw["sao_prob"] = 0.5
-    s, _ = generate_stream(width=w, height=h, ctu=64, n_frames=n,
-                           seed=1, qp=32, sps_kw=sps_kw, sh_kw=sh_kw,
-                           dec_kw=dec_kw)
-    return s
+    if not filters:
+        s, _ = generate_stream(width=w, height=h, ctu=64, n_frames=n,
+                               seed=seed, qp=32,
+                               dec_kw=dict(split_prob=0.35, density=0.1))
+        return s
+    # full in-loop filter workload: SAO + ALF/CC-ALF with real APSs
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import RandomDecisions, make_alf_aps
+    from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+    sps = E.make_sps(w, h, ctu=64, sao_enabled=True, alf_enabled=True,
+                     ccalf_enabled=True)
+    pps = E.make_pps(sps)
+    bw = BitWriter()
+    write_sps(bw, sps)
+    st = make_nal(NalUnitType.SPS, bw.bytes())
+    bw = BitWriter()
+    write_pps(bw, pps, sps)
+    st += make_nal(NalUnitType.PPS, bw.bytes())
+    apss = {}
+    for i in range(2):
+        aps, nal = make_alf_aps(seed * 10 + i, aps_id=i, cc=True)
+        apss[i] = aps
+        st += nal
+    sh_kw = dict(sao_enabled_luma=True, sao_enabled_chroma=True,
+                 alf_enabled=[True, True, True],
+                 num_alf_aps_ids_luma=2, alf_aps_ids_luma=[0, 1],
+                 alf_aps_id_chroma=0,
+                 ccalf_cb_enabled=apss[0].cc_alf.new_filter[0],
+                 ccalf_cb_aps_id=0,
+                 ccalf_cr_enabled=apss[1].cc_alf.new_filter[1],
+                 ccalf_cr_aps_id=1)
+    for f in range(n):
+        dec = RandomDecisions(seed=seed * 100 + f, split_prob=0.35,
+                              density=0.1, sao_prob=0.5)
+        nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=f, idr=True,
+                                sh_kw=sh_kw, alf_apss=apss)
+        st += nal
+    return st
 
 
 def _best_fps(stream, n_frames, pool):

@@ -226,3 +226,120 @@ class TestAlfAcrossBoundaries:
         # control: across enabled must keep filtering over the boundary
         pps_kw = dict(self.TILES, loop_filter_across_tiles=True)
         _check(self._stream(7, pps_kw), tmp_path, 2)
+
+
+class TestVectorizedAlf:
+    """alf_frame_vec (the host fast path) == alf_frame (per-block golden)
+    on decoded pictures, and classify_frame == per-block classify."""
+
+    def test_vec_matches_golden(self):
+        import numpy as np
+        from vvdec_tpu.decoder import StreamDecoder
+        from vvdec_tpu.frame.alf_np import alf_frame, alf_frame_vec
+        from vvdec_tpu.frame import alf_np
+        s = _alf_stream(7, 2, 2, {}, dict(split_prob=0.5, jccr_prob=0.2),
+                        n_aps=3)
+        captured = []
+        orig = alf_np.alf_frame_vec
+
+        def spy(cs, planes):
+            captured.append((cs, [p.copy() for p in planes]))
+            return orig(cs, planes)
+
+        import vvdec_tpu.decoder as D
+        alf_np.alf_frame_vec = spy
+        # decoder imports the symbol at call time from the module
+        try:
+            dec = StreamDecoder()
+            dec.push(s)
+            dec.flush()
+        finally:
+            alf_np.alf_frame_vec = orig
+        assert captured
+        for cs, planes in captured:
+            a = alf_frame(cs, [p.copy() for p in planes])
+            b = orig(cs, [p.copy() for p in planes])
+            for x, y in zip(a, b):
+                assert np.array_equal(x, y)
+
+    def test_classify_frame_matches_golden(self):
+        import numpy as np
+        from vvdec_tpu.frame.alf_np import classify, classify_frame
+        rng = np.random.default_rng(11)
+        for bd, hw in ((10, (64, 96)), (8, (128, 64))):
+            src = rng.integers(0, 1 << bd, hw).astype(np.int32)
+            c1, t1 = classify(src, 0, 0, hw[1], hw[0], bd, 64, 60)
+            c2, t2 = classify_frame(src, bd, 64, 60)
+            assert np.array_equal(c1, c2) and np.array_equal(t1, t2)
+
+
+class TestRasterSliceAlfPad:
+    """rasterSliceAlfPad (AdaptiveLoopFilter.cpp:262-289): raster-scan
+    slices with loop-filter-across-slices off pad the 4x4 corner where
+    only the diagonal-neighbour CTU belongs to another slice."""
+
+    def _stream(self, seed, split):
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import (RandomDecisions,
+                                               encode_picture,
+                                               make_alf_aps, make_nal)
+        from vvdec_tpu.testenc.hls_writer import write_pps, write_sps
+
+        sps = E.make_sps(96, 96, ctu=32, alf_enabled=True,
+                         ccalf_enabled=True, sao_enabled=True,
+                         entry_point_offsets_present=True)
+        sps.ptl.level_idc = 83
+        pps = E.make_pps(sps, no_pic_partition=False,
+                         num_exp_tile_cols=3, num_exp_tile_rows=3,
+                         tile_col_widths=[1, 1, 1],
+                         tile_row_heights=[1, 1, 1],
+                         rect_slice=False,
+                         loop_filter_across_slices=False,
+                         loop_filter_across_tiles=True)
+        w = BitWriter()
+        write_sps(w, sps)
+        stream = make_nal(NalUnitType.SPS, w.bytes())
+        w = BitWriter()
+        write_pps(w, pps, sps)
+        stream += make_nal(NalUnitType.PPS, w.bytes())
+        apss = {}
+        for i in range(2):
+            aps, nal = make_alf_aps(seed * 10 + i, aps_id=i, cc=True)
+            apss[i] = aps
+            stream += nal
+        sh_kw = dict(sao_enabled_luma=True, sao_enabled_chroma=True,
+                     alf_enabled=[True, True, True],
+                     num_alf_aps_ids_luma=2, alf_aps_ids_luma=[0, 1],
+                     alf_aps_id_chroma=0)
+        if apss[0].cc_alf.new_filter[0]:
+            sh_kw.update(ccalf_cb_enabled=True, ccalf_cb_aps_id=0)
+        # split = (n_tiles_slice0): 1 -> top-left corner pad at CTU (1,1);
+        # 8 -> bottom-right corner pad at CTU (1,1)
+        slices = []
+        for i, (addr, n) in enumerate(((0, split), (split, 9 - split))):
+            slices.append(dict(
+                decisions=RandomDecisions(seed=seed * 100 + i,
+                                          split_prob=0.4, density=0.2,
+                                          sao_prob=0.5),
+                slice_type=2, address=addr, num_tiles=n, sh_kw=sh_kw))
+        for f in range(2):
+            nal, _ = encode_picture(sps, pps, poc=f, idr=True,
+                                    slices=slices, alf_apss=apss)
+            stream += nal
+        return stream
+
+    @pytest.mark.parametrize("seed", range(2))
+    @pytest.mark.parametrize("split", [1, 8])
+    def test_raster_alf_corner_pad(self, seed, split, tmp_path):
+        import subprocess
+        from vvdec_tpu.decoder import decode_to_yuv
+        stream = self._stream(seed, split)
+        bit = tmp_path / "rp.266"
+        bit.write_bytes(stream)
+        out = tmp_path / "rp.yuv"
+        r = subprocess.run([VVDECAPP, "-b", str(bit), "-o", str(out),
+                            "-t", "1"], capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        assert decode_to_yuv(stream) == out.read_bytes()

@@ -95,3 +95,61 @@ def test_vb_inter(tmp_path):
 def test_vb_many_boundaries(tmp_path):
     # two vertical + one horizontal boundary, some at CTU edges
     _check(_vb_stream(11, alf=True, vbx=(32, 64), vby=(32,)), tmp_path, 2)
+
+
+def _ph_vb_stream(seed, n_frames=3, wh=(96, 64), alf=True):
+    """SPS enables VBs but signals them per picture (PH), with positions
+    varying per frame (sps_virtual_boundaries_present_flag = 0)."""
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.encoder import RandomDecisions, make_alf_aps, \
+        make_nal
+    from vvdec_tpu.testenc.hls_writer import write_pps, write_sps
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+
+    sps = E.make_sps(wh[0], wh[1], sao_enabled=True, alf_enabled=alf,
+                     ccalf_enabled=alf,
+                     virtual_boundaries_enabled=True,
+                     virtual_boundaries_present=False)
+    pps = E.make_pps(sps)
+    w = BitWriter()
+    write_sps(w, sps)
+    stream = make_nal(NalUnitType.SPS, w.bytes())
+    w = BitWriter()
+    write_pps(w, pps, sps)
+    stream += make_nal(NalUnitType.PPS, w.bytes())
+    sh_kw = dict(sao_enabled_luma=True, sao_enabled_chroma=True)
+    apss = {}
+    if alf:
+        for i in range(2):
+            aps, nal = make_alf_aps(seed * 10 + i, aps_id=i, cc=True)
+            apss[i] = aps
+            stream += nal
+        sh_kw.update(alf_enabled=[True, True, True],
+                     num_alf_aps_ids_luma=2, alf_aps_ids_luma=[0, 1],
+                     alf_aps_id_chroma=0)
+        if apss[0].cc_alf.new_filter[0]:
+            sh_kw.update(ccalf_cb_enabled=True, ccalf_cb_aps_id=0)
+    # per-frame PH-signalled positions (incl. one frame with none)
+    vb_sets = [((48,), (32,)), ((), ()), ((16, 48), ())]
+    for f in range(n_frames):
+        vbx, vby = vb_sets[f % len(vb_sets)]
+        ph_kw = dict(virtual_boundaries_present=bool(vbx or vby),
+                     virtual_boundary_pos_x=list(vbx),
+                     virtual_boundary_pos_y=list(vby))
+        dec = RandomDecisions(seed=seed * 100 + f, split_prob=0.4,
+                              density=0.15)
+        nal, _ = E.encode_frame(sps, pps, dec, qp=30, poc=f, idr=True,
+                                sh_kw=sh_kw, ph_kw=ph_kw,
+                                alf_apss=apss or None)
+        stream += nal
+    return stream
+
+
+class TestPhVirtualBoundaries:
+    @pytest.mark.parametrize("seed", range(2))
+    def test_ph_vb_sao_alf(self, seed, tmp_path):
+        _check(_ph_vb_stream(seed), tmp_path, 3)
+
+    def test_ph_vb_sao_only(self, tmp_path):
+        _check(_ph_vb_stream(7, alf=False), tmp_path, 3)

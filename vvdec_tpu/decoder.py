@@ -50,6 +50,7 @@ class ParsedFrame:
     nal_type: int = 0
     broken: bool = False     # parse error: conceal with grey fill
     sei: list = field(default_factory=list)
+    walk_future: object = None  # in-flight CABAC walk (parse-ahead pool)
 
 
 class FrameParser:
@@ -66,6 +67,12 @@ class FrameParser:
 
     def __init__(self) -> None:
         self.psman = ParameterSetManager()
+        # optional executor for deferred picture walks: the CABAC decode
+        # of whole (single-slice) pictures runs as parse-ahead tasks (the
+        # reference's per-slice parse tasks, DecLibParser.cpp:948-1012);
+        # the C walk releases the GIL, so tasks parallelize across
+        # pictures.  Set by StreamDecoder(threads >= 3).
+        self.walk_pool = None
         self.prev_tid0_poc = 0
         self.cur_ph = None
         self.active_sps = None
@@ -249,6 +256,14 @@ class FrameParser:
         dec = make_cabac_decoder(full_rbsp, start_byte)
         dec.reset(sh.qp_y, sh.slice_type)
         coder = CtuDecoder(cs, dec=dec, slice_idx=slice_idx)
+        if self.walk_pool is not None and slice_idx == 0 \
+                and len(sh.ctu_addrs) >= total:
+            # single-slice picture: defer the whole CABAC walk to the
+            # parse-ahead pool; the picture is "parsed" when the future
+            # resolves (checked before reconstruction)
+            pf.walk_future = self.walk_pool.submit(coder.decode_slice)
+            self._pending = None
+            return pf
         coder.decode_slice()
         pf, covered, total = self._pending
         covered.update(sh.ctu_addrs)
@@ -335,6 +350,12 @@ class StreamDecoder:
             from concurrent.futures import ThreadPoolExecutor
             self._parse_exec = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="vvdec-parse")
+            if threads >= 3:
+                # picture-walk tasks run threads-2 wide (the reference
+                # spawns one parse task per slice, DecLibParser.cpp:990)
+                self.parser.walk_pool = ThreadPoolExecutor(
+                    max_workers=threads - 2,
+                    thread_name_prefix="vvdec-walk")
         self.hash_errors = 0
         self.error_pictures = 0
         self._refs: dict[int, list] = {}      # poc -> int planes (ref)
@@ -436,7 +457,9 @@ class StreamDecoder:
             self._pending = None
         out = self.plm.drain(self._num_reorder)
         self.plm.reset()
+        pool = self.parser.walk_pool
         self.parser = FrameParser()
+        self.parser.walk_pool = pool
         return out
 
     def _bump(self) -> list:
@@ -519,6 +542,9 @@ class StreamDecoder:
                 vui=cs.sps.vui, hrd=cs.sps.hrd_params))
 
     def _reconstruct_inner(self, f: ParsedFrame) -> None:
+        if f.walk_future is not None:
+            fut, f.walk_future = f.walk_future, None
+            fut.result()  # join the picture's CABAC walk (re-raises)
         from vvdec_tpu.dpb import DecodedPicture
         from vvdec_tpu.frame.deblock_np import deblock_frame
         from vvdec_tpu.frame.recon_np import IntraReconstructor
@@ -615,8 +641,8 @@ class StreamDecoder:
                 from vvdec_tpu.frame.sao_np import sao_frame
                 sao_frame(cs, planes)
             with profiler.stage("alf"):
-                from vvdec_tpu.frame.alf_np import alf_frame
-                planes = alf_frame(cs, planes)
+                from vvdec_tpu.frame.alf_np import alf_frame_vec
+                planes = alf_frame_vec(cs, planes)
         # DMVR-refined MVs enter the motion field only after deblocking
         # strength derivation (TaskFinishMotionInfo, DecCu.cpp:161-213)
         for x2, y2, mv0, mv1 in getattr(cs, "dmvr_fixups", ()):

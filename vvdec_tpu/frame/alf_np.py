@@ -194,6 +194,187 @@ def classify(src: np.ndarray, x0: int, y0: int, w: int, h: int, bd: int,
     return cls_out, tr_out
 
 
+def classify_frame(src: np.ndarray, bd: int, vb_h: int, vb_pos: int):
+    """Whole-frame vectorized 4x4 classification (bounds=None fast path
+    of classify(); bit-exact — the per-block scalar version below is the
+    golden reference and still serves restricted sub-areas)."""
+    h, w = src.shape
+    s = src.astype(np.int64)
+    gh = (h + 4) // 2
+    gw = (w + 4) // 2
+
+    i = np.arange(0, h + 4, 2)
+    yoff = i - 2
+    r0, r1, r2, r3 = yoff - 1, yoff, yoff + 1, yoff + 2
+    vb_lo = (yoff > 0) & (yoff % vb_h == vb_pos - 2)
+    vb_hi = (yoff > 0) & (~vb_lo) & (yoff % vb_h == vb_pos)
+    r3 = np.where(vb_lo, r2, r3)
+    r0 = np.where(vb_hi, r1, r0)
+    r0, r1, r2, r3 = (np.clip(r, 0, h - 1) for r in (r0, r1, r2, r3))
+    js = np.arange(0, w + 4, 2)
+    pix = js - 2
+    cm1, c0, cp1, cp2 = (np.clip(pix + d, 0, w - 1) for d in (-1, 0, 1, 2))
+
+    s0, s1, s2, s3 = s[r0], s[r1], s[r2], s[r3]
+    y0v = s1[:, c0] * 2
+    yup1 = s2[:, cp1] * 2
+    lap = np.stack([
+        np.abs(y0v - s0[:, c0] - s2[:, c0])
+        + np.abs(yup1 - s1[:, cp1] - s3[:, cp1]),
+        np.abs(y0v - s1[:, cp1] - s1[:, cm1])
+        + np.abs(yup1 - s2[:, cp2] - s2[:, c0]),
+        np.abs(y0v - s0[:, cm1] - s2[:, cp1])
+        + np.abs(yup1 - s1[:, c0] - s3[:, cp2]),
+        np.abs(y0v - s2[:, cm1] - s0[:, cp1])
+        + np.abs(yup1 - s3[:, c0] - s1[:, cp2])])  # [4, gh, gw]
+
+    lp = np.pad(lap, ((0, 0), (0, 3), (0, 3)))
+    agg = lp[:, :gh, :gw] + lp[:, :gh, 1:gw + 1] + lp[:, :gh, 2:gw + 2] \
+        + lp[:, :gh, 3:gw + 3]
+    h4, w4 = h // 4, w // 4
+    rs = 2 * np.arange(h4)
+    csel = 2 * np.arange(w4)
+    aggp = np.pad(agg, ((0, 0), (0, 3), (0, 0)))
+    S = [aggp[:, rs + k][:, :, csel] for k in range(4)]
+    sum4 = S[0] + S[1] + S[2] + S[3]
+    ymod = (4 * np.arange(h4)) % vb_h
+    row_lo = (ymod == vb_pos - 4)[None, :, None]
+    row_hi = (ymod == vb_pos)[None, :, None]
+    sums = np.where(row_lo, sum4 - S[3],
+                    np.where(row_hi, sum4 - S[0], sum4))
+    sum_v, sum_h, sum_d0, sum_d1 = sums
+
+    shift = bd + 4
+    temp_act = sum_v + sum_h
+    near = row_lo[0] | row_hi[0]
+    act = np.where(near, (temp_act * 96) >> shift,
+                   (temp_act * 64) >> shift)
+    act = np.clip(act, 0, 15)
+    act_th = np.array((0, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 4),
+                      dtype=np.int32)
+    cls = act_th[act]
+
+    vgh = sum_v > sum_h
+    hv1 = np.where(vgh, sum_v, sum_h)
+    hv0 = np.where(vgh, sum_h, sum_v)
+    dir_hv = np.where(vgh, 1, 3)
+    dgd = sum_d0 > sum_d1
+    d1 = np.where(dgd, sum_d0, sum_d1)
+    d0 = np.where(dgd, sum_d1, sum_d0)
+    dir_d = np.where(dgd, 0, 2)
+    dsel = d1 * hv0 > hv1 * d0
+    hvd1 = np.where(dsel, d1, hv1)
+    hvd0 = np.where(dsel, d0, hv0)
+    main_dir = np.where(dsel, dir_d, dir_hv)
+    sec_dir = np.where(dsel, dir_hv, dir_d)
+    strength = np.where(hvd1 * 2 > 9 * hvd0, 2,
+                        np.where(hvd1 > 2 * hvd0, 1, 0))
+    cls = np.where(strength > 0,
+                   cls + (((main_dir & 1) << 1) + strength) * 5, cls)
+    transpose = np.array((0, 1, 0, 2, 2, 3, 1, 3), dtype=np.int32)
+    tr = transpose[main_dir * 2 + (sec_dir >> 1)]
+    return cls.astype(np.int32), tr.astype(np.int32)
+
+
+def filter_luma_frame(src: np.ndarray, dst: np.ndarray, co4, cl4, dmap,
+                      near, lo_x, lo_y, hi_x, hi_y, mask, bd: int) -> None:
+    """Vectorized whole-frame 7x7 clipped-diamond luma filter with
+    per-4x4 coefficients/clips (blocked broadcast) and clamp windows
+    (parity: filter_luma_area)."""
+    _diamond_frame(src, dst, co4, cl4, dmap, near, lo_x, lo_y, hi_x,
+                   hi_y, mask, bd, LUMA_TAPS)
+
+
+def filter_chroma_frame(src, dst, co4, cl4, dmap, near, lo_x, lo_y, hi_x,
+                        hi_y, mask, bd: int) -> None:
+    _diamond_frame(src, dst, co4, cl4, dmap, near, lo_x, lo_y, hi_x,
+                   hi_y, mask, bd, CHROMA_TAPS)
+
+
+def _diamond_frame(src, dst, co4, cl4, dmap, near, lo_x, lo_y, hi_x,
+                   hi_y, mask, bd, taps) -> None:
+    """co4/cl4: [h/4, w/4, n_taps] int per-4x4 coefficients/clips.
+    lo_x=None selects the pad+slice fast path (whole-picture clamp
+    windows, the common case); per-pixel clamp maps take the gather
+    path (restricted loop-filter-across areas)."""
+    h, w = src.shape
+    h4, w4 = h // 4, w // 4
+    s = src.astype(np.int32, copy=False)
+    trivial = lo_x is None
+    if trivial:
+        pad = np.pad(s, 3, mode="edge")
+    else:
+        ys = np.arange(h)[:, None]
+        xs = np.arange(w)[None, :]
+    acc = np.zeros((h, w), dtype=np.int32)
+    accb = acc.reshape(h4, 4, w4, 4)
+    co4b = np.ascontiguousarray(co4.transpose(2, 0, 1))[
+        :, :, None, :, None].astype(np.int32)
+    cl4b = np.ascontiguousarray(cl4.transpose(2, 0, 1))[
+        :, :, None, :, None].astype(np.int32)
+    for k, (dy, dx) in enumerate(taps):
+        if trivial:
+            a = pad[3 + dy: 3 + dy + h, 3 + dx: 3 + dx + w]
+            b = pad[3 - dy: 3 - dy + h, 3 - dx: 3 - dx + w]
+            dcol = dmap[:, dy]
+            fix = np.nonzero(dcol != dy)[0]
+            if len(fix):
+                a = a.copy()
+                b = b.copy()
+                for r in fix:
+                    dv = int(dcol[r])
+                    a[r] = pad[3 + r + dv, 3 + dx: 3 + dx + w]
+                    b[r] = pad[3 + r - dv, 3 - dx: 3 - dx + w]
+        else:
+            dd = dmap[:, dy][:, None]
+            a = s[np.clip(ys + dd, lo_y, hi_y),
+                  np.clip(xs + dx, lo_x, hi_x)]
+            b = s[np.clip(ys - dd, lo_y, hi_y),
+                  np.clip(xs - dx, lo_x, hi_x)]
+        ck = cl4b[k]
+        da = (a - s).reshape(h4, 4, w4, 4)
+        db_ = (b - s).reshape(h4, 4, w4, 4)
+        diff = np.clip(da, -ck, ck) + np.clip(db_, -ck, ck)
+        accb += co4b[k] * diff
+    nr = near[:, None]
+    outv = np.where(nr, (acc + (1 << 9)) >> 10, (acc + 64) >> 7)
+    outv = np.clip(outv + s, 0, (1 << bd) - 1)
+    np.copyto(dst, outv.astype(dst.dtype), where=mask)
+
+
+def filter_cc_frame(luma, dst, coeff, off_rows, skip_rows, lo_x, lo_y,
+                    hi_x, hi_y, active, bd: int, sx: int, sy: int) -> None:
+    """Vectorized whole-frame CC-ALF (numpy port of the device kernel;
+    parity: filter_cc_area)."""
+    hc, wc = dst.shape
+    sl = luma.astype(np.int64)
+    pel_max = (1 << bd) - 1
+    half = (1 << bd) >> 1
+    ly = (np.arange(hc) << sy)[:, None]
+    lx = (np.arange(wc) << sx)[None, :]
+
+    def lat(ry, rx):
+        return sl[np.clip(ry, lo_y, hi_y), np.clip(rx, lo_x, hi_x)]
+
+    off1 = off_rows[:, 0][:, None]
+    off2 = off_rows[:, 1][:, None]
+    off3 = off_rows[:, 2][:, None]
+    curr = lat(ly, lx)
+    acc = (coeff[:, :, 0] * (lat(ly + off2, lx) - curr)
+           + coeff[:, :, 1] * (lat(ly, lx - 1) - curr)
+           + coeff[:, :, 2] * (lat(ly, lx + 1) - curr)
+           + coeff[:, :, 3] * (lat(ly + off1, lx - 1) - curr)
+           + coeff[:, :, 4] * (lat(ly + off1, lx) - curr)
+           + coeff[:, :, 5] * (lat(ly + off1, lx + 1) - curr)
+           + coeff[:, :, 6] * (lat(ly + off3, lx) - curr))
+    acc = (acc + 64) >> 7
+    acc = np.clip(acc + half, 0, pel_max) - half
+    d = dst.astype(np.int64)
+    outv = np.clip(acc + d, 0, pel_max)
+    use = active & ~skip_rows[:, None]
+    dst[use] = outv[use]
+
+
 def _clip_diff(clip, curr, a, b):
     return np.clip(a - curr, -clip, clip) + np.clip(b - curr, -clip, clip)
 
@@ -347,6 +528,35 @@ def filter_cc_area(luma_src: np.ndarray, dst: np.ndarray, coeff,
         dst[y, cx0:cx0 + cw] = np.clip(out, 0, pel_max)
 
 
+def _raster_slice_alf_pad(cs, x0: int, y0: int, w: int, h: int,
+                          region: tuple | None) -> int:
+    """rasterSliceAlfPad (AdaptiveLoopFilter.cpp:262-289): with raster-
+    scan slices and loop-filter-across-slices off, a diagonal-neighbour
+    CTU in another slice while both orthogonal neighbours are available
+    (the L-shaped slice corner) pads the 4x4 corner.  Bit 1 = top-left,
+    bit 2 = bottom-right."""
+    pps = cs.pps
+    if len(cs.shs) <= 1 or pps.loop_filter_across_slices \
+            or getattr(pps, "rect_slice", True):
+        return 0
+    ctu = cs.sps.ctu_size
+    si_c = int(cs.slice_map[y0 >> 2, x0 >> 2])
+    lo_x, lo_y, hi_x, hi_y = region if region is not None \
+        else (0, 0, cs.w - 1, cs.h - 1)
+    clip_top, clip_left = lo_y == y0, lo_x == x0
+    clip_bot = hi_y == y0 + h - 1 and y0 + h < cs.h
+    clip_right = hi_x == x0 + w - 1 and x0 + w < cs.w
+    pad = 0
+    if not clip_top and not clip_left and x0 >= ctu and y0 >= ctu \
+            and int(cs.slice_map[(y0 - ctu) >> 2, (x0 - ctu) >> 2]) != si_c:
+        pad |= 1
+    if not clip_bot and not clip_right and x0 + ctu < cs.w \
+            and y0 + ctu < cs.h \
+            and int(cs.slice_map[(y0 + ctu) >> 2, (x0 + ctu) >> 2]) != si_c:
+        pad |= 2
+    return pad
+
+
 def _alf_clip_bounds(cs, x0: int, y0: int, w: int, h: int) -> tuple | None:
     """Per-CTU sample-clamp window from the loop-filter-across rules
     (AdaptiveLoopFilter.cpp:176-265: clipTop/Bottom/Left/Right via
@@ -431,6 +641,92 @@ def _alf_vb_areas(cs, x0: int, y0: int, w: int, h: int,
     return out
 
 
+def _vb_tables(h: int, vb_ctu_h: int, vb_pos: int, chroma: bool):
+    d = np.zeros((h, 4), dtype=np.int32)
+    near = np.zeros(h, dtype=bool)
+    for y in range(h):
+        d1, d2, d3, nr = _vb_row_offsets(y, vb_ctu_h, vb_pos, chroma)
+        d[y] = (0, d1, d2, d3)
+        near[y] = nr
+    return d, near
+
+
+def alf_frame_vec(cs, planes: list) -> list:
+    """Whole-frame vectorized ALF pass — the host fast path; identical
+    output to alf_frame (the per-block golden below), via the same
+    parameter maps the device stage uses (alf_prepare_maps)."""
+    if len(cs.shs) > 1 and not cs.pps.loop_filter_across_slices \
+            and not getattr(cs.pps, "rect_slice", True):
+        # raster-scan slices may need the diagonal-corner padding
+        # (rasterSliceAlfPad) — handled by the per-CTU golden path
+        return alf_frame(cs, planes)
+    bd = cs.sps.bit_depth
+    maps = alf_prepare_maps(cs, planes, bd)
+    if maps is None:
+        return planes
+    vb_luma_h, vb_luma_pos, vb_chma_h, vb_chma_pos = maps["vb"]
+    out = [p.copy() for p in planes]
+
+    vbx, vby = cs.virtual_boundaries()
+    trivial = (not vbx and not vby and not cs.subpics
+               and (len(cs.shs) <= 1 or cs.pps.loop_filter_across_slices)
+               and (cs.pps.no_pic_partition
+                    or cs.pps.loop_filter_across_tiles))
+
+    if maps["any_luma"]:
+        h, w = planes[0].shape
+        cls4 = maps["cls"]
+        tr4 = maps["tr"]
+        co4 = maps["banks_co"][maps["set_map"], tr4, cls4][:, :, :12]
+        cl4 = maps["banks_cl"][maps["set_map"], tr4, cls4][:, :, :12]
+        dmap, near = _vb_tables(h, vb_luma_h, vb_luma_pos, False)
+        filter_luma_frame(planes[0], out[0], co4, cl4, dmap, near,
+                          None if trivial else maps["lo_x"],
+                          maps["lo_y"], maps["hi_x"],
+                          maps["hi_y"], maps["mask_y"], bd)
+
+    if cs.num_comp > 1 and (maps["any_chroma"] or maps["any_cc"]):
+        hc, wc = planes[1].shape
+        dmap_c, near_c = _vb_tables(hc, vb_chma_h, vb_chma_pos, True)
+        for comp in (1, 2):
+            if maps["any_chroma"] and maps["mask_c"][comp - 1].any():
+                alt4 = maps["chroma_alt"][comp - 1]
+                co4 = maps["chroma_co"][alt4][:, :, :6]
+                cl4 = maps["chroma_cl"][alt4][:, :, :6]
+                filter_chroma_frame(planes[comp], out[comp], co4, cl4,
+                                    dmap_c, near_c,
+                                    None if trivial else maps["lo_xc"],
+                                    maps["lo_yc"], maps["hi_xc"],
+                                    maps["hi_yc"],
+                                    maps["mask_c"][comp - 1], bd)
+            if maps["any_cc"] and (maps["cc_idx"][comp - 1] != 0).any():
+                coeff = maps["cc_banks"][maps["cc_idx"][comp - 1]]
+                sx, sy = cs.sub_w - 1, cs.sub_h - 1
+                lyi = (np.arange(hc) << sy)[:, None]
+                lxi = (np.arange(wc) << sx)[None, :]
+                off_rows = np.zeros((hc, 3), dtype=np.int32)
+                skip_rows = np.zeros(hc, dtype=bool)
+                for y in range(hc):
+                    ly = y << sy
+                    pos = ly & (vb_luma_h - 1)
+                    if sy == 0 and pos in (vb_luma_pos, vb_luma_pos + 1):
+                        skip_rows[y] = True
+                        continue
+                    o1, o2, o3 = 1, -1, 2
+                    if pos in (vb_luma_pos - 2, vb_luma_pos + 1):
+                        o3 = o1
+                    elif pos in (vb_luma_pos - 1, vb_luma_pos):
+                        o1 = o2 = o3 = 0
+                    off_rows[y] = (o1, o2, o3)
+                filter_cc_frame(planes[0], out[comp], coeff, off_rows,
+                                skip_rows, maps["lo_x"][lyi, lxi],
+                                maps["lo_y"][lyi, lxi],
+                                maps["hi_x"][lyi, lxi],
+                                maps["hi_y"][lyi, lxi],
+                                maps["cc_idx"][comp - 1] != 0, bd, sx, sy)
+    return out
+
+
 def alf_frame(cs, planes: list) -> list:
     """Whole-frame ALF pass; returns new plane list (the m_alfBuf swap)."""
     if not any(any(s_.alf_enabled) or s_.ccalf_cb_enabled
@@ -454,8 +750,7 @@ def alf_frame(cs, planes: list) -> list:
     # whole-frame classification (position-local; identical to per-32x32)
     cls = tr = None
     if any(s_.alf_enabled[0] for s_ in cs.shs):
-        cls, tr = classify(planes[0], 0, 0, cs.w, cs.h, bd,
-                           vb_luma_h, vb_luma_pos)
+        cls, tr = classify_frame(planes[0], bd, vb_luma_h, vb_luma_pos)
 
     out = [p.copy() for p in planes]
     w_ctu = cs.pps.pic_width_in_ctu
@@ -471,6 +766,47 @@ def alf_frame(cs, planes: list) -> list:
             si = int(cs.slice_map[y0 >> 2, x0 >> 2])
             sh = cs.shs[si if 0 <= si < len(cs.shs) else 0]
             region = _alf_clip_bounds(cs, x0, y0, w, h)
+            srcs = planes
+            pads = _raster_slice_alf_pad(cs, x0, y0, w, h, region)
+            if pads:
+                # raster-scan slice diagonal-corner padding: filter this
+                # CTU from patched plane copies whose unavailable corner
+                # samples replicate the adjacent available column
+                # (AdaptiveLoopFilter.cpp:262-289 rasterSliceAlfPad +
+                # AreaBuf::padBorderPel, Buffer.h:608)
+                srcs = [pl.copy() for pl in planes]
+                for comp, pl in enumerate(srcs):
+                    sx = cs.sub_w if comp else 1
+                    sy = cs.sub_h if comp else 1
+                    # The reference pads the chroma-scaled temp subbuffer:
+                    # with CC-ALF on for the component the whole unit pads
+                    # with component-scaled margins; otherwise the
+                    # per-component path uses the UNSCALED 4-sample margin
+                    # on the scaled subbuffer, so on subsampled chroma the
+                    # 4x4 pad square reaches 4-margin samples INTO the CTU
+                    # (AdaptiveLoopFilter.cpp:795-827, Buffer.h:608,:847).
+                    cc_en = comp == 0 or (sh.ccalf_cb_enabled if comp == 1
+                                          else sh.ccalf_cr_enabled)
+                    mgx, mgy = 4 // sx, 4 // sy       # subbuf margins
+                    mw, mh = (mgx, mgy) if cc_en else (4, 4)
+                    cx0, cy0 = x0 // sx, y0 // sy
+                    cw_, ch_ = w // sx, h // sy
+                    if pads & 1:
+                        oy, ox = cy0 - mgy, cx0 - mgx
+                        pl[oy: oy + mh, ox: ox + mw] = \
+                            pl[oy: oy + mh, ox + mw: ox + mw + 1]
+                    if pads & 2:
+                        oy = cy0 - mgy + ch_ + 2 * mgy - mh
+                        ox = cx0 - mgx + cw_ + 2 * mgx - mw
+                        pl[oy: oy + mh, ox: ox + mw] = \
+                            pl[oy: oy + mh, ox - 1: ox]
+                # classification must see the patch too
+                c_b, t_b = classify(srcs[0], x0, y0, w, h, bd,
+                                    vb_luma_h, vb_luma_pos,
+                                    region)
+                if cls is not None:
+                    cls[y0 >> 2:(y0 + h) >> 2, x0 >> 2:(x0 + w) >> 2] = c_b
+                    tr[y0 >> 2:(y0 + h) >> 2, x0 >> 2:(x0 + w) >> 2] = t_b
             for ax, ay, aw, ah, bounds in _alf_vb_areas(cs, x0, y0, w, h,
                                                         region):
                 if sh.alf_enabled[0] and p["enable"][0]:
@@ -482,13 +818,13 @@ def alf_frame(cs, planes: list) -> list:
                                               idx - NUM_FIXED_FILTER_SETS)]
                     if bounds is not None:
                         # clipped area: re-classify with the clamp window
-                        c_b, t_b = classify(planes[0], ax, ay, aw, ah, bd,
+                        c_b, t_b = classify(srcs[0], ax, ay, aw, ah, bd,
                                             vb_luma_h, vb_luma_pos, bounds)
                         cls[ay >> 2:(ay + ah) >> 2,
                             ax >> 2:(ax + aw) >> 2] = c_b
                         tr[ay >> 2:(ay + ah) >> 2,
                            ax >> 2:(ax + aw) >> 2] = t_b
-                    filter_luma_area(planes[0], out[0], cls, tr, co, cl,
+                    filter_luma_area(srcs[0], out[0], cls, tr, co, cl,
                                      ax, ay, aw, ah, bd, vb_luma_h,
                                      vb_luma_pos, bounds)
                 if cs.num_comp > 1:
@@ -507,7 +843,7 @@ def alf_frame(cs, planes: list) -> list:
                             alt = p["alt"][comp - 1]
                             coeff, clip = build_chroma_coeff(aps.alf, alt,
                                                              bd)
-                            filter_chroma_area(planes[comp], out[comp],
+                            filter_chroma_area(srcs[comp], out[comp],
                                                coeff, clip, cx0, cy0, cw,
                                                chh, bd, vb_chma_h,
                                                vb_chma_pos, bounds_c)
@@ -520,7 +856,7 @@ def alf_frame(cs, planes: list) -> list:
                                 else sh.ccalf_cr_aps_id
                             coeff = cs.alf_apss[aps_id].cc_alf \
                                 .coeff[comp - 1][fidx - 1]
-                            filter_cc_area(planes[0], out[comp], coeff,
+                            filter_cc_area(srcs[0], out[comp], coeff,
                                            cx0, cy0, cw, chh, bd,
                                            cs.sub_w - 1, cs.sub_h - 1,
                                            vb_luma_h, vb_luma_pos, bounds)
@@ -553,8 +889,7 @@ def alf_prepare_maps(cs, planes: list, bd: int):
 
     cls = tr = None
     if any(s_.alf_enabled[0] for s_ in cs.shs):
-        cls, tr = classify(planes[0], 0, 0, cs.w, cs.h, bd,
-                           vb_luma_h, vb_luma_pos)
+        cls, tr = classify_frame(planes[0], bd, vb_luma_h, vb_luma_pos)
 
     h, w = planes[0].shape
     # luma banks: id 0..n-1 -> (coeff [4,25,13], clip [4,25,13])

@@ -32,26 +32,32 @@ def sao_frame(cs: CodingStructure, planes: list[np.ndarray]) -> None:
             sao_prepare_maps(cs)):
         if not mask.any():
             continue
-        c = planes[comp].astype(np.int32)
+        c = planes[comp]
+        present = np.unique(type_map)
         pad = np.pad(c, 1, mode="edge")
-        typ = type_map.astype(np.int32)
+        typ = type_map
         n = (
             (pad[1:-1, :-2], pad[1:-1, 2:]),    # EO 0 deg
             (pad[:-2, 1:-1], pad[2:, 1:-1]),    # EO 90
             (pad[:-2, :-2], pad[2:, 2:]),       # EO 135
             (pad[:-2, 2:], pad[2:, :-2]),       # EO 45
         )
-        a, b = n[0]
-        for t in range(1, 4):
-            sel = typ == t
-            if sel.any():
+        eo_present = [t for t in range(4) if t in present]
+        if eo_present:
+            a, b = n[eo_present[0]]
+            for t in eo_present[1:]:
+                sel = typ == t
                 a = np.where(sel, n[t][0], a)
                 b = np.where(sel, n[t][1], b)
-        edge = _sgn(c - a) + _sgn(c - b) + 2
-        idx = np.where(typ == 4, 5 + (c >> (bd - 5)), edge)
+            edge = _sgn(c - a) + _sgn(c - b) + 2
+        else:
+            edge = np.zeros_like(c)
+        if 4 in present:
+            idx = np.where(typ == 4, 5 + (c >> (bd - 5)), edge)
+        else:
+            idx = edge
         off = tables[ctu_idx, idx]
-        out = np.clip(c + off, 0, pel_max)
-        planes[comp][mask] = out[mask]
+        planes[comp][:] = np.where(mask, np.clip(c + off, 0, pel_max), c)
 
 
 def sao_frame_per_ctu(cs: CodingStructure,

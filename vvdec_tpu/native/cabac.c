@@ -508,14 +508,14 @@ static PyObject *Decoder_decode_residual(Decoder *self, PyObject *args)
         }
     }
 
-    static int32_t coeff_abs[64 * 64];
-    static int32_t tpl[64 * 64];
+    static _Thread_local int32_t coeff_abs[64 * 64];
+    static _Thread_local int32_t tpl[64 * 64];
     memset(coeff_abs, 0, sizeof(int32_t) * max_num_coeff);
     memset(tpl, 0, sizeof(int32_t) * max_num_coeff);
     memset(out, 0, sizeof(int32_t) * max_num_coeff);
     /* per-CG bookkeeping for the final sign/dep-quant pass */
-    static int32_t sub_positions[4096];
-    static int32_t sub_meta[1024][4]; /* nnz, sign_pattern, sub1_pattern, pos_off */
+    static _Thread_local int32_t sub_positions[4096];
+    static _Thread_local int32_t sub_meta[1024][4]; /* nnz, sign_pattern, sub1_pattern, pos_off */
     int n_subsets_out = 0, pos_fill = 0;
 
     uint8_t sig_cg[1024 + 64 + 1];

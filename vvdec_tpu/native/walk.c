@@ -760,12 +760,12 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
     if (ch == 0 && mts != W_MTS_SKIP && scan_pos_last >= 1)
         ws->mts_last = 1;
 
-    static int32_t coeff_abs[64 * 64];
-    static int32_t tplw[64 * 64];
+    static _Thread_local int32_t coeff_abs[64 * 64];
+    static _Thread_local int32_t tplw[64 * 64];
     memset(coeff_abs, 0, sizeof(int32_t) * max_num_coeff);
     memset(tplw, 0, sizeof(int32_t) * max_num_coeff);
-    static int32_t sub_positions[4096];
-    static int32_t sub_meta[1024][4];
+    static _Thread_local int32_t sub_positions[4096];
+    static _Thread_local int32_t sub_meta[1024][4];
     int n_subsets_out = 0, pos_fill = 0;
 
     uint8_t sig_cg[64 * 64 / 16 + 64 + 1];

@@ -54,7 +54,7 @@ static void itx_block_core(const int32_t *coef, int W, int x, int y, int w,
     /* coefficients clip to the 16-bit transform range -> the transform
      * passes fit int32 (|acc| <= 64 * 2^15 * 2^7 = 2^28); accumulate per
      * nonzero coefficient with contiguous inner loops */
-    static int32_t deq[64 * 64];
+    static _Thread_local int32_t deq[64 * 64];
     memset(deq, 0, sizeof(int32_t) * (size_t)w * h);
     for (int yy = 0; yy <= max_y; yy++) {
         for (int xx = 0; xx <= max_x; xx++) {
@@ -77,7 +77,7 @@ static void itx_block_core(const int32_t *coef, int W, int x, int y, int w,
 
     int s1 = 7;
     int s2 = (6 + ITX_MAX_TR_RANGE - 1) - bd;
-    static int32_t t[64 * 64];
+    static _Thread_local int32_t t[64 * 64];
     int kmax = max_y + 1;
     int xmax = max_x + 1;
     for (int xx = 0; xx < xmax; xx++) {

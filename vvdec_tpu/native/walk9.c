@@ -190,7 +190,7 @@ static int ix_mc_ext(const InterCtx *ic, const IxSampler *s, int bx, int by,
     int head = 14 - bd;
     if (head < 2) head = 2;
     int stride = bw + 2;
-    static int32_t blk[IX_BDOF_REGION * IX_BDOF_REGION];
+    static _Thread_local int32_t blk[IX_BDOF_REGION * IX_BDOF_REGION];
     if (ix_mc_at(ic, s, bx, by, bw, bh, int_x, int_y, fx, fy, 0, 1,
                  alt_hpel, blk) < 0)
         return -1;
@@ -416,7 +416,7 @@ static void ix_bilinear(const InterCtx *ic, const IxSampler *s, int x,
         return;
     }
     /* both fractions: horizontal pass into a (h+1) x w temp */
-    static int32_t tmp[(IX_MAX_CU + 5) * (IX_MAX_CU + 5)];
+    static _Thread_local int32_t tmp[(IX_MAX_CU + 5) * (IX_MAX_CU + 5)];
     for (int r = 0; r < h + 1; r++)
         for (int c = 0; c < w; c++) {
             int64_t a = (int64_t)ix_samp(s, y + iy + r, x + ix + c) * bfx[0]
@@ -1022,7 +1022,7 @@ static int ix_dmvr_mc(InterCtx *ic, const int32_t *cu,
     int dx = w < IX_DMVR_SUBCU ? w : IX_DMVR_SUBCU;
     int dy = h < IX_DMVR_SUBCU ? h : IX_DMVR_SUBCU;
     int64_t bio_thres = 2 * dx * dy;
-    static int32_t sub_parts[2][3][IX_DMVR_SUBCU * IX_DMVR_SUBCU];
+    static _Thread_local int32_t sub_parts[2][3][IX_DMVR_SUBCU * IX_DMVR_SUBCU];
     for (int ys = 0; ys < h; ys += dy)
         for (int xs = 0; xs < w; xs += dx) {
             int dmv[2];
@@ -1248,7 +1248,7 @@ static int ix_run_cu(InterCtx *ic, int cu_idx)
     }
     int imv;
     if (cu[CU_MERGE_FLAG]) {
-        static int32_t cands[IX_MAX_MERGE * MC_ENT];
+        static _Thread_local int32_t cands[IX_MAX_MERGE * MC_ENT];
         int nc = mc_merge_core(mc, cu_idx, cands);
         if (cu[CU_MMVD_FLAG])
             ix_derive_mmvd(ic, cu, cands, nc, ent);

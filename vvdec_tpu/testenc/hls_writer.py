@@ -153,9 +153,6 @@ def write_sps(w: BitWriter, sps: SPS) -> None:
     _unsupported(sps.max_sublayers != 1, "sublayers")
     _unsupported(sps.vps_id != 0, "VPS")
     _unsupported(sps.poc_msb_cycle_flag, "poc msb cycle")
-    _unsupported(sps.virtual_boundaries_enabled
-                 and not sps.virtual_boundaries_present,
-                 "PH-signalled virtual boundaries")
     _unsupported(sps.ladf_enabled, "LADF")
     _unsupported(bool(sps.extra_ph_bit_present) or bool(sps.extra_sh_bit_present),
                  "extra PH/SH bits")
@@ -540,6 +537,18 @@ def write_picture_header(w: BitWriter, ph: PicHeader, sps: SPS, pps: PPS) -> Non
         w.flag(ph.explicit_scaling_list_enabled)
         if ph.explicit_scaling_list_enabled:
             w.u(ph.scaling_list_aps_id, 3)
+    if sps.virtual_boundaries_enabled and not sps.virtual_boundaries_present:
+        vb_present = bool(getattr(ph, "virtual_boundaries_present", False))
+        w.flag(vb_present)
+        if vb_present:
+            xs = getattr(ph, "virtual_boundary_pos_x", [])
+            ys = getattr(ph, "virtual_boundary_pos_y", [])
+            w.ue(len(xs))
+            for x in xs:
+                w.ue((x >> 3) - 1)
+            w.ue(len(ys))
+            for y in ys:
+                w.ue((y >> 3) - 1)
     if pps.output_flag_present and not ph.non_ref_pic:
         w.flag(ph.pic_output_flag)
     if pps.rpl_info_in_ph:
