@@ -126,3 +126,71 @@ def test_deblock_device_stage_boundaries():
     got = decode_annexb(stream, use_jax=True)
     assert all(np.array_equal(a, b)
                for fa, fb in zip(ref, got) for a, b in zip(fa, fb))
+
+
+def test_device_itx_lfnst_parity():
+    """LFNST TUs now run dequant + inverse LFNST + ITX on device
+    (_itx_lfnst_fn) instead of falling back to the host: use_jax
+    parity on an LFNST-heavy stream."""
+    from vvdec_tpu.decoder import decode_to_yuv
+    from vvdec_tpu.testenc.encoder import RandomDecisions, generate_stream
+
+    class LfnstDec(RandomDecisions):
+        def lfnst_idx(self, cu):
+            return self.rnd.choice([1, 2])
+
+    import vvdec_tpu.testenc.encoder as E
+    orig = E.RandomDecisions
+    E.RandomDecisions = LfnstDec
+    try:
+        s, css = generate_stream(
+            width=96, height=64, ctu=32, n_frames=2, seed=1, qp=30,
+            sps_kw=dict(lfnst_enabled=True),
+            dec_kw=dict(split_prob=0.5, density=0.08, max_level=20))
+    finally:
+        E.RandomDecisions = orig
+    assert sum(1 for cs in css for cu in cs.cus if cu.lfnst_idx) >= 4
+    a = decode_to_yuv(s, use_jax=False)
+    b = decode_to_yuv(s, use_jax=True)
+    assert a == b
+    # drive the device residual stage directly: itx_frame_jax must match
+    # the host per-TU dequant + inverse LFNST + ITX on every LFNST TU
+    import numpy as np
+    import vvdec_tpu.ops.pipeline as P
+    from vvdec_tpu.decoder import parse_annexb
+    from vvdec_tpu.frame.recon_np import (
+        apply_inv_lfnst, dequant_block, get_tr_types, inverse_transform,
+        scaling_matrix_for, tu_qp)
+    n_lf = []
+    inner = P._itx_lfnst_fn
+
+    def spy(*args, **kw):
+        n_lf.append(args)
+        return inner(*args, **kw)
+
+    P._itx_lfnst_fn = spy
+    try:
+        for f in parse_annexb(s):
+            cs = f.cs
+            resi = P.itx_frame_jax(cs)
+            for tu in cs.tus:
+                cu = cs.cus[tu.cu_idx]
+                if not cu.lfnst_idx or not tu.cbf[0]                         or tu.blocks[0] is None:
+                    continue
+                x, y, w, h = tu.blocks[0]
+                deq = dequant_block(
+                    cs.coef[0][y:y + h, x:x + w], tu_qp(cs, tu, cu, 0),
+                    w.bit_length() - 1, h.bit_length() - 1,
+                    cs.sps.bit_depth,
+                    bool(cs.sh_of(cu).dep_quant_used),
+                    tu.max_scan_x[0], tu.max_scan_y[0],
+                    scale_mat=scaling_matrix_for(cs, tu, cu, 0))
+                deq = apply_inv_lfnst(
+                    cs, deq, tu, cu, 0,
+                    lambda cu_, c_: cu_.intra_dir[0])
+                hor, ver = get_tr_types(cs, tu, cu, 0)
+                gold = inverse_transform(deq, hor, ver, cs.sps.bit_depth)
+                assert np.array_equal(resi[0][y:y + h, x:x + w], gold),                     (x, y, w, h)
+    finally:
+        P._itx_lfnst_fn = inner
+    assert n_lf, "device LFNST stage not exercised"

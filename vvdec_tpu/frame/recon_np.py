@@ -134,17 +134,18 @@ def inverse_transform(coeff: np.ndarray, tr_hor: str, tr_ver: str,
     return res.reshape(1, w)
 
 
-def apply_inv_lfnst(cs: CodingStructure, deq: np.ndarray, tu: TransformUnit,
-                    cu: CodingUnit, comp: int, final_mode_fn) -> np.ndarray:
-    """Inverse LFNST on dequantized coefficients (parity: TrQuant::xInvLfnst
-    TrQuant.cpp:201, invLfnstNxNCore :79)."""
+def lfnst_params(cs: CodingStructure, tu: TransformUnit, cu: CodingUnit,
+                 comp: int, final_mode_fn):
+    """(kernel matrix [48|16, 16], transpose, sb, zero_out) for one TU
+    component, or None when LFNST does not apply to it (the mode
+    derivation of TrQuant::xInvLfnst, TrQuant.cpp:201)."""
     from vvdec_tpu.ops.tables import LFNST_4x4, LFNST_8x8, LFNST_LUT
 
     if cu.lfnst_idx == 0 or tu.mts_idx[comp] == MTS_SKIP:
-        return deq
+        return None
     sep_tree = cu.tree_type != 0
     if not sep_tree and comp != 0:
-        return deq
+        return None
     x, y, w, h = tu.blocks[comp]
     ch = 0 if comp == 0 else 1
     if cu.mip_flag and ch == 0:
@@ -178,6 +179,18 @@ def apply_inv_lfnst(cs: CodingStructure, deq: np.ndarray, tu: TransformUnit,
     sb = 8 if whge3 else 4
     zero_out = 8 if ((w == 4 and h == 4) or (w == 8 and h == 8)) else 16
     mat = (LFNST_8x8 if sb == 8 else LFNST_4x4)[int(LFNST_LUT[lfnst_mode])][cu.lfnst_idx - 1]
+    return mat, transpose, sb, zero_out
+
+
+def apply_inv_lfnst(cs: CodingStructure, deq: np.ndarray, tu: TransformUnit,
+                    cu: CodingUnit, comp: int, final_mode_fn) -> np.ndarray:
+    """Inverse LFNST on dequantized coefficients (parity: TrQuant::xInvLfnst
+    TrQuant.cpp:201, invLfnstNxNCore :79)."""
+    prm = lfnst_params(cs, tu, cu, comp, final_mode_fn)
+    if prm is None:
+        return deq
+    mat, transpose, sb, zero_out = prm
+    x, y, w, h = tu.blocks[comp]
     flat = deq.reshape(-1)
     scan = rom.scan_grouped(w, h)[:16]
     src = flat[scan].astype(np.int64)

@@ -139,12 +139,109 @@ def _itx_fn(h: int, w: int, tr_hor: str, tr_ver: str, bit_depth: int,
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _itx_lfnst_fn(h: int, w: int, tr_hor: str, tr_ver: str,
+                  bit_depth: int, dep_quant: bool, sb: int, zero_out: int,
+                  use_sl: bool = False):
+    """Jitted batched dequant + inverse LFNST + ITX for one TU shape
+    (TrQuant::xInvLfnst between dequant and the primary transform,
+    TrQuant.cpp:201/:290): (levels [N,h,w], qp [N], kern [N,48|16,zo]
+    int32, trans [N] bool[, smat]) -> residual [N,h,w] int32.  The
+    16-coefficient scan gather is compile-time constant; the two output
+    placements (normal/transposed) are dense selects."""
+    log2_w, log2_h = w.bit_length() - 1, h.bit_length() - 1
+    transform_shift = MAX_LOG2_TR_RANGE - bit_depth \
+        - ((log2_w + log2_h) >> 1)
+    needs_sqrt2 = ((log2_w + log2_h) & 1) == 1
+    i_transform_shift = transform_shift + (-1 if needs_sqrt2 else 0)
+    scales = jnp.asarray(rom.INV_QUANT_SCALES[1 if needs_sqrt2 else 0],
+                         dtype=jnp.int32)
+    tr_max = (1 << MAX_LOG2_TR_RANGE) - 1
+    mv = jnp.asarray(tr_matrix(tr_ver, h), dtype=jnp.int32)
+    mh = jnp.asarray(tr_matrix(tr_hor, w), dtype=jnp.int32)
+    s1 = 7
+    s2 = (6 + MAX_LOG2_TR_RANGE - 1) - bit_depth
+    clip_min = -(1 << MAX_LOG2_TR_RANGE)
+    clip_max = (1 << MAX_LOG2_TR_RANGE) - 1
+    scan16 = tuple(int(v) for v in rom.scan_grouped(w, h)[:16])
+
+    @jax.jit
+    def run(levels, qp, kern, trans, smat=None):
+        if dep_quant:
+            qp_per = (qp + 1) // 6
+            qp_rem = qp + 1 - 6 * qp_per
+        else:
+            qp_per, qp_rem = qp // 6, qp % 6
+        right_shift = 6 + (1 if dep_quant else 0) \
+            - (i_transform_shift + qp_per)
+        if use_sl:
+            right_shift = right_shift + 4
+        scale = scales[qp_rem]
+        target_bd = jnp.minimum(MAX_LOG2_TR_RANGE + 1,
+                                64 + right_shift - 7)
+        input_max = (1 << (target_bd - 1)) - 1
+        clipped = jnp.clip(levels, -input_max[:, None, None] - 1,
+                           input_max[:, None, None])
+        prod = clipped * scale[:, None, None]
+        if use_sl:
+            prod = prod * smat[None, :, :]
+        rs = right_shift[:, None, None]
+        pos = (prod + (1 << jnp.maximum(rs - 1, 0))) >> jnp.maximum(rs, 0)
+        neg = prod << jnp.maximum(-rs, 0)
+        deq = jnp.where(rs > 0, pos, neg)
+        deq = jnp.where(levels != 0,
+                        jnp.clip(deq, -tr_max - 1, tr_max), 0)
+
+        # ---- inverse LFNST on the first 16 scan coefficients ----
+        n = deq.shape[0]
+        flat = deq.reshape(n, -1)
+        src = jnp.stack([flat[:, i] for i in scan16], axis=1)
+        out = jnp.einsum("nij,nj->ni", kern, src[:, :zero_out],
+                         preferred_element_type=jnp.int32)
+        out = jnp.clip((out + 64) >> 7, -(1 << 15), (1 << 15) - 1)
+        tsel = trans[:, None, None]
+        if sb == 4:
+            blk = out.reshape(n, 4, 4)
+            patch = jnp.where(tsel, blk.transpose(0, 2, 1), blk)
+            deq = deq.at[:, :4, :4].set(patch)
+        else:
+            top = out[:, :32].reshape(n, 4, 8)
+            bot = out[:, 32:48].reshape(n, 4, 4)
+            base = deq[:, :8, :8]
+            norm = base.at[:, :4, :8].set(top).at[:, 4:8, :4].set(bot)
+            tr8 = base.at[:, :8, :4].set(top.transpose(0, 2, 1)) \
+                .at[:, :4, 4:8].set(bot.transpose(0, 2, 1))
+            deq = deq.at[:, :8, :8].set(jnp.where(tsel, tr8, norm))
+
+        tmp = jnp.einsum("nkx,ky->nxy", deq, mv,
+                         preferred_element_type=jnp.int32)
+        tmp = jnp.clip((tmp + (1 << (s1 - 1))) >> s1, clip_min, clip_max)
+        blk = jnp.einsum("nky,kx->nyx", tmp, mh,
+                         preferred_element_type=jnp.int32)
+        return jnp.clip((blk + (1 << (s2 - 1))) >> s2, clip_min, clip_max)
+
+    return run
+
+
 def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
     """Run stage 1 (dequant + inverse transform) for a whole frame on device.
 
     Returns per-component residual planes (int32) positioned at TU locations.
     """
     from vvdec_tpu.frame.recon_np import get_tr_types
+
+    def fm(cu_, comp_):
+        from vvdec_tpu.frame.recon_np import (
+            CHROMA422_MAP, co_located_luma_mode_of)
+        from vvdec_tpu.frame.structure import DM_CHROMA_IDX
+        if comp_ == 0:
+            return cu_.intra_dir[0]
+        m = cu_.intra_dir[1]
+        if m == DM_CHROMA_IDX:
+            m = co_located_luma_mode_of(cs, cu_)
+        if cs.sps.chroma_format_idc == 2 and m < 67:
+            m = CHROMA422_MAP[m]
+        return m
 
     resi = [np.zeros((h, w), dtype=np.int32) for (w, h) in cs.comp_size]
     groups: dict[tuple, list] = {}
@@ -167,41 +264,10 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
                 from vvdec_tpu.frame.recon_np import ts_residual
                 resi[comp][y: y + h, x: x + w] = ts_residual(cs, tu, cu, comp)
                 continue
+            lf_prm = None
             if cu.lfnst_idx:
-                # LFNST TUs go through the host path (dequant + secondary
-                # transform are interleaved); device LFNST stage planned
-                from vvdec_tpu.frame.recon_np import (
-                    apply_inv_lfnst, dequant_block, get_tr_types as gtt,
-                    inverse_transform)
-                from vvdec_tpu.frame.recon_np import tu_qp
-                qp = tu_qp(cs, tu, cu, comp)
-                levels = cs.coef[comp][y: y + h, x: x + w]
-                from vvdec_tpu.frame.recon_np import scaling_matrix_for
-                deq = dequant_block(levels, qp, w.bit_length() - 1,
-                                    h.bit_length() - 1, cs.sps.bit_depth,
-                                    bool(cs.sh_of(cu).dep_quant_used),
-                                    tu.max_scan_x[comp], tu.max_scan_y[comp],
-                                    scale_mat=scaling_matrix_for(
-                                        cs, tu, cu, comp))
-                from vvdec_tpu.frame.recon_np import IntraReconstructor
-
-                def fm(cu_, comp_):
-                    from vvdec_tpu.frame.recon_np import (
-                        CHROMA422_MAP, co_located_luma_mode_of)
-                    from vvdec_tpu.frame.structure import DM_CHROMA_IDX
-                    if comp_ == 0:
-                        return cu_.intra_dir[0]
-                    m = cu_.intra_dir[1]
-                    if m == DM_CHROMA_IDX:
-                        m = co_located_luma_mode_of(cs, cu_)
-                    if cs.sps.chroma_format_idc == 2 and m < 67:
-                        m = CHROMA422_MAP[m]
-                    return m
-                deq = apply_inv_lfnst(cs, deq, tu, cu, comp, fm)
-                hor, ver = gtt(cs, tu, cu, comp)
-                resi[comp][y: y + h, x: x + w] = inverse_transform(
-                    deq, hor, ver, cs.sps.bit_depth)
-                continue
+                from vvdec_tpu.frame.recon_np import lfnst_params
+                lf_prm = lfnst_params(cs, tu, cu, comp, fm)
             hor, ver = get_tr_types(cs, tu, cu, comp)
             from vvdec_tpu.frame.recon_np import tu_qp
             qp = tu_qp(cs, tu, cu, comp)
@@ -213,30 +279,54 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
             else:
                 smat, lt = None, None
             dq = bool(cs.sh_of(cu).dep_quant_used)
-            key = (comp != 0, w, h, hor, ver, lt, dq)
-            groups.setdefault(key, []).append((comp, x, y, qp, smat))
+            if lf_prm is not None:
+                mat, transpose, sb, zero = lf_prm
+                key = (comp != 0, w, h, hor, ver, lt, dq, sb, zero)
+                groups.setdefault(key, []).append(
+                    (comp, x, y, qp, smat, mat[:, :zero], transpose))
+            else:
+                key = (comp != 0, w, h, hor, ver, lt, dq)
+                groups.setdefault(key, []).append((comp, x, y, qp, smat))
 
     # launch every shape-group's device computation first (async dispatch),
     # then overlap the device->host readbacks — one blocking sync per frame
     # instead of one per group (the host<->device link is latency-bound)
     launched = []
-    for (is_chroma, w, h, hor, ver, lt, dep_quant), items in groups.items():
+    for key, items in groups.items():
+        is_lfnst = len(key) == 9
+        (is_chroma, w, h, hor, ver, lt, dep_quant) = key[:7]
         n = len(items)
         # bucket the batch dimension to powers of two so compiled shapes
         # are stable across frames (bounded number of XLA programs)
         n_pad = 1 << max(0, (n - 1)).bit_length()
         levels = np.zeros((n_pad, h, w), dtype=np.int32)
-        for i, (comp, x, y, qp, _) in enumerate(items):
+        for i, it in enumerate(items):
+            comp, x, y = it[0], it[1], it[2]
             levels[i] = cs.coef[comp][y: y + h, x: x + w]
         qps = np.zeros(n_pad, dtype=np.int32)
-        qps[:n] = [qp for _, _, _, qp, _ in items]
-        fn = _itx_fn(h, w, hor, ver, cs.sps.bit_depth, dep_quant,
-                     use_sl=lt is not None)
-        if lt is not None:
-            out = fn(jnp.asarray(levels), jnp.asarray(qps),
-                     jnp.asarray(items[0][4]))
+        qps[:n] = [it[3] for it in items]
+        if is_lfnst:
+            sb, zero = key[7], key[8]
+            kern = np.zeros((n_pad, 16 if sb == 4 else 48, zero),
+                            dtype=np.int32)
+            trans = np.zeros(n_pad, dtype=bool)
+            for i, it in enumerate(items):
+                kern[i] = it[5]
+                trans[i] = it[6]
+            fn = _itx_lfnst_fn(h, w, hor, ver, cs.sps.bit_depth,
+                               dep_quant, sb, zero, use_sl=lt is not None)
+            args = (jnp.asarray(levels), jnp.asarray(qps),
+                    jnp.asarray(kern), jnp.asarray(trans))
+            out = fn(*args, jnp.asarray(items[0][4])) if lt is not None \
+                else fn(*args)
         else:
-            out = fn(jnp.asarray(levels), jnp.asarray(qps))
+            fn = _itx_fn(h, w, hor, ver, cs.sps.bit_depth, dep_quant,
+                         use_sl=lt is not None)
+            if lt is not None:
+                out = fn(jnp.asarray(levels), jnp.asarray(qps),
+                         jnp.asarray(items[0][4]))
+            else:
+                out = fn(jnp.asarray(levels), jnp.asarray(qps))
         launched.append((items, n, out))
     for _, _, out in launched:
         try:
@@ -245,7 +335,8 @@ def itx_frame_jax(cs: CodingStructure) -> list[np.ndarray]:
             pass
     for items, n, out in launched:
         host = np.asarray(out)
-        for (comp, x, y, _, _), blk in zip(items, host[:n]):
+        for it, blk in zip(items, host[:n]):
+            comp, x, y = it[0], it[1], it[2]
             bh, bw = blk.shape
             resi[comp][y: y + bh, x: x + bw] = blk
     return resi
