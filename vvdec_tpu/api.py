@@ -63,7 +63,10 @@ class Decoder:
         self._core = StreamDecoder(
             use_jax=self.params.use_device_pipeline,
             strict_hash=self.params.verify_picture_hash,
-            err_policy=self.params.err_handling)
+            err_policy=self.params.err_handling,
+            threads=self.params.threads,
+            parse_delay=None if self.params.parse_delay < 0
+            else self.params.parse_delay)
         self._fg = None  # film-grain synthesizer (lazy, FGC-SEI driven)
         self._fg_state = "none"
 

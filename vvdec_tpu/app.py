@@ -120,10 +120,14 @@ def main(argv: list[str] | None = None) -> int:
     try:
         for loop in range(max(1, args.loops)):
             t0 = time.monotonic()
-            if args.threads > 1:
+            if args.threads > 1 and not (args.dph or args.fg or args.eh):
+                # GOP-segment worker pool; each worker also runs the
+                # recon-while-parse threads (the per-frame SEI paths
+                # need the in-process decoder below)
                 from vvdec_tpu.parallel import decode_annexb_parallel
                 all_planes = decode_annexb_parallel(
-                    data, workers=args.threads, use_jax=args.jax)
+                    data, workers=args.threads, use_jax=args.jax,
+                    threads=min(args.threads, 2))
                 frames = None
             else:
                 dec = Decoder(params)

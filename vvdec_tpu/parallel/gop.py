@@ -25,24 +25,33 @@ def split_irap_segments(data: bytes) -> list[bytes]:
 
     header = bytearray()
     segments: list[bytearray] = []
+    seg_hdr_len: list[int] = []  # header prefix active at segment start
     pending = bytearray()  # non-VCL NALs preceding the next VCL
     for off, size in split_annexb(data):
         raw = b"\x00\x00\x01" + data[off:off + size]
         t = data[off + 1] >> 3  # nal_unit_type (2nd header byte, bits 7..3)
-        if t in (NalUnitType.SPS, NalUnitType.PPS, NalUnitType.VPS):
+        if t in (NalUnitType.SPS, NalUnitType.PPS, NalUnitType.VPS,
+                 NalUnitType.PREFIX_APS, NalUnitType.SUFFIX_APS):
+            # parameter sets (incl. APS) replicate into the header so
+            # later segments tune in independently; each segment gets
+            # only the prefix seen before its first VCL plus its own
+            # in-segment NALs, preserving slot-overwrite order
             header += raw
+            pending += raw
             continue
         if not is_vcl(t):
             pending += raw
             continue
         if is_irap(t) or not segments:
             segments.append(bytearray())
+            seg_hdr_len.append(len(header))
         segments[-1] += pending
         pending = bytearray()
         segments[-1] += raw
     if pending and segments:
         segments[-1] += pending
-    return [bytes(header) + bytes(s) for s in segments]
+    return [bytes(header[:hl]) + bytes(s)
+            for hl, s in zip(seg_hdr_len, segments)]
 
 
 def _decode_segment(args):
