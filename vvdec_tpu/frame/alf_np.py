@@ -199,6 +199,14 @@ def classify_frame(src: np.ndarray, bd: int, vb_h: int, vb_pos: int):
     of classify(); bit-exact — the per-block scalar version below is the
     golden reference and still serves restricted sub-areas)."""
     h, w = src.shape
+    from vvdec_tpu.native import native_cabac
+    nc = native_cabac()
+    if nc is not None and hasattr(nc, "alf_classify"):
+        s32 = np.ascontiguousarray(src, dtype=np.int32)
+        cls = np.empty((h // 4, w // 4), dtype=np.int32)
+        tr = np.empty((h // 4, w // 4), dtype=np.int32)
+        nc.alf_classify(s32, cls, tr, h, w, bd, vb_h, vb_pos)
+        return cls, tr
     s = src.astype(np.int64)
     gh = (h + 4) // 2
     gw = (w + 4) // 2
@@ -302,6 +310,20 @@ def _diamond_frame(src, dst, co4, cl4, dmap, near, lo_x, lo_y, hi_x,
     s = src.astype(np.int32, copy=False)
     trivial = lo_x is None
     if trivial:
+        from vvdec_tpu.native import native_cabac
+        nc = native_cabac()
+        if nc is not None and hasattr(nc, "alf_diamond") \
+                and s.flags.c_contiguous:
+            co4c = np.ascontiguousarray(co4, dtype=np.int32)
+            cl4c = np.ascontiguousarray(cl4, dtype=np.int32)
+            outc = np.empty((h, w), dtype=np.int32)
+            nc.alf_diamond(s, outc, h, w, len(taps), co4c, cl4c,
+                           np.ascontiguousarray(dmap, dtype=np.int32),
+                           np.ascontiguousarray(near, dtype=np.uint8),
+                           np.ascontiguousarray(mask, dtype=np.uint8),
+                           bd)
+            np.copyto(dst, outc.astype(dst.dtype), where=mask)
+            return
         pad = np.pad(s, 3, mode="edge")
     else:
         ys = np.arange(h)[:, None]

@@ -1188,7 +1188,242 @@ static PyTypeObject DecoderType = {
     .tp_new = PyType_GenericNew,
 };
 
+/* alf_diamond(src y* int32[h*w], dst w* int32[h*w], h, w, n_taps,
+ *             co4 y* int32[h4*w4*n_taps], cl4 y* int32[h4*w4*n_taps],
+ *             dmap y* int32[h*4], near y* uint8[h], mask y* uint8[h*w],
+ *             bd)
+ * Whole-frame clipped-diamond ALF with per-4x4 coefficients and the
+ * per-row virtual-boundary tap clamping; whole-picture clamp windows
+ * (the restricted loop-filter-across cases stay on the numpy path).
+ * Parity: AdaptiveLoopFilter::filterBlk / frame/alf_np.filter_*_frame. */
+static const int8_t ALF_TAPS_Y[12][2] = {
+    {3, 0}, {2, 1}, {2, 0}, {2, -1}, {1, 2},  {1, 1},
+    {1, 0}, {1, -1}, {1, -2}, {0, 3}, {0, 2}, {0, 1}};
+static PyObject *mod_alf_diamond(PyObject *self, PyObject *args)
+{
+    Py_buffer b_src, b_dst, b_co, b_cl, b_dmap, b_near, b_mask;
+    int h, w, n_taps, bd;
+    if (!PyArg_ParseTuple(args, "y*w*iiiy*y*y*y*y*i", &b_src, &b_dst, &h,
+                          &w, &n_taps, &b_co, &b_cl, &b_dmap, &b_near,
+                          &b_mask, &bd))
+        return NULL;
+    const int32_t *src = (const int32_t *)b_src.buf;
+    int32_t *dst = (int32_t *)b_dst.buf;
+    const int32_t *co4 = (const int32_t *)b_co.buf;
+    const int32_t *cl4 = (const int32_t *)b_cl.buf;
+    const int32_t *dmap = (const int32_t *)b_dmap.buf;
+    const uint8_t *nearv = (const uint8_t *)b_near.buf;
+    const uint8_t *mask = (const uint8_t *)b_mask.buf;
+    const int pel_max = (1 << bd) - 1;
+    const int w4 = w >> 2;
+    Py_BEGIN_ALLOW_THREADS
+    for (int y = 0; y < h; y++) {
+        const int32_t *dr = dmap + (size_t)y * 4;
+        const int rnd = nearv[y] ? (1 << 9) : 64;
+        const int sh = nearv[y] ? 10 : 7;
+        const int32_t *row = src + (size_t)y * w;
+        int32_t *out = dst + (size_t)y * w;
+        const uint8_t *mrow = mask + (size_t)y * w;
+        const int32_t *cob = co4 + (size_t)(y >> 2) * w4 * n_taps;
+        const int32_t *clb = cl4 + (size_t)(y >> 2) * w4 * n_taps;
+        for (int x = 0; x < w; x++) {
+            if (!mrow[x])
+                continue;
+            const int32_t *co = cob + (size_t)(x >> 2) * n_taps;
+            const int32_t *cl = clb + (size_t)(x >> 2) * n_taps;
+            const int32_t curr = row[x];
+            int64_t acc = 0;
+            static const int8_t CT[6][2] = {{2, 0}, {1, 1}, {1, 0},
+                                            {1, -1}, {0, 2}, {0, 1}};
+            for (int k = 0; k < n_taps; k++) {
+                const int8_t *tp = n_taps == 6 ? CT[k] : ALF_TAPS_Y[k];
+                const int dy = tp[0];
+                const int dx = tp[1];
+                const int dd = dr[dy];
+                int ya = y + dd, yb = y - dd;
+                if (ya > h - 1) ya = h - 1;
+                if (ya < 0) ya = 0;
+                if (yb > h - 1) yb = h - 1;
+                if (yb < 0) yb = 0;
+                int xa = x + dx, xb = x - dx;
+                if (xa > w - 1) xa = w - 1;
+                if (xa < 0) xa = 0;
+                if (xb > w - 1) xb = w - 1;
+                if (xb < 0) xb = 0;
+                int32_t a = src[(size_t)ya * w + xa] - curr;
+                int32_t b = src[(size_t)yb * w + xb] - curr;
+                const int32_t c = cl[k];
+                if (a > c) a = c;
+                if (a < -c) a = -c;
+                if (b > c) b = c;
+                if (b < -c) b = -c;
+                acc += (int64_t)co[k] * (a + b);
+            }
+            int32_t v = (int32_t)((acc + rnd) >> sh) + curr;
+            if (v < 0) v = 0;
+            if (v > pel_max) v = pel_max;
+            out[x] = v;
+        }
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&b_src);
+    PyBuffer_Release(&b_dst);
+    PyBuffer_Release(&b_co);
+    PyBuffer_Release(&b_cl);
+    PyBuffer_Release(&b_dmap);
+    PyBuffer_Release(&b_near);
+    PyBuffer_Release(&b_mask);
+    Py_RETURN_NONE;
+}
+
+/* alf_classify(src y* int32[h*w], cls w* int32[h4*w4],
+ *              tr w* int32[h4*w4], h, w, bd, vb_h, vb_pos)
+ * Whole-frame 4x4 ALF classification (deriveClassificationBlk);
+ * whole-picture clamp windows.  Parity: alf_np.classify_frame. */
+static PyObject *mod_alf_classify(PyObject *self, PyObject *args)
+{
+    Py_buffer b_src, b_cls, b_tr;
+    int h, w, bd, vb_h, vb_pos;
+    if (!PyArg_ParseTuple(args, "y*w*w*iiiii", &b_src, &b_cls, &b_tr, &h,
+                          &w, &bd, &vb_h, &vb_pos))
+        return NULL;
+    const int32_t *src = (const int32_t *)b_src.buf;
+    int32_t *cls_out = (int32_t *)b_cls.buf;
+    int32_t *tr_out = (int32_t *)b_tr.buf;
+    const int gh = (h + 4) / 2;
+    const int gw = (w + 4) / 2;
+    const int h4 = h / 4, w4 = w / 4;
+    int32_t *lap = (int32_t *)malloc((size_t)4 * gh * gw * sizeof(int32_t));
+    int32_t *agg = (int32_t *)malloc((size_t)4 * gh * gw * sizeof(int32_t));
+    if (!lap || !agg) {
+        free(lap);
+        free(agg);
+        PyBuffer_Release(&b_src);
+        PyBuffer_Release(&b_cls);
+        PyBuffer_Release(&b_tr);
+        return PyErr_NoMemory();
+    }
+    Py_BEGIN_ALLOW_THREADS
+    static const int8_t ACT_TH_C[16] = {0, 1, 2, 2, 2, 2, 2, 3,
+                                        3, 3, 3, 3, 3, 3, 3, 4};
+    static const int8_t TRSP_C[8] = {0, 1, 0, 2, 2, 3, 1, 3};
+    for (int gi = 0; gi < gh; gi++) {
+        const int i = gi * 2;
+        const int yoff = i - 2;
+        int r0 = yoff - 1, r1 = yoff, r2 = yoff + 1, r3 = yoff + 2;
+        if (yoff > 0 && ((yoff % vb_h) + vb_h) % vb_h == vb_pos - 2)
+            r3 = r2;
+        else if (yoff > 0 && ((yoff % vb_h) + vb_h) % vb_h == vb_pos)
+            r0 = r1;
+#define CLP(v, lim) ((v) < 0 ? 0 : ((v) > (lim) ? (lim) : (v)))
+        const int32_t *s0 = src + (size_t)CLP(r0, h - 1) * w;
+        const int32_t *s1 = src + (size_t)CLP(r1, h - 1) * w;
+        const int32_t *s2 = src + (size_t)CLP(r2, h - 1) * w;
+        const int32_t *s3 = src + (size_t)CLP(r3, h - 1) * w;
+        for (int gj = 0; gj < gw; gj++) {
+            const int pix = gj * 2 - 2;
+            const int cm1 = CLP(pix - 1, w - 1), c0 = CLP(pix, w - 1);
+            const int cp1 = CLP(pix + 1, w - 1), cp2 = CLP(pix + 2, w - 1);
+            const int32_t y0v = s1[c0] * 2;
+            const int32_t yup1 = s2[cp1] * 2;
+            const size_t gx = (size_t)gi * gw + gj;
+            lap[0 * gh * gw + gx] = abs(y0v - s0[c0] - s2[c0])
+                + abs(yup1 - s1[cp1] - s3[cp1]);
+            lap[1 * gh * gw + gx] = abs(y0v - s1[cp1] - s1[cm1])
+                + abs(yup1 - s2[cp2] - s2[c0]);
+            lap[2 * gh * gw + gx] = abs(y0v - s0[cm1] - s2[cp1])
+                + abs(yup1 - s1[c0] - s3[cp2]);
+            lap[3 * gh * gw + gx] = abs(y0v - s2[cm1] - s0[cp1])
+                + abs(yup1 - s3[c0] - s1[cp2]);
+        }
+    }
+    for (int d = 0; d < 4; d++) {
+        const int32_t *lp = lap + (size_t)d * gh * gw;
+        int32_t *ag = agg + (size_t)d * gh * gw;
+        for (int gi = 0; gi < gh; gi++) {
+            const int32_t *r = lp + (size_t)gi * gw;
+            int32_t *o = ag + (size_t)gi * gw;
+            for (int gj = 0; gj < gw; gj++) {
+                int32_t v = r[gj];
+                if (gj + 1 < gw) v += r[gj + 1];
+                if (gj + 2 < gw) v += r[gj + 2];
+                if (gj + 3 < gw) v += r[gj + 3];
+                o[gj] = v;
+            }
+        }
+    }
+    const int shift = bd + 4;
+    for (int bi = 0; bi < h4; bi++) {
+        const int rr = bi * 2;
+        const int ymod = (bi * 4) % vb_h;
+        int rs = 0, re = 4, mul = 64;
+        if (ymod == vb_pos - 4) {
+            re = 3;
+            mul = 96;
+        } else if (ymod == vb_pos) {
+            rs = 1;
+            mul = 96;
+        }
+        for (int bj = 0; bj < w4; bj++) {
+            const int cc = bj * 2;
+            int64_t sums[4];
+            for (int d = 0; d < 4; d++) {
+                const int32_t *ag = agg + (size_t)d * gh * gw;
+                int64_t s = 0;
+                for (int k = rs; k < re; k++)
+                    s += ag[(size_t)(rr + k) * gw + cc];
+                sums[d] = s;
+            }
+            const int64_t sum_v = sums[0], sum_h = sums[1];
+            const int64_t sum_d0 = sums[2], sum_d1 = sums[3];
+            int act = (int)(((sum_v + sum_h) * mul) >> shift);
+            if (act < 0) act = 0;
+            if (act > 15) act = 15;
+            int cls = ACT_TH_C[act];
+            int64_t hv1, hv0, d1, d0;
+            int dir_hv, dir_d;
+            if (sum_v > sum_h) {
+                hv1 = sum_v; hv0 = sum_h; dir_hv = 1;
+            } else {
+                hv1 = sum_h; hv0 = sum_v; dir_hv = 3;
+            }
+            if (sum_d0 > sum_d1) {
+                d1 = sum_d0; d0 = sum_d1; dir_d = 0;
+            } else {
+                d1 = sum_d1; d0 = sum_d0; dir_d = 2;
+            }
+            int64_t hvd1, hvd0;
+            int main_dir, sec_dir;
+            if (d1 * hv0 > hv1 * d0) {
+                hvd1 = d1; hvd0 = d0; main_dir = dir_d; sec_dir = dir_hv;
+            } else {
+                hvd1 = hv1; hvd0 = hv0; main_dir = dir_hv; sec_dir = dir_d;
+            }
+            int strength = 0;
+            if (hvd1 > 2 * hvd0) strength = 1;
+            if (hvd1 * 2 > 9 * hvd0) strength = 2;
+            if (strength)
+                cls += (((main_dir & 1) << 1) + strength) * 5;
+            cls_out[(size_t)bi * w4 + bj] = cls;
+            tr_out[(size_t)bi * w4 + bj] =
+                TRSP_C[main_dir * 2 + (sec_dir >> 1)];
+        }
+    }
+#undef CLP
+    Py_END_ALLOW_THREADS
+    free(lap);
+    free(agg);
+    PyBuffer_Release(&b_src);
+    PyBuffer_Release(&b_cls);
+    PyBuffer_Release(&b_tr);
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef module_methods[] = {
+    {"alf_classify", (PyCFunction)mod_alf_classify, METH_VARARGS,
+     "whole-frame 4x4 ALF classification"},
+    {"alf_diamond", (PyCFunction)mod_alf_diamond, METH_VARARGS,
+     "whole-frame clipped-diamond ALF (luma 12 / chroma 6 taps)"},
     {"deblock_luma", (PyCFunction)mod_deblock_luma, METH_VARARGS, NULL},
     {"deblock_chroma", (PyCFunction)mod_deblock_chroma, METH_VARARGS, NULL},
     {"deblock_strengths", (PyCFunction)mod_deblock_strengths, METH_VARARGS,
