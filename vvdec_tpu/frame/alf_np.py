@@ -365,10 +365,24 @@ def _diamond_frame(src, dst, co4, cl4, dmap, near, lo_x, lo_y, hi_x,
 
 
 def filter_cc_frame(luma, dst, coeff, off_rows, skip_rows, lo_x, lo_y,
-                    hi_x, hi_y, active, bd: int, sx: int, sy: int) -> None:
+                    hi_x, hi_y, active, bd: int, sx: int, sy: int,
+                    trivial: bool = False) -> None:
     """Vectorized whole-frame CC-ALF (numpy port of the device kernel;
     parity: filter_cc_area)."""
     hc, wc = dst.shape
+    if trivial:
+        from vvdec_tpu.native import native_cabac
+        nc = native_cabac()
+        if nc is not None and hasattr(nc, "cc_alf") \
+                and luma.dtype == np.int32 and luma.flags.c_contiguous \
+                and dst.dtype == np.int32 and dst.flags.c_contiguous:
+            h, w = luma.shape
+            nc.cc_alf(luma, dst, h, w, hc, wc, sx, sy,
+                      np.ascontiguousarray(coeff, dtype=np.int32),
+                      np.ascontiguousarray(off_rows, dtype=np.int32),
+                      np.ascontiguousarray(skip_rows, dtype=np.uint8),
+                      np.ascontiguousarray(active, dtype=np.uint8), bd)
+            return
     sl = luma.astype(np.int64)
     pel_max = (1 << bd) - 1
     half = (1 << bd) >> 1
@@ -740,12 +754,21 @@ def alf_frame_vec(cs, planes: list) -> list:
                     elif pos in (vb_luma_pos - 1, vb_luma_pos):
                         o1 = o2 = o3 = 0
                     off_rows[y] = (o1, o2, o3)
-                filter_cc_frame(planes[0], out[comp], coeff, off_rows,
-                                skip_rows, maps["lo_x"][lyi, lxi],
-                                maps["lo_y"][lyi, lxi],
-                                maps["hi_x"][lyi, lxi],
-                                maps["hi_y"][lyi, lxi],
-                                maps["cc_idx"][comp - 1] != 0, bd, sx, sy)
+                if trivial:
+                    filter_cc_frame(planes[0], out[comp], coeff,
+                                    off_rows, skip_rows, None, None,
+                                    None, None,
+                                    maps["cc_idx"][comp - 1] != 0, bd,
+                                    sx, sy, trivial=True)
+                else:
+                    filter_cc_frame(planes[0], out[comp], coeff,
+                                    off_rows, skip_rows,
+                                    maps["lo_x"][lyi, lxi],
+                                    maps["lo_y"][lyi, lxi],
+                                    maps["hi_x"][lyi, lxi],
+                                    maps["hi_y"][lyi, lxi],
+                                    maps["cc_idx"][comp - 1] != 0, bd,
+                                    sx, sy)
     return out
 
 

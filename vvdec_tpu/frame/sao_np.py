@@ -28,9 +28,23 @@ def sao_frame(cs: CodingStructure, planes: list[np.ndarray]) -> None:
         return
     bd = cs.sps.bit_depth
     pel_max = (1 << bd) - 1
+    from vvdec_tpu.native import native_cabac
+    nc = native_cabac()
     for comp, (type_map, ctu_idx, tables, mask) in enumerate(
             sao_prepare_maps(cs)):
         if not mask.any():
+            continue
+        if nc is not None and hasattr(nc, "sao_plane") \
+                and planes[comp].dtype == np.int32 \
+                and planes[comp].flags.c_contiguous:
+            h, w = planes[comp].shape
+            out = planes[comp].copy()
+            nc.sao_plane(planes[comp], out, h, w,
+                         np.ascontiguousarray(type_map, dtype=np.uint8),
+                         np.ascontiguousarray(ctu_idx, dtype=np.int32),
+                         np.ascontiguousarray(tables, dtype=np.int32),
+                         np.ascontiguousarray(mask, dtype=np.uint8), bd)
+            planes[comp][:] = out
             continue
         c = planes[comp]
         present = np.unique(type_map)

@@ -1419,7 +1419,157 @@ static PyObject *mod_alf_classify(PyObject *self, PyObject *args)
     Py_RETURN_NONE;
 }
 
+/* sao_plane(src y* int32[h*w], dst w* int32[h*w], h, w,
+ *           type_map y* uint8[h*w], ctu_idx y* int32[h*w],
+ *           tables y* int32[n_ctu*37], mask y* uint8[h*w], bd)
+ * Whole-plane SAO from the per-pixel parameter maps
+ * (sao_np.sao_prepare_maps).  Parity: sao_np.sao_frame. */
+static PyObject *mod_sao_plane(PyObject *self, PyObject *args)
+{
+    Py_buffer b_src, b_dst, b_typ, b_cix, b_tab, b_mask;
+    int h, w, bd;
+    if (!PyArg_ParseTuple(args, "y*w*iiy*y*y*y*i", &b_src, &b_dst, &h, &w,
+                          &b_typ, &b_cix, &b_tab, &b_mask, &bd))
+        return NULL;
+    const int32_t *src = (const int32_t *)b_src.buf;
+    int32_t *dst = (int32_t *)b_dst.buf;
+    const uint8_t *typm = (const uint8_t *)b_typ.buf;
+    const int32_t *cix = (const int32_t *)b_cix.buf;
+    const int32_t *tab = (const int32_t *)b_tab.buf;
+    const uint8_t *mask = (const uint8_t *)b_mask.buf;
+    const int pel_max = (1 << bd) - 1;
+    const int bshift = bd - 5;
+    static const int8_t NB[4][4] = {/* dy1, dx1, dy2, dx2 per EO class */
+                                    {0, -1, 0, 1},
+                                    {-1, 0, 1, 0},
+                                    {-1, -1, 1, 1},
+                                    {-1, 1, 1, -1}};
+    Py_BEGIN_ALLOW_THREADS
+    for (int y = 0; y < h; y++) {
+        const int32_t *row = src + (size_t)y * w;
+        int32_t *orow = dst + (size_t)y * w;
+        const uint8_t *mrow = mask + (size_t)y * w;
+        const uint8_t *trow = typm + (size_t)y * w;
+        const int32_t *crow = cix + (size_t)y * w;
+        for (int x = 0; x < w; x++) {
+            if (!mrow[x])
+                continue;
+            const int t = trow[x];
+            const int32_t c = row[x];
+            int idx;
+            if (t == 4) {
+                idx = 5 + (c >> bshift);
+            } else {
+                int y1 = y + NB[t][0], x1 = x + NB[t][1];
+                int y2 = y + NB[t][2], x2 = x + NB[t][3];
+                if (y1 < 0) y1 = 0;
+                if (y1 > h - 1) y1 = h - 1;
+                if (y2 < 0) y2 = 0;
+                if (y2 > h - 1) y2 = h - 1;
+                if (x1 < 0) x1 = 0;
+                if (x1 > w - 1) x1 = w - 1;
+                if (x2 < 0) x2 = 0;
+                if (x2 > w - 1) x2 = w - 1;
+                const int32_t a = src[(size_t)y1 * w + x1];
+                const int32_t b = src[(size_t)y2 * w + x2];
+                const int sa = (c > a) - (c < a);
+                const int sb = (c > b) - (c < b);
+                idx = sa + sb + 2;
+            }
+            int32_t v = c + tab[(size_t)crow[x] * 37 + idx];
+            if (v < 0) v = 0;
+            if (v > pel_max) v = pel_max;
+            orow[x] = v;
+        }
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&b_src);
+    PyBuffer_Release(&b_dst);
+    PyBuffer_Release(&b_typ);
+    PyBuffer_Release(&b_cix);
+    PyBuffer_Release(&b_tab);
+    PyBuffer_Release(&b_mask);
+    Py_RETURN_NONE;
+}
+
+/* cc_alf(luma y* int32[h*w], dst w* int32[hc*wc], h, w, hc, wc, sx, sy,
+ *        coeff y* int32[hc*wc*7], off_rows y* int32[hc*3],
+ *        skip y* uint8[hc], active y* uint8[hc*wc], bd)
+ * Whole-plane CC-ALF correction from the pre-ALF luma.
+ * Parity: filterBlkCcAlf / alf_np.filter_cc_frame (whole-picture clamp
+ * windows). */
+static PyObject *mod_cc_alf(PyObject *self, PyObject *args)
+{
+    Py_buffer b_luma, b_dst, b_co, b_off, b_skip, b_act;
+    int h, w, hc, wc, sx, sy, bd;
+    if (!PyArg_ParseTuple(args, "y*w*iiiiiiy*y*y*y*i", &b_luma, &b_dst,
+                          &h, &w, &hc, &wc, &sx, &sy, &b_co, &b_off,
+                          &b_skip, &b_act, &bd))
+        return NULL;
+    const int32_t *lum = (const int32_t *)b_luma.buf;
+    int32_t *dst = (int32_t *)b_dst.buf;
+    const int32_t *co = (const int32_t *)b_co.buf;
+    const int32_t *offr = (const int32_t *)b_off.buf;
+    const uint8_t *skip = (const uint8_t *)b_skip.buf;
+    const uint8_t *act = (const uint8_t *)b_act.buf;
+    const int pel_max = (1 << bd) - 1;
+    const int half = (1 << bd) >> 1;
+    Py_BEGIN_ALLOW_THREADS
+    for (int yc = 0; yc < hc; yc++) {
+        if (skip[yc])
+            continue;
+        const int ly = yc << sy;
+        const int o1 = offr[yc * 3 + 0], o2 = offr[yc * 3 + 1],
+                  o3 = offr[yc * 3 + 2];
+#define ROW(dy) (lum + (size_t)((ly + (dy)) < 0 ? 0 : ((ly + (dy)) > h - 1 ? h - 1 : (ly + (dy)))) * w)
+        const int32_t *r0 = ROW(0);
+        const int32_t *r2 = ROW(o2);
+        const int32_t *r1 = ROW(o1);
+        const int32_t *r3 = ROW(o3);
+#undef ROW
+        int32_t *orow = dst + (size_t)yc * wc;
+        const uint8_t *arow = act + (size_t)yc * wc;
+        const int32_t *crow = co + (size_t)yc * wc * 7;
+        for (int xc = 0; xc < wc; xc++) {
+            if (!arow[xc])
+                continue;
+            const int lx = xc << sx;
+            const int xm = lx - 1 < 0 ? 0 : lx - 1;
+            const int xp = lx + 1 > w - 1 ? w - 1 : lx + 1;
+            const int32_t curr = r0[lx];
+            const int32_t *c7 = crow + (size_t)xc * 7;
+            int64_t acc = (int64_t)c7[0] * (r2[lx] - curr)
+                + (int64_t)c7[1] * (r0[xm] - curr)
+                + (int64_t)c7[2] * (r0[xp] - curr)
+                + (int64_t)c7[3] * (r1[xm] - curr)
+                + (int64_t)c7[4] * (r1[lx] - curr)
+                + (int64_t)c7[5] * (r1[xp] - curr)
+                + (int64_t)c7[6] * (r3[lx] - curr);
+            int32_t v = (int32_t)((acc + 64) >> 7);
+            int32_t cl = v + half;
+            if (cl < 0) cl = 0;
+            if (cl > pel_max) cl = pel_max;
+            v = cl - half + orow[xc];
+            if (v < 0) v = 0;
+            if (v > pel_max) v = pel_max;
+            orow[xc] = v;
+        }
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&b_luma);
+    PyBuffer_Release(&b_dst);
+    PyBuffer_Release(&b_co);
+    PyBuffer_Release(&b_off);
+    PyBuffer_Release(&b_skip);
+    PyBuffer_Release(&b_act);
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef module_methods[] = {
+    {"cc_alf", (PyCFunction)mod_cc_alf, METH_VARARGS,
+     "whole-plane CC-ALF correction from the pre-ALF luma"},
+    {"sao_plane", (PyCFunction)mod_sao_plane, METH_VARARGS,
+     "whole-plane SAO from per-pixel parameter maps"},
     {"alf_classify", (PyCFunction)mod_alf_classify, METH_VARARGS,
      "whole-frame 4x4 ALF classification"},
     {"alf_diamond", (PyCFunction)mod_alf_diamond, METH_VARARGS,
