@@ -81,3 +81,35 @@ class TestDeviceFilterChain:
         assert not device_filter_eligible(parse_annexb(s)[0].cs)
         a, b = _decode_both(s)
         assert a == b
+
+
+def test_batched_chain_matches_per_frame():
+    """filter_frames_device_batch (one dispatch for a GOP) == per-frame
+    filter_frame_device on real decoded pictures."""
+    import numpy as np
+    from vvdec_tpu.decoder import decode_to_yuv
+    from vvdec_tpu.ops import device_pipeline as dp
+    from vvdec_tpu.testenc.encoder import generate_stream
+    s, _ = generate_stream(
+        width=96, height=64, ctu=32, n_frames=3, seed=5, qp=30,
+        sps_kw=dict(sao_enabled=True),
+        sh_kw=dict(sao_enabled_luma=True, sao_enabled_chroma=True),
+        dec_kw=dict(split_prob=0.5, sao_prob=0.7))
+    captured = []
+    real = dp.filter_frame_device
+
+    def spy(cs, planes):
+        captured.append((cs, [p.copy() for p in planes]))
+        return real(cs, planes)
+
+    dp.filter_frame_device = spy
+    try:
+        decode_to_yuv(s, use_jax=True)
+    finally:
+        dp.filter_frame_device = real
+    assert len(captured) == 3
+    ref = [real(cs, planes).resolve() for cs, planes in captured]
+    batch = dp.filter_frames_device_batch(captured)
+    for r, pf in zip(ref, batch):
+        for a, b in zip(r, pf.resolve()):
+            assert np.array_equal(a, b)

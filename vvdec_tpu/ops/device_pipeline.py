@@ -840,6 +840,85 @@ class PendingFrame:
         return self._planes
 
 
+@functools.lru_cache(maxsize=None)
+def _chain_fn_batched(key):
+    """vmap of the whole-frame chain over a leading frame axis: one
+    device dispatch filters a whole batch of frames (GOP-resident
+    decode; amortizes the per-dispatch link latency)."""
+    (h, w, hc, wc, bd, ctu, sub_w, sub_h, num_comp, w_ctu,
+     db_on, n_sl, sao_on, alf_luma, alf_chroma, cc_on, n_banks, n_cb,
+     n_cc, pack_pad) = key
+    core = _chain_fn.__wrapped__(key)
+    return jax.jit(jax.vmap(core))
+
+
+def _frame_key_arrays(cs, planes):
+    """(key, arrays dict) for one picture — the static chain config and
+    its packed parameters (shared by the single and batched paths)."""
+    bd = cs.sps.bit_depth
+    num_comp = cs.num_comp
+    h, w = planes[0].shape
+    hc, wc = planes[1].shape if num_comp > 1 else (1, 1)
+    db = _deblock_grid_inputs(cs)
+    sao = _sao_inputs(cs)
+    alf = _alf_inputs(cs, bd)
+    total = sum(p.size for p in planes[:num_comp])
+    pack_pad = (-total) % 4 if bd > 8 else 0
+    key = (h, w, hc, wc, bd, cs.sps.ctu_size, cs.sub_w, cs.sub_h,
+           num_comp, cs.pps.pic_width_in_ctu, db is not None,
+           len(cs.shs), sao is not None,
+           bool(alf and alf["any"][0]), bool(alf and alf["any"][1]),
+           bool(alf and alf["any"][2]),
+           0 if not alf else alf["arrays"][5].shape[0],
+           0 if not alf else alf["arrays"][7].shape[0],
+           0 if not alf else alf["arrays"][9].shape[0], pack_pad)
+    arrays = {}
+    if db is not None:
+        arrays.update(db)
+    if sao is not None:
+        arrays["sao_type"] = sao[0][:num_comp]
+        arrays["sao_vals"] = sao[1][:num_comp]
+    if alf is not None:
+        names = ("en_y", "set_ctu", "en_c", "alt_ctu", "cc_ctu",
+                 "banks_co", "banks_cl", "cbanks_co", "cbanks_cl",
+                 "cc_banks")
+        for name, a in zip(names, alf["arrays"]):
+            arrays[name] = a
+    return key, arrays
+
+
+def filter_frames_device_batch(items) -> list[PendingFrame]:
+    """Filter a batch of same-config pictures [(cs, planes), ...] in ONE
+    jitted dispatch (frames stacked on a leading axis).  All pictures
+    must share the static chain config; per-frame parameters ride the
+    stacked int16 vector."""
+    per = [_frame_key_arrays(cs, planes) for cs, planes in items]
+    key = per[0][0]
+    assert all(k == key for k, _ in per), \
+        "frames in one device batch must share the static chain config"
+    num_comp = key[8]
+    bd = key[4]
+    pack_pad = key[-1]
+    fn = _chain_fn_batched(key)
+    flats = np.stack([_flat_pack(key, arrays) for _, arrays in per])
+    planes_in = tuple(
+        jnp.asarray(np.stack([np.asarray(planes[c])
+                              for _, planes in items]))
+        for c in range(num_comp))
+    out_planes, packed = fn(planes_in, jnp.asarray(flats))
+    try:
+        packed.copy_to_host_async()
+    except AttributeError:
+        pass
+    res = []
+    for i, (cs, planes) in enumerate(items):
+        shapes = [p.shape for p in planes[:num_comp]]
+        res.append(PendingFrame(
+            tuple(o[i] for o in out_planes), packed[i], shapes, bd,
+            pack_pad))
+    return res
+
+
 def filter_frame_device(cs, planes: list[np.ndarray]) -> PendingFrame:
     """Dispatch the device filter chain for one reconstructed frame.
     Returns a PendingFrame (async readback already started)."""
