@@ -763,11 +763,12 @@ def decode_to_yuv(data: bytes, use_jax: bool = False,
             full = bytes([0, (int(nal.nal_type) << 3) | 1]) + nal.rbsp
             bd = parse_sps(full).bit_depth
             break
-    out = b""
+    parts = []
     for planes in decode_annexb(data, use_jax=use_jax, threads=threads):
         for p in planes:
-            out += p.astype("u1" if bd == 8 else "<u2").tobytes()
-    return out
+            parts.append(p.astype("u1" if bd == 8 else "<u2",
+                                  copy=False).tobytes())
+    return b"".join(parts)
 
 
 def main(argv: list[str] | None = None) -> int:
