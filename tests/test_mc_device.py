@@ -265,3 +265,89 @@ class TestMcFrame:
                 bi_seen += int(bi)
         assert checked >= 8, checked
         assert bi_seen >= 1, bi_seen
+
+
+class TestMcFrameWeighted:
+    def test_weighted_preds_match_host(self, monkeypatch):
+        """Explicit weighted prediction (P and B) through the device MC
+        path vs the host _apply_wp."""
+        monkeypatch.setenv("VVDEC_TPU_NO_NATIVE_INTER", "1")
+        import sys
+        sys.path.insert(0, "tests")
+        from test_weighted_pred import _wp_stream
+        from vvdec_tpu.decoder import StreamDecoder
+        stream = _wp_stream(3, 3, 0, {}, dict(weighted_bipred=True,
+                                              weighted_pred=True),
+                            dict(split_prob=0.4, inter_prob=0.85,
+                                 skip_prob=0.2, mv_range=32, bi_prob=0.5))
+        css = []
+        orig = StreamDecoder._reconstruct_inner
+
+        def spy(self, f):
+            orig(self, f)
+            css.append(f.cs)
+
+        monkeypatch.setattr(StreamDecoder, "_reconstruct_inner", spy)
+        dec = StreamDecoder()
+        dec.push(stream)
+        dec.flush()
+
+        import numpy as np
+        from vvdec_tpu.frame import inter_np as I
+        from vvdec_tpu.frame.dmvr_np import _wp_present
+        from vvdec_tpu.hls.weight_table import resolve_wp
+        from vvdec_tpu.ops.mc_device import _cu_mc_eligible, \
+            mc_frame_device
+        checked = 0
+        for cs in css:
+            if cs.sh.is_intra:
+                continue
+            preds = mc_frame_device(cs)
+            bd = cs.sps.bit_depth
+            pel_max = (1 << bd) - 1
+            offs = 1 << 13
+            sn = max(2, 14 - bd)
+            for cu in cs.cus:
+                if cu is None or not _cu_mc_eligible(cs, cu) \
+                        or not _wp_present(cs, cu):
+                    continue
+                assert cu.idx in preds
+                wt = cs.sh_of(cu).weight_table
+                bi = cu.inter_dir == 3
+                parts = []
+                for lst in (0, 1):
+                    if not (cu.inter_dir & (1 << lst)):
+                        continue
+                    mvc = I.clip_mv(tuple(cu.mv[lst]), cu.x, cu.y, cs,
+                                    size=(cu.w, cu.h))
+                    pl = cs.ref_planes[lst][cu.ref_idx[lst]]
+                    part = [I.mc_block(pl[0], cu.x, cu.y, cu.w, cu.h,
+                                       mvc, 0, bd, (cs.sub_w, cs.sub_h),
+                                       True, alt_hpel=cu.alt_hpel)]
+                    for comp in (1, 2):
+                        part.append(I.mc_block(
+                            pl[comp], cu.cx, cu.cy, cu.cw, cu.ch, mvc,
+                            comp, bd, (cs.sub_w, cs.sub_h), True))
+                    parts.append(part)
+                for comp in range(3):
+                    if bi:
+                        wp0 = resolve_wp(wt, 0, cu.ref_idx[0], bd, 3)
+                        wp1 = resolve_wp(wt, 1, cu.ref_idx[1], bd, 3)
+                        sh_ = wp0[comp]["denom"] + 1 + sn
+                        rnd = (1 << sh_) >> 1
+                        off = wp0[comp]["o"] + wp1[comp]["o"]
+                        v = (wp0[comp]["w"] * (parts[0][comp] + offs)
+                             + wp1[comp]["w"] * (parts[1][comp] + offs)
+                             + rnd + (off << (sh_ - 1))) >> sh_
+                    else:
+                        lst = 0 if cu.inter_dir == 1 else 1
+                        wp = resolve_wp(wt, lst, cu.ref_idx[lst], bd, 3)
+                        sh_ = wp[comp]["denom"] + sn
+                        rnd = (1 << sh_) >> 1 if sh_ > 0 else 0
+                        v = ((wp[comp]["w"] * (parts[0][comp] + offs)
+                              + rnd) >> sh_) + wp[comp]["o"]
+                    gold = np.clip(v, 0, pel_max)
+                    assert np.array_equal(preds[cu.idx][comp], gold), \
+                        (cu.idx, comp)
+                checked += 1
+        assert checked >= 3, checked

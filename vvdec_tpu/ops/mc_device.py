@@ -102,6 +102,33 @@ def bi_combine_core(w: int, h: int, bd: int):
     return jax.jit(apply)
 
 
+@functools.lru_cache(maxsize=None)
+def wp_combine_core(w: int, h: int, bd: int):
+    """Jitted explicit weighted prediction on 14-bit intermediates
+    (WeightPrediction::addWeightUni/addWeightBi, WeightPrediction.cpp:
+    164,240).  apply(a, b [N, h, w], w0, o0, w1, o1, denom [N], bi [N]
+    bool) -> clipped samples; for uni blocks b/w1/o1 are ignored."""
+    shift_num = max(2, IF_INTERNAL_PREC - bd)
+    offs = 1 << 13
+    pel_max = (1 << bd) - 1
+
+    def apply(a, b, w0, o0, w1, o1, denom, bi):
+        sh_u = (denom + shift_num)[:, None, None]
+        rnd_u = jnp.where(sh_u > 0, 1 << jnp.maximum(sh_u - 1, 0), 0)
+        uni = ((w0[:, None, None] * (a + offs) + rnd_u) >> sh_u) \
+            + o0[:, None, None]
+        sh_b = (denom + 1 + shift_num)[:, None, None]
+        rnd_b = 1 << jnp.maximum(sh_b - 1, 0)
+        off = (o0 + o1)[:, None, None]
+        bi_v = (w0[:, None, None] * (a + offs)
+                + w1[:, None, None] * (b + offs)
+                + rnd_b + (off << (sh_b - 1))) >> sh_b
+        v = jnp.where(bi[:, None, None], bi_v, uni)
+        return jnp.clip(v, 0, pel_max)
+
+    return jax.jit(apply)
+
+
 # DMVR search offsets, raster order (xProcessDMVR's 25-point pattern)
 _DMVR_OFFS = tuple((hor, ver) for ver in range(-2, 3)
                    for hor in range(-2, 3))
@@ -253,8 +280,7 @@ def _cu_mc_eligible(cs, cu) -> bool:
         return False
     if cu.affine_flag or cu.geo_flag or cu.ciip_flag or cu.merge_type:
         return False
-    if dmvr_condition(cs, cu) or bdof_condition(cs, cu) \
-            or _wp_present(cs, cu):
+    if dmvr_condition(cs, cu) or bdof_condition(cs, cu):
         return False
     if cs.sps.ref_wraparound_enabled or cs.subpics:
         return False
@@ -300,8 +326,10 @@ def mc_frame_device(cs, margin: int | None = None):
     out: dict = {}
     for (w, h), cus in groups.items():
         N = len(cus)
-        # per-list 14-bit (bi) or final (uni) predictions
-        uni = np.array([cu.inter_dir != 3 for cu in cus])
+        from vvdec_tpu.frame.dmvr_np import _wp_present
+        wp_on = np.array([_wp_present(cs, cu) for cu in cus])
+        # per-list 14-bit (bi or weighted) / final (plain uni) preds
+        uni = np.array([cu.inter_dir != 3 for cu in cus]) & ~wp_on
         parts = [[None] * cs.num_comp, [None] * cs.num_comp]
         for lst in (0, 1):
             rows = [i for i, cu in enumerate(cus)
@@ -346,7 +374,7 @@ def mc_frame_device(cs, margin: int | None = None):
                     y0[j] = by + iy - half + mlist
                     fx[j], fy[j] = f_x, f_y
                     alth[j] = cu.alt_hpel and comp == 0
-                    inter[j] = cu.inter_dir == 3
+                    inter[j] = cu.inter_dir == 3 or wp_on[i]
                 import jax.numpy as jnp
                 cfx = mc_coeff_rows(fx, min(comp, 1), alt_hpel=alth)
                 cfy = mc_coeff_rows(fy, min(comp, 1), alt_hpel=alth)
@@ -362,24 +390,26 @@ def mc_frame_device(cs, margin: int | None = None):
                     jnp.asarray(cfx), jnp.asarray(inter)))
         # combine
         import jax.numpy as jnp
+        from vvdec_tpu.hls.weight_table import resolve_wp
         for comp in range(cs.num_comp):
             cw = w if comp == 0 else w // cs.sub_w
             ch = h if comp == 0 else h // cs.sub_h
             preds = [None] * N
+            jmap = [None, None]
             for lst in (0, 1):
                 if parts[lst][comp] is None:
                     continue
                 rows, batch = parts[lst][comp]
-                arr = np.asarray(batch)
+                jmap[lst] = ({i: j for j, i in enumerate(rows)},
+                             np.asarray(batch))
                 for j, i in enumerate(rows):
                     if uni[i]:
-                        preds[i] = arr[j]
-            bi_rows = [i for i in range(N) if not uni[i]]
+                        preds[i] = jmap[lst][1][j]
+            bi_rows = [i for i in range(N)
+                       if not uni[i] and not wp_on[i]]
             if bi_rows:
-                rows0, b0 = parts[0][comp]
-                rows1, b1 = parts[1][comp]
-                j0 = {i: j for j, i in enumerate(rows0)}
-                j1 = {i: j for j, i in enumerate(rows1)}
+                j0, b0 = jmap[0]
+                j1, b1 = jmap[1]
                 a = jnp.stack([b0[j0[i]] for i in bi_rows])
                 b = jnp.stack([b1[j1[i]] for i in bi_rows])
                 w1 = np.array(
@@ -389,6 +419,42 @@ def mc_frame_device(cs, margin: int | None = None):
                 comb = np.asarray(bi_combine_core(cw, ch, bd)(
                     a, b, jnp.asarray(w1)))
                 for j, i in enumerate(bi_rows):
+                    preds[i] = comb[j]
+            wp_rows = [i for i in range(N) if wp_on[i]]
+            if wp_rows:
+                zeros = np.zeros((ch, cw), dtype=np.int32)
+                aL, bL = [], []
+                w0a = np.zeros(len(wp_rows), np.int32)
+                o0a = np.zeros(len(wp_rows), np.int32)
+                w1a = np.zeros(len(wp_rows), np.int32)
+                o1a = np.zeros(len(wp_rows), np.int32)
+                dna = np.zeros(len(wp_rows), np.int32)
+                bia = np.zeros(len(wp_rows), bool)
+                for j, i in enumerate(wp_rows):
+                    cu = cus[i]
+                    wt = cs.sh_of(cu).weight_table
+                    bia[j] = cu.inter_dir == 3
+                    lst = 0 if cu.inter_dir in (1, 3) else 1
+                    wp0 = resolve_wp(wt, lst, cu.ref_idx[lst], bd,
+                                     cs.num_comp)[comp]
+                    aL.append(jmap[lst][1][jmap[lst][0][i]])
+                    w0a[j] = wp0["w"]
+                    o0a[j] = wp0["o"]
+                    dna[j] = wp0["denom"]
+                    if bia[j]:
+                        wp1 = resolve_wp(wt, 1, cu.ref_idx[1], bd,
+                                         cs.num_comp)[comp]
+                        bL.append(jmap[1][1][jmap[1][0][i]])
+                        w1a[j] = wp1["w"]
+                        o1a[j] = wp1["o"]
+                    else:
+                        bL.append(zeros)
+                comb = np.asarray(wp_combine_core(cw, ch, bd)(
+                    jnp.asarray(np.stack(aL)), jnp.asarray(np.stack(bL)),
+                    jnp.asarray(w0a), jnp.asarray(o0a),
+                    jnp.asarray(w1a), jnp.asarray(o1a),
+                    jnp.asarray(dna), jnp.asarray(bia)))
+                for j, i in enumerate(wp_rows):
                     preds[i] = comb[j]
             for i, cu in enumerate(cus):
                 if preds[i] is not None:
