@@ -67,8 +67,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--y4m", action="store_true", help="write Y4M container")
     ap.add_argument("-f", "--frames", type=int, default=-1,
                     help="max frames to decode")
-    ap.add_argument("-t", "--threads", type=int, default=1,
-                    help="worker processes for GOP-parallel decode")
+    ap.add_argument("-t", "--threads", type=int, default=-1,
+                    help="worker processes for GOP-parallel decode "
+                         "(<=0: auto-detect hardware concurrency, as "
+                         "the reference does, DecLib.cpp:121-133)")
     ap.add_argument("-L", "--loops", type=int, default=1,
                     help="decode loops for benchmarking")
     ap.add_argument("-md5", "--CheckYuvMD5", dest="md5",
@@ -90,6 +92,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="print per-stage timing report")
     ap.add_argument("-v", "--verbosity", type=int, default=2)
     args = ap.parse_args(argv)
+    if args.threads <= 0:
+        import os
+        args.threads = os.cpu_count() or 1
 
     from vvdec_tpu.utils.trace import profiler, set_log_level, set_tracing
     set_log_level(args.verbosity)

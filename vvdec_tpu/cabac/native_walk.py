@@ -222,8 +222,10 @@ def _picture_buffers(cs, m):
     if nw is None:
         n_ctus = cs.pps.pic_width_in_ctu * cs.pps.pic_height_in_ctu
         nw = cs._nw = {
-            "cu_rec": np.zeros((_GROW, m.WALK_CU_NF), dtype=np.int32),
-            "tu_rec": np.zeros((_GROW, m.WALK_TU_NF), dtype=np.int32),
+            # records are memset field-complete at allocation in C
+            # (w_code_cu / w_add_tu), so uninitialized backing is fine
+            "cu_rec": np.empty((_GROW, m.WALK_CU_NF), dtype=np.int32),
+            "tu_rec": np.empty((_GROW, m.WALK_TU_NF), dtype=np.int32),
             "counts": np.zeros(2, dtype=np.int32),
             "sao": np.zeros(n_ctus * m.WALK_SAO_STRIDE, dtype=np.int32),
             "alf": np.zeros(n_ctus * m.WALK_ALF_STRIDE, dtype=np.int32),

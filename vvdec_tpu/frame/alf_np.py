@@ -677,6 +677,10 @@ def _alf_vb_areas(cs, x0: int, y0: int, w: int, h: int,
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
 def _vb_tables(h: int, vb_ctu_h: int, vb_pos: int, chroma: bool):
     d = np.zeros((h, 4), dtype=np.int32)
     near = np.zeros(h, dtype=bool)
@@ -685,6 +689,26 @@ def _vb_tables(h: int, vb_ctu_h: int, vb_pos: int, chroma: bool):
         d[y] = (0, d1, d2, d3)
         near[y] = nr
     return d, near
+
+
+@functools.lru_cache(maxsize=16)
+def _cc_row_tables(hc: int, sy: int, vb_luma_h: int, vb_luma_pos: int):
+    """Per-chroma-row CC-ALF luma tap offsets + VB skip rows."""
+    off_rows = np.zeros((hc, 3), dtype=np.int32)
+    skip_rows = np.zeros(hc, dtype=bool)
+    for y in range(hc):
+        ly = y << sy
+        pos = ly & (vb_luma_h - 1)
+        if sy == 0 and pos in (vb_luma_pos, vb_luma_pos + 1):
+            skip_rows[y] = True
+            continue
+        o1, o2, o3 = 1, -1, 2
+        if pos in (vb_luma_pos - 2, vb_luma_pos + 1):
+            o3 = o1
+        elif pos in (vb_luma_pos - 1, vb_luma_pos):
+            o1 = o2 = o3 = 0
+        off_rows[y] = (o1, o2, o3)
+    return off_rows, skip_rows
 
 
 def alf_frame_vec(cs, planes: list) -> list:
@@ -701,7 +725,6 @@ def alf_frame_vec(cs, planes: list) -> list:
     if maps is None:
         return planes
     vb_luma_h, vb_luma_pos, vb_chma_h, vb_chma_pos = maps["vb"]
-    out = [p.copy() for p in planes]
 
     vbx, vby = cs.virtual_boundaries()
     trivial = (not vbx and not vby and not cs.subpics
@@ -709,17 +732,47 @@ def alf_frame_vec(cs, planes: list) -> list:
                and (cs.pps.no_pic_partition
                     or cs.pps.loop_filter_across_tiles))
 
+    from vvdec_tpu.native import native_cabac
+    nc = native_cabac()
+
+    def _one_pass(src, banks_co, banks_cl, idx, mask, dmap, near, n_taps):
+        """Whole-plane C ALF: filter + copy-through in one pass (no
+        per-block coefficient materialization, no plane copies)."""
+        if not (trivial and nc is not None and hasattr(nc, "alf_apply")
+                and src.dtype == np.int32 and src.flags.c_contiguous
+                and src.shape[0] % 4 == 0 and src.shape[1] % 4 == 0):
+            return None
+        dst = np.empty_like(src)
+        mask4 = np.ascontiguousarray(mask[::4, ::4], dtype=np.uint8)
+        nc.alf_apply(src, dst, src.shape[0], src.shape[1], n_taps,
+                     np.ascontiguousarray(banks_co, dtype=np.int32),
+                     np.ascontiguousarray(banks_cl, dtype=np.int32),
+                     banks_co.shape[-1],
+                     np.ascontiguousarray(idx, dtype=np.int32), mask4,
+                     np.ascontiguousarray(dmap, dtype=np.int32),
+                     np.ascontiguousarray(near, dtype=np.uint8), bd)
+        return dst
+
+    out = list(planes)
     if maps["any_luma"]:
         h, w = planes[0].shape
         cls4 = maps["cls"]
         tr4 = maps["tr"]
-        co4 = maps["banks_co"][maps["set_map"], tr4, cls4][:, :, :12]
-        cl4 = maps["banks_cl"][maps["set_map"], tr4, cls4][:, :, :12]
         dmap, near = _vb_tables(h, vb_luma_h, vb_luma_pos, False)
-        filter_luma_frame(planes[0], out[0], co4, cl4, dmap, near,
-                          None if trivial else maps["lo_x"],
-                          maps["lo_y"], maps["hi_x"],
-                          maps["hi_y"], maps["mask_y"], bd)
+        bco, bcl = maps["banks_co"], maps["banks_cl"]
+        idx = (maps["set_map"] * bco.shape[1] + tr4) * bco.shape[2] + cls4
+        dst = _one_pass(planes[0], bco, bcl, idx, maps["mask_y"], dmap,
+                        near, 12)
+        if dst is not None:
+            out[0] = dst
+        else:
+            out[0] = planes[0].copy()
+            co4 = bco[maps["set_map"], tr4, cls4][:, :, :12]
+            cl4 = bcl[maps["set_map"], tr4, cls4][:, :, :12]
+            filter_luma_frame(planes[0], out[0], co4, cl4, dmap, near,
+                              None if trivial else maps["lo_x"],
+                              maps["lo_y"], maps["hi_x"],
+                              maps["hi_y"], maps["mask_y"], bd)
 
     if cs.num_comp > 1 and (maps["any_chroma"] or maps["any_cc"]):
         hc, wc = planes[1].shape
@@ -727,33 +780,31 @@ def alf_frame_vec(cs, planes: list) -> list:
         for comp in (1, 2):
             if maps["any_chroma"] and maps["mask_c"][comp - 1].any():
                 alt4 = maps["chroma_alt"][comp - 1]
-                co4 = maps["chroma_co"][alt4][:, :, :6]
-                cl4 = maps["chroma_cl"][alt4][:, :, :6]
-                filter_chroma_frame(planes[comp], out[comp], co4, cl4,
+                dst = _one_pass(planes[comp], maps["chroma_co"],
+                                maps["chroma_cl"], alt4,
+                                maps["mask_c"][comp - 1], dmap_c, near_c,
+                                6)
+                if dst is not None:
+                    out[comp] = dst
+                else:
+                    out[comp] = planes[comp].copy()
+                    co4 = maps["chroma_co"][alt4][:, :, :6]
+                    cl4 = maps["chroma_cl"][alt4][:, :, :6]
+                    filter_chroma_frame(planes[comp], out[comp], co4, cl4,
                                     dmap_c, near_c,
                                     None if trivial else maps["lo_xc"],
                                     maps["lo_yc"], maps["hi_xc"],
                                     maps["hi_yc"],
                                     maps["mask_c"][comp - 1], bd)
             if maps["any_cc"] and (maps["cc_idx"][comp - 1] != 0).any():
+                if out[comp] is planes[comp]:
+                    # CC-ALF adds offsets in place: detach from the
+                    # pre-ALF source plane first
+                    out[comp] = planes[comp].copy()
                 coeff = maps["cc_banks"][maps["cc_idx"][comp - 1]]
                 sx, sy = cs.sub_w - 1, cs.sub_h - 1
-                lyi = (np.arange(hc) << sy)[:, None]
-                lxi = (np.arange(wc) << sx)[None, :]
-                off_rows = np.zeros((hc, 3), dtype=np.int32)
-                skip_rows = np.zeros(hc, dtype=bool)
-                for y in range(hc):
-                    ly = y << sy
-                    pos = ly & (vb_luma_h - 1)
-                    if sy == 0 and pos in (vb_luma_pos, vb_luma_pos + 1):
-                        skip_rows[y] = True
-                        continue
-                    o1, o2, o3 = 1, -1, 2
-                    if pos in (vb_luma_pos - 2, vb_luma_pos + 1):
-                        o3 = o1
-                    elif pos in (vb_luma_pos - 1, vb_luma_pos):
-                        o1 = o2 = o3 = 0
-                    off_rows[y] = (o1, o2, o3)
+                off_rows, skip_rows = _cc_row_tables(
+                    hc, sy, vb_luma_h, vb_luma_pos)
                 if trivial:
                     filter_cc_frame(planes[0], out[comp], coeff,
                                     off_rows, skip_rows, None, None,
@@ -761,6 +812,8 @@ def alf_frame_vec(cs, planes: list) -> list:
                                     maps["cc_idx"][comp - 1] != 0, bd,
                                     sx, sy, trivial=True)
                 else:
+                    lyi = (np.arange(hc) << sy)[:, None]
+                    lxi = (np.arange(wc) << sx)[None, :]
                     filter_cc_frame(planes[0], out[comp], coeff,
                                     off_rows, skip_rows,
                                     maps["lo_x"][lyi, lxi],

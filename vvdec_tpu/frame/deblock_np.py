@@ -457,10 +457,37 @@ class Deblocker:
         if all(s.deblocking_disabled for s in self.cs.shs):
             return
         self.derive_strengths()
+        if self._native_filter_frame():
+            return
         for dir_ in (0, 1):
             self._filter_luma(dir_)
             if self.cs.num_comp > 1:
                 self._filter_chroma(dir_)
+
+    def _native_filter_frame(self) -> bool:
+        """Whole-frame directional filtering in one C call (both
+        directions, luma + chroma) straight off the packed edge tensor —
+        no per-cell Python dispatch."""
+        from vvdec_tpu.native import native_cabac
+        nc = native_cabac()
+        cs = self.cs
+        if (nc is None or not hasattr(nc, "deblock_filter_frame")
+                or any(p.dtype != np.int32 or not p.flags["C_CONTIGUOUS"]
+                       for p in self.reco)):
+            return False
+        sl_prm = np.array(
+            [[s.tc_offset_div2, s.beta_offset_div2,
+              s.cb_tc_offset_div2, s.cr_tc_offset_div2,
+              s.cb_beta_offset_div2, s.cr_beta_offset_div2]
+             for s in cs.shs], dtype=np.int32)
+        y = self.reco[0]
+        cb = self.reco[1] if cs.num_comp > 1 else y
+        cr = self.reco[2] if cs.num_comp > 1 else y
+        nc.deblock_filter_frame(
+            y, cb, cr, cs.w, cs.h, cs.sub_w, cs.sub_h, self.ep_buf,
+            cs.slice_map, sl_prm.tobytes(), len(cs.shs), self.bit_depth,
+            cs.sps.ctu_size, cs.num_comp)
+        return True
 
     # -- luma --
     def _filter_luma(self, dir_: int) -> None:

@@ -183,7 +183,7 @@ class InterFastPath:
     def run_from(self, start: int) -> int:
         """Process whole eligible inter CUs from TU index `start`; returns
         the first unhandled TU index.  Syncs the Python HMVP mirror."""
-        j = self.ctx.run_from(start)
+        j = self.ctx.run_from(start, self.n_tus)
         if j > start:
             self.hist.sync_from_buf()
         return j

@@ -914,6 +914,77 @@ static void pel_filter_luma(Cell *c, int line, int64_t tc, int sw,
     }
 }
 
+/* one luma 4-line edge cell (xEdgeFilterLuma body); x, y in pixels */
+static void db_luma_cell(int32_t *plane, int W, int dir, int x, int y,
+                         int pel_max, int bd, int ctu_size, int bs, int qp,
+                         int max_fl_p, int max_fl_q, int tc_off,
+                         int beta_off)
+{
+    Cell c = {plane, W, dir, x, y, pel_max};
+    int side_p_large = max_fl_p > 3;
+    int side_q_large = max_fl_q > 3;
+    if (dir == 1 && (c.y & (ctu_size - 1)) == 0)
+        side_p_large = 0;
+    int idx_tc = qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + 2 * tc_off;
+    if (idx_tc < 0) idx_tc = 0;
+    if (idx_tc > MAX_QP_C + DEFAULT_INTRA_TC_OFFSET)
+        idx_tc = MAX_QP_C + DEFAULT_INTRA_TC_OFFSET;
+    int idx_b = qp + 2 * beta_off;
+    if (idx_b < 0) idx_b = 0;
+    if (idx_b > MAX_QP_C) idx_b = MAX_QP_C;
+    int64_t tc = (bd >= 10)
+                     ? ((int64_t)TC_TABLE_C[idx_tc] << (bd - 10))
+                     : ((TC_TABLE_C[idx_tc] + (1 << (9 - bd)))
+                        >> (10 - bd));
+    int64_t beta = (int64_t)BETA_TABLE_C[idx_b] << (bd - 8);
+    if (beta == 0 && tc == 0)
+        return;
+    int64_t side_thresh = (beta + (beta >> 1)) >> 3;
+    int64_t thr_cut = tc * 10;
+
+    int64_t dp0 = calc_dp(&c, 0, 0), dq0 = calc_dq(&c, 0, 0);
+    int64_t dp3 = calc_dp(&c, 3, 0), dq3 = calc_dq(&c, 3, 0);
+    int64_t d0 = dp0 + dq0, d3 = dp3 + dq3;
+
+    if (side_p_large || side_q_large) {
+        int64_t dp0l = side_p_large ? ((dp0 + calc_dp(&c, 0, -3) + 1) >> 1)
+                                    : dp0;
+        int64_t dq0l = side_q_large ? ((dq0 + calc_dq(&c, 0, 3) + 1) >> 1)
+                                    : dq0;
+        int64_t dp3l = side_p_large ? ((dp3 + calc_dp(&c, 3, -3) + 1) >> 1)
+                                    : dp3;
+        int64_t dq3l = side_q_large ? ((dq3 + calc_dq(&c, 3, 3) + 1) >> 1)
+                                    : dq3;
+        int64_t d0l = dp0l + dq0l, d3l = dp3l + dq3l;
+        if (d0l + d3l < beta) {
+            int sw_l =
+                use_strong(&c, 0, 2 * d0l, 1, max_fl_p, max_fl_q,
+                           side_p_large, side_q_large, beta, tc)
+                && use_strong(&c, 3, 2 * d3l, 1, max_fl_p, max_fl_q,
+                              side_p_large, side_q_large, beta, tc);
+            if (sw_l) {
+                long_filter(&c, side_p_large ? max_fl_p : 3,
+                            side_q_large ? max_fl_q : 3, tc);
+                return;
+            }
+        }
+    }
+    int64_t dp = dp0 + dp3, dq = dq0 + dq3, d = d0 + d3;
+    if (d >= beta)
+        return;
+    int filter_p = 0, filter_q = 0;
+    if (max_fl_p > 1 && max_fl_q > 1) {
+        filter_p = dp < side_thresh;
+        filter_q = dq < side_thresh;
+    }
+    int sw = 0;
+    if (max_fl_p > 2 && max_fl_q > 2)
+        sw = use_strong(&c, 0, 2 * d0, 0, 7, 7, 0, 0, beta, tc)
+             && use_strong(&c, 3, 2 * d3, 0, 7, 7, 0, 0, beta, tc);
+    for (int line = 0; line < 4; line++)
+        pel_filter_luma(&c, line, tc, sw, thr_cut, filter_p, filter_q);
+}
+
 /* deblock_luma_dir(plane w*, W, H, dir, n, cells y* int32[n*2 (x,y)],
  *                  params y* int32[n*6 (bs,qp,mfp,mfq,tc_off,beta_off)],
  *                  bd, ctu_size) */
@@ -930,74 +1001,10 @@ static PyObject *mod_deblock_luma(PyObject *self, PyObject *args)
     int pel_max = (1 << bd) - 1;
 
     Py_BEGIN_ALLOW_THREADS
-    for (int i = 0; i < n; i++) {
-        Cell c = {plane, W, dir, cells[2 * i], cells[2 * i + 1], pel_max};
-        int bs = prm[6 * i], qp = prm[6 * i + 1];
-        int max_fl_p = prm[6 * i + 2], max_fl_q = prm[6 * i + 3];
-        int tc_off = prm[6 * i + 4], beta_off = prm[6 * i + 5];
-        int side_p_large = max_fl_p > 3;
-        int side_q_large = max_fl_q > 3;
-        if (dir == 1 && (c.y & (ctu_size - 1)) == 0)
-            side_p_large = 0;
-        int idx_tc = qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + 2 * tc_off;
-        if (idx_tc < 0) idx_tc = 0;
-        if (idx_tc > MAX_QP_C + DEFAULT_INTRA_TC_OFFSET)
-            idx_tc = MAX_QP_C + DEFAULT_INTRA_TC_OFFSET;
-        int idx_b = qp + 2 * beta_off;
-        if (idx_b < 0) idx_b = 0;
-        if (idx_b > MAX_QP_C) idx_b = MAX_QP_C;
-        int64_t tc = (bd >= 10)
-                         ? ((int64_t)TC_TABLE_C[idx_tc] << (bd - 10))
-                         : ((TC_TABLE_C[idx_tc] + (1 << (9 - bd)))
-                            >> (10 - bd));
-        int64_t beta = (int64_t)BETA_TABLE_C[idx_b] << (bd - 8);
-        if (beta == 0 && tc == 0)
-            continue;
-        int64_t side_thresh = (beta + (beta >> 1)) >> 3;
-        int64_t thr_cut = tc * 10;
-
-        int64_t dp0 = calc_dp(&c, 0, 0), dq0 = calc_dq(&c, 0, 0);
-        int64_t dp3 = calc_dp(&c, 3, 0), dq3 = calc_dq(&c, 3, 0);
-        int64_t d0 = dp0 + dq0, d3 = dp3 + dq3;
-
-        if (side_p_large || side_q_large) {
-            int64_t dp0l = side_p_large ? ((dp0 + calc_dp(&c, 0, -3) + 1) >> 1)
-                                        : dp0;
-            int64_t dq0l = side_q_large ? ((dq0 + calc_dq(&c, 0, 3) + 1) >> 1)
-                                        : dq0;
-            int64_t dp3l = side_p_large ? ((dp3 + calc_dp(&c, 3, -3) + 1) >> 1)
-                                        : dp3;
-            int64_t dq3l = side_q_large ? ((dq3 + calc_dq(&c, 3, 3) + 1) >> 1)
-                                        : dq3;
-            int64_t d0l = dp0l + dq0l, d3l = dp3l + dq3l;
-            if (d0l + d3l < beta) {
-                int sw_l =
-                    use_strong(&c, 0, 2 * d0l, 1, max_fl_p, max_fl_q,
-                               side_p_large, side_q_large, beta, tc)
-                    && use_strong(&c, 3, 2 * d3l, 1, max_fl_p, max_fl_q,
-                                  side_p_large, side_q_large, beta, tc);
-                if (sw_l) {
-                    long_filter(&c, side_p_large ? max_fl_p : 3,
-                                side_q_large ? max_fl_q : 3, tc);
-                    continue;
-                }
-            }
-        }
-        int64_t dp = dp0 + dp3, dq = dq0 + dq3, d = d0 + d3;
-        if (d >= beta)
-            continue;
-        int filter_p = 0, filter_q = 0;
-        if (max_fl_p > 1 && max_fl_q > 1) {
-            filter_p = dp < side_thresh;
-            filter_q = dq < side_thresh;
-        }
-        int sw = 0;
-        if (max_fl_p > 2 && max_fl_q > 2)
-            sw = use_strong(&c, 0, 2 * d0, 0, 7, 7, 0, 0, beta, tc)
-                 && use_strong(&c, 3, 2 * d3, 0, 7, 7, 0, 0, beta, tc);
-        for (int line = 0; line < 4; line++)
-            pel_filter_luma(&c, line, tc, sw, thr_cut, filter_p, filter_q);
-    }
+    for (int i = 0; i < n; i++)
+        db_luma_cell(plane, W, dir, cells[2 * i], cells[2 * i + 1], pel_max,
+                     bd, ctu_size, prm[6 * i], prm[6 * i + 1], prm[6 * i + 2],
+                     prm[6 * i + 3], prm[6 * i + 4], prm[6 * i + 5]);
     Py_END_ALLOW_THREADS
     PyBuffer_Release(&plane_buf);
     PyBuffer_Release(&cells_buf);
@@ -1056,6 +1063,51 @@ static void pel_filter_chroma(Cell *c, int line, int64_t tc, int sw,
     }
 }
 
+/* one chroma edge cell (xEdgeFilterChroma body); ccx, ccy chroma samples */
+static void db_chroma_cell(int32_t *plane, int W, int dir, int ccx, int ccy,
+                           int pel_max, int bd, int loop_len, int sub_shift,
+                           int bs, int qp, int large, int tc_off,
+                           int beta_off, int hor_ctb)
+{
+    Cell c = {plane, W, dir, ccx, ccy, pel_max};
+    int idx_tc = qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + 2 * tc_off;
+    if (idx_tc < 0) idx_tc = 0;
+    if (idx_tc > MAX_QP_C + DEFAULT_INTRA_TC_OFFSET)
+        idx_tc = MAX_QP_C + DEFAULT_INTRA_TC_OFFSET;
+    int64_t tc = (bd >= 10)
+                     ? ((int64_t)TC_TABLE_C[idx_tc] << (bd - 10))
+                     : ((TC_TABLE_C[idx_tc] + (1 << (9 - bd)))
+                        >> (10 - bd));
+    if (tc == 0 && !large)
+        return;
+    int sw = 0;
+    if (large) {
+        int idx_b = qp + 2 * beta_off;
+        if (idx_b < 0) idx_b = 0;
+        if (idx_b > MAX_QP_C) idx_b = MAX_QP_C;
+        int64_t beta = (int64_t)BETA_TABLE_C[idx_b] << (bd - 8);
+        int line3 = sub_shift == 1 ? 1 : 3;
+        int64_t dp0 = hor_ctb
+            ? iabs64(cget(&c, 0, -2) - 2 * cget(&c, 0, -2) + cget(&c, 0, -1))
+            : iabs64(cget(&c, 0, -3) - 2 * cget(&c, 0, -2) + cget(&c, 0, -1));
+        int64_t dq0 = iabs64(cget(&c, 0, 0) - 2 * cget(&c, 0, 1)
+                             + cget(&c, 0, 2));
+        int64_t dp3 = hor_ctb
+            ? iabs64(cget(&c, line3, -2) - 2 * cget(&c, line3, -2)
+                     + cget(&c, line3, -1))
+            : iabs64(cget(&c, line3, -3) - 2 * cget(&c, line3, -2)
+                     + cget(&c, line3, -1));
+        int64_t dq3 = iabs64(cget(&c, line3, 0) - 2 * cget(&c, line3, 1)
+                             + cget(&c, line3, 2));
+        int64_t d0 = dp0 + dq0, d3 = dp3 + dq3;
+        if (d0 + d3 < beta)
+            sw = chroma_strong(&c, 0, 2 * d0, beta, tc, hor_ctb)
+                 && chroma_strong(&c, line3, 2 * d3, beta, tc, hor_ctb);
+    }
+    for (int line = 0; line < loop_len; line++)
+        pel_filter_chroma(&c, line, tc, sw, hor_ctb);
+}
+
 /* deblock_chroma_dir(plane w*, W, H, dir, n,
  *                    cells y* int32[n*2 (ccx,ccy)],
  *                    params y* int32[n*6 (bs,qp,cmfl,tc_off,beta_off,
@@ -1075,49 +1127,11 @@ static PyObject *mod_deblock_chroma(PyObject *self, PyObject *args)
     int pel_max = (1 << bd) - 1;
 
     Py_BEGIN_ALLOW_THREADS
-    for (int i = 0; i < n; i++) {
-        Cell c = {plane, W, dir, cells[2 * i], cells[2 * i + 1], pel_max};
-        int bs = prm[6 * i], qp = prm[6 * i + 1];
-        int large = prm[6 * i + 2];
-        int tc_off = prm[6 * i + 3], beta_off = prm[6 * i + 4];
-        int hor_ctb = prm[6 * i + 5];
-        int idx_tc = qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + 2 * tc_off;
-        if (idx_tc < 0) idx_tc = 0;
-        if (idx_tc > MAX_QP_C + DEFAULT_INTRA_TC_OFFSET)
-            idx_tc = MAX_QP_C + DEFAULT_INTRA_TC_OFFSET;
-        int64_t tc = (bd >= 10)
-                         ? ((int64_t)TC_TABLE_C[idx_tc] << (bd - 10))
-                         : ((TC_TABLE_C[idx_tc] + (1 << (9 - bd)))
-                            >> (10 - bd));
-        if (tc == 0 && !large)
-            continue;
-        int sw = 0;
-        if (large) {
-            int idx_b = qp + 2 * beta_off;
-            if (idx_b < 0) idx_b = 0;
-            if (idx_b > MAX_QP_C) idx_b = MAX_QP_C;
-            int64_t beta = (int64_t)BETA_TABLE_C[idx_b] << (bd - 8);
-            int line3 = sub_shift == 1 ? 1 : 3;
-            int64_t dp0 = hor_ctb
-                ? iabs64(cget(&c, 0, -2) - 2 * cget(&c, 0, -2) + cget(&c, 0, -1))
-                : iabs64(cget(&c, 0, -3) - 2 * cget(&c, 0, -2) + cget(&c, 0, -1));
-            int64_t dq0 = iabs64(cget(&c, 0, 0) - 2 * cget(&c, 0, 1)
-                                 + cget(&c, 0, 2));
-            int64_t dp3 = hor_ctb
-                ? iabs64(cget(&c, line3, -2) - 2 * cget(&c, line3, -2)
-                         + cget(&c, line3, -1))
-                : iabs64(cget(&c, line3, -3) - 2 * cget(&c, line3, -2)
-                         + cget(&c, line3, -1));
-            int64_t dq3 = iabs64(cget(&c, line3, 0) - 2 * cget(&c, line3, 1)
-                                 + cget(&c, line3, 2));
-            int64_t d0 = dp0 + dq0, d3 = dp3 + dq3;
-            if (d0 + d3 < beta)
-                sw = chroma_strong(&c, 0, 2 * d0, beta, tc, hor_ctb)
-                     && chroma_strong(&c, line3, 2 * d3, beta, tc, hor_ctb);
-        }
-        for (int line = 0; line < loop_len; line++)
-            pel_filter_chroma(&c, line, tc, sw, hor_ctb);
-    }
+    for (int i = 0; i < n; i++)
+        db_chroma_cell(plane, W, dir, cells[2 * i], cells[2 * i + 1],
+                       pel_max, bd, loop_len, sub_shift, prm[6 * i],
+                       prm[6 * i + 1], prm[6 * i + 2], prm[6 * i + 3],
+                       prm[6 * i + 4], prm[6 * i + 5]);
     Py_END_ALLOW_THREADS
     PyBuffer_Release(&plane_buf);
     PyBuffer_Release(&cells_buf);
@@ -1199,6 +1213,74 @@ static PyTypeObject DecoderType = {
 static const int8_t ALF_TAPS_Y[12][2] = {
     {3, 0}, {2, 1}, {2, 0}, {2, -1}, {1, 2},  {1, 1},
     {1, 0}, {1, -1}, {1, -2}, {0, 3}, {0, 2}, {0, 1}};
+static const int8_t ALF_TAPS_C[6][2] = {{2, 0}, {1, 1}, {1, 0},
+                                        {1, -1}, {0, 2}, {0, 1}};
+
+/* generic per-pixel tap loop with x-border clamping (picture edges and
+ * masked-run boundaries) */
+static inline void alf_pixel_generic(
+    const int32_t *row, int32_t *out, int x, int w,
+    const int32_t *co, const int32_t *cl,
+    const int32_t *const *pa, const int32_t *const *pb,
+    const int8_t (*taps)[2], int n_taps, int rnd, int sh, int pel_max)
+{
+    const int32_t curr = row[x];
+    int32_t acc = 0;
+    for (int k = 0; k < n_taps; k++) {
+        const int dx = taps[k][1];
+        int xa = x + dx, xb = x - dx;
+        if (xa > w - 1) xa = w - 1;
+        if (xa < 0) xa = 0;
+        if (xb > w - 1) xb = w - 1;
+        if (xb < 0) xb = 0;
+        int32_t a = pa[k][xa] - curr;
+        int32_t b = pb[k][xb] - curr;
+        const int32_t c = cl[k];
+        if (a > c) a = c;
+        if (a < -c) a = -c;
+        if (b > c) b = c;
+        if (b < -c) b = -c;
+        acc += co[k] * (a + b);
+    }
+    int32_t v = ((acc + rnd) >> sh) + curr;
+    if (v < 0) v = 0;
+    if (v > pel_max) v = pel_max;
+    out[x] = v;
+}
+
+/* interior run (no x clamping, no mask): tap count fixed so the
+ * compiler unrolls k and vectorizes over x */
+#define ALF_ROW_FN(NAME, NT, TAPTBL)                                     \
+static void NAME(const int32_t *row, int32_t *out,                       \
+                 const int32_t *co_row, const int32_t *cl_row,            \
+                 const int32_t *const *pa, const int32_t *const *pb,      \
+                 int x0, int x1, int rnd, int sh, int pel_max)            \
+{                                                                         \
+    for (int x = x0; x < x1; x++) {                                       \
+        const int32_t *co = co_row + (size_t)(x >> 2) * NT;               \
+        const int32_t *cl = cl_row + (size_t)(x >> 2) * NT;               \
+        const int32_t curr = row[x];                                      \
+        int32_t acc = 0;                                                  \
+        for (int k = 0; k < NT; k++) {                                    \
+            const int dx = TAPTBL[k][1];                                  \
+            int32_t a = pa[k][x + dx] - curr;                             \
+            int32_t b = pb[k][x - dx] - curr;                             \
+            const int32_t c = cl[k];                                      \
+            if (a > c) a = c;                                             \
+            if (a < -c) a = -c;                                           \
+            if (b > c) b = c;                                             \
+            if (b < -c) b = -c;                                           \
+            acc += co[k] * (a + b);                                       \
+        }                                                                 \
+        int32_t v = ((acc + rnd) >> sh) + curr;                           \
+        if (v < 0) v = 0;                                                 \
+        if (v > pel_max) v = pel_max;                                     \
+        out[x] = v;                                                       \
+    }                                                                     \
+}
+ALF_ROW_FN(alf_row12, 12, ALF_TAPS_Y)
+ALF_ROW_FN(alf_row6, 6, ALF_TAPS_C)
+
 static PyObject *mod_alf_diamond(PyObject *self, PyObject *args)
 {
     Py_buffer b_src, b_dst, b_co, b_cl, b_dmap, b_near, b_mask;
@@ -1216,6 +1298,8 @@ static PyObject *mod_alf_diamond(PyObject *self, PyObject *args)
     const uint8_t *mask = (const uint8_t *)b_mask.buf;
     const int pel_max = (1 << bd) - 1;
     const int w4 = w >> 2;
+    const int8_t(*taps)[2] = n_taps == 6 ? ALF_TAPS_C : ALF_TAPS_Y;
+    const int border = n_taps == 6 ? 2 : 3; /* max |dx| */
     Py_BEGIN_ALLOW_THREADS
     for (int y = 0; y < h; y++) {
         const int32_t *dr = dmap + (size_t)y * 4;
@@ -1226,44 +1310,49 @@ static PyObject *mod_alf_diamond(PyObject *self, PyObject *args)
         const uint8_t *mrow = mask + (size_t)y * w;
         const int32_t *cob = co4 + (size_t)(y >> 2) * w4 * n_taps;
         const int32_t *clb = cl4 + (size_t)(y >> 2) * w4 * n_taps;
-        for (int x = 0; x < w; x++) {
-            if (!mrow[x])
-                continue;
-            const int32_t *co = cob + (size_t)(x >> 2) * n_taps;
-            const int32_t *cl = clb + (size_t)(x >> 2) * n_taps;
-            const int32_t curr = row[x];
-            int64_t acc = 0;
-            static const int8_t CT[6][2] = {{2, 0}, {1, 1}, {1, 0},
-                                            {1, -1}, {0, 2}, {0, 1}};
-            for (int k = 0; k < n_taps; k++) {
-                const int8_t *tp = n_taps == 6 ? CT[k] : ALF_TAPS_Y[k];
-                const int dy = tp[0];
-                const int dx = tp[1];
-                const int dd = dr[dy];
-                int ya = y + dd, yb = y - dd;
-                if (ya > h - 1) ya = h - 1;
-                if (ya < 0) ya = 0;
-                if (yb > h - 1) yb = h - 1;
-                if (yb < 0) yb = 0;
-                int xa = x + dx, xb = x - dx;
-                if (xa > w - 1) xa = w - 1;
-                if (xa < 0) xa = 0;
-                if (xb > w - 1) xb = w - 1;
-                if (xb < 0) xb = 0;
-                int32_t a = src[(size_t)ya * w + xa] - curr;
-                int32_t b = src[(size_t)yb * w + xb] - curr;
-                const int32_t c = cl[k];
-                if (a > c) a = c;
-                if (a < -c) a = -c;
-                if (b > c) b = c;
-                if (b < -c) b = -c;
-                acc += (int64_t)co[k] * (a + b);
-            }
-            int32_t v = (int32_t)((acc + rnd) >> sh) + curr;
-            if (v < 0) v = 0;
-            if (v > pel_max) v = pel_max;
-            out[x] = v;
+        /* per-row tap source rows: virtual-boundary distance + picture-
+         * edge clamping hoisted out of the pixel loop */
+        const int32_t *pa[12], *pb[12];
+        for (int k = 0; k < n_taps; k++) {
+            const int dd = dr[taps[k][0]];
+            int ya = y + dd, yb = y - dd;
+            if (ya > h - 1) ya = h - 1;
+            if (ya < 0) ya = 0;
+            if (yb > h - 1) yb = h - 1;
+            if (yb < 0) yb = 0;
+            pa[k] = src + (size_t)ya * w;
+            pb[k] = src + (size_t)yb * w;
         }
+        const int xin0 = border, xin1 = w - border;
+        for (int x = 0; x < xin0 && x < w; x++)
+            if (mrow[x])
+                alf_pixel_generic(row, out, x, w,
+                                  cob + (size_t)(x >> 2) * n_taps,
+                                  clb + (size_t)(x >> 2) * n_taps,
+                                  pa, pb, taps, n_taps, rnd, sh, pel_max);
+        int x = xin0;
+        while (x < xin1) {
+            if (!mrow[x]) {
+                x++;
+                continue;
+            }
+            int e = x;
+            while (e < xin1 && mrow[e])
+                e++;
+            if (n_taps == 6)
+                alf_row6(row, out, cob, clb, pa, pb, x, e, rnd, sh,
+                         pel_max);
+            else
+                alf_row12(row, out, cob, clb, pa, pb, x, e, rnd, sh,
+                          pel_max);
+            x = e;
+        }
+        for (int x2 = xin1 > xin0 ? xin1 : xin0; x2 < w; x2++)
+            if (mrow[x2])
+                alf_pixel_generic(row, out, x2, w,
+                                  cob + (size_t)(x2 >> 2) * n_taps,
+                                  clb + (size_t)(x2 >> 2) * n_taps,
+                                  pa, pb, taps, n_taps, rnd, sh, pel_max);
     }
     Py_END_ALLOW_THREADS
     PyBuffer_Release(&b_src);
@@ -1273,6 +1362,209 @@ static PyObject *mod_alf_diamond(PyObject *self, PyObject *args)
     PyBuffer_Release(&b_dmap);
     PyBuffer_Release(&b_near);
     PyBuffer_Release(&b_mask);
+    Py_RETURN_NONE;
+}
+
+/* alf_apply(src y* int32[h*w], dst w* int32[h*w], h, w, n_taps,
+ *   banks_co y* int32, banks_cl y* int32, stride,
+ *   idx y* int32[h4*w4] (bank row per 4x4: co = banks_co + idx*stride),
+ *   mask4 y* uint8[h4*w4], dmap y* int32[h*4], near y* uint8[h], bd)
+ *
+ * Whole-plane clipped-diamond ALF in one pass: filters active 4x4
+ * blocks, copies inactive pixels through to dst (the m_alfBuf second-
+ * buffer scheme, AdaptiveLoopFilter.cpp:466-479) — no Python-side
+ * coefficient materialization or plane copies. */
+#define ALF_APPLY_ROW(NAME, NT, TAPTBL)                                   \
+static void NAME(const int32_t *restrict row, int32_t *restrict out,      \
+                 const int32_t *banks_co, const int32_t *banks_cl,        \
+                 int stride, const int32_t *idx_row,                      \
+                 const int32_t *const *pa, const int32_t *const *pb,      \
+                 int x0, int x1, int rnd, int sh, int pel_max)            \
+{                                                                         \
+    int x = x0;                                                           \
+    /* head to the 4-aligned block grid */                                \
+    for (; x < x1 && (x & 3); x++)                                        \
+        alf_apix_##NAME(row, out, banks_co, banks_cl, stride, idx_row,   \
+                        pa, pb, x, rnd, sh, pel_max);                     \
+    /* whole blocks: coefficients constant, 4-lane accumulator */         \
+    for (; x + 4 <= x1; x += 4) {                                         \
+        const size_t bo = (size_t)idx_row[x >> 2] * stride;               \
+        const int32_t *co = banks_co + bo;                                \
+        const int32_t *cl = banks_cl + bo;                                \
+        int32_t acc[4] = {0, 0, 0, 0};                                    \
+        const int32_t cur0 = row[x], cur1 = row[x + 1];                   \
+        const int32_t cur2 = row[x + 2], cur3 = row[x + 3];               \
+        for (int k = 0; k < NT; k++) {                                    \
+            const int dx = TAPTBL[k][1];                                  \
+            const int32_t *ra = pa[k] + x + dx;                           \
+            const int32_t *rb = pb[k] + x - dx;                           \
+            const int32_t c = cl[k], w_ = co[k];                          \
+            for (int j = 0; j < 4; j++) {                                 \
+                const int32_t curr = j == 0 ? cur0 : j == 1 ? cur1        \
+                                   : j == 2 ? cur2 : cur3;                \
+                int32_t a = ra[j] - curr;                                 \
+                int32_t b = rb[j] - curr;                                 \
+                if (a > c) a = c;                                         \
+                if (a < -c) a = -c;                                       \
+                if (b > c) b = c;                                         \
+                if (b < -c) b = -c;                                       \
+                acc[j] += w_ * (a + b);                                   \
+            }                                                             \
+        }                                                                 \
+        for (int j = 0; j < 4; j++) {                                     \
+            const int32_t curr = row[x + j];                              \
+            int32_t v = ((acc[j] + rnd) >> sh) + curr;                   \
+            if (v < 0) v = 0;                                             \
+            if (v > pel_max) v = pel_max;                                 \
+            out[x + j] = v;                                               \
+        }                                                                 \
+    }                                                                     \
+    for (; x < x1; x++)                                                   \
+        alf_apix_##NAME(row, out, banks_co, banks_cl, stride, idx_row,   \
+                        pa, pb, x, rnd, sh, pel_max);                     \
+}
+#define ALF_APPLY_PIX(NAME, NT, TAPTBL)                                   \
+static inline void alf_apix_##NAME(                                      \
+    const int32_t *restrict row, int32_t *restrict out,                   \
+    const int32_t *banks_co, const int32_t *banks_cl, int stride,         \
+    const int32_t *idx_row, const int32_t *const *pa,                     \
+    const int32_t *const *pb, int x, int rnd, int sh, int pel_max)        \
+{                                                                         \
+    const size_t bo = (size_t)idx_row[x >> 2] * stride;                   \
+    const int32_t *co = banks_co + bo;                                    \
+    const int32_t *cl = banks_cl + bo;                                    \
+    const int32_t curr = row[x];                                          \
+    int32_t acc = 0;                                                      \
+    for (int k = 0; k < NT; k++) {                                        \
+        const int dx = TAPTBL[k][1];                                      \
+        int32_t a = pa[k][x + dx] - curr;                                 \
+        int32_t b = pb[k][x - dx] - curr;                                 \
+        const int32_t c = cl[k];                                          \
+        if (a > c) a = c;                                                 \
+        if (a < -c) a = -c;                                               \
+        if (b > c) b = c;                                                 \
+        if (b < -c) b = -c;                                               \
+        acc += co[k] * (a + b);                                           \
+    }                                                                     \
+    int32_t v = ((acc + rnd) >> sh) + curr;                              \
+    if (v < 0) v = 0;                                                     \
+    if (v > pel_max) v = pel_max;                                         \
+    out[x] = v;                                                           \
+}
+ALF_APPLY_PIX(alf_apply_row12, 12, ALF_TAPS_Y)
+ALF_APPLY_PIX(alf_apply_row6, 6, ALF_TAPS_C)
+ALF_APPLY_ROW(alf_apply_row12, 12, ALF_TAPS_Y)
+ALF_APPLY_ROW(alf_apply_row6, 6, ALF_TAPS_C)
+
+static PyObject *mod_alf_apply(PyObject *self, PyObject *args)
+{
+    Py_buffer b_src, b_dst, b_co, b_cl, b_idx, b_m4, b_dmap, b_near;
+    int h, w, n_taps, stride, bd;
+    if (!PyArg_ParseTuple(args, "y*w*iiiy*y*iy*y*y*y*i", &b_src, &b_dst,
+                          &h, &w, &n_taps, &b_co, &b_cl, &stride, &b_idx,
+                          &b_m4, &b_dmap, &b_near, &bd))
+        return NULL;
+    const int32_t *src = (const int32_t *)b_src.buf;
+    int32_t *dst = (int32_t *)b_dst.buf;
+    const int32_t *banks_co = (const int32_t *)b_co.buf;
+    const int32_t *banks_cl = (const int32_t *)b_cl.buf;
+    const int32_t *idx = (const int32_t *)b_idx.buf;
+    const uint8_t *mask4 = (const uint8_t *)b_m4.buf;
+    const int32_t *dmap = (const int32_t *)b_dmap.buf;
+    const uint8_t *nearv = (const uint8_t *)b_near.buf;
+    const int pel_max = (1 << bd) - 1;
+    const int w4 = w >> 2;
+    const int8_t(*taps)[2] = n_taps == 6 ? ALF_TAPS_C : ALF_TAPS_Y;
+    const int border = n_taps == 6 ? 2 : 3;
+    Py_BEGIN_ALLOW_THREADS
+    for (int y = 0; y < h; y++) {
+        const int32_t *dr = dmap + (size_t)y * 4;
+        const int rnd = nearv[y] ? (1 << 9) : 64;
+        const int sh = nearv[y] ? 10 : 7;
+        const int32_t *row = src + (size_t)y * w;
+        int32_t *out = dst + (size_t)y * w;
+        const int32_t *idx_row = idx + (size_t)(y >> 2) * w4;
+        const uint8_t *mrow4 = mask4 + (size_t)(y >> 2) * w4;
+        const int32_t *pa[12], *pb[12];
+        for (int k = 0; k < n_taps; k++) {
+            const int dd = dr[taps[k][0]];
+            int ya = y + dd, yb = y - dd;
+            if (ya > h - 1) ya = h - 1;
+            if (ya < 0) ya = 0;
+            if (yb > h - 1) yb = h - 1;
+            if (yb < 0) yb = 0;
+            pa[k] = src + (size_t)ya * w;
+            pb[k] = src + (size_t)yb * w;
+        }
+        /* copy-through for inactive blocks + filter for active runs;
+         * block granularity is 4 px, picture borders take the generic
+         * x-clamped path */
+        int x4 = 0;
+        while (x4 < w4) {
+            if (!mrow4[x4]) {
+                int e4 = x4;
+                while (e4 < w4 && !mrow4[e4])
+                    e4++;
+                memcpy(out + (x4 << 2), row + (x4 << 2),
+                       (size_t)((e4 - x4) << 2) * sizeof(int32_t));
+                x4 = e4;
+                continue;
+            }
+            int e4 = x4;
+            while (e4 < w4 && mrow4[e4])
+                e4++;
+            int xs = x4 << 2, xe = e4 << 2;
+            if (xe > w) xe = w;
+            /* generic edges within the run */
+            for (; xs < xe && xs < border; xs++) {
+                const size_t bo = (size_t)idx_row[xs >> 2] * stride;
+                alf_pixel_generic(row, out, xs, w, banks_co + bo,
+                                  banks_cl + bo, pa, pb, taps, n_taps,
+                                  rnd, sh, pel_max);
+            }
+            int xi = xe < w - border ? xe : w - border;
+            if (xi > xs) {
+                if (n_taps == 6)
+                    alf_apply_row6(row, out, banks_co, banks_cl, stride,
+                                   idx_row, pa, pb, xs, xi, rnd, sh,
+                                   pel_max);
+                else
+                    alf_apply_row12(row, out, banks_co, banks_cl, stride,
+                                    idx_row, pa, pb, xs, xi, rnd, sh,
+                                    pel_max);
+                xs = xi;
+            }
+            for (; xs < xe; xs++) {
+                const size_t bo = (size_t)idx_row[xs >> 2] * stride;
+                alf_pixel_generic(row, out, xs, w, banks_co + bo,
+                                  banks_cl + bo, pa, pb, taps, n_taps,
+                                  rnd, sh, pel_max);
+            }
+            x4 = e4;
+        }
+        /* trailing partial block column (w not multiple of 4) */
+        for (int x = w4 << 2; x < w; x++) {
+            if (mrow4[w4 - 1 < (x >> 2) ? w4 - 1 : (x >> 2)]) {
+                const size_t bo =
+                    (size_t)idx_row[(x >> 2) < w4 ? (x >> 2) : w4 - 1]
+                    * stride;
+                alf_pixel_generic(row, out, x, w, banks_co + bo,
+                                  banks_cl + bo, pa, pb, taps, n_taps,
+                                  rnd, sh, pel_max);
+            } else {
+                out[x] = row[x];
+            }
+        }
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&b_src);
+    PyBuffer_Release(&b_dst);
+    PyBuffer_Release(&b_co);
+    PyBuffer_Release(&b_cl);
+    PyBuffer_Release(&b_idx);
+    PyBuffer_Release(&b_m4);
+    PyBuffer_Release(&b_dmap);
+    PyBuffer_Release(&b_near);
     Py_RETURN_NONE;
 }
 
@@ -1576,6 +1868,9 @@ static PyMethodDef module_methods[] = {
      "whole-frame clipped-diamond ALF (luma 12 / chroma 6 taps)"},
     {"deblock_luma", (PyCFunction)mod_deblock_luma, METH_VARARGS, NULL},
     {"deblock_chroma", (PyCFunction)mod_deblock_chroma, METH_VARARGS, NULL},
+    {"deblock_filter_frame", (PyCFunction)mod_deblock_filter_frame,
+     METH_VARARGS, NULL},
+    {"alf_apply", (PyCFunction)mod_alf_apply, METH_VARARGS, NULL},
     {"deblock_strengths", (PyCFunction)mod_deblock_strengths, METH_VARARGS,
      "derive deblocking boundary strengths from walk records"},
     {"build_intra_td", (PyCFunction)mod_build_intra_td, METH_VARARGS,

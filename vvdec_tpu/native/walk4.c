@@ -459,3 +459,96 @@ fail:
     PyBuffer_Release(&b_sp);
     return NULL;
 }
+
+/* deblock_filter_frame(y w*, cb w*, cr w*, pic_w, pic_h, sub_w, sub_h,
+ *   ep y* int16[2][EP_NPLANES][h4][w4] (from deblock_strengths),
+ *   slice_map y* int32[h4][w4],
+ *   sl_prm y* int32[n_slices][6] (tc,beta,cb_tc,cr_tc,cb_beta,cr_beta),
+ *   n_slices, bd, ctu_size, num_comp)
+ *
+ * Whole-frame directional filtering in one call: scans the packed edge
+ * tensor and filters every active luma/chroma cell, both directions
+ * (LoopFilter::loopFilterCTU EDGE_VER then EDGE_HOR, whole frame).
+ * Replaces the per-direction Python cell scans. */
+static PyObject *mod_deblock_filter_frame(PyObject *self, PyObject *args)
+{
+    Py_buffer b_y, b_cb, b_cr, b_ep, b_sm, b_sp;
+    int pic_w, pic_h, sub_w, sub_h, n_slices, bd, ctu_size, num_comp;
+    if (!PyArg_ParseTuple(args, "w*w*w*iiiiy*y*y*iiii",
+                          &b_y, &b_cb, &b_cr, &pic_w, &pic_h, &sub_w, &sub_h,
+                          &b_ep, &b_sm, &b_sp, &n_slices, &bd, &ctu_size,
+                          &num_comp))
+        return NULL;
+    int w4 = pic_w >> 2, h4 = pic_h >> 2;
+    const int16_t *ep = (const int16_t *)b_ep.buf;
+    const int32_t *smap = (const int32_t *)b_sm.buf;
+    const int32_t *sprm = (const int32_t *)b_sp.buf;
+    int pel_max = (1 << bd) - 1;
+    int cw = pic_w / sub_w, ch = pic_h / sub_h;
+
+    Py_BEGIN_ALLOW_THREADS
+    for (int dir = 0; dir < 2; dir++) {
+        const int16_t *P = ep + (size_t)dir * EP_NPLANES * h4 * w4;
+#define DBF_PL(pl) (P + (size_t)(pl) * h4 * w4)
+        const int16_t *bs_y = DBF_PL(EP_BS_Y), *qp_y = DBF_PL(EP_QP_Y),
+            *flp = DBF_PL(EP_MAX_FL_P), *flq = DBF_PL(EP_MAX_FL_Q);
+        for (int y4 = 0; y4 < h4; y4++) {
+            size_t row = (size_t)y4 * w4;
+            for (int x4 = 0; x4 < w4; x4++) {
+                size_t o = row + x4;
+                if (bs_y[o] <= 0)
+                    continue;
+                int sl = n_slices > 1 ? smap[o] : 0;
+                if (sl < 0 || sl >= n_slices) sl = 0;
+                const int32_t *sp = sprm + (size_t)sl * 6;
+                db_luma_cell((int32_t *)b_y.buf, pic_w, dir, x4 << 2,
+                             y4 << 2, pel_max, bd, ctu_size, bs_y[o],
+                             qp_y[o], flp[o], flq[o], sp[0], sp[1]);
+            }
+        }
+        if (num_comp > 1) {
+            const int16_t *bs_cb = DBF_PL(EP_BS_CB),
+                *bs_cr = DBF_PL(EP_BS_CR), *qp_cb = DBF_PL(EP_QP_CB),
+                *qp_cr = DBF_PL(EP_QP_CR), *cmfl = DBF_PL(EP_CMFL);
+            int ctu_c_mask = ctu_size / sub_h - 1;
+            int par_step = 4 / (dir == 0 ? sub_h : sub_w);
+            int sub_shift = (dir == 0 ? sub_h : sub_w) - 1;
+            int lim0 = dir == 0 ? cw : ch;   /* perpendicular extent */
+            int lim1 = dir == 0 ? ch : cw;   /* parallel extent */
+            for (int c0 = 8; c0 < lim0; c0 += 8)
+                for (int c1 = 0; c1 < lim1; c1 += par_step) {
+                    int ccx = dir == 0 ? c0 : c1;
+                    int ccy = dir == 0 ? c1 : c0;
+                    size_t o = (size_t)((ccy * sub_h) >> 2) * w4
+                               + ((ccx * sub_w) >> 2);
+                    int bcb = bs_cb[o], bcr = bs_cr[o];
+                    if (bcb <= 0 && bcr <= 0)
+                        continue;
+                    int large = cmfl[o];
+                    int hor_ctb = dir == 1 && (ccy & ctu_c_mask) == 0;
+                    int sl = n_slices > 1 ? smap[o] : 0;
+                    if (sl < 0 || sl >= n_slices) sl = 0;
+                    const int32_t *sp = sprm + (size_t)sl * 6;
+                    if (bcb == 2 || (large && bcb == 1))
+                        db_chroma_cell((int32_t *)b_cb.buf, cw, dir, ccx,
+                                       ccy, pel_max, bd, par_step,
+                                       sub_shift, bcb, qp_cb[o], large,
+                                       sp[2], sp[4], hor_ctb);
+                    if (bcr == 2 || (large && bcr == 1))
+                        db_chroma_cell((int32_t *)b_cr.buf, cw, dir, ccx,
+                                       ccy, pel_max, bd, par_step,
+                                       sub_shift, bcr, qp_cr[o], large,
+                                       sp[3], sp[5], hor_ctb);
+                }
+        }
+#undef DBF_PL
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&b_y);
+    PyBuffer_Release(&b_cb);
+    PyBuffer_Release(&b_cr);
+    PyBuffer_Release(&b_ep);
+    PyBuffer_Release(&b_sm);
+    PyBuffer_Release(&b_sp);
+    Py_RETURN_NONE;
+}

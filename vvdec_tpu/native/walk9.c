@@ -1338,16 +1338,20 @@ static int ix_run_cu(InterCtx *ic, int cu_idx)
     return 0;
 }
 
-/* run_from(start_tu) -> first unhandled TU index */
+/* run_from(start_tu[, n_tus]) -> first unhandled TU index.
+ * n_tus bounds the walk at the picture's real record count; the buffer
+ * capacity (records beyond the count are uninitialized) is only a cap. */
 static PyObject *InterCtx_run_from(InterCtx *self, PyObject *args)
 {
-    int start;
-    if (!PyArg_ParseTuple(args, "i", &start))
+    int start, limit = self->n_tus;
+    if (!PyArg_ParseTuple(args, "i|i", &start, &limit))
         return NULL;
+    if (limit > self->n_tus)
+        limit = self->n_tus;
     int i = start;
     g_walk_err = NULL;
     Py_BEGIN_ALLOW_THREADS
-    while (i < self->n_tus) {
+    while (i < limit) {
         const int32_t *tu = self->tu_rec + (size_t)i * TUF_NF;
         int cu_idx = tu[TUF_CU_IDX];
         const int32_t *cu = MC_CU(self->mc, cu_idx);

@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 from concurrent.futures import ProcessPoolExecutor
 
+import numpy as np
+
 
 def split_irap_segments(data: bytes) -> list[bytes]:
     """Split a stream into (header + segment) chunks at IRAP pictures.
@@ -60,6 +62,72 @@ def _decode_segment(args):
     return decode_annexb(seg, use_jax=use_jax, threads=threads)
 
 
+def _decode_segment_shm(args):
+    """Decode a segment and return frames through a shared-memory block
+    (descriptor only over the pipe) — the result pipe otherwise
+    serializes ~1-2 MB per frame and caps pool scaling."""
+    seg, use_jax, threads = args
+    from multiprocessing import shared_memory
+
+    from vvdec_tpu.decoder import decode_annexb
+    frames = decode_annexb(seg, use_jax=use_jax, threads=threads)
+    total = sum(p.nbytes for planes in frames for p in planes)
+    if total == 0:
+        return None, [], []
+    shm = shared_memory.SharedMemory(create=True, size=total)
+    metas, off = [], 0
+    for planes in frames:
+        meta = []
+        for p in planes:
+            dst = np.ndarray(p.shape, dtype=p.dtype,
+                             buffer=shm.buf[off:off + p.nbytes])
+            dst[:] = p
+            meta.append((off, p.shape, p.dtype.str))
+            off += p.nbytes
+        metas.append(meta)
+    name = shm.name
+    try:  # the parent owns (and unlinks) the block; silence the worker's
+        from multiprocessing import resource_tracker
+        resource_tracker.unregister(shm._name, "shared_memory")
+    except Exception:
+        pass
+    shm.close()
+    return name, metas, []
+
+
+class _OwnedArray(np.ndarray):
+    """ndarray view that pins its shared-memory owner (attribute chain
+    keeps the block mapped until the last view dies)."""
+
+
+class _ShmFrames:
+    """Keeps a result shared-memory block alive for returned plane views
+    and unlinks it when the last view is garbage-collected."""
+
+    def __init__(self, name: str):
+        from multiprocessing import shared_memory
+        self.shm = shared_memory.SharedMemory(name=name)
+        # unlink immediately: POSIX keeps the mapping alive until the
+        # last close, so views stay valid and nothing can leak even on
+        # a crash; __del__ then only needs to close the mapping
+        try:
+            self.shm.unlink()
+        except Exception:
+            pass
+
+    def view(self, off, shape, dtype):
+        a = np.ndarray(shape, dtype=np.dtype(dtype),
+                       buffer=self.shm.buf[off:]).view(_OwnedArray)
+        a._owner = self
+        return a
+
+    def __del__(self):
+        try:
+            self.shm.close()
+        except Exception:
+            pass
+
+
 def make_worker_pool(workers: int) -> ProcessPoolExecutor:
     """Persistent decode worker pool (the reference's thread pool analog;
     create once per process, reuse across streams)."""
@@ -97,9 +165,13 @@ def decode_annexb_parallel(data: bytes, workers: int | None = None,
     own = executor is None
     ex = executor or make_worker_pool(workers)
     try:
-        for frames in ex.map(_decode_segment,
-                             [(s, use_jax, threads) for s in segments]):
-            out.extend(frames)
+        for name, metas, _ in ex.map(
+                _decode_segment_shm,
+                [(s, use_jax, threads) for s in segments]):
+            if name is None:
+                continue
+            blk = _ShmFrames(name)
+            out.extend([blk.view(*m) for m in meta] for meta in metas)
     finally:
         if own:
             ex.shutdown()
