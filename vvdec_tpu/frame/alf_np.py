@@ -49,20 +49,38 @@ def _transposed_sets(coeff25x13: np.ndarray) -> np.ndarray:
     return out
 
 
+_FIXED_SETS_CACHE: dict = {}
+
+
 def build_fixed_sets(bd: int):
-    """The 16 fixed luma filter sets + default clip table."""
+    """The 16 fixed luma filter sets + default clip table (cached —
+    spec constants per bit depth)."""
+    if bd in _FIXED_SETS_CACHE:
+        return _FIXED_SETS_CACHE[bd]
     sets = np.zeros((NUM_FIXED_FILTER_SETS, 4, 25, 13), dtype=np.int64)
     for s in range(NUM_FIXED_FILTER_SETS):
         base = FIXED_COEFF[CLASS_TO_FILTER[s]].astype(np.int64).copy()
         base[:, 12] = 128
         sets[s] = _transposed_sets(base)
     clip = np.full((4, 25, 13), int(CLIP_VALUES[bd - 8][0]), dtype=np.int64)
+    sets.setflags(write=False)
+    clip.setflags(write=False)
+    _FIXED_SETS_CACHE[bd] = (sets, clip)
     return sets, clip
 
 
 def build_luma_coeff(alf, bd: int):
     """reconstructCoeff luma: per-class coeff + clip, with transposes.
-    Returns ([4][25][13] coeff, [4][25][13] clip)."""
+    Returns ([4][25][13] coeff, [4][25][13] clip).  Cached on the APS
+    payload object (APSs persist across pictures)."""
+    cache = getattr(alf, "_luma_tables_cache", None)
+    if cache is None:
+        try:
+            cache = alf._luma_tables_cache = {}
+        except AttributeError:
+            cache = None
+    if cache is not None and bd in cache:
+        return cache[bd]
     coeff = np.zeros((25, 13), dtype=np.int64)
     clip = np.zeros((25, 13), dtype=np.int64)
     vls = CLIP_VALUES[bd - 8]
@@ -74,7 +92,10 @@ def build_luma_coeff(alf, bd: int):
             ci = alf.luma_clip_idx[f][j] if alf.non_linear_luma else 0
             clip[cls, j] = vls[ci]
         clip[cls, 12] = vls[0]
-    return _transposed_sets(coeff), _transposed_sets(clip)
+    out = (_transposed_sets(coeff), _transposed_sets(clip))
+    if cache is not None:
+        cache[bd] = out
+    return out
 
 
 def build_chroma_coeff(alf, alt: int, bd: int):
@@ -801,17 +822,37 @@ def alf_frame_vec(cs, planes: list) -> list:
                     # CC-ALF adds offsets in place: detach from the
                     # pre-ALF source plane first
                     out[comp] = planes[comp].copy()
-                coeff = maps["cc_banks"][maps["cc_idx"][comp - 1]]
                 sx, sy = cs.sub_w - 1, cs.sub_h - 1
                 off_rows, skip_rows = _cc_row_tables(
                     hc, sy, vb_luma_h, vb_luma_pos)
-                if trivial:
+                luma = planes[0]
+                dstp = out[comp]
+                if (trivial and nc is not None and hasattr(nc, "cc_alf2")
+                        and luma.dtype == np.int32
+                        and luma.flags.c_contiguous
+                        and dstp.dtype == np.int32
+                        and dstp.flags.c_contiguous):
+                    # banked C path: per-pixel bank indexing, no
+                    # per-pixel coefficient expansion
+                    h_l, w_l = luma.shape
+                    nc.cc_alf2(
+                        luma, dstp, h_l, w_l, hc, wc, sx, sy,
+                        np.ascontiguousarray(maps["cc_banks"],
+                                             dtype=np.int32),
+                        np.ascontiguousarray(maps["cc_idx"][comp - 1],
+                                             dtype=np.int32),
+                        np.ascontiguousarray(off_rows, dtype=np.int32),
+                        np.ascontiguousarray(skip_rows, dtype=np.uint8),
+                        bd)
+                elif trivial:
+                    coeff = maps["cc_banks"][maps["cc_idx"][comp - 1]]
                     filter_cc_frame(planes[0], out[comp], coeff,
                                     off_rows, skip_rows, None, None,
                                     None, None,
                                     maps["cc_idx"][comp - 1] != 0, bd,
                                     sx, sy, trivial=True)
                 else:
+                    coeff = maps["cc_banks"][maps["cc_idx"][comp - 1]]
                     lyi = (np.arange(hc) << sy)[:, None]
                     lxi = (np.arange(wc) << sx)[None, :]
                     filter_cc_frame(planes[0], out[comp], coeff,
@@ -961,6 +1002,28 @@ def alf_frame(cs, planes: list) -> list:
     return out
 
 
+class _AlfMaps(dict):
+    """ALF parameter-map dict whose sample-clamp window maps materialize
+    with whole-picture defaults on first access (they stay None — never
+    allocated — for the common unrestricted case)."""
+
+    _WINDOWS = ("lo_x", "lo_y", "hi_x", "hi_y",
+                "lo_xc", "lo_yc", "hi_xc", "hi_yc")
+
+    def __getitem__(self, k):
+        v = dict.__getitem__(self, k)
+        if v is None and k in self._WINDOWS:
+            (h, w), (ch_c, cw_c) = self._shapes
+            hh, ww = (h, w) if not k.endswith("c") else (ch_c, cw_c)
+            if k.startswith("lo"):
+                v = np.zeros((hh, ww), dtype=np.int32)
+            else:
+                lim = (ww if k in ("hi_x", "hi_xc") else hh) - 1
+                v = np.full((hh, ww), lim, dtype=np.int32)
+            self[k] = v
+        return v
+
+
 def alf_prepare_maps(cs, planes: list, bd: int):
     """Host-side parameter tensors for the device (JAX) ALF stage.
 
@@ -1009,16 +1072,25 @@ def alf_prepare_maps(cs, planes: list, bd: int):
 
     set_map = np.zeros((h >> 2, w >> 2), dtype=np.int32)
     mask_y = np.zeros((h, w), dtype=bool)
-    lo_x = np.zeros((h, w), dtype=np.int32)
-    lo_y = np.zeros((h, w), dtype=np.int32)
-    hi_x = np.full((h, w), w - 1, dtype=np.int32)
-    hi_y = np.full((h, w), h - 1, dtype=np.int32)
-
     cw_c, ch_c = cs.comp_size[1] if cs.num_comp > 1 else (1, 1)
-    lo_xc = np.zeros((ch_c, cw_c), dtype=np.int32)
-    lo_yc = np.zeros((ch_c, cw_c), dtype=np.int32)
-    hi_xc = np.full((ch_c, cw_c), cw_c - 1, dtype=np.int32)
-    hi_yc = np.full((ch_c, cw_c), ch_c - 1, dtype=np.int32)
+    # sample-clamp window maps materialize only when some CTU actually
+    # restricts availability (loop-filter-across / subpic / VB areas);
+    # the common whole-picture case never allocates them
+    lo_x = lo_y = hi_x = hi_y = None
+    lo_xc = lo_yc = hi_xc = hi_yc = None
+
+    def _ensure_windows():
+        nonlocal lo_x, lo_y, hi_x, hi_y, lo_xc, lo_yc, hi_xc, hi_yc
+        if lo_x is not None:
+            return
+        lo_x = np.zeros((h, w), dtype=np.int32)
+        lo_y = np.zeros((h, w), dtype=np.int32)
+        hi_x = np.full((h, w), w - 1, dtype=np.int32)
+        hi_y = np.full((h, w), h - 1, dtype=np.int32)
+        lo_xc = np.zeros((ch_c, cw_c), dtype=np.int32)
+        lo_yc = np.zeros((ch_c, cw_c), dtype=np.int32)
+        hi_xc = np.full((ch_c, cw_c), cw_c - 1, dtype=np.int32)
+        hi_yc = np.full((ch_c, cw_c), ch_c - 1, dtype=np.int32)
     chroma_alt = np.zeros((2, (ch_c + 3) >> 2, (cw_c + 3) >> 2),
                           dtype=np.int32)
     mask_c = np.zeros((2, ch_c, cw_c), dtype=bool)
@@ -1047,6 +1119,7 @@ def alf_prepare_maps(cs, planes: list, bd: int):
                                                         region):
                 if bounds is not None:
                     b = bounds
+                    _ensure_windows()
                     lo_x[ay:ay + ah, ax:ax + aw] = b[0]
                     lo_y[ay:ay + ah, ax:ax + aw] = b[1]
                     hi_x[ay:ay + ah, ax:ax + aw] = b[2]
@@ -1113,7 +1186,7 @@ def alf_prepare_maps(cs, planes: list, bd: int):
                             cc_idx[comp - 1, cy0:cy0 + cch,
                                    cx0:cx0 + ccw] = cc_bank_ids[key]
 
-    return dict(
+    maps = _AlfMaps(
         cls=cls, tr=tr, set_map=set_map, mask_y=mask_y,
         banks_co=np.stack(banks_co) if banks_co else None,
         banks_cl=np.stack(banks_cl) if banks_cl else None,
@@ -1125,3 +1198,5 @@ def alf_prepare_maps(cs, planes: list, bd: int):
         lo_xc=lo_xc, lo_yc=lo_yc, hi_xc=hi_xc, hi_yc=hi_yc,
         any_luma=any_luma, any_chroma=any_chroma, any_cc=any_cc,
         vb=(vb_luma_h, vb_luma_pos, vb_chma_h, vb_chma_pos))
+    maps._shapes = ((h, w), (ch_c, cw_c))
+    return maps

@@ -30,6 +30,8 @@ def sao_frame(cs: CodingStructure, planes: list[np.ndarray]) -> None:
     pel_max = (1 << bd) - 1
     from vvdec_tpu.native import native_cabac
     nc = native_cabac()
+    if _native_sao_frame(cs, planes, nc, bd):
+        return
     for comp, (type_map, ctu_idx, tables, mask) in enumerate(
             sao_prepare_maps(cs)):
         if not mask.any():
@@ -72,6 +74,36 @@ def sao_frame(cs: CodingStructure, planes: list[np.ndarray]) -> None:
             idx = edge
         off = tables[ctu_idx, idx]
         planes[comp][:] = np.where(mask, np.clip(c + off, 0, pel_max), c)
+
+
+def _native_sao_frame(cs, planes, nc, bd: int) -> bool:
+    """Whole-frame SAO in one C call straight off the syntax walk's flat
+    per-CTU records (no parameter materialization, no per-pixel map
+    assembly).  Parity: sao_frame_per_ctu."""
+    nw = getattr(cs, "_nw", None)
+    if (nc is None or not hasattr(nc, "sao_apply_frame") or nw is None
+            or len(cs.cus) != int(nw["counts"][0])
+            or any(p.dtype != np.int32 or not p.flags["C_CONTIGUOUS"]
+                   for p in planes)):
+        return False
+    vbx, vby = cs.virtual_boundaries()
+    subpics = np.asarray(
+        [[sp[0], sp[1], sp[2], sp[3], int(sp[4]), int(sp[5])]
+         for sp in cs.subpics], dtype=np.int32) \
+        if cs.subpics else np.zeros((0, 6), dtype=np.int32)
+    y = planes[0]
+    cb = planes[1] if cs.num_comp > 1 else y
+    cr = planes[2] if cs.num_comp > 1 else y
+    nc.sao_apply_frame(
+        y, cb, cr, cs.w, cs.h, cs.sub_w, cs.sub_h, cs.num_comp,
+        cs.sps.ctu_size, cs.pps.pic_width_in_ctu,
+        cs.pps.pic_height_in_ctu, nw["sao"], nw["flags"], cs.slice_map,
+        cs.tile_map, subpics.tobytes(), len(cs.subpics),
+        int(cs.pps.loop_filter_across_slices),
+        int(cs.pps.loop_filter_across_tiles),
+        np.asarray(vbx, dtype=np.int32).tobytes(), len(vbx),
+        np.asarray(vby, dtype=np.int32).tobytes(), len(vby), bd)
+    return True
 
 
 def sao_frame_per_ctu(cs: CodingStructure,

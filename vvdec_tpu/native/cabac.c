@@ -1857,7 +1857,80 @@ static PyObject *mod_cc_alf(PyObject *self, PyObject *args)
     Py_RETURN_NONE;
 }
 
+/* cc_alf2(luma y* int32[h*w], dst w* int32[hc*wc], h, w, hc, wc, sx, sy,
+ *   banks y* int32[n*7], idx y* int32[hc*wc] (0 = off, else bank row),
+ *   off_rows y* int32[hc*3], skip y* uint8[hc], bd)
+ * Banked variant: indexes the CC-ALF coefficient bank per pixel instead
+ * of taking a pre-expanded per-pixel coefficient plane. */
+static PyObject *mod_cc_alf2(PyObject *self, PyObject *args)
+{
+    Py_buffer b_luma, b_dst, b_banks, b_idx, b_off, b_skip;
+    int h, w, hc, wc, sx, sy, bd;
+    if (!PyArg_ParseTuple(args, "y*w*iiiiiiy*y*y*y*i", &b_luma, &b_dst,
+                          &h, &w, &hc, &wc, &sx, &sy, &b_banks, &b_idx,
+                          &b_off, &b_skip, &bd))
+        return NULL;
+    const int32_t *lum = (const int32_t *)b_luma.buf;
+    int32_t *dst = (int32_t *)b_dst.buf;
+    const int32_t *banks = (const int32_t *)b_banks.buf;
+    const int32_t *idx = (const int32_t *)b_idx.buf;
+    const int32_t *offr = (const int32_t *)b_off.buf;
+    const uint8_t *skip = (const uint8_t *)b_skip.buf;
+    const int pel_max = (1 << bd) - 1;
+    const int half = (1 << bd) >> 1;
+    Py_BEGIN_ALLOW_THREADS
+    for (int yc = 0; yc < hc; yc++) {
+        if (skip[yc])
+            continue;
+        const int ly = yc << sy;
+        const int o1 = offr[yc * 3 + 0], o2 = offr[yc * 3 + 1],
+                  o3 = offr[yc * 3 + 2];
+#define ROW(dy) (lum + (size_t)((ly + (dy)) < 0 ? 0 : ((ly + (dy)) > h - 1 ? h - 1 : (ly + (dy)))) * w)
+        const int32_t *r0 = ROW(0);
+        const int32_t *r2 = ROW(o2);
+        const int32_t *r1 = ROW(o1);
+        const int32_t *r3 = ROW(o3);
+#undef ROW
+        int32_t *orow = dst + (size_t)yc * wc;
+        const int32_t *irow = idx + (size_t)yc * wc;
+        for (int xc = 0; xc < wc; xc++) {
+            const int32_t bi = irow[xc];
+            if (!bi)
+                continue;
+            const int lx = xc << sx;
+            const int xm = lx - 1 < 0 ? 0 : lx - 1;
+            const int xp = lx + 1 > w - 1 ? w - 1 : lx + 1;
+            const int32_t curr = r0[lx];
+            const int32_t *c7 = banks + (size_t)bi * 7;
+            int64_t acc = (int64_t)c7[0] * (r2[lx] - curr)
+                + (int64_t)c7[1] * (r0[xm] - curr)
+                + (int64_t)c7[2] * (r0[xp] - curr)
+                + (int64_t)c7[3] * (r1[xm] - curr)
+                + (int64_t)c7[4] * (r1[lx] - curr)
+                + (int64_t)c7[5] * (r1[xp] - curr)
+                + (int64_t)c7[6] * (r3[lx] - curr);
+            int32_t v = (int32_t)((acc + 64) >> 7);
+            int32_t cl = v + half;
+            if (cl < 0) cl = 0;
+            if (cl > pel_max) cl = pel_max;
+            v = cl - half + orow[xc];
+            if (v < 0) v = 0;
+            if (v > pel_max) v = pel_max;
+            orow[xc] = v;
+        }
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&b_luma);
+    PyBuffer_Release(&b_dst);
+    PyBuffer_Release(&b_banks);
+    PyBuffer_Release(&b_idx);
+    PyBuffer_Release(&b_off);
+    PyBuffer_Release(&b_skip);
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef module_methods[] = {
+    {"cc_alf2", (PyCFunction)mod_cc_alf2, METH_VARARGS, NULL},
     {"cc_alf", (PyCFunction)mod_cc_alf, METH_VARARGS,
      "whole-plane CC-ALF correction from the pre-ALF luma"},
     {"sao_plane", (PyCFunction)mod_sao_plane, METH_VARARGS,
@@ -1871,6 +1944,8 @@ static PyMethodDef module_methods[] = {
     {"deblock_filter_frame", (PyCFunction)mod_deblock_filter_frame,
      METH_VARARGS, NULL},
     {"alf_apply", (PyCFunction)mod_alf_apply, METH_VARARGS, NULL},
+    {"sao_apply_frame", (PyCFunction)mod_sao_apply_frame, METH_VARARGS,
+     NULL},
     {"deblock_strengths", (PyCFunction)mod_deblock_strengths, METH_VARARGS,
      "derive deblocking boundary strengths from walk records"},
     {"build_intra_td", (PyCFunction)mod_build_intra_td, METH_VARARGS,

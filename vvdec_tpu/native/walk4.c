@@ -552,3 +552,278 @@ static PyObject *mod_deblock_filter_frame(PyObject *self, PyObject *args)
     PyBuffer_Release(&b_sp);
     Py_RETURN_NONE;
 }
+
+/* ---------------- whole-frame SAO in C ----------------
+ * sao_apply_frame(y w*, cb w*, cr w*, pic_w, pic_h, sub_w, sub_h,
+ *   num_comp, ctu, w_ctu, h_ctu, sao_rec y* int32[n_ctu*24],
+ *   flags y* int32[n_ctu], slice_map y* int32[h4*w4],
+ *   tile_map y* int32[h4*w4], subpics y* int32[n_sp*6], n_sp,
+ *   lf_across_slices, lf_across_tiles, vbx y* int32[nvx], nvx,
+ *   vby y* int32[nvy], nvy, bd)
+ *
+ * One call applies SAO to the whole picture in place, reading the
+ * syntax walk's flat per-CTU records (w_sao_ctu layout: 3 comps x
+ * (mode, type, band, o0..o3, pad)).  Neighbor samples come from an
+ * internal pre-SAO snapshot (SampleAdaptiveOffset::offsetCTU reads
+ * m_tempBuf).  Parity: frame/sao_np.py sao_frame_per_ctu/_eo_mask. */
+typedef struct {
+    const int32_t *slice_map, *tile_map, *subpics;
+    int n_sp, w4, lf_sl, lf_tl, w_ctu, h_ctu, ctu;
+} SaoAvail;
+
+static const int32_t *sao_subpic_at(const SaoAvail *a, int x, int y)
+{
+    for (int i = 0; i < a->n_sp; i++) {
+        const int32_t *sp = a->subpics + (size_t)i * 6;
+        if (sp[0] <= x && x < sp[2] && sp[1] <= y && y < sp[3])
+            return sp;
+    }
+    return NULL;
+}
+
+static int sao_ctu_avail(const SaoAvail *a, int rx, int ry, int nx, int ny)
+{
+    if (nx < 0 || ny < 0 || nx >= a->w_ctu || ny >= a->h_ctu)
+        return 0;
+    size_t oa = (size_t)((ry * a->ctu) >> 2) * a->w4 + ((rx * a->ctu) >> 2);
+    size_t ob = (size_t)((ny * a->ctu) >> 2) * a->w4 + ((nx * a->ctu) >> 2);
+    if (!a->lf_sl && a->slice_map[oa] != a->slice_map[ob])
+        return 0;
+    if (!a->lf_tl && a->tile_map[oa] != a->tile_map[ob])
+        return 0;
+    if (a->n_sp) {
+        const int32_t *sa = sao_subpic_at(a, rx * a->ctu, ry * a->ctu);
+        const int32_t *sb = sao_subpic_at(a, nx * a->ctu, ny * a->ctu);
+        if (sa != sb
+            && !((sa == NULL || sa[5]) && (sb == NULL || sb[5])))
+            return 0;
+    }
+    return 1;
+}
+
+static PyObject *mod_sao_apply_frame(PyObject *self, PyObject *args)
+{
+    Py_buffer b_y, b_cb, b_cr, b_rec, b_fl, b_sm, b_tm, b_sp, b_vbx, b_vby;
+    int pic_w, pic_h, sub_w, sub_h, num_comp, ctu, w_ctu, h_ctu, n_sp,
+        lf_sl, lf_tl, nvx, nvy, bd;
+    if (!PyArg_ParseTuple(args, "w*w*w*iiiiiiiiy*y*y*y*y*iiiy*iy*ii",
+                          &b_y, &b_cb, &b_cr, &pic_w, &pic_h, &sub_w,
+                          &sub_h, &num_comp, &ctu, &w_ctu, &h_ctu, &b_rec,
+                          &b_fl, &b_sm, &b_tm, &b_sp, &n_sp, &lf_sl,
+                          &lf_tl, &b_vbx, &nvx, &b_vby, &nvy, &bd))
+        return NULL;
+    const int32_t *rec = (const int32_t *)b_rec.buf;
+    const int32_t *flags = (const int32_t *)b_fl.buf;
+    const int32_t *vbx = (const int32_t *)b_vbx.buf;
+    const int32_t *vby = (const int32_t *)b_vby.buf;
+    SaoAvail av = {(const int32_t *)b_sm.buf, (const int32_t *)b_tm.buf,
+                   (const int32_t *)b_sp.buf, n_sp, pic_w >> 2, lf_sl,
+                   lf_tl, w_ctu, h_ctu, ctu};
+    int32_t *planes[3] = {(int32_t *)b_y.buf, (int32_t *)b_cb.buf,
+                          (int32_t *)b_cr.buf};
+    const int pel_max = (1 << bd) - 1;
+    int ok = 1;
+
+    Py_BEGIN_ALLOW_THREADS
+    /* per-component pre-SAO snapshot, taken lazily */
+    int32_t *snap[3] = {NULL, NULL, NULL};
+    for (int comp = 0; comp < num_comp && ok; comp++) {
+        const int sx = comp ? sub_w : 1, sy = comp ? sub_h : 1;
+        const int cw = pic_w / sx, chh = pic_h / sy;
+        int any = 0;
+        for (int addr = 0; addr < w_ctu * h_ctu && !any; addr++)
+            if ((flags[addr] & 1) && rec[(size_t)addr * 24 + comp * 8])
+                any = 1;
+        if (!any)
+            continue;
+        snap[comp] = (int32_t *)malloc((size_t)cw * chh * sizeof(int32_t));
+        if (!snap[comp]) {
+            ok = 0;
+            break;
+        }
+        memcpy(snap[comp], planes[comp],
+               (size_t)cw * chh * sizeof(int32_t));
+        const int32_t *src = snap[comp];
+        int32_t *dst = planes[comp];
+        uint8_t colmask[1024];
+
+        for (int ry = 0; ry < h_ctu; ry++)
+            for (int rx = 0; rx < w_ctu; rx++) {
+                const int addr = ry * w_ctu + rx;
+                if (!(flags[addr] & 1))
+                    continue;
+                const int32_t *p = rec + (size_t)addr * 24 + comp * 8;
+                if (p[0] == 0)
+                    continue;
+                const int t = p[1], band = p[2];
+                const int x0 = (rx * ctu) / sx, y0 = (ry * ctu) / sy;
+                const int bw = (cw - x0) < (ctu / sx) ? (cw - x0)
+                                                      : (ctu / sx);
+                const int bh = (chh - y0) < (ctu / sy) ? (chh - y0)
+                                                       : (ctu / sy);
+                /* offsets */
+                int32_t table[32];
+                int32_t eo_off[5];
+                if (t == 4) {
+                    memset(table, 0, sizeof(table));
+                    for (int k = 0; k < 4; k++)
+                        table[(band + k) & 31] = p[3 + k];
+                } else {
+                    eo_off[0] = p[3];
+                    eo_off[1] = p[4];
+                    eo_off[2] = 0;
+                    eo_off[3] = -p[5];
+                    eo_off[4] = -p[6];
+                }
+                /* availability */
+                int L = sao_ctu_avail(&av, rx, ry, rx - 1, ry);
+                int R = sao_ctu_avail(&av, rx, ry, rx + 1, ry);
+                int A = sao_ctu_avail(&av, rx, ry, rx, ry - 1);
+                int B = sao_ctu_avail(&av, rx, ry, rx, ry + 1);
+                int in_l = rx > 0, in_r = rx + 1 < w_ctu;
+                int in_a = ry > 0, in_b = ry + 1 < h_ctu;
+                int AL = in_a && in_l
+                         && sao_ctu_avail(&av, rx, ry, rx - 1, ry - 1);
+                int AR = in_a && in_r
+                         && sao_ctu_avail(&av, rx, ry, rx + 1, ry - 1);
+                int BL = in_b && in_l
+                         && sao_ctu_avail(&av, rx, ry, rx - 1, ry + 1);
+                int BR = in_b && in_r
+                         && sao_ctu_avail(&av, rx, ry, rx + 1, ry + 1);
+                const int s_x = L ? 0 : 1, e_x = R ? bw : bw - 1;
+                const int s_y = A ? 0 : 1, e_y = B ? bh : bh - 1;
+                /* neighbor deltas per EO class */
+                static const int8_t ND[4][4] = {
+                    {0, -1, 0, 1}, {-1, 0, 1, 0},
+                    {-1, -1, 1, 1}, {-1, 1, 1, -1}};
+                const int dya = t < 4 ? ND[t][0] : 0;
+                const int dxa = t < 4 ? ND[t][1] : 0;
+                const int dyb = t < 4 ? ND[t][2] : 0;
+                const int dxb = t < 4 ? ND[t][3] : 0;
+                for (int row = 0; row < bh; row++) {
+                    /* horizontal virtual boundaries (skip rows) */
+                    if (t != 0 && t != 4) {
+                        int skip = 0;
+                        for (int v = 0; v < nvy; v++) {
+                            const int vc = vby[v] / sy;
+                            if (row == vc - y0 || row == vc - 1 - y0)
+                                skip = 1;
+                        }
+                        if (skip)
+                            continue;
+                    }
+                    /* row ranges (union via column mask) */
+                    memset(colmask, 0, bw);
+                    int got = 0;
+                    if (t == 4) {
+                        memset(colmask, 1, bw);
+                        got = 1;
+                    } else if (t == 0) {
+                        if (e_x > s_x) {
+                            memset(colmask + s_x, 1, e_x - s_x);
+                            got = 1;
+                        }
+                    } else if (t == 1) {
+                        if (row >= s_y && row < e_y) {
+                            memset(colmask, 1, bw);
+                            got = 1;
+                        }
+                    } else {
+                        if (row >= 1 && row < bh - 1) {
+                            if (e_x > s_x) {
+                                memset(colmask + s_x, 1, e_x - s_x);
+                                got = 1;
+                            }
+                        }
+                        int rs, re;
+                        if (row == 0) {
+                            if (t == 2) {
+                                rs = AL ? 0 : 1;
+                                re = A ? e_x : 1;
+                            } else {
+                                rs = A ? s_x : bw - 1;
+                                re = AR ? bw : bw - 1;
+                            }
+                            if (re > rs) {
+                                memset(colmask + rs, 1, re - rs);
+                                got = 1;
+                            }
+                        }
+                        if (row == bh - 1) {
+                            if (t == 2) {
+                                rs = B ? s_x : bw - 1;
+                                re = BR ? bw : bw - 1;
+                            } else {
+                                rs = BL ? 0 : 1;
+                                re = B ? e_x : 1;
+                            }
+                            if (re > rs) {
+                                memset(colmask + rs, 1, re - rs);
+                                got = 1;
+                            }
+                        }
+                    }
+                    if (!got)
+                        continue;
+                    /* vertical virtual boundaries (clear columns) */
+                    if (t != 1 && t != 4) {
+                        for (int v = 0; v < nvx; v++) {
+                            const int vc = vbx[v] / sx;
+                            if (vc - x0 >= 0 && vc - x0 < bw)
+                                colmask[vc - x0] = 0;
+                            if (vc - 1 - x0 >= 0 && vc - 1 - x0 < bw)
+                                colmask[vc - 1 - x0] = 0;
+                        }
+                    }
+                    const int32_t *srow =
+                        src + (size_t)(y0 + row) * cw + x0;
+                    const int32_t *sra =
+                        src + (size_t)(y0 + row + dya) * cw + x0 + dxa;
+                    const int32_t *srb =
+                        src + (size_t)(y0 + row + dyb) * cw + x0 + dxb;
+                    int32_t *drow = dst + (size_t)(y0 + row) * cw + x0;
+                    if (t == 4) {
+                        const int shn = bd - 5;
+                        for (int x = 0; x < bw; x++) {
+                            const int32_t c = srow[x];
+                            int32_t v = c + table[(c >> shn) & 31];
+                            if (v < 0) v = 0;
+                            if (v > pel_max) v = pel_max;
+                            drow[x] = v;
+                        }
+                    } else {
+                        for (int x = 0; x < bw; x++) {
+                            if (!colmask[x])
+                                continue;
+                            const int32_t c = srow[x];
+                            const int32_t da = c - sra[x];
+                            const int32_t db = c - srb[x];
+                            const int ea = (da > 0) - (da < 0);
+                            const int eb = (db > 0) - (db < 0);
+                            int32_t v = c + eo_off[ea + eb + 2];
+                            if (v < 0) v = 0;
+                            if (v > pel_max) v = pel_max;
+                            drow[x] = v;
+                        }
+                    }
+                }
+            }
+    }
+    for (int comp = 0; comp < 3; comp++)
+        free(snap[comp]);
+    Py_END_ALLOW_THREADS
+
+    PyBuffer_Release(&b_y);
+    PyBuffer_Release(&b_cb);
+    PyBuffer_Release(&b_cr);
+    PyBuffer_Release(&b_rec);
+    PyBuffer_Release(&b_fl);
+    PyBuffer_Release(&b_sm);
+    PyBuffer_Release(&b_tm);
+    PyBuffer_Release(&b_sp);
+    PyBuffer_Release(&b_vbx);
+    PyBuffer_Release(&b_vby);
+    if (!ok)
+        return PyErr_NoMemory();
+    Py_RETURN_NONE;
+}
