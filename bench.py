@@ -38,10 +38,11 @@ def _ref_fps(stream: bytes, loops: int = 3) -> float | None:
         f.write(stream)
         path = f.name
     try:
-        out = subprocess.run(
+        r = subprocess.run(
             [REF_BIN, "-b", path, "-t", str(os.cpu_count() or 1),
              "-L", str(loops)],
-            capture_output=True, text=True, timeout=600).stderr
+            capture_output=True, text=True, timeout=600)
+        out = r.stdout + r.stderr  # fps summary goes to stdout
         m = re.search(r"avg\. fps for \d+ loops: ([\d.]+) Hz", out)
         if m is None:
             m = re.search(r"@ ([\d.]+) fps", out)
