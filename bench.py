@@ -42,11 +42,16 @@ def _ref_fps(stream: bytes, loops: int = 3) -> float | None:
             [REF_BIN, "-b", path, "-t", str(os.cpu_count() or 1),
              "-L", str(loops)],
             capture_output=True, text=True, timeout=600)
+        if r.returncode != 0:
+            return None
         out = r.stdout + r.stderr  # fps summary goes to stdout
         m = re.search(r"avg\. fps for \d+ loops: ([\d.]+) Hz", out)
-        if m is None:
-            m = re.search(r"@ ([\d.]+) fps", out)
-        return float(m.group(1)) if m else None
+        if m is not None:
+            return float(m.group(1))
+        # fallback: the LAST progress line (the final rate, not a warm-up
+        # sample — stdout carries periodic "@ N fps" progress lines)
+        all_m = re.findall(r"@ ([\d.]+) fps", out)
+        return float(all_m[-1]) if all_m else None
     finally:
         os.unlink(path)
 

@@ -113,12 +113,23 @@ class Decoder:
         return self._core.hash_errors
 
     def get_decoder_info(self) -> str:
-        """Capability string (DecLib::create banner, DecLib.cpp:145-160)."""
+        """Capability string (DecLib::create banner, DecLib.cpp:145-160),
+        plus the fallback census: every frame where a device or native-C
+        stage silently fell back to the host/Python path, with reason."""
         from vvdec_tpu.native import native_cabac, native_recon
         native = "C" if (native_cabac() and native_recon()) else "python"
         dev = "jax" if self.params.use_device_pipeline else "host"
-        return (f"vvdec_tpu {version()} [KERNELS={native}; RECON={dev}; "
+        info = (f"vvdec_tpu {version()} [KERNELS={native}; RECON={dev}; "
                 f"FGS={int(self.params.film_grain_synthesis)}]")
+        census = getattr(self._core, "fallback_census", None)
+        if census:
+            info += " FALLBACKS[" + "; ".join(
+                f"{k}={v}" for k, v in sorted(census.items())) + "]"
+        return info
+
+    def get_fallback_census(self) -> dict:
+        """Per-reason counts of device-/C-stage host fallbacks."""
+        return dict(getattr(self._core, "fallback_census", {}) or {})
 
     # -- helpers -----------------------------------------------------------
     def _to_frame(self, pic) -> Frame:

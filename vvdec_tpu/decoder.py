@@ -358,6 +358,11 @@ class StreamDecoder:
                     thread_name_prefix="vvdec-walk")
         self.hash_errors = 0
         self.error_pictures = 0
+        # per-frame fallback census: every silent host fallback of a
+        # device or native-C stage is counted here with its reason
+        # (exposed via Decoder.get_decoder_info)
+        from collections import Counter
+        self.fallback_census = Counter()
         self._refs: dict[int, list] = {}      # poc -> int planes (ref)
         self._ref_cols: dict[int, object] = {}  # poc -> ColMotion
         self._ref_pps: dict[int, object] = {}   # poc -> PPS (RPR scaling)
@@ -620,10 +625,14 @@ class StreamDecoder:
         use_dev = False
         if self.use_jax:
             from vvdec_tpu.ops.device_pipeline import (
-                device_filter_eligible, filter_frame_device)
-            use_dev = device_filter_eligible(cs)
+                device_filter_reject_reason, filter_frame_device)
+            reason = device_filter_reject_reason(cs)
+            use_dev = reason is None
+            if reason is not None:
+                self.fallback_census[f"device_filter:{reason}"] += 1
         with profiler.stage("recon"):
-            planes = IntraReconstructor(cs).run()
+            planes = IntraReconstructor(cs, census=self.fallback_census) \
+                .run()
         deferred = None
         if use_dev:
             # whole in-loop filter chain + output packing on device, one

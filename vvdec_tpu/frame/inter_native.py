@@ -49,37 +49,49 @@ class InterFastPath:
 
     def __init__(self, recon) -> None:
         self.active = False
+        self.reason = None  # why inactive (fallback census key)
         import os
         if os.environ.get("VVDEC_TPU_NO_NATIVE_INTER") == "1":
+            self.reason = "env_disabled"
             return
         cs = recon.cs
         from vvdec_tpu.native import native_cabac
         nc = native_cabac()
         if nc is None or not hasattr(nc, "InterCtx"):
+            self.reason = "no_toolchain"
             return
         nw = getattr(cs, "_nw", None)
         if nw is None or len(cs.tus) != int(nw["counts"][1]):
+            self.reason = "no_walk_records"
             return
         if all(s.is_intra for s in cs.shs):
             return
         # frame-level gates: tools the C driver does not model
-        if recon.reshaper is not None or cs.scaling_list is not None \
-                or cs.sps.ibc_enabled or cs.sps.ref_wraparound_enabled \
-                or cs.subpics or cs.sps.act_enabled:
-            return
+        for flag, why in ((recon.reshaper is not None, "lmcs"),
+                          (cs.scaling_list is not None, "scaling_list"),
+                          (cs.sps.ibc_enabled, "ibc"),
+                          (cs.sps.ref_wraparound_enabled, "wraparound"),
+                          (bool(cs.subpics), "subpics"),
+                          (cs.sps.act_enabled, "act")):
+            if flag:
+                self.reason = why
+                return
         ref_scaled = getattr(cs, "ref_scaled", None)
         if ref_scaled and any(s is not None
                               for lst in ref_scaled for s in lst):
+            self.reason = "rpr"
             return
         from vvdec_tpu.frame.inter_np import _motion_ctx
         mc = _motion_ctx(cs, recon._hist)
         if mc is None:
+            self.reason = "no_motion_ctx"
             return
         # reference planes: distinct triples + (lst, ref) -> triple map
         triples: list[tuple] = []
         tri_ids: dict[int, int] = {}
         ref_map = np.full((2, 17), -1, dtype=np.int32)
         num_comp = cs.num_comp
+        self.reason = "ref_plane_layout"
         for lst in range(2):
             if len(cs.ref_planes[lst]) > 17:
                 return
@@ -102,6 +114,7 @@ class InterFastPath:
                     triples.append((p0, p1, p2))
                     tri_ids[id(planes)] = ti
                 ref_map[lst, i] = ti
+        self.reason = None
         # per-slice tables
         n_slices = len(cs.shs)
         from vvdec_tpu.hls.weight_table import resolve_wp, wp_present_any

@@ -54,10 +54,12 @@ class NativeFastPath:
 
     def __init__(self, recon) -> None:
         self.active = False
+        self.reason = None  # why inactive (fallback census key)
         cs = recon.cs
         from vvdec_tpu.native import native_recon
         eng = native_recon()
         if eng is None:
+            self.reason = "no_toolchain"
             return
         # frame-level gates: intra TUs only (inter/IBC TUs are ineligible in
         # the descriptor tensor and fall back per TU, preserving parse
@@ -65,6 +67,8 @@ class NativeFastPath:
         # reshaped-domain handling, both Python-side
         if cs.sps.ibc_enabled or recon.reshaper is not None \
                 or cs.scaling_list is not None:
+            self.reason = "ibc" if cs.sps.ibc_enabled else (
+                "lmcs" if recon.reshaper is not None else "scaling_list")
             return
         self.eng = eng
         self.recon = recon

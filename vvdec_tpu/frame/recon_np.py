@@ -404,10 +404,14 @@ def wide_angle(width: int, height: int, mode: int) -> int:
 class IntraReconstructor:
     """Whole-frame intra reconstruction in parse order (numpy golden)."""
 
-    def __init__(self, cs: CodingStructure, residual_planes=None):
+    def __init__(self, cs: CodingStructure, residual_planes=None,
+                 census=None):
         self.cs = cs
         # optional precomputed residual planes (device ITX stage output)
         self.residual_planes = residual_planes
+        # optional fallback census (StreamDecoder.fallback_census): counts
+        # TUs/CUs that fell back from the C engines to the Python golden
+        self.census = census
         self.bit_depth = cs.sps.bit_depth
         self.pel_max = (1 << self.bit_depth) - 1
         self.reco = [np.zeros((h, w), dtype=np.int32) for (w, h) in cs.comp_size]
@@ -1444,9 +1448,14 @@ class IntraReconstructor:
             from vvdec_tpu.frame.inter_native import InterFastPath
             ifp = InterFastPath(self)
             if not ifp.active:
+                if self.census is not None and ifp.reason:
+                    self.census[f"inter_c:{ifp.reason}"] += 1
                 ifp = None
+        if self.census is not None and not fp.active and fp.reason:
+            self.census[f"intra_c:{fp.reason}"] += 1
         tus = self.cs.tus
         n_tus = len(tus)
+        n_py_tus = 0
         i = 0
         while i < n_tus:
             if fp.active:
@@ -1468,6 +1477,7 @@ class IntraReconstructor:
                     continue
             tu = tus[i]
             i += 1
+            n_py_tus += 1
             cu = self.cs.cus[tu.cu_idx]
             if cu.idx != self._seen_cu:
                 self._seen_cu = cu.idx
@@ -1491,6 +1501,9 @@ class IntraReconstructor:
             self.reconstruct_tu(tu, cu)
         if ifp is not None:
             ifp.flush_fixups()
+        if self.census is not None:
+            self.census["tu_python"] += n_py_tus
+            self.census["tu_native"] += n_tus - n_py_tus
         cs = self.cs
         if self.reshaper is not None and any(s.lmcs_enabled
                                              for s in cs.shs):

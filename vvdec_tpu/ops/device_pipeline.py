@@ -41,24 +41,32 @@ _ACT_TH = np.array((0, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 4),
 _TRANSPOSE = np.array((0, 1, 0, 2, 2, 3, 1, 3), dtype=np.int32)
 
 
-def device_filter_eligible(cs) -> bool:
-    """Whether the device chain models this picture's filter config."""
+def device_filter_reject_reason(cs) -> str | None:
+    """Why this picture's filter config falls back to the host chain
+    (None = device-eligible).  Counted per frame in
+    StreamDecoder.fallback_census so silent fallbacks are visible
+    (Decoder.get_decoder_info reports the census)."""
     if cs.sps.bit_depth > 10:
-        return False
+        return "bit_depth>10"
     vbx, vby = cs.virtual_boundaries()
     if vbx or vby:
-        return False
+        return "virtual_boundaries"
     if cs.subpics:
-        return False
+        return "subpics"
     if len(cs.shs) > 1 and not cs.pps.loop_filter_across_slices:
-        return False
+        return "lf_across_slices_off"
     if len(cs.shs) > 16:
         # per-slice offsets become a select chain in the dense deblock
-        return False
+        return ">16_slices"
     if not cs.pps.no_pic_partition \
             and not cs.pps.loop_filter_across_tiles:
-        return False
-    return True
+        return "lf_across_tiles_off"
+    return None
+
+
+def device_filter_eligible(cs) -> bool:
+    """Whether the device chain models this picture's filter config."""
+    return device_filter_reject_reason(cs) is None
 
 
 # ======================================================================
