@@ -1,0 +1,140 @@
+"""Full device reconstruction pipeline (ops/frame_device.py): ITX +
+intra chain + in-loop filters run device-resident; every test checks
+bit-exactness against the host golden decode, and the fallback census
+when a tool outside the device set must route the frame to the host."""
+
+import numpy as np
+import pytest
+
+from vvdec_tpu.testenc.encoder import generate_stream
+
+WH = (128, 96)  # shared size: the intra-scan program compiles once
+
+
+def _assert_both(stream):
+    from vvdec_tpu.decoder import decode_annexb
+    host = decode_annexb(stream)
+    dev = decode_annexb(stream, use_jax=True)
+    assert len(host) == len(dev)
+    for fh, fd in zip(host, dev):
+        for ph, pd in zip(fh, fd):
+            assert np.array_equal(np.asarray(ph), np.asarray(pd))
+
+
+def _census(stream):
+    from vvdec_tpu.api import Decoder, DecoderParams
+    d = Decoder(DecoderParams(use_device_pipeline=True))
+    frames = d.decode(stream)
+    frames += d.flush()
+    return d.get_fallback_census(), frames
+
+
+class TestFrameDevice:
+    def test_all_intra_basic(self):
+        s, _ = generate_stream(width=WH[0], height=WH[1], ctu=32,
+                               n_frames=3, seed=5, qp=30,
+                               dec_kw=dict(split_prob=0.5, density=0.3))
+        _assert_both(s)
+
+    def test_runs_on_device(self):
+        """The eligible stream takes the full device path (no
+        device_recon fallback counted)."""
+        s, _ = generate_stream(width=WH[0], height=WH[1], ctu=32,
+                               n_frames=2, seed=6, qp=30)
+        census, frames = _census(s)
+        assert len(frames) == 2
+        assert not any(k.startswith("device_recon") for k in census)
+
+    def test_lfnst_mts(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=7, qp=28,
+            sps_kw=dict(lfnst_enabled=True, mts_enabled=True,
+                        explicit_mts_intra=True),
+            dec_kw=dict(split_prob=0.5, density=0.4))
+        _assert_both(s)
+
+    def test_dep_quant_off_high_density(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=8, qp=24,
+            dec_kw=dict(split_prob=0.6, density=0.7, max_level=200))
+        _assert_both(s)
+
+    def test_dual_tree(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=9, qp=30,
+            sps_kw=dict(dual_tree_intra=True, min_qt_size=[8, 8, 8],
+                        max_mtt_depth=[2, 2, 2], max_bt_size=[32, 32, 32],
+                        max_tt_size=[32, 32, 32]),
+            dec_kw=dict(split_prob=0.5, density=0.3))
+        _assert_both(s)
+
+    def test_wpp_availability(self):
+        # WPP widens the above-right availability rule (getCURestricted)
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=10, qp=30,
+            sps_kw=dict(entropy_coding_sync=True),
+            dec_kw=dict(split_prob=0.4, density=0.3))
+        _assert_both(s)
+
+    def test_chroma_444(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=11, qp=30,
+            sps_kw=dict(chroma_format=3),
+            dec_kw=dict(split_prob=0.4, density=0.3))
+        _assert_both(s)
+
+    def test_sao_alf_configs_still_exact(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=12, qp=30,
+            sps_kw=dict(sao_enabled=True),
+            sh_kw=dict(sao_enabled_luma=True, sao_enabled_chroma=True),
+            dec_kw=dict(split_prob=0.4, density=0.3, sao_prob=0.6))
+        _assert_both(s)
+
+    def test_mip_falls_back_bit_exact(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=13, qp=30,
+            sps_kw=dict(mip_enabled=True),
+            dec_kw=dict(split_prob=0.4, density=0.3, mip_prob=0.9))
+        census, _ = _census(s)
+        assert any(k.startswith("device_recon:") for k in census), census
+        _assert_both(s)
+
+    def test_transform_skip_falls_back(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=14, qp=30,
+            sps_kw=dict(transform_skip_enabled=True),
+            dec_kw=dict(split_prob=0.4, density=0.4))
+        _assert_both(s)
+
+
+class TestIntraDescriptors:
+    def test_plan_reports_reason(self):
+        from vvdec_tpu.decoder import parse_annexb
+        from vvdec_tpu.ops.frame_device import plan_frame_device
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=1, seed=15, qp=30,
+            sps_kw=dict(mip_enabled=True),
+            dec_kw=dict(mip_prob=1.0, split_prob=0.2))
+        frames = parse_annexb(s)
+        desc, reason = plan_frame_device(frames[0].cs)
+        assert desc is None and reason == "mip"
+
+    def test_descriptor_rows_cover_all_units(self):
+        from vvdec_tpu.decoder import parse_annexb
+        from vvdec_tpu.ops.frame_device import plan_frame_device
+        s, css = generate_stream(width=WH[0], height=WH[1], ctu=32,
+                                 n_frames=1, seed=16, qp=30)
+        frames = parse_annexb(s)
+        cs = frames[0].cs
+        desc, reason = plan_frame_device(cs)
+        assert reason is None
+        n_units = 0
+        for tu in cs.tus:
+            cu = cs.cus[tu.cu_idx]
+            if tu.blocks[0] is not None and cu.has_luma:
+                n_units += 1
+            if tu.blocks[1] is not None and cu.has_chroma \
+                    and cs.num_comp > 1:
+                n_units += 2
+        assert desc.shape[0] == n_units

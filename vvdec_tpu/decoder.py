@@ -623,27 +623,45 @@ class StreamDecoder:
         from vvdec_tpu.utils.trace import msg, profiler, trace, INFO
         t_pic = time.monotonic()
         use_dev = False
-        if self.use_jax:
-            from vvdec_tpu.ops.device_pipeline import (
-                device_filter_reject_reason, filter_frame_device)
-            reason = device_filter_reject_reason(cs)
-            use_dev = reason is None
-            if reason is not None:
-                self.fallback_census[f"device_filter:{reason}"] += 1
-        with profiler.stage("recon"):
-            planes = IntraReconstructor(cs, census=self.fallback_census) \
-                .run()
         deferred = None
-        if use_dev:
+        planes = None
+        if self.use_jax:
+            # full device pipeline: ITX + intra chain + filters + packing
+            # in one device-resident flow (ops/frame_device.py); pictures
+            # using tools outside its set fall back to host recon with
+            # the device filter chain (and failing that, host filters)
+            from vvdec_tpu.ops.frame_device import (
+                plan_frame_device, reconstruct_frame_device)
+            desc, dev_reason = plan_frame_device(cs)
+            if desc is not None:
+                with profiler.stage("recon+filter(device)"):
+                    pending = reconstruct_frame_device(cs, desc)
+                deferred = _DeferredFrame(self, pending, f.sei, f.poc,
+                                          cs.sps.bit_depth)
+                use_dev = True
+            else:
+                self.fallback_census[f"device_recon:{dev_reason}"] += 1
+                from vvdec_tpu.ops.device_pipeline import (
+                    device_filter_reject_reason, filter_frame_device)
+                reason = device_filter_reject_reason(cs)
+                use_dev = reason is None
+                if reason is not None:
+                    self.fallback_census[f"device_filter:{reason}"] += 1
+        if deferred is None:
+            with profiler.stage("recon"):
+                planes = IntraReconstructor(
+                    cs, census=self.fallback_census).run()
+        if use_dev and deferred is None:
             # whole in-loop filter chain + output packing on device, one
             # async dispatch; deblock strength derivation (host C) runs
             # inside — before the DMVR MV fixups below, same as the host
             # path (TaskFinishMotionInfo ordering)
+            from vvdec_tpu.ops.device_pipeline import filter_frame_device
             with profiler.stage("filter(submit)"):
                 pending = filter_frame_device(cs, planes)
             deferred = _DeferredFrame(self, pending, f.sei, f.poc,
                                       cs.sps.bit_depth)
-        else:
+        elif not use_dev:
             with profiler.stage("deblock"):
                 deblock_frame(cs, planes)
             with profiler.stage("sao"):

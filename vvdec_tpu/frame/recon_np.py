@@ -401,6 +401,46 @@ def wide_angle(width: int, height: int, mode: int) -> int:
     return mode
 
 
+def sample_available(cs, tu_order_map, wpp: bool, ctu_log2: int, px: int,
+                     py: int, comp: int, cu, tu_order: int) -> bool:
+    """Is the reference sample at (px, py) in comp coords available?
+    Parity: getCURestricted; shared by the host golden and the device
+    descriptor builder (ops/intra_device.py)."""
+    if px < 0 or py < 0:
+        return False
+    sx = cs.sub_w if comp else 1
+    sy = cs.sub_h if comp else 1
+    w_comp, h_comp = cs.comp_size[comp]
+    if px >= w_comp or py >= h_comp:
+        return False
+    # CTU-grid availability rule (getCURestricted)
+    shx = ctu_log2 - (sx - 1)
+    shy = ctu_log2 - (sy - 1)
+    cux, cuy = (cu.cx, cu.cy) if comp else (cu.x, cu.y)
+    xdiff = (px >> shx) - (cux >> shx)
+    ydiff = (py >> shy) - (cuy >> shy)
+    if ydiff > 0 or (ydiff == 0 and xdiff > 0):
+        return False
+    if xdiff > (0 if wpp else 1):
+        return False
+    # neighbor CU in the channel's own map (getCURestricted is queried
+    # with the prediction's chType; essential for dual-tree chroma where
+    # the luma tree's CUs have unrelated decode order)
+    lx, ly = px * sx, py * sy
+    cu2 = cs.cu_at(px, py, 1) if comp else cs.cu_at(lx, ly, 0)
+    if cu2 is None:
+        return False
+    if cu2.slice_idx != cu.slice_idx or cu2.tile_idx != cu.tile_idx:
+        return False
+    if cu2.idx > cu.idx:
+        return False
+    if cu2.idx == cu.idx:
+        order = int(tu_order_map[ly >> 2, lx >> 2])
+        if order < 0 or order >= tu_order:
+            return False
+    return True
+
+
 class IntraReconstructor:
     """Whole-frame intra reconstruction in parse order (numpy golden)."""
 
@@ -441,40 +481,8 @@ class IntraReconstructor:
     def _avail(self, px: int, py: int, comp: int, cu: CodingUnit,
                tu_order: int) -> bool:
         """Is the reference sample at (px, py) in comp coords available?"""
-        cs = self.cs
-        if px < 0 or py < 0:
-            return False
-        sx = cs.sub_w if comp else 1
-        sy = cs.sub_h if comp else 1
-        w_comp, h_comp = cs.comp_size[comp]
-        if px >= w_comp or py >= h_comp:
-            return False
-        # CTU-grid availability rule (getCURestricted)
-        shx = self.ctu_log2 - (sx - 1)
-        shy = self.ctu_log2 - (sy - 1)
-        cux, cuy = (cu.cx, cu.cy) if comp else (cu.x, cu.y)
-        xdiff = (px >> shx) - (cux >> shx)
-        ydiff = (py >> shy) - (cuy >> shy)
-        if ydiff > 0 or (ydiff == 0 and xdiff > 0):
-            return False
-        if xdiff > (0 if self.wpp else 1):
-            return False
-        # neighbor CU in the channel's own map (getCURestricted is queried
-        # with the prediction's chType; essential for dual-tree chroma where
-        # the luma tree's CUs have unrelated decode order)
-        lx, ly = px * sx, py * sy
-        cu2 = cs.cu_at(px, py, 1) if comp else cs.cu_at(lx, ly, 0)
-        if cu2 is None:
-            return False
-        if cu2.slice_idx != cu.slice_idx or cu2.tile_idx != cu.tile_idx:
-            return False
-        if cu2.idx > cu.idx:
-            return False
-        if cu2.idx == cu.idx:
-            order = int(self.tu_order_map[ly >> 2, lx >> 2])
-            if order < 0 or order >= tu_order:
-                return False
-        return True
+        return sample_available(self.cs, self.tu_order_map, self.wpp,
+                                self.ctu_log2, px, py, comp, cu, tu_order)
 
     # ---------------- reference sample fill ----------------
     def fill_reference(self, tu: TransformUnit, cu: CodingUnit, comp: int,

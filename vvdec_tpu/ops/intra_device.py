@@ -1,0 +1,502 @@
+"""Device (TPU) intra prediction: the whole-frame sequential intra chain
+as ONE jitted lax.scan over prediction units in parse order.
+
+This is the stage that forced reconstruction onto the host in earlier
+designs (intra prediction reads the *reconstructed* neighbours, a raster
+dependency a data-parallel device cannot batch away).  The TPU-native
+resolution here:
+
+  * The reference-sample *geometry* (availability, substitution,
+    replication — xFillReferenceSamples, IntraPrediction.cpp:1161) is
+    value-independent: it depends only on CU decode order and
+    slice/tile/picture boundaries.  The host therefore compiles each
+    prediction unit into a ~29-scalar descriptor whose fill rule is two
+    clamped index runs into the recon plane; no pixel ever crosses back
+    to the host mid-frame.
+  * The device runs lax.scan over the descriptor rows, each step doing
+    gather(refs) -> [1 2 1] smoothing -> planar/DC/angular(+PDPC)
+    prediction on a padded 64x64 tile -> residual add/clip ->
+    masked read-modify-write into the recon plane carried as scan state.
+
+Bit-exact parity targets: IntraPrediction::predIntraAng
+(/root/reference/source/Lib/CommonLib/IntraPrediction.cpp:471),
+xFillReferenceSamples (:1161), xFilterReferenceSamples; the host golden
+is frame/recon_np.py (fill_reference/pred_planar/pred_dc/pred_angular/
+pdpc_dc_planar), itself oracle-validated against vvdecapp.
+
+Covered tool set (frame falls back to the host plane otherwise, counted
+in the fallback census): planar / DC / all angular modes incl. wide
+angle, PDPC, reference smoothing, 4-tap cubic/gauss luma interpolation,
+2-tap chroma interpolation, dual-tree, LFNST/MTS residuals (the device
+ITX stage).  Excluded: MIP, ISP, MRL, CCLM, BDPCM, joint-CbCr,
+transform-skip, LMCS, ACT, IBC.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from vvdec_tpu.ops.tables import (
+    ANG_TABLE,
+    CHROMA_FILTER,
+    GAUSS_FILTER,
+    INTRA_FILTER_THRESH,
+    INV_ANG_TABLE,
+)
+
+B = 64     # max prediction block side (the padded compute tile)
+PB = 64    # plane bottom/right padding (allows 64x64 RMW at any origin)
+RL = 132   # reference array length (2*64+1 samples + filter margin)
+D = 29     # descriptor row width
+
+# descriptor row layout (int32):
+#  0 comp; 1 x; 2 y; 3 w; 4 h; 5 log2w; 6 log2h;
+#  7 mode_class (0 planar, 1 DC, 2 angular); 8 filtered ([1 2 1] refs);
+#  9 cbf; 10 avail0 (no refs -> mid-grey);
+#  top fill:  value(i) = plane[ty_a if i < ty_k else ty_b,
+#                              clamp(tx0 + i, txlo, txhi)]
+#  11 ty_a; 12 ty_b; 13 ty_k; 14 tx0; 15 txlo; 16 txhi;
+#  left fill: value(j) = plane[clamp(ly0 + j, lylo, lyhi),
+#                              lx_a if j < lx_k else lx_b]
+#  17 lx_a; 18 lx_b; 19 lx_k; 20 ly0; 21 lylo; 22 lyhi;
+#  23 is_ver; 24 angle (signed); 25 inv_angle;
+#  26 frac_kind (0 integer, 1 cubic, 2 gauss, 3 chroma 2-tap);
+#  27 do_pdpc; 28 valid (0 = padding row)
+
+
+def _bitlen(v, maxbits: int = 17):
+    """int.bit_length for v >= 0 (exact, via compares)."""
+    n = jnp.zeros((), dtype=jnp.int32)
+    for m in range(maxbits):
+        n = n + (v >= (1 << m)).astype(jnp.int32)
+    return n
+
+
+def _gather_refs(plane, d, bd: int):
+    """Reference arrays top[RL], left[RL] (index 0 = corner), already
+    smoothed when the descriptor says so (xFillReferenceSamples +
+    xFilterReferenceSamples)."""
+    i = jnp.arange(RL)
+    ty = jnp.where(i < d[13], d[11], d[12])
+    tx = jnp.clip(d[14] + i, d[15], d[16])
+    top = plane[ty, tx].astype(jnp.int32)
+    ly = jnp.clip(d[20] + i, d[21], d[22])
+    lx = jnp.where(i < d[19], d[17], d[18])
+    left = plane[ly, lx].astype(jnp.int32)
+    dcv = 1 << (bd - 1)
+    na = d[10] == 1
+    top = jnp.where(na, dcv, top)
+    left = jnp.where(na, dcv, left)
+    # [1 2 1] smoothing; interior only, shared filtered corner
+    w2 = 2 * d[3]
+    h2 = 2 * d[4]
+    tm1 = jnp.concatenate([top[:1], top[:-1]])
+    tp1 = jnp.concatenate([top[1:], top[-1:]])
+    lm1 = jnp.concatenate([left[:1], left[:-1]])
+    lp1 = jnp.concatenate([left[1:], left[-1:]])
+    c = (left[1] + 2 * top[0] + top[1] + 2) >> 2
+    ft = jnp.where((i >= 1) & (i <= w2 - 1),
+                   (tm1 + 2 * top + tp1 + 2) >> 2, top)
+    ft = jnp.where(i == 0, c, ft)
+    fl = jnp.where((i >= 1) & (i <= h2 - 1),
+                   (lm1 + 2 * left + lp1 + 2) >> 2, left)
+    fl = jnp.where(i == 0, c, fl)
+    use_f = d[8] == 1
+    return jnp.where(use_f, ft, top), jnp.where(use_f, fl, left)
+
+
+def _pred_planar(top, left, d):
+    w, h, l2w, l2h = d[3], d[4], d[5], d[6]
+    xs = jnp.arange(B)[None, :]
+    ys = jnp.arange(B)[:, None]
+    topv = top[1 + xs]
+    leftv = left[1 + ys]
+    tr = top[w + 1]
+    bl = left[h + 1]
+    hor = (leftv << l2w) + (xs + 1) * (tr - leftv)
+    ver = (topv << l2h) + (ys + 1) * (bl - topv)
+    off = 1 << (l2w + l2h)
+    return ((hor << l2h) + (ver << l2w) + off) >> (1 + l2w + l2h)
+
+
+def _pred_dc(top, left, d):
+    w, h, l2w, l2h = d[3], d[4], d[5], d[6]
+    i = jnp.arange(RL)
+    st = jnp.sum(jnp.where((i >= 1) & (i <= w), top, 0))
+    sl = jnp.sum(jnp.where((i >= 1) & (i <= h), left, 0))
+    s = jnp.where(w >= h, st, 0) + jnp.where(w <= h, sl, 0)
+    shift = jnp.where(w == h, l2w + 1, jnp.maximum(l2w, l2h))
+    dc = (s + (1 << jnp.maximum(shift - 1, 0))) >> shift
+    return jnp.broadcast_to(dc, (B, B))
+
+
+def _pdpc_dc_planar(pred, top, left, d):
+    l2w, l2h = d[5], d[6]
+    scale = jnp.maximum((l2w + l2h - 2) >> 2, 0)
+    xs = jnp.arange(B)[None, :]
+    ys = jnp.arange(B)[:, None]
+    wt = 32 >> jnp.minimum(31, (2 * ys) >> scale)
+    wl = 32 >> jnp.minimum(31, (2 * xs) >> scale)
+    lv = left[1 + ys]
+    tv = top[1 + xs]
+    return pred + ((wl * (lv - pred) + wt * (tv - pred) + 32) >> 6)
+
+
+def _pred_angular(top, left, d, pel_max: int, cf, gf):
+    """xPredIntraAng in the swapped (main-reference) space; transposed
+    back for horizontal modes."""
+    w, h, l2w, l2h = d[3], d[4], d[5], d[6]
+    is_ver = d[23] == 1
+    wp = jnp.where(is_ver, w, h)
+    hp = jnp.where(is_ver, h, w)
+    l2wp = jnp.where(is_ver, l2w, l2h)
+    l2hp = jnp.where(is_ver, l2h, l2w)
+    main = jnp.where(is_ver, top, left)
+    side = jnp.where(is_ver, left, top)
+    angle = d[24]
+    inv = d[25]
+    ys = jnp.arange(B)[:, None]
+    xs = jnp.arange(B)[None, :]
+    delta = angle * (ys + 1)
+    di = delta >> 5
+    frac = delta & 31
+    t0 = di + 1 + xs
+
+    def refmain(t):
+        # t < 0: side projection (negative-angle extension); t >= 0: main
+        # with right replication at 2*wp (xPredIntraAng refMain assembly)
+        sidx = jnp.clip(jnp.minimum(((-t) * inv + 256) >> 9, hp), 0, RL - 1)
+        sv = side[sidx]
+        mv = main[jnp.clip(t, 0, 2 * wp)]
+        return jnp.where(t < 0, sv, mv)
+
+    def k_int(_):
+        return refmain(t0)
+
+    def four_tap(tab):
+        co = tab[frac[:, 0]]
+        return (co[:, 0:1] * refmain(t0 - 1) + co[:, 1:2] * refmain(t0)
+                + co[:, 2:3] * refmain(t0 + 1)
+                + co[:, 3:4] * refmain(t0 + 2) + 32) >> 6
+
+    def k_cubic(_):
+        return jnp.clip(four_tap(cf), 0, pel_max)
+
+    def k_gauss(_):
+        return four_tap(gf)
+
+    def k_chroma(_):
+        return ((32 - frac) * refmain(t0) + frac * refmain(t0 + 1)
+                + 16) >> 5
+
+    dst = lax.switch(jnp.clip(d[26], 0, 3),
+                     [k_int, k_cubic, k_gauss, k_chroma], 0)
+
+    do_pdpc = d[27] == 1
+    # positive-angle PDPC (side projection weights)
+    scale_a = jnp.minimum(2, l2hp - (_bitlen(3 * inv - 2) - 1 - 8))
+    sa = jnp.clip(scale_a, 0, 31)
+    nx = jnp.minimum(3 << sa, wp)
+    inv_sums = 256 + inv * (xs + 1)
+    wl = 32 >> jnp.minimum(31, (2 * xs) >> sa)
+    sidx = jnp.clip(jnp.minimum(ys + (inv_sums >> 9) + 1, 2 * hp),
+                    0, RL - 1)
+    lv = side[sidx]
+    add = (wl * (lv - dst) + 32) >> 6
+    m_pos = do_pdpc & (angle > 0) & (scale_a >= 0) & (xs < nx)
+    dst = jnp.where(m_pos, dst + add, dst)
+    # pure hor/ver PDPC (angle == 0)
+    scale0 = jnp.maximum((l2wp + l2hp - 2) >> 2, 0)
+    lev = jnp.minimum(3 << scale0, wp)
+    wl0 = 32 >> jnp.minimum(31, (2 * xs) >> scale0)
+    corner = side[0]
+    v0 = jnp.clip((wl0 * (side[1 + ys] - corner) + refmain(1 + xs) * 64
+                   + 32) >> 6, 0, pel_max)
+    m0 = do_pdpc & (angle == 0) & (xs < lev)
+    dst = jnp.where(m0, v0, dst)
+    return jnp.where(is_ver, dst, dst.T)
+
+
+def _make_unit_update(bd: int, cf, gf):
+    """One prediction unit's gather -> predict -> reconstruct -> RMW."""
+    pel_max = (1 << bd) - 1
+
+    def update(plane, resi, d):
+        top, left = _gather_refs(plane, d, bd)
+
+        def f_planar(_):
+            p = _pred_planar(top, left, d)
+            return jnp.where(d[27] == 1, _pdpc_dc_planar(p, top, left, d),
+                             p)
+
+        def f_dc(_):
+            p = _pred_dc(top, left, d)
+            return jnp.where(d[27] == 1, _pdpc_dc_planar(p, top, left, d),
+                             p)
+
+        def f_ang(_):
+            return _pred_angular(top, left, d, pel_max, cf, gf)
+
+        blk = lax.switch(jnp.clip(d[7], 0, 2), [f_planar, f_dc, f_ang], 0)
+        x, y = d[1], d[2]
+        r = lax.dynamic_slice(resi, (y, x), (B, B))
+        out = jnp.clip(blk + jnp.where(d[9] == 1, r, 0), 0, pel_max)
+        cur = lax.dynamic_slice(plane, (y, x), (B, B))
+        ys = jnp.arange(B)[:, None]
+        xs = jnp.arange(B)[None, :]
+        m = (ys < d[4]) & (xs < d[3]) & (d[28] == 1)
+        return lax.dynamic_update_slice(
+            plane, jnp.where(m, out, cur).astype(plane.dtype), (y, x))
+
+    return update
+
+
+@functools.lru_cache(maxsize=None)
+def _intra_scan_fn(bd: int):
+    """Jitted scan over descriptor rows carrying the (padded) recon
+    planes; the per-plane shapes specialize at trace time."""
+    cf = jnp.asarray(CHROMA_FILTER, dtype=jnp.int32)
+    gf = jnp.asarray(GAUSS_FILTER, dtype=jnp.int32)
+    upd = _make_unit_update(bd, cf, gf)
+
+    @jax.jit
+    def run(planes, resis, desc):
+        def step(carry, d):
+            def b0(c):
+                return (upd(c[0], resis[0], d), c[1], c[2])
+
+            def b1(c):
+                return (c[0], upd(c[1], resis[1], d), c[2])
+
+            def b2(c):
+                return (c[0], c[1], upd(c[2], resis[2], d))
+
+            return lax.switch(jnp.clip(d[0], 0, 2), [b0, b1, b2],
+                              carry), 0
+
+        carry, _ = lax.scan(step, tuple(planes), desc)
+        return carry
+
+    return run
+
+
+def run_intra_scan(planes_pad, resi_pad, desc: np.ndarray, bd: int):
+    """Run the intra chain on device.  planes_pad/resi_pad: 3 padded
+    int32 device arrays (mono: dummy chroma >= (B+1, B+1)); desc is the
+    [n, D] host descriptor tensor (bucketed to powers of two here)."""
+    n = desc.shape[0]
+    n_pad = 1 << max(0, (n - 1)).bit_length() if n else 1
+    if n_pad != n:
+        pad = np.zeros((n_pad - n, D), dtype=np.int32)
+        desc = np.concatenate([desc, pad])
+    fn = _intra_scan_fn(bd)
+    return fn(tuple(planes_pad), tuple(resi_pad), jnp.asarray(desc))
+
+
+# ======================================================================
+# host descriptor builder
+# ======================================================================
+def _fill_params(cs, order_map, wpp, ctu_log2, tu, cu, comp):
+    """Reference-fill geometry for one unit -> 13 ints, avail0 flag; or
+    None for the degenerate corner-only layout the golden zero-fills
+    (frame falls back whole to the host plane).  Mirrors
+    recon_np.fill_reference (mrl = 0) exactly, index-space only."""
+    from vvdec_tpu.frame.recon_np import sample_available
+
+    x, y, w, h = tu.blocks[comp]
+    wp_, hp_ = cs.comp_size[comp]
+    sx = cs.sub_w if comp else 1
+    sy = cs.sub_h if comp else 1
+    unit_w = 4 // sx
+    unit_h = 4 // sy
+    order = tu.order
+
+    def av(px, py):
+        return sample_available(cs, order_map, wpp, ctu_log2, px, py,
+                                comp, cu, order)
+
+    total_above = (2 * w + unit_w - 1) // unit_w
+    total_left = (2 * h + unit_h - 1) // unit_h
+    n_topleft = 1 if av(x - 1, y - 1) else 0
+    n_above = 0
+    for u in range(total_above):
+        if av(x + u * unit_w, y - 1):
+            n_above += 1
+        else:
+            break
+    n_left = 0
+    for u in range(total_left):
+        if av(x - 1, y + u * unit_h):
+            n_left += 1
+        else:
+            break
+    if n_topleft + n_above + n_left == 0:
+        return (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), 1
+    if n_topleft + n_above + n_left == total_above + total_left + 1:
+        txhi = min(x - 1 + 2 * w, wp_ - 1)
+        lyhi = min(y + 2 * h - 1, hp_ - 1)
+        return (y - 1, y - 1, 0, x - 1, x - 1, txhi,
+                x - 1, x - 1, 0, y - 1, y - 1, lyhi), 0
+    if n_left > 0:
+        n_l = min(n_left * unit_h, 2 * h, hp_ - y)
+        lylo = y - 1 if n_topleft else y
+        lyhi = y + n_l - 1
+        if n_above > 0:
+            n_a = min(n_above * unit_w, 2 * w, wp_ - x)
+            txhi = x + n_a - 1
+        else:
+            txhi = x - 1
+        if n_topleft:
+            ty_a = ty_b = y - 1
+            ty_k = 0
+        elif n_above > 0:
+            ty_a, ty_b, ty_k = y, y - 1, 1
+        else:
+            ty_a = ty_b = y
+            ty_k = 0
+        return (ty_a, ty_b, ty_k, x - 1, x - 1, txhi,
+                x - 1, x - 1, 0, y - 1, lylo, lyhi), 0
+    # left column unavailable: top row drives everything
+    if n_above == 0:
+        # corner-only layout (golden zero-fills top[1:]); host fallback
+        return None
+    n_a = min(n_above * unit_w, 2 * w, wp_ - x)
+    return (y - 1, y - 1, 0, x - 1, x, x + n_a - 1,
+            x, x, 0, 0, y - 1, y - 1), 0
+
+
+def build_intra_descriptors(cs):
+    """(desc [n, D] int32, None) for a device-eligible picture, or
+    (None, reason) naming the first tool outside the device intra set.
+    Walks cs.tus in parse order, maintaining the TU order map the
+    availability rule needs (recon_np parity)."""
+    from vvdec_tpu.frame.recon_np import (
+        CHROMA422_MAP,
+        DIA_IDX,
+        HOR_IDX,
+        VER_IDX,
+        co_located_luma_mode_of,
+        wide_angle,
+    )
+    from vvdec_tpu.frame.structure import (
+        DC_IDX,
+        DM_CHROMA_IDX,
+        MODE_INTRA,
+        MTS_SKIP,
+        NUM_LUMA_MODE,
+        PLANAR_IDX,
+    )
+
+    if cs.sps.bit_depth > 10:
+        return None, "bit_depth>10"
+    if cs.ph.lmcs_enabled and getattr(cs, "lmcs_info", None) is not None:
+        return None, "lmcs"
+    if cs.sps.ibc_enabled:
+        return None, "ibc"
+    if cs.sps.act_enabled:
+        return None, "act"
+    wpp = cs.sps.entropy_coding_sync_enabled
+    ctu_log2 = cs.sps.ctu_log2
+    order_map = np.full((cs.h >> 2, cs.w >> 2), -1, dtype=np.int32)
+    if type(cs.tus) is list:
+        for i, tu in enumerate(cs.tus):
+            tu.order = i
+
+    def final_mode(cu, comp):
+        if comp == 0:
+            return cu.intra_dir[0]
+        mode = cu.intra_dir[1]
+        if mode == DM_CHROMA_IDX:
+            mode = co_located_luma_mode_of(cs, cu)
+        if cs.sps.chroma_format_idc == 2 and mode < 67:
+            mode = CHROMA422_MAP[mode]
+        return mode
+
+    rows = []
+    for tu in cs.tus:
+        cu = cs.cus[tu.cu_idx]
+        if cu.pred_mode != MODE_INTRA:
+            return None, "inter_cu"
+        if cu.mip_flag:
+            return None, "mip"
+        if cu.isp_mode:
+            return None, "isp"
+        if cu.multi_ref_idx:
+            return None, "mrl"
+        if cu.bdpcm_mode or cu.bdpcm_mode_chroma:
+            return None, "bdpcm"
+        if cu.color_transform:
+            return None, "act"
+        if tu.joint_cbcr:
+            return None, "joint_cbcr"
+        comps = []
+        if tu.blocks[0] is not None and cu.has_luma:
+            comps.append(0)
+        if tu.blocks[1] is not None and cu.has_chroma and cs.num_comp > 1:
+            comps += [1, 2]
+        for comp in comps:
+            x, y, w, h = tu.blocks[comp]
+            if w > 64 or h > 64 or w < 1 or h < 1:
+                return None, "block_size"
+            cbf = bool(tu.cbf[comp])
+            if cbf and tu.mts_idx[comp] == MTS_SKIP:
+                return None, "transform_skip"
+            mode = final_mode(cu, comp)
+            if mode >= NUM_LUMA_MODE:
+                return None, "cclm"
+            fp = _fill_params(cs, order_map, wpp, ctu_log2, tu, cu, comp)
+            if fp is None:
+                return None, "fill_corner_case"
+            fill, avail0 = fp
+            l2w, l2h = w.bit_length() - 1, h.bit_length() - 1
+            do_pdpc = 1 if (w >= 4 and h >= 4) else 0
+            # mode classification + angular parameters
+            filtered = 0
+            if mode == PLANAR_IDX:
+                mode_class, is_ver, angle, inv, kind = 0, 0, 0, 0, 0
+                if comp == 0 and w * h > 32:
+                    filtered = 1
+            elif mode == DC_IDX:
+                mode_class, is_ver, angle, inv, kind = 1, 0, 0, 0, 0
+            else:
+                mode_class = 2
+                pred_mode = wide_angle(w, h, mode)
+                is_ver = 1 if pred_mode >= DIA_IDX else 0
+                ang_mode = (pred_mode - VER_IDX) if is_ver \
+                    else -(pred_mode - HOR_IDX)
+                abs_ang = int(ANG_TABLE[abs(ang_mode)])
+                inv = int(INV_ANG_TABLE[abs(ang_mode)])
+                angle = abs_ang if ang_mode >= 0 else -abs_ang
+                diff = min(abs(pred_mode - HOR_IDX),
+                           abs(pred_mode - VER_IDX))
+                log2_size = (l2w + l2h) >> 1
+                thresh_ok = diff > INTRA_FILTER_THRESH[0][log2_size]
+                if (abs_ang & 0x1F) == 0:
+                    kind = 0
+                    if comp == 0 and thresh_ok:
+                        filtered = 1
+                elif comp != 0:
+                    kind = 3
+                else:
+                    kind = 2 if thresh_ok else 1
+            rows.append((
+                comp, x, y, w, h, l2w, l2h, mode_class, filtered,
+                1 if cbf else 0, avail0, *fill, is_ver, angle, inv,
+                kind, do_pdpc, 1))
+        # mark the TU decoded (luma-granularity availability map)
+        if tu.blocks[0] is not None:
+            mx, my, mw, mh = tu.blocks[0]
+        else:
+            cxx, cyy, cww, chh = tu.blocks[1]
+            mx, my = cxx * cs.sub_w, cyy * cs.sub_h
+            mw, mh = cww * cs.sub_w, chh * cs.sub_h
+        order_map[my >> 2: (my + mh) >> 2, mx >> 2: (mx + mw) >> 2] \
+            = tu.order
+    if not rows:
+        return None, "no_units"
+    return np.asarray(rows, dtype=np.int32), None
