@@ -108,6 +108,89 @@ class TestFrameDevice:
         _assert_both(s)
 
 
+def _ld_stream(n, seed, dec_kw, sps_kw=None, pps_kw=None, sh_kw_fn=None):
+    """IDR + low-delay P/B chain (refs: prev, prev2)."""
+    from vvdec_tpu.bitstream.nal import NalUnitType
+    from vvdec_tpu.hls.params import P_SLICE
+    from vvdec_tpu.testenc import encoder as E
+    from vvdec_tpu.testenc.bitwriter import BitWriter
+    from vvdec_tpu.testenc.encoder import RandomDecisions
+    from vvdec_tpu.testenc.hls_writer import make_nal, write_pps, write_sps
+
+    sps = E.make_sps(WH[0], WH[1], ctu=32, num_reorder_pics=[0],
+                     **(sps_kw or {}))
+    pps = E.make_pps(sps, **(pps_kw or {}))
+    bw = BitWriter()
+    write_sps(bw, sps)
+    st = make_nal(NalUnitType.SPS, bw.bytes())
+    bw = BitWriter()
+    write_pps(bw, pps, sps)
+    st += make_nal(NalUnitType.PPS, bw.bytes())
+    for f in range(n):
+        dec = RandomDecisions(seed=seed * 100 + f, **dec_kw)
+        sh_kw = sh_kw_fn(f) if sh_kw_fn else None
+        if f == 0:
+            nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=0, idr=True,
+                                    sh_kw=sh_kw)
+        else:
+            nal, _ = E.encode_frame(
+                sps, pps, dec, qp=32, poc=f, idr=False,
+                slice_type=P_SLICE,
+                ref_deltas=((1, 2) if f >= 2 else (1,), ()), sh_kw=sh_kw)
+        st += nal
+    return st
+
+
+class TestFrameDeviceInter:
+    IKW = dict(split_prob=0.4, inter_prob=0.8, skip_prob=0.3,
+               mv_range=24)
+
+    def test_inter_ld_basic_on_device(self):
+        s = _ld_stream(6, 31, self.IKW)
+        census, frames = _census(s)
+        assert len(frames) == 6
+        assert not any(k.startswith("device_recon") for k in census), \
+            census
+        _assert_both(s)
+
+    def test_inter_bi_bcw(self):
+        s = _ld_stream(5, 32, dict(self.IKW, bi_prob=0.5, bcw_prob=0.5),
+                       sps_kw=dict(bcw_enabled=True))
+        _assert_both(s)
+
+    def test_inter_mmvd_smvd_amvr(self):
+        s = _ld_stream(5, 33, dict(self.IKW, mmvd_prob=0.3, amvr_prob=0.4),
+                       sps_kw=dict(mmvd_enabled=True, amvr_enabled=True))
+        _assert_both(s)
+
+    def test_inter_weighted_pred(self):
+        from vvdec_tpu.testenc.encoder import make_weight_table
+
+        def sh_kw(f):
+            if f == 0:
+                return None
+            return dict(weight_table=make_weight_table(33 + f, 2, 0))
+
+        s = _ld_stream(4, 34, self.IKW,
+                       sps_kw=dict(weighted_pred=True),
+                       pps_kw=dict(weighted_pred=True), sh_kw_fn=sh_kw)
+        _assert_both(s)
+
+    def test_inter_sbt_residuals(self):
+        s = _ld_stream(4, 35, dict(self.IKW, sbt_prob=0.5),
+                       sps_kw=dict(sbt_enabled=True))
+        _assert_both(s)
+
+    def test_affine_falls_back_bit_exact(self):
+        s = _ld_stream(4, 36,
+                       dict(self.IKW, affine_prob=0.5,
+                            affine_merge_prob=0.5),
+                       sps_kw=dict(affine_enabled=True))
+        census, _ = _census(s)
+        assert any(k.startswith("device_recon:") for k in census), census
+        _assert_both(s)
+
+
 class TestIntraDescriptors:
     def test_plan_reports_reason(self):
         from vvdec_tpu.decoder import parse_annexb

@@ -364,6 +364,7 @@ class StreamDecoder:
         from collections import Counter
         self.fallback_census = Counter()
         self._refs: dict[int, list] = {}      # poc -> int planes (ref)
+        self._refs_dev: dict[int, tuple] = {}  # poc -> device planes (DPB)
         self._ref_cols: dict[int, object] = {}  # poc -> ColMotion
         self._ref_pps: dict[int, object] = {}   # poc -> PPS (RPR scaling)
         self._pending: ParsedFrame | None = None
@@ -489,6 +490,17 @@ class StreamDecoder:
             self._refs[poc] = v
         return v
 
+    def _dev_ref(self, poc: int, comp: int):
+        """Device-resident reference plane by POC (uploading a
+        host-decoded reference once on first device use)."""
+        t = self._refs_dev.get(poc)
+        if t is None:
+            import jax.numpy as jnp
+            t = tuple(jnp.asarray(p)
+                      for p in self._ref_planes_of(poc))
+            self._refs_dev[poc] = t
+        return t[comp]
+
     def _substitute_ref(self, poc: int, cs):
         """Lost reference: the closest decoded picture, or a grey frame
         (DecLibParser::prepareUnavailablePicture + findClosestPic)."""
@@ -560,6 +572,7 @@ class StreamDecoder:
             # handling is trivial here: they remain output-marked)
             self.plm.unmark_all_references()
             self._refs.clear()
+            self._refs_dev.clear()
             self._ref_cols.clear()
             self._ref_pps.clear()
         self._num_reorder = cs.sps.num_reorder_pics[-1]
@@ -634,8 +647,14 @@ class StreamDecoder:
                 plan_frame_device, reconstruct_frame_device)
             desc, dev_reason = plan_frame_device(cs)
             if desc is not None:
+                def get_ref(lst, ref_idx, comp):
+                    return self._dev_ref(cs.ref_pocs[lst][ref_idx], comp)
+
                 with profiler.stage("recon+filter(device)"):
-                    pending = reconstruct_frame_device(cs, desc)
+                    pending = reconstruct_frame_device(cs, desc, get_ref)
+                # device-resident DPB entry: later device frames gather
+                # their MC references without any host round-trip
+                self._refs_dev[f.poc] = tuple(pending.planes_dev)
                 deferred = _DeferredFrame(self, pending, f.sei, f.poc,
                                           cs.sps.bit_depth)
                 use_dev = True

@@ -1479,9 +1479,12 @@ class IntraReconstructor:
                 if j > i:
                     i = j
                     last_ctu_row = (int(ifp.state[0]), int(ifp.state[1]))
-                    cu = self.cs.cus[tus[j - 1].cu_idx]
-                    self._seen_cu = cu.idx
-                    prev_cu = cu
+                    # boundary CU index straight from the flat records —
+                    # materializing the CU (and all its TUs) here costs
+                    # more than the whole C inter run for small runs
+                    cu_idx = int(self.cs._nw["tu_rec"][j - 1, 0])
+                    self._seen_cu = cu_idx
+                    prev_cu = self.cs.cus[cu_idx] if ibc_on else None
                     continue
             tu = tus[i]
             i += 1
@@ -1581,6 +1584,13 @@ class IntraReconstructor:
                 my = ((my + clip17) & (2 * clip17 - 1)) - clip17
                 mv[lst] = [mx, my]
             cu.mv = mv
+        if getattr(self, "derive_only", False):
+            # derivation-only pass (device pipeline): span the motion
+            # field and update HMVP, skip all pixel work (the device MC
+            # stage consumes the derived motion)
+            I.span_motion(cs, cu)
+            self._hist.add(I._mi_of(cu))
+            return
         # motion compensation (DMVR / BDOF take dedicated paths,
         # motionCompensation InterPrediction.cpp:1412-1459)
         from vvdec_tpu.frame import dmvr_np as D

@@ -290,7 +290,9 @@ def run_intra_scan(planes_pad, resi_pad, desc: np.ndarray, bd: int):
     int32 device arrays (mono: dummy chroma >= (B+1, B+1)); desc is the
     [n, D] host descriptor tensor (bucketed to powers of two here)."""
     n = desc.shape[0]
-    n_pad = 1 << max(0, (n - 1)).bit_length() if n else 1
+    if n == 0:
+        return tuple(planes_pad)
+    n_pad = 1 << max(0, (n - 1)).bit_length()
     if n_pad != n:
         pad = np.zeros((n_pad - n, D), dtype=np.int32)
         desc = np.concatenate([desc, pad])
@@ -420,18 +422,32 @@ def build_intra_descriptors(cs):
     rows = []
     for tu in cs.tus:
         cu = cs.cus[tu.cu_idx]
-        if cu.pred_mode != MODE_INTRA:
-            return None, "inter_cu"
-        if cu.mip_flag:
-            return None, "mip"
-        if cu.isp_mode:
-            return None, "isp"
-        if cu.multi_ref_idx:
-            return None, "mrl"
-        if cu.bdpcm_mode or cu.bdpcm_mode_chroma:
-            return None, "bdpcm"
-        if cu.color_transform:
-            return None, "act"
+        is_intra = cu.pred_mode == MODE_INTRA
+        if not is_intra:
+            # inter CUs reconstruct in the device MC stage; gate the
+            # tools outside its family (ops/mc_device._cu_mc_eligible
+            # re-checks the motion-dependent gates post-derivation)
+            if cu.pred_mode != 0:  # not MODE_INTER -> MODE_IBC
+                return None, "ibc"
+            if cu.affine_flag:
+                return None, "affine"
+            if cu.geo_flag:
+                return None, "geo"
+            if cu.ciip_flag:
+                return None, "ciip"
+            if cu.merge_type:
+                return None, "sbtmvp"
+        if is_intra:
+            if cu.mip_flag:
+                return None, "mip"
+            if cu.isp_mode:
+                return None, "isp"
+            if cu.multi_ref_idx:
+                return None, "mrl"
+            if cu.bdpcm_mode or cu.bdpcm_mode_chroma:
+                return None, "bdpcm"
+            if cu.color_transform:
+                return None, "act"
         if tu.joint_cbcr:
             return None, "joint_cbcr"
         comps = []
@@ -441,11 +457,13 @@ def build_intra_descriptors(cs):
             comps += [1, 2]
         for comp in comps:
             x, y, w, h = tu.blocks[comp]
-            if w > 64 or h > 64 or w < 1 or h < 1:
-                return None, "block_size"
             cbf = bool(tu.cbf[comp])
             if cbf and tu.mts_idx[comp] == MTS_SKIP:
                 return None, "transform_skip"
+            if not is_intra:
+                continue
+            if w > 64 or h > 64 or w < 1 or h < 1:
+                return None, "block_size"
             mode = final_mode(cu, comp)
             if mode >= NUM_LUMA_MODE:
                 return None, "cclm"
@@ -498,5 +516,6 @@ def build_intra_descriptors(cs):
         order_map[my >> 2: (my + mh) >> 2, mx >> 2: (mx + mw) >> 2] \
             = tu.order
     if not rows:
-        return None, "no_units"
+        # all-inter picture: valid, the intra scan is a no-op
+        return np.zeros((0, D), dtype=np.int32), None
     return np.asarray(rows, dtype=np.int32), None
