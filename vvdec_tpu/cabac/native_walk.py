@@ -216,16 +216,21 @@ def _build_params(coder, m) -> np.ndarray:
     return np.asarray(p, dtype=np.int32)
 
 
+_rec_hwm = [_GROW, _GROW]  # record-count high-water mark across pictures
+
+
 def _picture_buffers(cs, m):
-    """Per-picture native-walk record buffers, created once per picture."""
+    """Per-picture native-walk record buffers, created once per picture.
+    Sized to the high-water mark of earlier pictures so steady-state
+    decoding never re-grows (growth costs a copy per doubling)."""
     nw = getattr(cs, "_nw", None)
     if nw is None:
         n_ctus = cs.pps.pic_width_in_ctu * cs.pps.pic_height_in_ctu
         nw = cs._nw = {
             # records are memset field-complete at allocation in C
             # (w_code_cu / w_add_tu), so uninitialized backing is fine
-            "cu_rec": np.empty((_GROW, m.WALK_CU_NF), dtype=np.int32),
-            "tu_rec": np.empty((_GROW, m.WALK_TU_NF), dtype=np.int32),
+            "cu_rec": np.empty((_rec_hwm[0], m.WALK_CU_NF), dtype=np.int32),
+            "tu_rec": np.empty((_rec_hwm[1], m.WALK_TU_NF), dtype=np.int32),
             "counts": np.zeros(2, dtype=np.int32),
             "sao": np.zeros(n_ctus * m.WALK_SAO_STRIDE, dtype=np.int32),
             "alf": np.zeros(n_ctus * m.WALK_ALF_STRIDE, dtype=np.int32),
@@ -307,12 +312,12 @@ class SliceWalk:
         if n_cu + _HEADROOM > nw["cu_rec"].shape[0]:
             nw["cu_rec"] = np.vstack(
                 [nw["cu_rec"],
-                 np.zeros_like(nw["cu_rec"])])
+                 np.empty_like(nw["cu_rec"])])
             grew = True
         if n_tu + _HEADROOM > nw["tu_rec"].shape[0]:
             nw["tu_rec"] = np.vstack(
                 [nw["tu_rec"],
-                 np.zeros_like(nw["tu_rec"])])
+                 np.empty_like(nw["tu_rec"])])
             grew = True
         if grew:
             self.sess.close()
@@ -332,9 +337,9 @@ class SliceWalk:
             if pos < n:
                 nw = self.nw
                 nw["cu_rec"] = np.vstack([nw["cu_rec"],
-                                          np.zeros_like(nw["cu_rec"])])
+                                          np.empty_like(nw["cu_rec"])])
                 nw["tu_rec"] = np.vstack([nw["tu_rec"],
-                                          np.zeros_like(nw["tu_rec"])])
+                                          np.empty_like(nw["tu_rec"])])
                 self.sess.close()
                 self._begin()
 
@@ -345,6 +350,8 @@ class SliceWalk:
         cs, nw = self.cs, self.nw
         cs.chroma_qp_adj = int(nw["state"][1])
         n_cus, n_tus = int(nw["counts"][0]), int(nw["counts"][1])
+        _rec_hwm[0] = max(_rec_hwm[0], n_cus + _HEADROOM)
+        _rec_hwm[1] = max(_rec_hwm[1], n_tus + _HEADROOM)
         if not isinstance(cs.cus, LazyRecList):
             assert not cs.cus and not cs.tus
             cs.cus = LazyRecList(lambda i: _materialize_cu(cs, nw, i))

@@ -32,6 +32,133 @@ static int mc_block_core(const int32_t *ref, int W, int H, int x0, int y0,
     if (head < 2) head = 2;
     int pel_max = (1 << bd) - 1;
 
+    /* Interior fast path: the gather window is fully inside the clamp
+     * bounds (the overwhelmingly common case away from picture edges),
+     * so the index maps collapse to dense pointer runs and the int64
+     * accumulators to int32 (worst case for bd<=12: pass-1 |acc| <
+     * 2^22, pass-2 |acc| < 2^25 — far inside int32), which lets the
+     * compiler vectorize the tap loops (the role of the reference's
+     * hand-written SIMD InterpolationFilter backends). */
+    if (wrap_off < 0 && bd <= 12
+        && wx0 >= lo_x && wx0 + ew - 1 <= hi_x
+        && wy0 >= lo_y && wy0 + eh - 1 <= hi_y) {
+        const int32_t *base = ref + (size_t)wy0 * W + wx0;
+        if (!has_fx && !has_fy) {
+            for (int r = 0; r < h; r++) {
+                const int32_t *row = base + (size_t)(half + r) * W + half;
+                int32_t *o = out + (size_t)r * w;
+                if (intermediate) {
+                    for (int c = 0; c < w; c++)
+                        o[c] = (row[c] << head) - IF_OFFS;
+                } else {
+                    memcpy(o, row, sizeof(int32_t) * w);
+                }
+            }
+            return 0;
+        }
+        if (has_fx && has_fy) {
+            if (w > 128 || eh > 128 + 16) {
+                g_walk_err = "mc_block too large";
+                return -1;
+            }
+            static _Thread_local int32_t tmpd[(128 + 16) * 128];
+            int s1 = IF_FILT - head;
+            int32_t off1 = -(IF_OFFS << s1);
+            int s2 = IF_FILT + head;
+            int32_t off2 = (1 << (s2 - 1)) + (IF_OFFS << IF_FILT);
+#define MC_PASS1(T)                                                     \
+            for (int r = 0; r < eh; r++) {                              \
+                const int32_t *row = base + (size_t)r * W;              \
+                int32_t *t = tmpd + (size_t)r * w;                      \
+                for (int c = 0; c < w; c++) {                           \
+                    int32_t acc = 0;                                    \
+                    for (int k = 0; k < (T); k++)                       \
+                        acc += row[c + k] * cx[k];                      \
+                    t[c] = (acc + off1) >> s1;                          \
+                }                                                       \
+            }
+#define MC_PASS2(T)                                                     \
+            for (int r = 0; r < h; r++) {                               \
+                int32_t *o = out + (size_t)r * w;                       \
+                const int32_t *t = tmpd + (size_t)r * w;                \
+                if (intermediate) {                                     \
+                    for (int c = 0; c < w; c++) {                       \
+                        int32_t acc = 0;                                \
+                        for (int k = 0; k < (T); k++)                   \
+                            acc += t[(size_t)k * w + c] * cy[k];        \
+                        o[c] = acc >> IF_FILT;                          \
+                    }                                                   \
+                } else {                                                \
+                    for (int c = 0; c < w; c++) {                       \
+                        int32_t acc = 0;                                \
+                        for (int k = 0; k < (T); k++)                   \
+                            acc += t[(size_t)k * w + c] * cy[k];        \
+                        int32_t v = (acc + off2) >> s2;                 \
+                        if (v < 0) v = 0;                               \
+                        if (v > pel_max) v = pel_max;                   \
+                        o[c] = v;                                       \
+                    }                                                   \
+                }                                                       \
+            }
+            switch (taps) {
+            case 8: MC_PASS1(8) MC_PASS2(8) break;
+            case 6: MC_PASS1(6) MC_PASS2(6) break;
+            case 4: MC_PASS1(4) MC_PASS2(4) break;
+            case 2: MC_PASS1(2) MC_PASS2(2) break;
+            default: MC_PASS1(taps) MC_PASS2(taps) break;
+            }
+#undef MC_PASS1
+#undef MC_PASS2
+            return 0;
+        }
+        /* single-direction filter */
+        {
+            int s = intermediate ? IF_FILT - head : IF_FILT;
+            int32_t off = intermediate ? -(IF_OFFS << s)
+                                       : (1 << (s - 1));
+#define MC_1D(T)                                                        \
+            for (int r = 0; r < h; r++) {                               \
+                int32_t *o = out + (size_t)r * w;                       \
+                if (has_fx) {                                           \
+                    const int32_t *row = base + (size_t)(half + r) * W; \
+                    for (int c = 0; c < w; c++) {                       \
+                        int32_t acc = 0;                                \
+                        for (int k = 0; k < (T); k++)                   \
+                            acc += row[c + k] * cx[k];                  \
+                        int32_t v = (acc + off) >> s;                   \
+                        if (!intermediate) {                            \
+                            if (v < 0) v = 0;                           \
+                            if (v > pel_max) v = pel_max;               \
+                        }                                               \
+                        o[c] = v;                                       \
+                    }                                                   \
+                } else {                                                \
+                    const int32_t *col = base + (size_t)r * W + half;   \
+                    for (int c = 0; c < w; c++) {                       \
+                        int32_t acc = 0;                                \
+                        for (int k = 0; k < (T); k++)                   \
+                            acc += col[(size_t)k * W + c] * cy[k];      \
+                        int32_t v = (acc + off) >> s;                   \
+                        if (!intermediate) {                            \
+                            if (v < 0) v = 0;                           \
+                            if (v > pel_max) v = pel_max;               \
+                        }                                               \
+                        o[c] = v;                                       \
+                    }                                                   \
+                }                                                       \
+            }
+            switch (taps) {
+            case 8: MC_1D(8) break;
+            case 6: MC_1D(6) break;
+            case 4: MC_1D(4) break;
+            case 2: MC_1D(2) break;
+            default: MC_1D(taps) break;
+            }
+#undef MC_1D
+            return 0;
+        }
+    }
+
     /* index maps with clamp / wraparound (wrap_cols semantics) */
     int xs_buf[64 + 16], ys_buf[64 + 16];
     int *xs = xs_buf, *ys = ys_buf;
