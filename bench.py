@@ -134,6 +134,32 @@ def _intra_stream(w, h, n, seed, filters=False):
     return st
 
 
+def _device_fps(stream, n_frames):
+    """fps of the device (TPU) pipeline on this stream, plus the
+    fallback census — measured and reported every round even when the
+    host plane wins on this rig (the tunneled chip's ~30 MB/s link
+    bounds any per-frame readback path; see BASELINE.md)."""
+    if os.environ.get("VVDEC_BENCH_NO_DEVICE") == "1":
+        return None, {}
+    try:
+        from vvdec_tpu.api import Decoder, DecoderParams
+        from vvdec_tpu.decoder import decode_annexb
+
+        decode_annexb(stream, use_jax=True)  # warm (compile)
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            decode_annexb(stream, use_jax=True)
+            best = max(best, n_frames / (time.time() - t0))
+        d = Decoder(DecoderParams(use_device_pipeline=True))
+        d.decode(stream)
+        d.flush()
+        return best, d.get_fallback_census()
+    except Exception as e:  # never let the device row break the bench
+        print(f"device path failed: {e!r}", file=sys.stderr)
+        return None, {}
+
+
 def _best_fps(stream, n_frames, pool):
     """Fastest correct configuration for one stream.
 
@@ -195,14 +221,25 @@ def main() -> None:
     ]
 
     headline = headline_ref = None
+    dev_fps = dev_census = None
     try:
-        for name, stream, n, pels in configs:
+        for ci, (name, stream, n, pels) in enumerate(configs):
             fps, cfg, all_r = _best_fps(stream, n, pool)
             ref = _ref_fps(stream)
             vs = f" ref={ref:.1f} vs_reference={fps / ref:.2f}" if ref \
                 else ""
+            dv = ""
+            if ci in (0, 3):  # headline + inter-LD: measure the TPU path
+                dfps, census = _device_fps(stream, n)
+                if dfps is not None:
+                    dv = f" device={dfps:.1f}"
+                    if census:
+                        dv += " device_fallbacks=" + ",".join(
+                            f"{k}:{v}" for k, v in sorted(census.items()))
+                if ci == 0:
+                    dev_fps, dev_census = dfps, census
             print(f"{name}: {fps:.1f} fps ({fps * pels / 1e6:.1f} MP/s) "
-                  f"best={cfg}{vs} " + " ".join(
+                  f"best={cfg}{vs}{dv} " + " ".join(
                       f"{k}={v:.1f}" for k, v in all_r.items()),
                   file=sys.stderr)
             if headline is None:
@@ -216,6 +253,10 @@ def main() -> None:
         "value": round(headline, 4),
         "unit": "frames/s",
     }
+    if dev_fps is not None:
+        out["device_fps"] = round(dev_fps, 2)
+        if dev_census:
+            out["device_fallbacks"] = dict(dev_census)
     if headline_ref:
         out["vs_baseline"] = round(headline / headline_ref, 5)
         out["reference_fps"] = round(headline_ref, 2)

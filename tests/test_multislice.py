@@ -134,3 +134,75 @@ class TestRasterMultiSlice:
             nal, _ = encode_picture(sps, pps, poc=f, idr=True, slices=sl)
             stream += nal
         _check(stream, tmp_path, 2)
+
+
+class TestPerSliceRpl:
+    """Slices of one picture with DIFFERING reference picture lists
+    (Slice::constructRefPicLists is per slice; the ref sets swap per CU
+    and the colocated-MV POC lookup is slice-aware)."""
+
+    @pytest.mark.parametrize("seed", range(2))
+    def test_differing_rpls(self, tmp_path, seed):
+        from vvdec_tpu.testenc.encoder import encode_picture
+        pps_kw = dict(**TILES_2X2, rect_slice=True,
+                      single_slice_per_subpic=False, num_slices_in_pic=2,
+                      slice_top_left_tile_idx=[0, 2],
+                      slice_width_in_tiles=[2, 2],
+                      slice_height_in_tiles=[1, 1],
+                      loop_filter_across_slices=True,
+                      loop_filter_across_tiles=True)
+        sps, pps, stream = _header(dict(temporal_mvp_enabled=True), pps_kw)
+        dec_kw = dict(split_prob=0.4, inter_prob=0.7, skip_prob=0.2,
+                      mv_range=24)
+        for f in range(5):
+            if f == 0:
+                sl = _slices(2, seed * 100, dict(split_prob=0.5))
+            elif f == 1:
+                sl = _slices(2, seed * 100 + f * 10, dec_kw, types=[1, 1],
+                             ref_deltas=((1,), ()))
+            else:
+                # same reference set, opposite order: ref_idx 0 resolves
+                # to POC f-1 in slice 0 but POC f-2 in slice 1
+                sl = _slices(1, seed * 100 + f * 10, dec_kw, types=[1],
+                             ref_deltas=((1, 2), ()))
+                sl += _slices(1, seed * 100 + f * 10 + 5, dec_kw,
+                              types=[1],
+                              ref_deltas=((2, 1), ()))
+            nal, _ = encode_picture(sps, pps, poc=f, idr=f == 0,
+                                    slices=sl)
+            stream += nal
+        _check(stream, tmp_path, 5)
+
+    def test_per_slice_rpl_flag_and_census(self):
+        from vvdec_tpu.api import Decoder, DecoderParams
+        from vvdec_tpu.testenc.encoder import encode_picture
+        pps_kw = dict(**TILES_2X2, rect_slice=True,
+                      single_slice_per_subpic=False, num_slices_in_pic=2,
+                      slice_top_left_tile_idx=[0, 2],
+                      slice_width_in_tiles=[2, 2],
+                      slice_height_in_tiles=[1, 1],
+                      loop_filter_across_slices=True,
+                      loop_filter_across_tiles=True)
+        sps, pps, stream = _header({}, pps_kw)
+        dec_kw = dict(split_prob=0.4, inter_prob=0.7, skip_prob=0.2,
+                      mv_range=16)
+        for f in range(3):
+            if f == 0:
+                sl = _slices(2, 7, dict(split_prob=0.5))
+            elif f == 1:
+                sl = _slices(2, 7 + f * 10, dec_kw, types=[1, 1],
+                             ref_deltas=((1,), ()))
+            else:
+                sl = _slices(1, 7 + f * 10, dec_kw, types=[1],
+                             ref_deltas=((1, 2), ()))
+                sl += _slices(1, 7 + f * 10 + 5, dec_kw, types=[1],
+                              ref_deltas=((2, 1), ()))
+            nal, _ = encode_picture(sps, pps, poc=f, idr=f == 0,
+                                    slices=sl)
+            stream += nal
+        d = Decoder(DecoderParams())
+        frames = d.decode(stream)
+        frames += d.flush()
+        assert len(frames) == 3
+        census = d.get_fallback_census()
+        assert census.get("inter_c:per_slice_rpl", 0) >= 1, census

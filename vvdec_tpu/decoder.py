@@ -501,6 +501,79 @@ class StreamDecoder:
             self._refs_dev[poc] = t
         return t[comp]
 
+    @staticmethod
+    def _rpl_key(sh):
+        """Hashable identity of a slice's RPLs + active counts (two
+        slices with equal keys share one resolved reference set)."""
+        out = [tuple(sh.num_ref_idx_active)]
+        for lst in range(2):
+            rpl = sh.rpl[lst]
+            out.append(None if rpl is None else tuple(
+                (e.is_long_term, e.value,
+                 getattr(e, "delta_poc_msb_present", False),
+                 getattr(e, "delta_poc_msb_cycle", 0))
+                for e in rpl.entries))
+        return tuple(out)
+
+    def _build_ref_set(self, f, cs, sh_ref):
+        """Resolve one slice's RPLs: (ref_pocs, ref_planes, ref_cols,
+        ref_scaled, check_ldc), plus a missing-reference error flag
+        (Slice::constructRefPicLists + scaleRefPicList)."""
+        ref_pocs = [[], []]
+        ref_planes = [[], []]
+        ref_cols = [[], []]
+        ref_scaled = [[], []]
+        pic_error = False
+        for lst in range(2):
+            rpl = sh_ref.rpl[lst]
+            if rpl is None:
+                continue
+            for e in rpl.entries:
+                if e.is_long_term:
+                    # long-term reference: match by POC LSB, or by full
+                    # POC when the MSB cycle is signalled
+                    # (Slice::constructRefPicLists + xGetLongTermRefPic)
+                    max_lsb = cs.sps.max_poc_lsb
+                    if e.delta_poc_msb_present:
+                        ref_poc = (e.value + f.poc
+                                   - e.delta_poc_msb_cycle * max_lsb
+                                   - (f.poc & (max_lsb - 1)))
+                    else:
+                        ref_poc = next(
+                            (p for p in sorted(self._refs, reverse=True)
+                             if (p & (max_lsb - 1)) == e.value),
+                            e.value)
+                else:
+                    ref_poc = f.poc + e.value
+                ref_pocs[lst].append(ref_poc)
+                if ref_poc not in self._refs:
+                    if self.err_policy != "conceal":
+                        raise ValueError(
+                            f"missing reference POC {ref_poc}")
+                    planes_c, col_c = self._substitute_ref(ref_poc, cs)
+                    self._refs[ref_poc] = planes_c
+                    self._ref_cols[ref_poc] = col_c
+                    pic_error = True
+                ref_planes[lst].append(self._ref_planes_of(ref_poc))
+                ref_cols[lst].append(self._ref_cols[ref_poc])
+                # RPR: record per-ref scaling when the reference uses a
+                # different size/scaling window (Slice::scaleRefPicList)
+                from vvdec_tpu.frame import rpr_np
+                ref_pps = self._ref_pps.get(ref_poc, cs.pps)
+                if rpr_np.is_ref_scaled(cs.pps, ref_pps):
+                    ref_scaled[lst].append(
+                        (rpr_np.get_rpr_scaling(cs.sps, cs.pps,
+                                                ref_pps), ref_pps))
+                else:
+                    ref_scaled[lst].append(None)
+        # low-delay check: every active reference precedes this picture
+        check_ldc = all(
+            p <= f.poc
+            for lst in range(2)
+            for p in ref_pocs[lst][: sh_ref.num_ref_idx_active[lst]])
+        return (ref_pocs, ref_planes, ref_cols, ref_scaled,
+                check_ldc), pic_error
+
     def _substitute_ref(self, poc: int, cs):
         """Lost reference: the closest decoded picture, or a grey frame
         (DecLibParser::prepareUnavailablePicture + findClosestPic)."""
@@ -576,63 +649,36 @@ class StreamDecoder:
             self._ref_cols.clear()
             self._ref_pps.clear()
         self._num_reorder = cs.sps.num_reorder_pics[-1]
-        # resolve reference picture lists (RefPicPocList = poc + delta)
-        # multi-slice pictures: the shared ref structures come from the
-        # first inter slice (per-slice RPL variation not supported yet)
+        # resolve reference picture lists per slice (the reference
+        # constructs RPLs per slice, Slice::constructRefPicLists); the
+        # shared cs.ref_* come from the first inter slice, and when
+        # slices disagree cs.per_slice_rpl routes ref accesses through
+        # cs.slice_ref_sets (swapped per CU in the recon loop)
         sh_ref = next((s for s in cs.shs if not s.is_intra), cs.sh)
         cs.ref_pocs = [[], []]
         cs.ref_planes = [[], []]
         cs.ref_cols = [[], []]
         cs.ref_scaled = [[], []]  # (scaling, ref_pps) or None per ref (RPR)
+        cs.per_slice_rpl = False
+        cs.slice_ref_sets = [None] * len(cs.shs)
         pic_error = False
         if not sh_ref.is_intra:
-            for lst in range(2):
-                rpl = sh_ref.rpl[lst]
-                if rpl is None:
+            sets_by_key: dict = {}
+            first_key = None
+            for si, s in enumerate(cs.shs):
+                if s.is_intra:
                     continue
-                for e in rpl.entries:
-                    if e.is_long_term:
-                        # long-term reference: match by POC LSB, or by full
-                        # POC when the MSB cycle is signalled
-                        # (Slice::constructRefPicLists + xGetLongTermRefPic)
-                        max_lsb = cs.sps.max_poc_lsb
-                        if e.delta_poc_msb_present:
-                            ref_poc = (e.value + f.poc
-                                       - e.delta_poc_msb_cycle * max_lsb
-                                       - (f.poc & (max_lsb - 1)))
-                        else:
-                            ref_poc = next(
-                                (p for p in sorted(self._refs, reverse=True)
-                                 if (p & (max_lsb - 1)) == e.value),
-                                e.value)
-                    else:
-                        ref_poc = f.poc + e.value
-                    cs.ref_pocs[lst].append(ref_poc)
-                    if ref_poc not in self._refs:
-                        if self.err_policy != "conceal":
-                            raise ValueError(
-                                f"missing reference POC {ref_poc}")
-                        planes_c, col_c = self._substitute_ref(ref_poc, cs)
-                        self._refs[ref_poc] = planes_c
-                        self._ref_cols[ref_poc] = col_c
-                        pic_error = True
-                    cs.ref_planes[lst].append(self._ref_planes_of(ref_poc))
-                    cs.ref_cols[lst].append(self._ref_cols[ref_poc])
-                    # RPR: record per-ref scaling when the reference uses a
-                    # different size/scaling window (Slice::scaleRefPicList)
-                    from vvdec_tpu.frame import rpr_np
-                    ref_pps = self._ref_pps.get(ref_poc, cs.pps)
-                    if rpr_np.is_ref_scaled(cs.pps, ref_pps):
-                        cs.ref_scaled[lst].append(
-                            (rpr_np.get_rpr_scaling(cs.sps, cs.pps,
-                                                    ref_pps), ref_pps))
-                    else:
-                        cs.ref_scaled[lst].append(None)
-            # low-delay check: every active reference precedes this picture
-            cs.check_ldc = all(
-                p <= f.poc
-                for lst in range(2)
-                for p in cs.ref_pocs[lst][: sh_ref.num_ref_idx_active[lst]])
+                key = self._rpl_key(s)
+                if key not in sets_by_key:
+                    st, err = self._build_ref_set(f, cs, s)
+                    sets_by_key[key] = st
+                    pic_error = pic_error or err
+                cs.slice_ref_sets[si] = sets_by_key[key]
+                if first_key is None:
+                    first_key = key
+            cs.per_slice_rpl = len(sets_by_key) > 1
+            (cs.ref_pocs, cs.ref_planes, cs.ref_cols, cs.ref_scaled,
+             cs.check_ldc) = sets_by_key[first_key]
         from vvdec_tpu.utils.trace import msg, profiler, trace, INFO
         t_pic = time.monotonic()
         use_dev = False

@@ -97,6 +97,9 @@ class Deblocker:
         nw = getattr(cs, "_nw", None)
         if nw is None or len(cs.cus) != int(nw["counts"][0]):
             return False
+        if getattr(cs, "per_slice_rpl", False):
+            # the C derivation models one ref-POC table per picture
+            return False
         from vvdec_tpu.native import native_cabac
         nc = native_cabac()
         if nc is None or not hasattr(nc, "deblock_strengths"):
@@ -395,10 +398,19 @@ class Deblocker:
                 ep.max_fl_p[cy4, cx4] = p
                 ep.max_fl_q[cy4, cx4] = q
 
+    def _slice_pocs(self, cu):
+        """This CU's slice's resolved ref-POC lists (per-slice RPLs)."""
+        cs = self.cs
+        if getattr(cs, "per_slice_rpl", False):
+            st = cs.slice_ref_sets[cu.slice_idx]
+            if st is not None:
+                return st[0]
+        return cs.ref_pocs
+
     def _ref_poc(self, cu, lst: int):
         if cu.ref_idx[lst] < 0:
             return None
-        return self.cs.ref_pocs[lst][cu.ref_idx[lst]]
+        return self._slice_pocs(cu)[lst][cu.ref_idx[lst]]
 
     def _mi_at(self, x: int, y: int):
         cs = self.cs
@@ -426,15 +438,19 @@ class Deblocker:
         mvq0, mvq1, rq0, rq1 = self._mi_at(*pos_q)
         mvp0, mvp1, rp0, rp1 = self._mi_at(*pos_p)
         is_ibc = cu_q.pred_mode == MODE_IBC
+        pocs_q = self._slice_pocs(cu_q)
+        pocs_p = self._slice_pocs(cu_p)
 
-        def poc(lst, ri):
+        def poc(lst, ri, pocs=None):
             if lst == 0 and is_ibc:
                 return "self"  # IBC references the current picture
-            return cs.ref_pocs[lst][ri] if ri >= 0 else None
+            if pocs is None:
+                pocs = pocs_q
+            return pocs[lst][ri] if ri >= 0 else None
 
         if cs.sh_of(cu_q).is_b:
-            p0, p1 = poc(0, rp0), poc(1, rp1)
-            q0, q1 = poc(0, rq0), poc(1, rq1)
+            p0, p1 = poc(0, rp0, pocs_p), poc(1, rp1, pocs_p)
+            q0, q1 = poc(0, rq0, pocs_q), poc(1, rq1, pocs_q)
             if not ((p0 == q0 and p1 == q1) or (p0 == q1 and p1 == q0)):
                 return 1
             zero = (0, 0)
@@ -448,7 +464,7 @@ class Deblocker:
                 return int(diff(mv_q[1], mv_p[0]) or diff(mv_q[0], mv_p[1]))
             return int((diff(mv_q[0], mv_p[0]) or diff(mv_q[1], mv_p[1]))
                        and (diff(mv_q[1], mv_p[0]) or diff(mv_q[0], mv_p[1])))
-        if poc(0, rp0) != poc(0, rq0):
+        if poc(0, rp0, pocs_p) != poc(0, rq0, pocs_q):
             return 1
         return int(diff(mvq0, mvp0))
 

@@ -72,7 +72,9 @@ class InterFastPath:
                           (cs.sps.ibc_enabled, "ibc"),
                           (cs.sps.ref_wraparound_enabled, "wraparound"),
                           (bool(cs.subpics), "subpics"),
-                          (cs.sps.act_enabled, "act")):
+                          (cs.sps.act_enabled, "act"),
+                          (getattr(cs, "per_slice_rpl", False),
+                           "per_slice_rpl")):
             if flag:
                 self.reason = why
                 return

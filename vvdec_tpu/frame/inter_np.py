@@ -159,6 +159,23 @@ class ColMotion:
         if self.ref_idx.shape[0] != h8 or self.ref_idx.shape[1] != w8:
             self.ref_idx = self.ref_idx[:h8, :w8]
             self.mv = self.mv[:h8, :w8]
+        # per-slice RPLs: the colocated MV's ref POC depends on the slice
+        # that coded it (Slice::constructRefPicLists is per slice)
+        self.slice_pocs = None
+        if getattr(cs, "per_slice_rpl", False):
+            self.slice_pocs = [
+                None if st is None else [list(st[0][0]), list(st[0][1])]
+                for st in cs.slice_ref_sets]
+            self.slice8 = cs.slice_map[::2, ::2][:h8, :w8].copy()
+
+    def poc_at(self, y8: int, x8: int, e_col: int, col_ref: int) -> int:
+        """Ref POC of the colocated MV at (y8, x8)."""
+        if self.slice_pocs is not None:
+            si = int(self.slice8[y8, x8])
+            if 0 <= si < len(self.slice_pocs) \
+                    and self.slice_pocs[si] is not None:
+                return self.slice_pocs[si][e_col][col_ref]
+        return self.ref_pocs[e_col][col_ref]
 
 
 def _round_mv_comp(v: int) -> int:
@@ -235,7 +252,7 @@ def get_colocated_mvp(cs: CodingStructure, cu: CodingUnit, lst: int,
     cur_poc = sh.poc
     cur_ref_poc = cs.ref_pocs[lst][ref_idx]
     col_poc = col.poc
-    col_ref_poc = col.ref_pocs[e_col][col_ref]
+    col_ref_poc = col.poc_at(y8, x8, e_col, col_ref)
     scale = _dist_scale(cur_poc, cur_ref_poc, col_poc, col_ref_poc)
     if scale == 4096:
         return (max(-(1 << 17), min((1 << 17) - 1, mv[0])),
@@ -275,6 +292,9 @@ def _build_motion_ctx(cs, hist):
         return None
     nw = getattr(cs, "_nw", None)
     if nw is None or not len(cs.cus):
+        return None
+    if getattr(cs, "per_slice_rpl", False):
+        # per-slice RPLs: the C context models one ref set per picture
         return None
     from vvdec_tpu.native import native_cabac
     nc = native_cabac()
@@ -319,6 +339,7 @@ def _build_motion_ctx(cs, hist):
                 if not (col.ref_idx.flags["C_CONTIGUOUS"]
                         and col.mv.flags["C_CONTIGUOUS"]
                         and col.ref_idx.dtype == np.int8
+                        and col.slice_pocs is None
                         and all(len(p) <= 17 for p in col.ref_pocs)):
                     return None
                 cpocs = np.zeros((2, 17), dtype=np.int32)

@@ -1537,6 +1537,13 @@ class IntraReconstructor:
         """Resolve merge/AMVP motion, run MC, update HMVP (DecCu.cpp:820)."""
         from vvdec_tpu.frame import inter_np as I
         cs = self.cs
+        if getattr(cs, "per_slice_rpl", False):
+            # per-slice RPLs: swap in this CU's slice's resolved reference
+            # set (Slice::constructRefPicLists is per slice)
+            st = cs.slice_ref_sets[cu.slice_idx]
+            if st is not None:
+                (cs.ref_pocs, cs.ref_planes, cs.ref_cols, cs.ref_scaled,
+                 cs.check_ldc) = st
         is_b = cs.sh_of(cu).is_b
         if cu.pred_mode == MODE_IBC:
             self._derive_ibc_motion(cu)

@@ -412,6 +412,8 @@ def plan_frame_device(cs):
     reason = device_filter_reject_reason(cs)
     if reason is not None:
         return None, f"filter_{reason}"
+    if getattr(cs, "per_slice_rpl", False):
+        return None, "per_slice_rpl"
     desc, reason = build_intra_descriptors(cs)
     if reason is not None:
         return None, reason
