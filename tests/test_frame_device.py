@@ -91,11 +91,28 @@ class TestFrameDevice:
             dec_kw=dict(split_prob=0.4, density=0.3, sao_prob=0.6))
         _assert_both(s)
 
-    def test_mip_falls_back_bit_exact(self):
+    def test_mip_on_device(self):
         s, _ = generate_stream(
             width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=13, qp=30,
             sps_kw=dict(mip_enabled=True),
             dec_kw=dict(split_prob=0.4, density=0.3, mip_prob=0.9))
+        census, _ = _census(s)
+        assert not any(k.startswith("device_recon:") for k in census), \
+            census
+        _assert_both(s)
+
+    def test_mip_large_blocks_on_device(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=64, n_frames=2, seed=17, qp=30,
+            sps_kw=dict(mip_enabled=True),
+            dec_kw=dict(split_prob=0.15, density=0.3, mip_prob=1.0))
+        _assert_both(s)
+
+    def test_isp_falls_back_bit_exact(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=18, qp=30,
+            sps_kw=dict(isp_enabled=True),
+            dec_kw=dict(split_prob=0.4, density=0.3, isp_prob=0.8))
         census, _ = _census(s)
         assert any(k.startswith("device_recon:") for k in census), census
         _assert_both(s)
@@ -197,11 +214,11 @@ class TestIntraDescriptors:
         from vvdec_tpu.ops.frame_device import plan_frame_device
         s, _ = generate_stream(
             width=WH[0], height=WH[1], ctu=32, n_frames=1, seed=15, qp=30,
-            sps_kw=dict(mip_enabled=True),
-            dec_kw=dict(mip_prob=1.0, split_prob=0.2))
+            sps_kw=dict(isp_enabled=True),
+            dec_kw=dict(isp_prob=1.0, split_prob=0.2))
         frames = parse_annexb(s)
         desc, reason = plan_frame_device(frames[0].cs)
-        assert desc is None and reason == "mip"
+        assert desc is None and reason == "isp"
 
     def test_descriptor_rows_cover_all_units(self):
         from vvdec_tpu.decoder import parse_annexb

@@ -222,9 +222,104 @@ def _pred_angular(top, left, d, pel_max: int, cf, gf):
     return jnp.where(is_ver, dst, dst.T)
 
 
+def _pred_mip(top, left, d, bd: int, m4, m8, m16):
+    """Matrix intra prediction on the MXU: Haar boundary downsample,
+    rebased matrix product per size class, linear upsampling.  Parity:
+    Mip::PredictorMIP (MatrixIntraPrediction.cpp:60) / recon_np.pred_mip.
+    Descriptor reuse: d[24]=mip mode, d[25]=transpose, d[26]=size id."""
+    w, h, l2w, l2h = d[3], d[4], d[5], d[6]
+    mode = d[24]
+    transpose = d[25] == 1
+    sid = d[26]
+    pel_max = (1 << bd) - 1
+    i64 = jnp.arange(B)
+    ref_top = top[1 + i64]
+    ref_left = left[1 + i64]
+    # Haar downsample to bdry boundary samples per side (masked group
+    # sums; lgf == 0 means copy)
+    log2bdry = jnp.where(sid == 0, 1, 2)
+    bdry = 1 << log2bdry
+    lgf_w = jnp.maximum(l2w - log2bdry, 0)
+    lgf_h = jnp.maximum(l2h - log2bdry, 0)
+    g4 = jnp.arange(4)[:, None]
+    mask_w = ((i64 >> lgf_w)[None, :] == g4) & (i64[None, :] < w)
+    sums_t = jnp.sum(jnp.where(mask_w, ref_top[None, :], 0), axis=1)
+    t_red = jnp.where(
+        lgf_w > 0,
+        (sums_t + (1 << jnp.maximum(lgf_w - 1, 0))) >> lgf_w, sums_t)
+    mask_h = ((i64 >> lgf_h)[None, :] == g4) & (i64[None, :] < h)
+    sums_l = jnp.sum(jnp.where(mask_h, ref_left[None, :], 0), axis=1)
+    l_red = jnp.where(
+        lgf_h > 0,
+        (sums_l + (1 << jnp.maximum(lgf_h - 1, 0))) >> lgf_h, sums_l)
+    # rebased input vector [8] (first 2*bdry entries valid)
+    k8 = jnp.arange(8)
+    bound = jnp.where(k8 < bdry, t_red[jnp.clip(k8, 0, 3)],
+                      l_red[jnp.clip(k8 - bdry, 0, 3)])
+    bound_t = jnp.where(k8 < bdry, l_red[jnp.clip(k8, 0, 3)],
+                        t_red[jnp.clip(k8 - bdry, 0, 3)])
+    inp0 = jnp.where(transpose, bound_t, bound)
+    in_off = inp0[0]
+    first = jnp.where(sid < 2, (1 << (bd - 1)) - in_off, 0)
+    inp = jnp.where(k8 == 0, first, inp0 - in_off)
+    inp = jnp.where(k8 < 2 * bdry, inp, 0)
+    offset = 32 - 32 * jnp.sum(inp)
+
+    def mm(matm, src):
+        acc = jnp.einsum("pi,i->p", matm, src,
+                         preferred_element_type=jnp.int32)
+        return jnp.clip(((acc + offset) >> 6) + in_off, 0, pel_max)
+
+    def mm4(_):
+        o = mm(m4[jnp.clip(mode, 0, 15)], inp[:4])
+        return jnp.zeros((8, 8), jnp.int32).at[:4, :4].set(
+            o.reshape(4, 4))
+
+    def mm8(_):
+        o = mm(m8[jnp.clip(mode, 0, 7)], inp[:8])
+        return jnp.zeros((8, 8), jnp.int32).at[:4, :4].set(
+            o.reshape(4, 4))
+
+    def mm16(_):
+        o = mm(m16[jnp.clip(mode, 0, 5)], inp[1:8])
+        return o.reshape(8, 8)
+
+    pred = lax.switch(jnp.clip(sid, 0, 2), [mm4, mm8, mm16], 0)
+    pred = jnp.where(transpose, pred.T, pred)
+    # linear upsampling (formula degrades to copy when up == 1)
+    log2red = jnp.where(sid < 2, 2, 3)
+    lg_h = jnp.maximum(l2w - log2red, 0)
+    lg_v = jnp.maximum(l2h - log2red, 0)
+    up_h = 1 << lg_h
+    up_v = 1 << lg_v
+    xs = i64[None, :]
+    ks = i64[:, None]
+    j = xs >> lg_h
+    i_ = xs & (up_h - 1)
+    bh = pred[jnp.clip(ks, 0, 7), jnp.clip(j, 0, 7)]
+    pv_in = pred[jnp.clip(ks, 0, 7), jnp.clip(j - 1, 0, 7)]
+    pv0 = left[jnp.clip((ks + 1) * up_v, 0, RL - 1)]
+    pv = jnp.where(j == 0, pv0, pv_in)
+    ro_h = jnp.where(lg_h > 0, 1 << jnp.maximum(lg_h - 1, 0), 0)
+    hor = (pv * up_h + ro_h + (i_ + 1) * (bh - pv)) >> lg_h
+    ys = i64[:, None]
+    jv = jnp.clip(ys >> lg_v, 0, B - 1)
+    iv = ys & (up_v - 1)
+    bh2 = jnp.take_along_axis(hor, jnp.broadcast_to(jv, (B, B)), axis=0)
+    pv2_in = jnp.take_along_axis(
+        hor, jnp.broadcast_to(jnp.clip(jv - 1, 0, B - 1), (B, B)), axis=0)
+    pv2 = jnp.where(ys >> lg_v == 0, top[1 + xs], pv2_in)
+    ro_v = jnp.where(lg_v > 0, 1 << jnp.maximum(lg_v - 1, 0), 0)
+    return (pv2 * up_v + ro_v + (iv + 1) * (bh2 - pv2)) >> lg_v
+
+
 def _make_unit_update(bd: int, cf, gf):
     """One prediction unit's gather -> predict -> reconstruct -> RMW."""
     pel_max = (1 << bd) - 1
+    from vvdec_tpu.ops.tables import MIP_4x4, MIP_8x8, MIP_16x16
+    m4 = jnp.asarray(MIP_4x4, dtype=jnp.int32)
+    m8 = jnp.asarray(MIP_8x8, dtype=jnp.int32)
+    m16 = jnp.asarray(MIP_16x16, dtype=jnp.int32)
 
     def update(plane, resi, d):
         top, left = _gather_refs(plane, d, bd)
@@ -242,7 +337,11 @@ def _make_unit_update(bd: int, cf, gf):
         def f_ang(_):
             return _pred_angular(top, left, d, pel_max, cf, gf)
 
-        blk = lax.switch(jnp.clip(d[7], 0, 2), [f_planar, f_dc, f_ang], 0)
+        def f_mip(_):
+            return _pred_mip(top, left, d, bd, m4, m8, m16)
+
+        blk = lax.switch(jnp.clip(d[7], 0, 3),
+                         [f_planar, f_dc, f_ang, f_mip], 0)
         x, y = d[1], d[2]
         r = lax.dynamic_slice(resi, (y, x), (B, B))
         out = jnp.clip(blk + jnp.where(d[9] == 1, r, 0), 0, pel_max)
@@ -438,8 +537,6 @@ def build_intra_descriptors(cs):
             if cu.merge_type:
                 return None, "sbtmvp"
         if is_intra:
-            if cu.mip_flag:
-                return None, "mip"
             if cu.isp_mode:
                 return None, "isp"
             if cu.multi_ref_idx:
@@ -464,14 +561,21 @@ def build_intra_descriptors(cs):
                 continue
             if w > 64 or h > 64 or w < 1 or h < 1:
                 return None, "block_size"
-            mode = final_mode(cu, comp)
-            if mode >= NUM_LUMA_MODE:
-                return None, "cclm"
             fp = _fill_params(cs, order_map, wpp, ctu_log2, tu, cu, comp)
             if fp is None:
                 return None, "fill_corner_case"
             fill, avail0 = fp
             l2w, l2h = w.bit_length() - 1, h.bit_length() - 1
+            if comp == 0 and cu.mip_flag:
+                from vvdec_tpu.frame.recon_np import mip_size_id
+                rows.append((
+                    comp, x, y, w, h, l2w, l2h, 3, 0,
+                    1 if cbf else 0, avail0, *fill, 0, cu.intra_dir[0],
+                    1 if cu.mip_transpose else 0, mip_size_id(w, h), 0, 1))
+                continue
+            mode = final_mode(cu, comp)
+            if mode >= NUM_LUMA_MODE:
+                return None, "cclm"
             do_pdpc = 1 if (w >= 4 and h >= 4) else 0
             # mode classification + angular parameters
             filtered = 0
