@@ -108,6 +108,26 @@ class TestFrameDevice:
             dec_kw=dict(split_prob=0.15, density=0.3, mip_prob=1.0))
         _assert_both(s)
 
+    def test_cclm_on_device(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=51, qp=30,
+            sps_kw=dict(cclm_enabled=True),
+            dec_kw=dict(split_prob=0.4, density=0.3))
+        census, _ = _census(s)
+        assert not any(k.startswith("device_recon:") for k in census), \
+            census
+        _assert_both(s)
+
+    def test_cclm_dual_tree_422(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=53, qp=30,
+            sps_kw=dict(chroma_format=2, cclm_enabled=True,
+                        dual_tree_intra=True, min_qt_size=[8, 8, 8],
+                        max_mtt_depth=[2, 2, 2], max_bt_size=[32, 32, 32],
+                        max_tt_size=[32, 32, 32]),
+            dec_kw=dict(split_prob=0.4, density=0.3))
+        _assert_both(s)
+
     def test_isp_falls_back_bit_exact(self):
         s, _ = generate_stream(
             width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=18, qp=30,

@@ -31,6 +31,7 @@ from vvdec_tpu.ops.intra_device import (
     PB,
     build_intra_descriptors,
     run_intra_scan,
+    scan_key,
 )
 
 
@@ -446,7 +447,7 @@ def reconstruct_frame_device(cs, desc, get_ref=None):
     if get_ref is not None \
             and any(cu.pred_mode != MODE_INTRA for cu in cs.cus):
         recon = _mc_reconstruct_device(cs, recon, resi, get_ref)
-    recon = run_intra_scan(recon, resi, desc, bd)
+    recon = run_intra_scan(recon, resi, desc, scan_key(cs))
     planes = []
     for comp in range(cs.num_comp):
         w_c, h_c = cs.comp_size[comp]

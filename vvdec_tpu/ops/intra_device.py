@@ -313,7 +313,184 @@ def _pred_mip(top, left, d, bd: int, m4, m8, m16):
     return (pv2 * up_v + ro_v + (iv + 1) * (bh2 - pv2)) >> lg_v
 
 
-def _make_unit_update(bd: int, cf, gf):
+_CCLM_DIV = (0, 7, 6, 5, 5, 4, 4, 3, 3, 2, 2, 1, 1, 1, 1, 0)
+
+
+def _pred_cclm(top, left, d, luma, bd: int, cfmt: int, collocated: bool,
+               ctu_log2: int):
+    """Cross-component linear model chroma prediction on device: 4-point
+    template sampling off the device luma recon, min/max parameter fit,
+    dense downsample + linear transform.  Parity: recon_np.pred_cclm
+    (xGetLumaRecPixels/xGetLMParameters/predIntraChromaLM).  Descriptor
+    reuse (mode_class 4): d[27]=build_above, d[23]=build_left,
+    d[24]=actual_top, d[25]=actual_left, d[26]=above|left<<1 avail
+    (d[8] stays 0 — CCLM reference samples are never smoothed)."""
+    pel_max = (1 << bd) - 1
+    cx, cy, cw, ch = d[1], d[2], d[3], d[4]
+    build_above = d[27] == 1
+    build_left = d[23] == 1
+    actual_top = d[24]
+    actual_left = d[25]
+    above_avail = (d[26] & 1) == 1
+    left_avail = (d[26] & 2) == 2
+    sub_w = 2 if cfmt in (1, 2) else 1
+    sub_h = 2 if cfmt == 1 else 1
+    mult, rec2 = sub_w, sub_h
+    stro = 0 if sub_w == 1 else 1
+    lh = luma.shape[0] - PB
+    lw = luma.shape[1] - PB
+    lx, ly = cx * sub_w, cy * sub_h
+    first_row = (ly & ((1 << ctu_log2) - 1)) == 0
+    if cfmt == 2:      # 4:2:2
+        t3 = (2, 1, 1, 2, 2)
+        t5 = (0, 2, 1, 1, 0, 2, 2)
+        t6 = (2, 1, 1, 0, 0, 0, 2, 2)
+    elif cfmt == 3:    # 4:4:4
+        t3 = (1, 0, 0, 0, 0)
+        t5 = (0, 1, 0, 0, 0, 0, 0)
+        t6 = (1, 0, 0, 0, 0, 0, 0, 0)
+    else:              # 4:2:0
+        t3 = (2, 1, 1, 2, 2)
+        t5 = (1, 4, 1, 1, 1, 4, 3)
+        t6 = (2, 1, 1, 2, 1, 1, 4, 3)
+
+    def lum(r, c):
+        # host-golden index semantics: negative wraps (python indexing),
+        # upper clamps to the picture edge
+        r = jnp.where(r < 0, r + lh, r)
+        c = jnp.where(c < 0, c + lw, c)
+        return luma[jnp.minimum(r, lh - 1), jnp.minimum(c, lw - 1)] \
+            .astype(jnp.int32)
+
+    def ds_top(i):
+        xx = lx + mult * i
+        left_tap = jnp.where((i == 0) & ~build_left, xx, xx - 1)
+        r3 = ly - 1
+        v3 = (t3[0] * lum(r3, xx) + t3[1] * lum(r3, left_tap)
+              + t3[2] * lum(r3, xx + 1) + t3[3]) >> t3[4]
+        r = ly - rec2
+        v5 = (t5[0] * lum(r - stro, xx) + t5[1] * lum(r, xx)
+              + t5[2] * lum(r, left_tap) + t5[3] * lum(r, xx + 1)
+              + t5[4] * lum(r + stro, xx) + t5[5]) >> t5[6]
+        v6 = (t6[0] * lum(r, xx) + t6[1] * lum(r, left_tap)
+              + t6[2] * lum(r, xx + 1) + t6[3] * lum(r + stro, xx)
+              + t6[4] * lum(r + stro, left_tap)
+              + t6[5] * lum(r + stro, xx + 1) + t6[6]) >> t6[7]
+        vn = v5 if collocated else v6
+        return jnp.where(first_row, v3, vn)
+
+    def ds_left(j):
+        yy = ly + rec2 * j
+        base = lx - 2 - (sub_w - 1)
+        if collocated:
+            top_tap = jnp.where((j == 0) & ~build_above, yy, yy - stro)
+            return (t5[0] * lum(top_tap, base + 1)
+                    + t5[1] * lum(yy, base + 1) + t5[2] * lum(yy, base)
+                    + t5[3] * lum(yy, base + 2)
+                    + t5[4] * lum(yy + stro, base + 1) + t5[5]) >> t5[6]
+        return (t6[0] * lum(yy, base + 1) + t6[1] * lum(yy, base)
+                + t6[2] * lum(yy, base + 2)
+                + t6[3] * lum(yy + stro, base + 1)
+                + t6[4] * lum(yy + stro, base)
+                + t6[5] * lum(yy + stro, base + 2) + t6[6]) >> t6[7]
+
+    above_is4 = jnp.where(left_avail, 0, 1)
+    left_is4 = jnp.where(above_avail, 0, 1)
+    start_t = actual_top >> (2 + above_is4)
+    step_t = jnp.maximum(1, actual_top >> (1 + above_is4))
+    start_l = actual_left >> (2 + left_is4)
+    step_l = jnp.maximum(1, actual_left >> (1 + left_is4))
+    cnt_t = jnp.where(above_avail,
+                      jnp.minimum(actual_top, (1 + above_is4) << 1), 0)
+    cnt_l = jnp.where(left_avail,
+                      jnp.minimum(actual_left, (1 + left_is4) << 1), 0)
+    k4 = jnp.arange(4)
+    pos_t = start_t + k4 * step_t
+    pos_l = start_l + jnp.maximum(k4 - cnt_t, 0) * step_l
+    lum_t = ds_top(pos_t)
+    chr_t = top[jnp.clip(1 + pos_t, 0, RL - 1)]
+    lum_l = ds_left(pos_l)
+    chr_l = left[jnp.clip(1 + pos_l, 0, RL - 1)]
+    use_t = k4 < cnt_t
+    use_l = (k4 >= cnt_t) & (k4 < cnt_t + cnt_l)
+    sel_l = jnp.where(use_t, lum_t, jnp.where(use_l, lum_l, 0))
+    sel_c = jnp.where(use_t, chr_t, jnp.where(use_l, chr_l, 0))
+    cnt = cnt_t + cnt_l
+    # cnt == 2: duplicate the pair ([1], [0], [1], [0])
+    two = cnt == 2
+    sel_l = jnp.where(two, sel_l[jnp.asarray((1, 0, 1, 0))], sel_l)
+    sel_c = jnp.where(two, sel_c[jnp.asarray((1, 0, 1, 0))], sel_c)
+    # min/max grouping (xGetLMParameters sorting network)
+    la, lb, lc, ld = sel_l[0], sel_l[1], sel_l[2], sel_l[3]
+    ca, cb, cc, cd = sel_c[0], sel_c[1], sel_c[2], sel_c[3]
+    # min group (0, 2), max group (1, 3)
+    m0l, m0c, m1l, m1c = la, ca, lc, cc
+    x0l, x0c, x1l, x1c = lb, cb, ld, cd
+
+    def swap(cond, a, b):
+        return (jnp.where(cond, b[0], a[0]), jnp.where(cond, b[1], a[1]),
+                jnp.where(cond, a[0], b[0]), jnp.where(cond, a[1], b[1]))
+
+    m0l, m0c, m1l, m1c = swap(m0l > m1l, (m0l, m0c), (m1l, m1c))
+    x0l, x0c, x1l, x1c = swap(x0l > x1l, (x0l, x0c), (x1l, x1c))
+    c_sw = m0l > x1l
+    m0l, m0c, x0l, x0c, m1l, m1c, x1l, x1c = (
+        jnp.where(c_sw, x0l, m0l), jnp.where(c_sw, x0c, m0c),
+        jnp.where(c_sw, m0l, x0l), jnp.where(c_sw, m0c, x0c),
+        jnp.where(c_sw, x1l, m1l), jnp.where(c_sw, x1c, m1c),
+        jnp.where(c_sw, m1l, x1l), jnp.where(c_sw, m1c, x1c))
+    c2 = m1l > x0l
+    m1l, m1c, x0l, x0c = (jnp.where(c2, x0l, m1l), jnp.where(c2, x0c, m1c),
+                          jnp.where(c2, m1l, x0l), jnp.where(c2, m1c, x0c))
+    min_l = (m0l + m1l + 1) >> 1
+    min_c = (m0c + m1c + 1) >> 1
+    max_l = (x0l + x1l + 1) >> 1
+    max_c = (x0c + x1c + 1) >> 1
+
+    diff = max_l - min_l
+    diff_c = max_c - min_c
+    xsh = _bitlen(jnp.maximum(diff, 0)) - 1
+    norm_diff = ((diff << 4) >> jnp.clip(xsh, 0, 31)) & 15
+    v = jnp.asarray(_CCLM_DIV, dtype=jnp.int32)[norm_diff] | 8
+    xsh = xsh + (norm_diff != 0).astype(jnp.int32)
+    ysh = jnp.where(diff_c == 0, 0, _bitlen(jnp.abs(diff_c)) - 1 + 1)
+    add = (1 << jnp.clip(ysh, 0, 31)) >> 1
+    a = (diff_c * v + add) >> jnp.clip(ysh, 0, 31)
+    shift = 3 + xsh - ysh
+    a = jnp.where(shift < 1,
+                  jnp.where(a == 0, 0, jnp.where(a < 0, -15, 15)), a)
+    shift = jnp.maximum(shift, 1)
+    b = min_c - ((a * min_l) >> shift)
+    any_av = left_avail | above_avail
+    a = jnp.where(any_av & (diff > 0), a, 0)
+    b = jnp.where(any_av, jnp.where(diff > 0, b, min_c),
+                  1 << (bd - 1))
+    shift = jnp.where(any_av & (diff > 0), shift, 0)
+
+    # dense downsampled luma + linear transform on the chroma grid
+    iv = jnp.arange(B)[None, :]
+    jv = jnp.arange(B)[:, None]
+    yy = ly + rec2 * jv
+    xx = lx + mult * iv
+    if collocated:
+        left_tap = jnp.where((iv == 0) & ~build_left, xx, xx - 1)
+        top_tap = jnp.where((jv == 0) & ~build_above, yy, yy - stro)
+        ds = (t5[0] * lum(top_tap, xx) + t5[1] * lum(yy, xx)
+              + t5[2] * lum(yy, left_tap) + t5[3] * lum(yy, xx + 1)
+              + t5[4] * lum(yy + stro, xx) + t5[5]) >> t5[6]
+    else:
+        lx0 = jnp.where((iv == 0) & ~build_left,
+                        xx, jnp.maximum(xx - 1, 0))
+        xs1 = jnp.minimum(xx + 1, lw - 1)
+        ds = (t6[0] * lum(yy, xx) + t6[1] * lum(yy, lx0)
+              + t6[2] * lum(yy, xs1) + t6[3] * lum(yy + stro, xx)
+              + t6[4] * lum(yy + stro, lx0)
+              + t6[5] * lum(yy + stro, xs1) + t6[6]) >> t6[7]
+    return jnp.clip(b + ((a * ds) >> shift), 0, pel_max)
+
+
+def _make_unit_update(bd: int, cfmt: int, collocated: bool, ctu_log2: int,
+                      cf, gf):
     """One prediction unit's gather -> predict -> reconstruct -> RMW."""
     pel_max = (1 << bd) - 1
     from vvdec_tpu.ops.tables import MIP_4x4, MIP_8x8, MIP_16x16
@@ -321,7 +498,7 @@ def _make_unit_update(bd: int, cf, gf):
     m8 = jnp.asarray(MIP_8x8, dtype=jnp.int32)
     m16 = jnp.asarray(MIP_16x16, dtype=jnp.int32)
 
-    def update(plane, resi, d):
+    def update(plane, luma, resi, d):
         top, left = _gather_refs(plane, d, bd)
 
         def f_planar(_):
@@ -340,8 +517,12 @@ def _make_unit_update(bd: int, cf, gf):
         def f_mip(_):
             return _pred_mip(top, left, d, bd, m4, m8, m16)
 
-        blk = lax.switch(jnp.clip(d[7], 0, 3),
-                         [f_planar, f_dc, f_ang, f_mip], 0)
+        def f_cclm(_):
+            return _pred_cclm(top, left, d, luma, bd, cfmt, collocated,
+                              ctu_log2)
+
+        blk = lax.switch(jnp.clip(d[7], 0, 4),
+                         [f_planar, f_dc, f_ang, f_mip, f_cclm], 0)
         x, y = d[1], d[2]
         r = lax.dynamic_slice(resi, (y, x), (B, B))
         out = jnp.clip(blk + jnp.where(d[9] == 1, r, 0), 0, pel_max)
@@ -356,24 +537,27 @@ def _make_unit_update(bd: int, cf, gf):
 
 
 @functools.lru_cache(maxsize=None)
-def _intra_scan_fn(bd: int):
+def _intra_scan_fn(bd: int, cfmt: int = 1, collocated: bool = True,
+                   ctu_log2: int = 7):
     """Jitted scan over descriptor rows carrying the (padded) recon
-    planes; the per-plane shapes specialize at trace time."""
+    planes; the per-plane shapes specialize at trace time.  The chroma
+    branches receive the luma plane too (CCLM reads the co-located
+    reconstructed luma)."""
     cf = jnp.asarray(CHROMA_FILTER, dtype=jnp.int32)
     gf = jnp.asarray(GAUSS_FILTER, dtype=jnp.int32)
-    upd = _make_unit_update(bd, cf, gf)
+    upd = _make_unit_update(bd, cfmt, collocated, ctu_log2, cf, gf)
 
     @jax.jit
     def run(planes, resis, desc):
         def step(carry, d):
             def b0(c):
-                return (upd(c[0], resis[0], d), c[1], c[2])
+                return (upd(c[0], c[0], resis[0], d), c[1], c[2])
 
             def b1(c):
-                return (c[0], upd(c[1], resis[1], d), c[2])
+                return (c[0], upd(c[1], c[0], resis[1], d), c[2])
 
             def b2(c):
-                return (c[0], c[1], upd(c[2], resis[2], d))
+                return (c[0], c[1], upd(c[2], c[0], resis[2], d))
 
             return lax.switch(jnp.clip(d[0], 0, 2), [b0, b1, b2],
                               carry), 0
@@ -384,10 +568,17 @@ def _intra_scan_fn(bd: int):
     return run
 
 
-def run_intra_scan(planes_pad, resi_pad, desc: np.ndarray, bd: int):
+def scan_key(cs) -> tuple:
+    """Static configuration of the intra scan program for this stream."""
+    return (cs.sps.bit_depth, cs.sps.chroma_format_idc,
+            bool(cs.sps.chroma_ver_collocated), cs.sps.ctu_log2)
+
+
+def run_intra_scan(planes_pad, resi_pad, desc: np.ndarray, key):
     """Run the intra chain on device.  planes_pad/resi_pad: 3 padded
     int32 device arrays (mono: dummy chroma >= (B+1, B+1)); desc is the
-    [n, D] host descriptor tensor (bucketed to powers of two here)."""
+    [n, D] host descriptor tensor (bucketed to powers of two here);
+    key = scan_key(cs) (or a bare bit depth for intra-only content)."""
     n = desc.shape[0]
     if n == 0:
         return tuple(planes_pad)
@@ -395,7 +586,8 @@ def run_intra_scan(planes_pad, resi_pad, desc: np.ndarray, bd: int):
     if n_pad != n:
         pad = np.zeros((n_pad - n, D), dtype=np.int32)
         desc = np.concatenate([desc, pad])
-    fn = _intra_scan_fn(bd)
+    fn = _intra_scan_fn(*key) if isinstance(key, tuple) \
+        else _intra_scan_fn(key)
     return fn(tuple(planes_pad), tuple(resi_pad), jnp.asarray(desc))
 
 
@@ -482,11 +674,15 @@ def build_intra_descriptors(cs):
         HOR_IDX,
         VER_IDX,
         co_located_luma_mode_of,
+        sample_available,
         wide_angle,
     )
     from vvdec_tpu.frame.structure import (
         DC_IDX,
         DM_CHROMA_IDX,
+        LM_CHROMA_IDX,
+        MDLM_L_IDX,
+        MDLM_T_IDX,
         MODE_INTRA,
         MTS_SKIP,
         NUM_LUMA_MODE,
@@ -575,7 +771,62 @@ def build_intra_descriptors(cs):
                 continue
             mode = final_mode(cu, comp)
             if mode >= NUM_LUMA_MODE:
-                return None, "cclm"
+                # CCLM chroma modes: template availability geometry on
+                # the host, the sampling + fit + transform on device
+                if not (LM_CHROMA_IDX <= mode <= MDLM_T_IDX):
+                    return None, "chroma_mode"
+
+                def av(px, py):
+                    return sample_available(cs, order_map, wpp, ctu_log2,
+                                            px, py, comp, cu, tu.order)
+
+                unit = 2
+                tu_w_units = w // unit
+                tu_h_units = h // unit
+                cu_above = av(cu.cx, cu.cy - 1)
+                cu_left = av(cu.cx - 1, cu.cy)
+                above_flag = cu_above or y > cu.cy
+                left_flag = cu_left or x > cu.cx
+                above_avail = left_avail = False
+                actual_top = actual_left = 0
+                if mode == MDLM_T_IDX:
+                    avai_above = 0
+                    if above_flag:
+                        avai_above = tu_w_units
+                        ar_units = min((2 * w) // unit - tu_w_units,
+                                       h // unit)
+                        for u in range(ar_units):
+                            if av(x + w + u * unit, y - 1):
+                                avai_above += 1
+                            else:
+                                break
+                    above_avail = avai_above >= tu_w_units
+                    actual_top = unit * avai_above
+                elif mode == MDLM_L_IDX:
+                    avai_left = 0
+                    if left_flag:
+                        avai_left = tu_h_units
+                        lb_units = min((2 * h) // unit - tu_h_units,
+                                       w // unit)
+                        for u in range(lb_units):
+                            if av(x - 1, y + h + u * unit):
+                                avai_left += 1
+                            else:
+                                break
+                    left_avail = avai_left >= tu_h_units
+                    actual_left = unit * avai_left
+                else:
+                    above_avail = bool(above_flag)
+                    left_avail = bool(left_flag)
+                    actual_top = w if above_avail else 0
+                    actual_left = h if left_avail else 0
+                rows.append((
+                    comp, x, y, w, h, w.bit_length() - 1,
+                    h.bit_length() - 1, 4, 0, 1 if cbf else 0, avail0,
+                    *fill, 1 if left_flag else 0, actual_top, actual_left,
+                    (1 if above_avail else 0) | (2 if left_avail else 0),
+                    1 if above_flag else 0, 1))
+                continue
             do_pdpc = 1 if (w >= 4 and h >= 4) else 0
             # mode classification + angular parameters
             filtered = 0
