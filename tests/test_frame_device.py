@@ -218,14 +218,77 @@ class TestFrameDeviceInter:
                        sps_kw=dict(sbt_enabled=True))
         _assert_both(s)
 
-    def test_affine_falls_back_bit_exact(self):
-        s = _ld_stream(4, 36,
+    def test_affine_prof_on_device(self):
+        s = _ld_stream(5, 36,
                        dict(self.IKW, affine_prob=0.5,
-                            affine_merge_prob=0.5),
-                       sps_kw=dict(affine_enabled=True))
+                            affine_merge_prob=0.5, bi_prob=0.3),
+                       sps_kw=dict(affine_enabled=True,
+                                   prof_enabled=True))
         census, _ = _census(s)
-        assert any(k.startswith("device_recon:") for k in census), census
+        assert not any(k.startswith("device_recon:") for k in census), \
+            census
         _assert_both(s)
+
+    def test_gpm_on_device(self):
+        s = _ld_stream(5, 37, dict(self.IKW, geo_prob=0.5, bi_prob=0.3),
+                       sps_kw=dict(geo_enabled=True))
+        _assert_both(s)
+
+    def test_sbtmvp_on_device(self):
+        s = _ld_stream(5, 38,
+                       dict(self.IKW, affine_merge_prob=0.6, bi_prob=0.3),
+                       sps_kw=dict(affine_enabled=True,
+                                   sbtmvp_enabled=True,
+                                   temporal_mvp_enabled=True))
+        _assert_both(s)
+
+    def test_ciip_on_device(self):
+        s = _ld_stream(5, 39, dict(self.IKW, ciip_prob=0.5, bi_prob=0.3),
+                       sps_kw=dict(ciip_enabled=True))
+        _assert_both(s)
+
+    def test_mixed_tools_on_device(self):
+        s = _ld_stream(5, 40,
+                       dict(self.IKW, ciip_prob=0.2, geo_prob=0.2,
+                            affine_prob=0.3, bi_prob=0.3, bcw_prob=0.3,
+                            mmvd_prob=0.2),
+                       sps_kw=dict(ciip_enabled=True, geo_enabled=True,
+                                   affine_enabled=True, prof_enabled=True,
+                                   bcw_enabled=True, mmvd_enabled=True))
+        _assert_both(s)
+
+    def test_dmvr_falls_back_bit_exact(self):
+        from vvdec_tpu.hls.params import B_SLICE
+        from vvdec_tpu.bitstream.nal import NalUnitType
+        from vvdec_tpu.testenc import encoder as E
+        from vvdec_tpu.testenc.bitwriter import BitWriter
+        from vvdec_tpu.testenc.encoder import RandomDecisions
+        from vvdec_tpu.testenc.hls_writer import (make_nal, write_pps,
+                                                  write_sps)
+        sps = E.make_sps(WH[0], WH[1], ctu=32, num_reorder_pics=[1],
+                         dmvr_enabled=True)
+        pps = E.make_pps(sps)
+        bw = BitWriter()
+        write_sps(bw, sps)
+        st = make_nal(NalUnitType.SPS, bw.bytes())
+        bw = BitWriter()
+        write_pps(bw, pps, sps)
+        st += make_nal(NalUnitType.PPS, bw.bytes())
+        dec = RandomDecisions(seed=41, split_prob=0.2)
+        nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=0, idr=True)
+        st += nal
+        dec = RandomDecisions(seed=42, split_prob=0.2)
+        nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=2, idr=False,
+                                slice_type=1, ref_deltas=((2,), ()))
+        st += nal
+        # eq-dist bi-pred -> DMVR-eligible CUs -> whole-frame fallback
+        dec = RandomDecisions(seed=43, split_prob=0.2, inter_prob=0.9,
+                              bi_prob=0.9, mv_range=24)
+        nal, _ = E.encode_frame(sps, pps, dec, qp=32, poc=1, idr=False,
+                                slice_type=B_SLICE,
+                                ref_deltas=((1,), (-1,)))
+        st += nal
+        _assert_both(st)
 
 
 class TestIntraDescriptors:

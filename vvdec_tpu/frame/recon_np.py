@@ -2027,6 +2027,10 @@ class IntraReconstructor:
                 A.set_all_affine_mv(cs, cu, lt, rt, lb, lst, clip_cpmvs=True)
             A.span_affine_motion(cs, cu)
 
+        if getattr(self, "derive_only", False):
+            # device pipeline: CPMVs + spanned subblock field are enough
+            # for the device affine/SbTMVP MC stage
+            return
         # motion compensation
         if cu.merge_type == 1:
             preds = self._sbtmvp_mc(cu)
@@ -2130,6 +2134,20 @@ class IntraReconstructor:
         cs = self.cs
         merge = I.derive_merge(cs, cu, self._hist, cs.sh_of(cu).is_b)
         geo_cands = I.derive_geo(cs, cu, merge)
+        if getattr(self, "derive_only", False):
+            # device pipeline: record the two parts' motion for the
+            # device GPM MC stage, span the field, skip pixel work
+            cu._geo_parts = []
+            for k in range(2):
+                c = geo_cands[cu.geo_idx[k]]
+                lst = 0 if c[0] == 1 else 1
+                cu._geo_parts.append((lst, c[3 + lst], tuple(c[1 + lst])))
+            I.span_geo_motion(cs, cu, geo_cands)
+            c0 = geo_cands[cu.geo_idx[0]]
+            cu.inter_dir = c0[0]
+            cu.mv = [list(c0[1]), list(c0[2])]
+            cu.ref_idx = [c0[3], c0[4]]
+            return
         parts = []
         for k in range(2):
             c = geo_cands[cu.geo_idx[k]]

@@ -196,6 +196,53 @@ def derive_frame_motion(cs) -> None:
                 side[cu.idx, 1] = cu.imv
 
 
+class _SubBlk:
+    """Duck-typed CU fragment for subblock MC expansion (SbTMVP 8x8)."""
+
+    __slots__ = ("x", "y", "w", "h", "cx", "cy", "cw", "ch", "inter_dir",
+                 "mv", "ref_idx", "slice_idx", "bcw_idx", "alt_hpel")
+
+    def __init__(self, **kw):
+        self.bcw_idx = 0
+        self.alt_hpel = False
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+@functools.lru_cache(maxsize=None)
+def _prof_core(bd: int, hp: int, wp: int, n_refs: int):
+    """Jitted PROF refinement over batched 4x4 affine subblocks: border
+    extension from integer reference samples, gradients, dMv dot product
+    (xPredAffineBlk PROF, InterPrediction.cpp:1045; host golden
+    affine_np.affine_luma_4x4).  blk: [N,4,4] — 14-bit intermediate for
+    prof/bi/wp items, final samples for plain-uni non-prof items (passed
+    through)."""
+    shift = max(2, 14 - bd)
+    offs = 1 << 13
+    offn = (1 << (shift - 1)) + offs
+    lim = 1 << max(bd + 1, 13)
+    pel_max = (1 << bd) - 1
+
+    @jax.jit
+    def apply(refs, yb, xb, ridx, blk, dmvh, dmvv, prof, inter):
+        def one(r, y, x):
+            return lax.dynamic_slice(refs, (r, y, x), (1, 6, 6))[0]
+
+        win = jax.vmap(one)(ridx, yb, xb).astype(jnp.int32)
+        ext = (win << shift) - offs
+        ext = ext.at[:, 1:5, 1:5].set(blk)
+        gx = (ext[:, 1:5, 2:6] >> 6) - (ext[:, 1:5, 0:4] >> 6)
+        gy = (ext[:, 2:6, 1:5] >> 6) - (ext[:, 0:4, 1:5] >> 6)
+        di = jnp.clip(dmvh * gx + dmvv * gy, -lim, lim - 1)
+        pm = prof[:, None, None]
+        out = blk + jnp.where(pm, di, 0)
+        fin = jnp.clip((out + offn) >> shift, 0, pel_max)
+        return jnp.where(inter[:, None, None], out,
+                         jnp.where(pm, fin, blk))
+
+    return apply
+
+
 @functools.lru_cache(maxsize=None)
 def _scatter_recon_fn(hp: int, wp: int, h: int, w: int, n: int, bd: int):
     """Jitted inter reconstruct scatter: recon[rect] = clip(pred + resi)
@@ -230,11 +277,42 @@ def _mc_reconstruct_device(cs, recon, resi, get_ref):
     bd = cs.sps.bit_depth
     margin = cs.sps.ctu_size + 24
     groups: dict = {}
+    geo_groups: dict = {}
+    aff_cus: list = []
     for cu in cs.cus:
         if cu is None or cu.pred_mode == MODE_INTRA:
             continue
+        if cu.geo_flag:
+            geo_groups.setdefault((cu.w, cu.h), []).append(cu)
+            continue
+        if cu.merge_type == 1:
+            # SbTMVP: regular MC per 8x8 subblock off the spanned motion
+            # field (xSubPuMC, InterPrediction.cpp:438) — expand into
+            # duck-typed 8x8 blocks for the regular batches
+            for by in range(0, cu.h, 8):
+                for bx in range(0, cu.w, 8):
+                    y4, x4 = (cu.y + by) >> 2, (cu.x + bx) >> 2
+                    r0 = int(cs.mi_ref[y4, x4, 0])
+                    r1 = int(cs.mi_ref[y4, x4, 1])
+                    blk = _SubBlk(
+                        x=cu.x + bx, y=cu.y + by, w=8, h=8,
+                        cx=(cu.x + bx) // cs.sub_w,
+                        cy=(cu.y + by) // cs.sub_h,
+                        cw=8 // cs.sub_w, ch=8 // cs.sub_h,
+                        inter_dir=(1 if r0 >= 0 else 0)
+                        + (2 if r1 >= 0 else 0),
+                        mv=[[int(cs.mi_mv[y4, x4, 0, 0]),
+                             int(cs.mi_mv[y4, x4, 0, 1])],
+                            [int(cs.mi_mv[y4, x4, 1, 0]),
+                             int(cs.mi_mv[y4, x4, 1, 1])]],
+                        ref_idx=[r0, r1], slice_idx=cu.slice_idx)
+                    groups.setdefault((8, 8), []).append(blk)
+            continue
+        if cu.affine_flag:
+            aff_cus.append(cu)
+            continue
         groups.setdefault((cu.w, cu.h), []).append(cu)
-    if not groups:
+    if not groups and not geo_groups and not aff_cus:
         return recon
 
     pads: dict = {}
@@ -333,7 +411,8 @@ def _mc_reconstruct_device(cs, recon, resi, get_ref):
                 a = jnp.stack([b0[j0[i]] for i in bi_rows])
                 b = jnp.stack([b1[j1[i]] for i in bi_rows])
                 w1 = np.array(
-                    [4 if cus[i].bcw_idx == 0
+                    [4 if (cus[i].bcw_idx == 0
+                           or getattr(cus[i], "ciip_flag", False))
                      else BCW_WEIGHTS[BCW_INTERN[cus[i].bcw_idx]]
                      for i in bi_rows], dtype=np.int32)
                 comb = bi_combine_core(cw, ch, bd)(a, b, jnp.asarray(w1))
@@ -378,13 +457,331 @@ def _mc_reconstruct_device(cs, recon, resi, get_ref):
             for i, cu in enumerate(cus):
                 bx = cu.x if comp == 0 else cu.cx
                 by = cu.y if comp == 0 else cu.cy
-                scatters.append((comp, bx, by, preds[i]))
+                # CIIP blended components: store the RAW inter pred (no
+                # residual) — the intra-scan CIIP unit blends planar in,
+                # adds the residual and clips at this CU's parse position
+                raw = getattr(cu, "ciip_flag", False) and (
+                    comp == 0 or (cs.num_comp > 1 and cu.cw > 2))
+                scatters.append((comp, bx, by, preds[i], raw))
 
-    # scatter reconstruct per (comp, block shape) batch
+    # ---- GPM: two 14-bit uni parts blended with the geometric mask ----
+    # (motionCompensationGeo, InterPrediction.cpp:1461; weights from
+    # geo_np.geo_weight_block, uploaded per CU)
+    from vvdec_tpu.frame.geo_np import geo_weight_block
+    from vvdec_tpu.ops.mc_device import mc_batch_core as _mcb
+    for (w, h), cus in geo_groups.items():
+        N = len(cus)
+        part_preds = [[None] * cs.num_comp, [None] * cs.num_comp]
+        for k in (0, 1):
+            for comp in range(cs.num_comp):
+                sub = (cs.sub_w, cs.sub_h) if comp else (1, 1)
+                taps = 8 if comp == 0 else 4
+                half = taps // 2 - 1
+                fxb = 4 + (cs.sub_w - 1) if comp else 4
+                fyb = 4 + (cs.sub_h - 1) if comp else 4
+                mlist = margin // sub[1]
+                refs, ridx_map = [], {}
+                y0 = np.zeros(N, np.int32)
+                x0 = np.zeros(N, np.int32)
+                ridx = np.zeros(N, np.int32)
+                fx = np.zeros(N, np.int32)
+                fy = np.zeros(N, np.int32)
+                inter = np.ones(N, bool)   # always 14-bit intermediate
+                for j, cu in enumerate(cus):
+                    lst, ref, mv = cu._geo_parts[k]
+                    mvc = clip_mv(mv, cu.x, cu.y, cs, size=(cu.w, cu.h))
+                    pl = padded(lst, ref, comp, mlist)
+                    ky = id(pl)
+                    if ky not in ridx_map:
+                        ridx_map[ky] = len(refs)
+                        refs.append(pl)
+                    ridx[j] = ridx_map[ky]
+                    ix, iy = mvc[0] >> fxb, mvc[1] >> fyb
+                    f_x = mvc[0] & ((1 << fxb) - 1)
+                    f_y = mvc[1] & ((1 << fyb) - 1)
+                    if comp:
+                        f_x <<= (5 - fxb)
+                        f_y <<= (5 - fyb)
+                    bx = cu.x if comp == 0 else cu.cx
+                    by = cu.y if comp == 0 else cu.cy
+                    x0[j] = bx + ix - half + mlist
+                    y0[j] = by + iy - half + mlist
+                    fx[j], fy[j] = f_x, f_y
+                cfx = mc_coeff_rows(fx, min(comp, 1))
+                cfy = mc_coeff_rows(fy, min(comp, 1))
+                rstack = jnp.stack(refs)
+                cw = w if comp == 0 else w // cs.sub_w
+                ch = h if comp == 0 else h // cs.sub_h
+                fn = _mcb(cw, ch, taps, bd, int(rstack.shape[1]),
+                          int(rstack.shape[2]), len(refs))
+                part_preds[k][comp] = fn(
+                    rstack, jnp.asarray(y0), jnp.asarray(x0),
+                    jnp.asarray(ridx), jnp.asarray(cfy),
+                    jnp.asarray(cfx), jnp.asarray(inter))
+        shift = max(2, 14 - bd) + 3
+        offset = (1 << (shift - 1)) + ((1 << 13) << 3)
+        pel_max = (1 << bd) - 1
+        for comp in range(cs.num_comp):
+            cw = w if comp == 0 else w // cs.sub_w
+            ch = h if comp == 0 else h // cs.sub_h
+            sx = (cs.sub_w - 1) if comp else 0
+            sy = (cs.sub_h - 1) if comp else 0
+            wgt = jnp.asarray(np.stack(
+                [geo_weight_block(cu.geo_split_dir, cw, ch, sx, sy)
+                 .astype(np.int32) for cu in cus]))
+            blend = jnp.clip(
+                (wgt * part_preds[0][comp]
+                 + (8 - wgt) * part_preds[1][comp] + offset) >> shift,
+                0, pel_max)
+            for j, cu in enumerate(cus):
+                bx = cu.x if comp == 0 else cu.cx
+                by = cu.y if comp == 0 else cu.cy
+                scatters.append((comp, bx, by, blend[j], False))
+
+    # ---- affine: per-4x4 subblock MC with PROF refinement ----
+    # (xPredAffineBlk, InterPrediction.cpp:934; host golden
+    # affine_np.affine_pred — 6-tap luma rows ride the 8-wide table)
+    if aff_cus:
+        from vvdec_tpu.frame.affine_np import (
+            _deltas, prof_dmv_grid, round_affine, spread_over_limit)
+        from vvdec_tpu.frame.inter_np import LUMA_IF_4X4
+        from vvdec_tpu.hls.weight_table import resolve_wp as _rwp
+        from vvdec_tpu.ops.mc_device import (
+            bi_combine_core as _bic, mc_batch_core as _mcb2,
+            wp_combine_core as _wpc)
+
+        items = []    # luma 4x4: (cu, i_cu, bx, by)
+        citems = []   # chroma 4x4 (chroma coords): (cu, i_cu, bx, by, mvs)
+        cu_meta = []  # per cu: (wp, prof[2], dmv[2])
+        for cu in aff_cus:
+            wp_on = _wp_present(cs, cu) \
+                and not (cu.inter_dir == 3 and cu.bcw_idx != 0)
+            profs = [False, False]
+            dmvs = [None, None]
+            for lst in (0, 1):
+                if not (cu.inter_dir & (1 << lst)):
+                    continue
+                lt, rt, lb = [tuple(v) for v in cu.cpmv[lst]]
+                is6 = cu.affine_type == 1
+                dhx, dhy, dvx, dvy = _deltas(lt, rt, lb, cu.w, cu.h, is6)
+                spread = spread_over_limit(dhx, dhy, dvx, dvy,
+                                           cu.inter_dir)
+                prof = (cs.sps.prof_enabled and not cs.ph.prof_disabled
+                        and not spread
+                        and not (lt == rt if not is6
+                                 else (lt == rt and lt == lb)))
+                profs[lst] = prof
+                if prof:
+                    dmvs[lst] = prof_dmv_grid(lt, rt, lb, cu.w, cu.h, is6)
+            ic = len(cu_meta)
+            cu_meta.append((wp_on, profs, dmvs))
+            for r in range(cu.h >> 2):
+                for c in range(cu.w >> 2):
+                    items.append((cu, ic, cu.x + c * 4, cu.y + r * 4))
+            if cs.num_comp > 1:
+                y4a, x4a = cu.y >> 2, cu.x >> 2
+                for r in range(cu.ch >> 2):
+                    for c in range(cu.cw >> 2):
+                        mvs = [None, None]
+                        for lst in (0, 1):
+                            if not (cu.inter_dir & (1 << lst)):
+                                continue
+                            if cs.sub_w == 2 and cs.sub_h == 2:
+                                a = (int(cs.mi_mv[y4a + 2 * r,
+                                                  x4a + 2 * c, lst, 0]),
+                                     int(cs.mi_mv[y4a + 2 * r,
+                                                  x4a + 2 * c, lst, 1]))
+                                b = (int(cs.mi_mv[y4a + 2 * r + 1,
+                                                  x4a + 2 * c + 1,
+                                                  lst, 0]),
+                                     int(cs.mi_mv[y4a + 2 * r + 1,
+                                                  x4a + 2 * c + 1,
+                                                  lst, 1]))
+                                mvs[lst] = round_affine(a[0] + b[0],
+                                                        a[1] + b[1], 1)
+                            elif cs.sub_w == 2:
+                                a = (int(cs.mi_mv[y4a + r, x4a + 2 * c,
+                                                  lst, 0]),
+                                     int(cs.mi_mv[y4a + r, x4a + 2 * c,
+                                                  lst, 1]))
+                                b = (int(cs.mi_mv[y4a + r,
+                                                  x4a + 2 * c + 1,
+                                                  lst, 0]),
+                                     int(cs.mi_mv[y4a + r,
+                                                  x4a + 2 * c + 1,
+                                                  lst, 1]))
+                                mvs[lst] = round_affine(a[0] + b[0],
+                                                        a[1] + b[1], 1)
+                            else:
+                                mvs[lst] = (int(cs.mi_mv[y4a + r, x4a + c,
+                                                         lst, 0]),
+                                            int(cs.mi_mv[y4a + r, x4a + c,
+                                                         lst, 1]))
+                        citems.append((cu, ic, cu.cx + c * 4,
+                                       cu.cy + r * 4, mvs))
+
+        def _aff_batch(its, comp):
+            """One list's MC for all affine subblocks of one component."""
+            sub = (cs.sub_w, cs.sub_h) if comp else (1, 1)
+            taps = 8 if comp == 0 else 4
+            half = taps // 2 - 1
+            fxb = 4 + (cs.sub_w - 1) if comp else 4
+            fyb = 4 + (cs.sub_h - 1) if comp else 4
+            mlist = margin // sub[1]
+            out = [None, None]
+            for lst in (0, 1):
+                rows = [j for j, it in enumerate(its)
+                        if it[0].inter_dir & (1 << lst)]
+                if not rows:
+                    continue
+                n = len(rows)
+                refs, ridx_map = [], {}
+                y0 = np.zeros(n, np.int32)
+                x0 = np.zeros(n, np.int32)
+                yb = np.zeros(n, np.int32)
+                xb = np.zeros(n, np.int32)
+                ridx = np.zeros(n, np.int32)
+                fx = np.zeros(n, np.int32)
+                fy = np.zeros(n, np.int32)
+                inter = np.zeros(n, bool)
+                prof_f = np.zeros(n, bool)
+                dmvh = np.zeros((n, 4, 4), np.int32)
+                dmvv = np.zeros((n, 4, 4), np.int32)
+                for j, i in enumerate(rows):
+                    it = its[i]
+                    cu, ic, bx, by = it[0], it[1], it[2], it[3]
+                    wp_on, profs, dmvs = cu_meta[ic]
+                    if comp == 0:
+                        mv = (int(cs.mi_mv[by >> 2, bx >> 2, lst, 0]),
+                              int(cs.mi_mv[by >> 2, bx >> 2, lst, 1]))
+                        mvc = clip_mv(mv, cu.x, cu.y, cs)
+                    else:
+                        mvc = clip_mv(it[4][lst], cu.x, cu.y, cs)
+                    pl = padded(lst, cu.ref_idx[lst], comp, mlist)
+                    ky = id(pl)
+                    if ky not in ridx_map:
+                        ridx_map[ky] = len(refs)
+                        refs.append(pl)
+                    ridx[j] = ridx_map[ky]
+                    ix, iy = mvc[0] >> fxb, mvc[1] >> fyb
+                    f_x = mvc[0] & ((1 << fxb) - 1)
+                    f_y = mvc[1] & ((1 << fyb) - 1)
+                    if comp:
+                        f_x <<= (5 - fxb)
+                        f_y <<= (5 - fyb)
+                    x0[j] = bx + ix - half + mlist
+                    y0[j] = by + iy - half + mlist
+                    if comp == 0:
+                        xb[j] = bx + ix + (f_x >> 3) - 1 + mlist
+                        yb[j] = by + iy + (f_y >> 3) - 1 + mlist
+                        prof_f[j] = profs[lst]
+                        if profs[lst]:
+                            dmvh[j] = dmvs[lst][0]
+                            dmvv[j] = dmvs[lst][1]
+                    fx[j], fy[j] = f_x, f_y
+                    inter[j] = (cu.inter_dir == 3 or wp_on
+                                or (comp == 0 and profs[lst]))
+                cfx = mc_coeff_rows(fx, min(comp, 1),
+                                    luma_table=LUMA_IF_4X4
+                                    if comp == 0 else None)
+                cfy = mc_coeff_rows(fy, min(comp, 1),
+                                    luma_table=LUMA_IF_4X4
+                                    if comp == 0 else None)
+                rstack = jnp.stack(refs)
+                fn = _mcb2(4, 4, taps, bd, int(rstack.shape[1]),
+                           int(rstack.shape[2]), len(refs))
+                blk = fn(rstack, jnp.asarray(y0), jnp.asarray(x0),
+                         jnp.asarray(ridx), jnp.asarray(cfy),
+                         jnp.asarray(cfx), jnp.asarray(inter))
+                if comp == 0:
+                    # PROF + normalization of prof-uni blocks; the
+                    # combine-needed flag keeps bi/wp blocks 14-bit
+                    comb = np.array(
+                        [its[i][0].inter_dir == 3 or cu_meta[its[i][1]][0]
+                         for i in rows])
+                    pf = _prof_core(bd, int(rstack.shape[1]),
+                                    int(rstack.shape[2]), len(refs))
+                    blk = pf(rstack, jnp.asarray(yb), jnp.asarray(xb),
+                             jnp.asarray(ridx), blk, jnp.asarray(dmvh),
+                             jnp.asarray(dmvv), jnp.asarray(prof_f),
+                             jnp.asarray(comb))
+                out[lst] = ({i: j for j, i in enumerate(rows)}, blk)
+            return out
+
+        for comp in range(cs.num_comp):
+            its = items if comp == 0 else citems
+            if not its:
+                continue
+            parts2 = _aff_batch(its, comp)
+            N = len(its)
+            preds = [None] * N
+            bi_rows, wp_rows = [], []
+            for i, it in enumerate(its):
+                cu, ic = it[0], it[1]
+                wp_on = cu_meta[ic][0]
+                if wp_on:
+                    wp_rows.append(i)
+                elif cu.inter_dir == 3:
+                    bi_rows.append(i)
+                else:
+                    lst = 0 if cu.inter_dir & 1 else 1
+                    jm, blk = parts2[lst]
+                    preds[i] = blk[jm[i]]
+            if bi_rows:
+                j0, b0 = parts2[0]
+                j1, b1 = parts2[1]
+                a = jnp.stack([b0[j0[i]] for i in bi_rows])
+                b = jnp.stack([b1[j1[i]] for i in bi_rows])
+                w1 = np.array(
+                    [4 if its[i][0].bcw_idx == 0
+                     else BCW_WEIGHTS[BCW_INTERN[its[i][0].bcw_idx]]
+                     for i in bi_rows], dtype=np.int32)
+                comb = _bic(4, 4, bd)(a, b, jnp.asarray(w1))
+                for j, i in enumerate(bi_rows):
+                    preds[i] = comb[j]
+            if wp_rows:
+                zeros = jnp.zeros((4, 4), dtype=jnp.int32)
+                aL, bL = [], []
+                w0a = np.zeros(len(wp_rows), np.int32)
+                o0a = np.zeros(len(wp_rows), np.int32)
+                w1a = np.zeros(len(wp_rows), np.int32)
+                o1a = np.zeros(len(wp_rows), np.int32)
+                dna = np.zeros(len(wp_rows), np.int32)
+                bia = np.zeros(len(wp_rows), bool)
+                for j, i in enumerate(wp_rows):
+                    cu = its[i][0]
+                    wt = cs.sh_of(cu).weight_table
+                    bia[j] = cu.inter_dir == 3
+                    lst = 0 if cu.inter_dir in (1, 3) else 1
+                    wp0 = _rwp(wt, lst, cu.ref_idx[lst], bd,
+                               cs.num_comp)[comp]
+                    aL.append(parts2[lst][1][parts2[lst][0][i]])
+                    w0a[j] = wp0["w"]
+                    o0a[j] = wp0["o"]
+                    dna[j] = wp0["denom"]
+                    if bia[j]:
+                        wp1 = _rwp(wt, 1, cu.ref_idx[1], bd,
+                                   cs.num_comp)[comp]
+                        bL.append(parts2[1][1][parts2[1][0][i]])
+                        w1a[j] = wp1["w"]
+                        o1a[j] = wp1["o"]
+                    else:
+                        bL.append(zeros)
+                comb = _wpc(4, 4, bd)(
+                    jnp.stack(aL), jnp.stack(bL), jnp.asarray(w0a),
+                    jnp.asarray(o0a), jnp.asarray(w1a), jnp.asarray(o1a),
+                    jnp.asarray(dna), jnp.asarray(bia))
+                for j, i in enumerate(wp_rows):
+                    preds[i] = comb[j]
+            for i, it in enumerate(its):
+                scatters.append((comp, it[2], it[3], preds[i], False))
+
+    # scatter reconstruct per (comp, block shape, raw) batch
     by_shape: dict = {}
-    for comp, bx, by, pred in scatters:
-        by_shape.setdefault((comp, pred.shape), []).append((bx, by, pred))
-    for (comp, shape), items in by_shape.items():
+    for comp, bx, by, pred, raw in scatters:
+        by_shape.setdefault((comp, pred.shape, raw), []) \
+            .append((bx, by, pred))
+    for (comp, shape, raw), items in by_shape.items():
         n = len(items)
         n_pad = 1 << max(0, (n - 1)).bit_length()
         blocks = jnp.stack([p for _, _, p in items])
@@ -395,10 +792,17 @@ def _mc_reconstruct_device(cs, recon, resi, get_ref):
         xs = np.full(n_pad, w_c, dtype=np.int32)
         for k, (bx, by, _) in enumerate(items):
             ys[k], xs[k] = by, bx
-        fn = _scatter_recon_fn(recon[comp].shape[0], recon[comp].shape[1],
-                               shape[0], shape[1], n_pad, bd)
-        recon[comp] = fn(recon[comp], resi[comp], blocks,
-                         jnp.asarray(ys), jnp.asarray(xs))
+        if raw:
+            fn = _scatter_fn(recon[comp].shape[0], recon[comp].shape[1],
+                             shape[0], shape[1], n_pad)
+            recon[comp] = fn(recon[comp], blocks, jnp.asarray(ys),
+                             jnp.asarray(xs))
+        else:
+            fn = _scatter_recon_fn(recon[comp].shape[0],
+                                   recon[comp].shape[1],
+                                   shape[0], shape[1], n_pad, bd)
+            recon[comp] = fn(recon[comp], resi[comp], blocks,
+                             jnp.asarray(ys), jnp.asarray(xs))
     return recon
 
 
@@ -420,16 +824,31 @@ def plan_frame_device(cs):
         return None, reason
     if any(cu.pred_mode != MODE_INTRA for cu in cs.cus):
         from vvdec_tpu.ops.mc_device import _cu_mc_eligible
+
+        def _reject():
+            # aborted derive pass: drop the per-picture motion ctx so
+            # the host fallback rebuilds it with its own HMVP buffers
+            if hasattr(cs, "_mctx"):
+                del cs._mctx
+            return None, "mc_tool"
+
         derive_frame_motion(cs)
+        any_scaled = any(s is not None
+                         for lst in cs.ref_scaled for s in lst)
         for cu in cs.cus:
             if cu.pred_mode == MODE_INTRA:
                 continue
+            if cu.geo_flag or cu.affine_flag or cu.merge_type == 1 \
+                    or cu.ciip_flag:
+                # GPM / affine(+PROF) / SbTMVP run in the dedicated
+                # device subblock batches; only the special gather
+                # windows stay out of scope
+                if cs.sps.ref_wraparound_enabled or cs.subpics \
+                        or any_scaled:
+                    return _reject()
+                continue
             if not _cu_mc_eligible(cs, cu):
-                # aborted derive pass: drop the per-picture motion ctx so
-                # the host fallback rebuilds it with its own HMVP buffers
-                if hasattr(cs, "_mctx"):
-                    del cs._mctx
-                return None, "mc_tool"
+                return _reject()
     return desc, None
 
 

@@ -521,8 +521,18 @@ def _make_unit_update(bd: int, cfmt: int, collocated: bool, ctu_log2: int,
             return _pred_cclm(top, left, d, luma, bd, cfmt, collocated,
                               ctu_log2)
 
-        blk = lax.switch(jnp.clip(d[7], 0, 4),
-                         [f_planar, f_dc, f_ang, f_mip, f_cclm], 0)
+        def f_ciip(_):
+            # planar intra blended 1:3..3:1 with the RAW inter pred the
+            # MC stage left in the plane (d[24]=w_intra, d[25]=w_merge)
+            p = _pred_planar(top, left, d)
+            p = jnp.where(d[27] == 1, _pdpc_dc_planar(p, top, left, d),
+                          p)
+            cur = lax.dynamic_slice(plane, (d[2], d[1]), (B, B))
+            return (d[25] * cur + d[24] * p + 2) >> 2
+
+        blk = lax.switch(jnp.clip(d[7], 0, 5),
+                         [f_planar, f_dc, f_ang, f_mip, f_cclm, f_ciip],
+                         0)
         x, y = d[1], d[2]
         r = lax.dynamic_slice(resi, (y, x), (B, B))
         out = jnp.clip(blk + jnp.where(d[9] == 1, r, 0), 0, pel_max)
@@ -715,6 +725,7 @@ def build_intra_descriptors(cs):
         return mode
 
     rows = []
+    seen_ciip: set = set()
     for tu in cs.tus:
         cu = cs.cus[tu.cu_idx]
         is_intra = cu.pred_mode == MODE_INTRA
@@ -724,14 +735,52 @@ def build_intra_descriptors(cs):
             # re-checks the motion-dependent gates post-derivation)
             if cu.pred_mode != 0:  # not MODE_INTER -> MODE_IBC
                 return None, "ibc"
-            if cu.affine_flag:
-                return None, "affine"
-            if cu.geo_flag:
-                return None, "geo"
-            if cu.ciip_flag:
-                return None, "ciip"
-            if cu.merge_type:
-                return None, "sbtmvp"
+            if cu.ciip_flag and cu.idx not in seen_ciip:
+                # CIIP: the planar-intra blend runs as a scan unit at
+                # this CU's parse position, over the RAW inter pred the
+                # MC stage stores (predBlendIntraCiip,
+                # IntraPrediction.cpp:884); weights from the neighbor
+                # prediction modes (value-independent)
+                seen_ciip.add(cu.idx)
+                if cu.w > 64 or cu.h > 64:
+                    return None, "ciip_size"
+                lnb = cs.cu_at_restricted(cu.x - 1, cu.y + cu.h - 1,
+                                          cu, 0)
+                anb = cs.cu_at_restricted(cu.x + cu.w - 1, cu.y - 1,
+                                          cu, 0)
+                n0 = bool(lnb and lnb.pred_mode == MODE_INTRA
+                          and lnb.idx < cu.idx)
+                n1 = bool(anb and anb.pred_mode == MODE_INTRA
+                          and anb.idx < cu.idx)
+                w_intra = 3 - (not n0) - (not n1)
+                w_merge = 3 - n0 - n1
+                ncomp = cs.num_comp \
+                    if (cs.num_comp > 1 and cu.cw > 2) else 1
+                import types
+                for comp in range(ncomp):
+                    blocks = [None, None, None]
+                    if comp == 0:
+                        blocks[0] = (cu.x, cu.y, cu.w, cu.h)
+                        w_, h_ = cu.w, cu.h
+                    else:
+                        blocks[comp] = (cu.cx, cu.cy, cu.cw, cu.ch)
+                        if blocks[1] is None:
+                            blocks[1] = blocks[comp]
+                        w_, h_ = cu.cw, cu.ch
+                    tmp = types.SimpleNamespace(blocks=blocks,
+                                                order=tu.order)
+                    fp = _fill_params(cs, order_map, wpp, ctu_log2,
+                                      tmp, cu, comp)
+                    if fp is None:
+                        return None, "fill_corner_case"
+                    fill, avail0 = fp
+                    x_, y_ = blocks[comp][0], blocks[comp][1]
+                    rows.append((
+                        comp, x_, y_, w_, h_, w_.bit_length() - 1,
+                        h_.bit_length() - 1, 5,
+                        1 if (comp == 0 and w_ * h_ > 32) else 0, 1,
+                        avail0, *fill, 0, w_intra, w_merge, 0,
+                        1 if (w_ >= 4 and h_ >= 4) else 0, 1))
         if is_intra:
             if cu.isp_mode:
                 return None, "isp"
