@@ -19,12 +19,64 @@ from vvdec_tpu.frame.structure import (
     NUM_LUMA_MODE,
 )
 
-TD_STRIDE = 42
+TD_STRIDE = 54
 TD_COMP_BASE = 6
-TD_COMP_STRIDE = 12
+TD_COMP_STRIDE = 16
 F_ELIG, F_COMP0, F_CHROMA, F_DEPQ = 1, 2, 4, 8
 
 _BANK = None  # (flat int32 bank, offsets int32[n_ids], {(kind, n): id})
+_LFNST_BANK = None  # flat int32: 4x4 sets then 8x8 sets
+_MIP_BANK = None    # (mip4, mip8, mip16) contiguous int32
+
+
+def _lfnst_bank():
+    global _LFNST_BANK
+    if _LFNST_BANK is None:
+        from vvdec_tpu.ops.tables import LFNST_4x4, LFNST_8x8
+        _LFNST_BANK = np.concatenate(
+            [np.ascontiguousarray(LFNST_4x4, dtype=np.int32).ravel(),
+             np.ascontiguousarray(LFNST_8x8, dtype=np.int32).ravel()])
+    return _LFNST_BANK
+
+
+def _mip_bank():
+    global _MIP_BANK
+    if _MIP_BANK is None:
+        from vvdec_tpu.ops.tables import MIP_4x4, MIP_8x8, MIP_16x16
+        _MIP_BANK = tuple(np.ascontiguousarray(t, dtype=np.int32)
+                          for t in (MIP_4x4, MIP_8x8, MIP_16x16))
+    return _MIP_BANK
+
+
+def _lfnst_td(cs, tu, cu, comp, mode_basis):
+    """(bank offset, meta) for the TD, or (-1, 0) when LFNST does not
+    apply to this component (lfnst_params parity on the index side)."""
+    from vvdec_tpu.ops.tables import LFNST_LUT
+    sep_tree = cu.tree_type != 0
+    if not (sep_tree or comp == 0):
+        return -1, 0
+    _, _, w, h = tu.blocks[comp]
+    wide = mode_basis
+    if mode_basis >= 2:
+        mode_shift = (0, 6, 10, 12, 14, 15)
+        delta = abs((w.bit_length() - 1) - (h.bit_length() - 1))
+        if w > h and mode_basis < 2 + mode_shift[delta]:
+            wide = mode_basis + 65
+        elif h > w and mode_basis > 66 - mode_shift[delta]:
+            wide = mode_basis - 67
+    if wide < 0:
+        lfnst_mode = wide + 14 + 67
+    elif wide >= 67:
+        lfnst_mode = wide + 14
+    else:
+        lfnst_mode = wide
+    transpose = (lfnst_mode >= 81) or (34 < lfnst_mode < 67)
+    sb8 = w >= 8 and h >= 8
+    zero16 = not ((w == 4 and h == 4) or (w == 8 and h == 8))
+    s = int(LFNST_LUT[lfnst_mode])
+    off = (2048 + (s * 2 + cu.lfnst_idx - 1) * 768) if sb8 \
+        else (s * 2 + cu.lfnst_idx - 1) * 256
+    return off, int(transpose) | (int(sb8) << 1) | (int(zero16) << 2)
 
 
 def _matrix_bank():
@@ -93,9 +145,9 @@ class NativeFastPath:
             else:
                 cxx, cyy, cww, chh = tu.blocks[1]
                 d[2:6] = (cxx * sub_w, cyy * sub_h, cww * sub_w, chh * sub_h)
-            if cu.pred_mode != MODE_INTRA or cu.mip_flag or cu.isp_mode \
+            if cu.pred_mode != MODE_INTRA or cu.isp_mode \
                     or cu.multi_ref_idx or cu.bdpcm_mode \
-                    or cu.bdpcm_mode_chroma or cu.lfnst_idx \
+                    or cu.bdpcm_mode_chroma \
                     or cu.color_transform or tu.joint_cbcr:
                 continue
             flags = F_ELIG
@@ -114,27 +166,54 @@ class NativeFastPath:
                 if w < 2 or h < 2 or w > 64 or h > 64:
                     ok = False
                     break
-                mode = recon.final_mode(cu, comp)
-                if mode >= NUM_LUMA_MODE:  # CCLM chroma modes
-                    ok = False
-                    break
+                is_mip = comp == 0 and cu.mip_flag
+                if is_mip:
+                    mode = cu.intra_dir[0]
+                    special = 2
+                else:
+                    mode = recon.final_mode(cu, comp)
+                    special = 0
+                    if mode >= NUM_LUMA_MODE:
+                        if not 67 <= mode <= 69:  # CCLM only
+                            ok = False
+                            break
+                        special = 3
                 cbf = bool(tu.cbf[comp])
-                if cbf and tu.mts_idx[comp] == MTS_SKIP:
-                    ok = False
-                    break
+                is_ts = cbf and tu.mts_idx[comp] == MTS_SKIP
+                if is_ts:
+                    special |= 16
                 cd = d[TD_COMP_BASE + comp * TD_COMP_STRIDE:]
                 cd[0], cd[1], cd[2], cd[3] = x, y, w, h
                 cd[4] = 1 if cbf else 0
                 cd[5] = mode
-                cd[6] = 1 if recon.use_filtered_refs(cu, comp, w, h) else 0
+                cd[6] = 0 if is_mip \
+                    else (1 if recon.use_filtered_refs(cu, comp, w, h)
+                          else 0)
                 cd[7] = (tu.qp + cs.sps.qp_bd_offset) if comp == 0 \
                     else tu.chroma_qp[comp - 1]
                 cd[8] = tu.max_scan_x[comp]
                 cd[9] = tu.max_scan_y[comp]
-                if cbf:
+                cd[12] = special
+                cd[13] = -1
+                if is_mip:
+                    from vvdec_tpu.frame.recon_np import mip_size_id
+                    cd[15] = (1 if cu.mip_transpose else 0) \
+                        | (mip_size_id(w, h) << 1)
+                if cbf and not is_ts:
                     hor, ver = get_tr_types(cs, tu, cu, comp)
                     cd[10] = ids[(hor, w)]
                     cd[11] = ids[(ver, h)]
+                    if cu.lfnst_idx:
+                        from vvdec_tpu.frame.recon_np import \
+                            co_located_luma_mode_of
+                        if is_mip:
+                            basis = 0
+                        elif special & 15 == 3:
+                            basis = co_located_luma_mode_of(cs, cu)
+                        else:
+                            basis = mode
+                        cd[13], cd[14] = _lfnst_td(cs, tu, cu, comp,
+                                                   basis)
             if ok:
                 d[0] = flags
 
@@ -183,6 +262,7 @@ class NativeFastPath:
         coef = cs.coef
         has_c = cs.num_comp > 1
         z = self._z32
+        m4, m8, m16 = _mip_bank()
         return self.eng.run_from(
             start, len(cs.tus), self.td, self.cu_meta,
             reco[0], coef[0],
@@ -194,4 +274,7 @@ class NativeFastPath:
             cs.cu_map, cs.cu_map_c if cs.cu_map_c is not None else z,
             r.tu_order_map, self.bank, self.offs,
             r.bit_depth, 1 if cs.sps.entropy_coding_sync_enabled else 0,
-            cs.ctu_log2, cs.sub_w, cs.sub_h, cs.num_comp)
+            cs.ctu_log2, cs.sub_w, cs.sub_h, cs.num_comp,
+            _lfnst_bank(), m4, m8, m16, cs.sps.chroma_format_idc,
+            1 if cs.sps.chroma_ver_collocated else 0,
+            cs.sps.internal_minus_input_bit_depth)

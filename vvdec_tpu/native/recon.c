@@ -69,15 +69,23 @@ static const int GAUSS_FILTER[32][4] = {
 #define VDIA_IDX 66
 
 /* TU descriptor layout (int32).  [0]=flags, [1]=cu_idx,
- * [2..5]=order-map rect (luma coords x,y,w,h), then 3 components x 12:
- * x, y, w, h, cbf, mode, filt, qp, max_scan_x, max_scan_y, mat_h, mat_v */
-#define TD_STRIDE 42
+ * [2..5]=order-map rect (luma coords x,y,w,h), then 3 components x 16:
+ * x, y, w, h, cbf, mode, filt, qp, max_scan_x, max_scan_y, mat_h, mat_v,
+ * special (0 none, 1 transform-skip, 2 MIP, 3 CCLM),
+ * lfnst bank offset (-1 none),
+ * lfnst meta (bit0 transpose, bit1 sb8, bit2 zero16),
+ * mip meta (bit0 transpose, bits1-2 size id) */
+#define TD_STRIDE 54
 #define TD_COMP_BASE 6
-#define TD_COMP_STRIDE 12
+#define TD_COMP_STRIDE 16
 #define F_ELIG 1
 #define F_COMP0 2
 #define F_CHROMA 4
 #define F_DEPQ 8
+#define SP_NONE 0
+#define SP_MIP 2
+#define SP_CCLM 3
+/* cd[12] low nibble = prediction kind; bit4 = transform-skip residual */
 
 /* cu_meta stride 6: x, y, cx, cy, slice_idx, tile_idx */
 #define CM_STRIDE 6
@@ -93,8 +101,17 @@ typedef struct {
     const int32_t *cu_meta;
     const int32_t *bank;     /* transform matrix bank */
     const int32_t *bank_off; /* offset of matrix id i */
+    const int32_t *lfnst;    /* LFNST kernel bank (4x4 then 8x8 sets) */
+    const int32_t *mip[3];   /* MIP weights per size id */
     int bit_depth, pel_max, wpp, ctu_log2, sub_w, sub_h, num_comp;
+    int fmt, collocated, imi; /* chroma fmt, ver-collocated, bd-shift */
 } Ctx;
+
+/* first 16 coefficients of the 4x4-CG diagonal scan, (y, x) pairs
+ * (rom.scan_grouped(w, h)[:16] for every w, h >= 4) */
+static const int8_t SCAN16[16][2] = {
+    {0, 0}, {1, 0}, {0, 1}, {2, 0}, {1, 1}, {0, 2}, {3, 0}, {2, 1},
+    {1, 2}, {0, 3}, {3, 1}, {2, 2}, {1, 3}, {3, 2}, {2, 3}, {3, 3}};
 
 static inline int ilog2(int v) { /* v is a power of two >= 1 */
     int r = 0;
@@ -519,7 +536,8 @@ static void pred_angular(const Ctx *c, const int32_t *top,
  * TrQuant_EMT.cpp _fastInverseMM).  coef plane region at (x,y). */
 static void dequant_itx(const Ctx *c, int comp, int x, int y, int w, int h,
                         int qp, int dep_quant, int max_x, int max_y,
-                        const int32_t *mh, const int32_t *mv, int32_t *resi) {
+                        const int32_t *mh, const int32_t *mv,
+                        int lf_off, int lf_meta, int32_t *resi) {
     int pi = comp ? 1 : 0;
     const int32_t *coef = c->coef[comp];
     int W = c->W[pi];
@@ -559,6 +577,56 @@ static void dequant_itx(const Ctx *c, int comp, int x, int y, int w, int h,
                 d = (cl * scale) << (-right_shift);
             deq[(size_t)yy * w + xx] = (int32_t)lclip(d, TR_CLIP_MIN,
                                                       TR_CLIP_MAX);
+        }
+    }
+
+    /* inverse LFNST between dequant and the primary transform
+     * (TrQuant::xInvLfnst TrQuant.cpp:201, invLfnstNxNCore :79): the 16
+     * scan-ordered coefficients through the kernel, output into the
+     * top-left 4x4 / 8x8 region (optionally transposed) */
+    if (lf_off >= 0) {
+        const int32_t *lf = c->lfnst + lf_off;
+        int tr = lf_meta & 1;
+        int sb8 = (lf_meta & 2) != 0;
+        int zero = (lf_meta & 4) ? 16 : 8;
+        int nout = sb8 ? 48 : 16;
+        int32_t src[16];
+        for (int k = 0; k < 16; k++)
+            src[k] = deq[(size_t)SCAN16[k][0] * w + SCAN16[k][1]];
+        int32_t out[48];
+        for (int i2 = 0; i2 < nout; i2++) {
+            int64_t acc = 0;
+            const int32_t *row = lf + (size_t)i2 * 16;
+            for (int j = 0; j < zero; j++)
+                acc += (int64_t)row[j] * src[j];
+            out[i2] = (int32_t)lclip((acc + 64) >> 7, -(1 << 15),
+                                     (1 << 15) - 1);
+        }
+        if (!sb8) {
+            for (int r = 0; r < 4; r++)
+                for (int cc = 0; cc < 4; cc++)
+                    deq[(size_t)r * w + cc] =
+                        tr ? out[cc * 4 + r] : out[r * 4 + cc];
+            if (max_x < 3) max_x = 3;
+            if (max_y < 3) max_y = 3;
+        } else {
+            if (!tr) {
+                for (int r = 0; r < 4; r++)
+                    for (int cc = 0; cc < 8; cc++)
+                        deq[(size_t)r * w + cc] = out[r * 8 + cc];
+                for (int r = 4; r < 8; r++)
+                    for (int cc = 0; cc < 4; cc++)
+                        deq[(size_t)r * w + cc] = out[32 + (r - 4) * 4 + cc];
+            } else {
+                for (int r = 0; r < 8; r++)
+                    for (int cc = 0; cc < 4; cc++)
+                        deq[(size_t)r * w + cc] = out[cc * 8 + r];
+                for (int r = 0; r < 4; r++)
+                    for (int cc = 4; cc < 8; cc++)
+                        deq[(size_t)r * w + cc] = out[32 + (cc - 4) * 4 + r];
+            }
+            if (max_x < 7) max_x = 7;
+            if (max_y < 7) max_y = 7;
         }
     }
 
@@ -609,6 +677,408 @@ static void dequant_itx(const Ctx *c, int comp, int x, int y, int w, int h,
     }
 }
 
+/* transform-skip residual: TS dequant, no transform
+ * (recon_np.ts_residual / dequant_block(ts=True); Quant.cpp DeQuant) */
+static void ts_dequant(const Ctx *c, int comp, int x, int y, int w, int h,
+                       int qp, int max_x, int max_y, int32_t *resi) {
+    int pi = comp ? 1 : 0;
+    const int32_t *coef = c->coef[comp];
+    int W = c->W[pi];
+    int floorq = 4 + 6 * c->imi;
+    if (qp < floorq) qp = floorq;
+    int qp_per = qp / 6, qp_rem = qp % 6;
+    int right_shift = 6 - qp_per;
+    int64_t scale = INV_QUANT_SCALES[0][qp_rem];
+    int target_bd = 64 + right_shift - 7;
+    if (target_bd > MAX_TR_RANGE + 1) target_bd = MAX_TR_RANGE + 1;
+    int64_t input_max = ((int64_t)1 << (target_bd - 1)) - 1;
+    memset(resi, 0, sizeof(int32_t) * (size_t)w * h);
+    for (int yy = 0; yy <= max_y; yy++)
+        for (int xx = 0; xx <= max_x; xx++) {
+            int64_t lv = coef[(size_t)(y + yy) * W + (x + xx)];
+            if (lv == 0) continue;
+            int64_t cl = lclip(lv, -input_max - 1, input_max);
+            int64_t d;
+            if (right_shift > 0)
+                d = (cl * scale + ((int64_t)1 << (right_shift - 1)))
+                    >> right_shift;
+            else
+                d = (cl * scale) << (-right_shift);
+            resi[(size_t)yy * w + xx] =
+                (int32_t)lclip(d, -(1 << MAX_TR_RANGE),
+                               (1 << MAX_TR_RANGE) - 1);
+        }
+}
+
+/* matrix intra prediction (recon_np.pred_mip; Mip::PredictorMIP,
+ * MatrixIntraPrediction.cpp:60): Haar boundary downsample, rebased
+ * matrix product, linear upsampling. */
+static void pred_mip(const Ctx *c, const int32_t *top, const int32_t *left,
+                     int w, int h, int mode, int transpose, int size_id,
+                     int32_t *pred) {
+    const int32_t *ref_top = top + 1, *ref_left = left + 1;
+    int bdry = size_id == 0 ? 2 : 4;
+    int red = size_id < 2 ? 4 : 8;
+    int up_h = w / red, up_v = h / red;
+    int bd = c->bit_depth;
+
+    int32_t t_red[4], l_red[4];
+    for (int side = 0; side < 2; side++) {
+        const int32_t *src = side ? ref_left : ref_top;
+        int n = side ? h : w;
+        int32_t *dst = side ? l_red : t_red;
+        if (n > bdry) {
+            int f = n / bdry, lg = ilog2(f);
+            for (int i2 = 0; i2 < bdry; i2++) {
+                int64_t s = 0;
+                for (int j = 0; j < f; j++) s += src[i2 * f + j];
+                dst[i2] = (int32_t)((s + (1 << (lg - 1))) >> lg);
+            }
+        } else {
+            for (int i2 = 0; i2 < bdry; i2++) dst[i2] = src[i2];
+        }
+    }
+    int input_size = 2 * bdry;
+    int32_t inp[8];
+    for (int i2 = 0; i2 < bdry; i2++) {
+        inp[i2] = transpose ? l_red[i2] : t_red[i2];
+        inp[bdry + i2] = transpose ? t_red[i2] : l_red[i2];
+    }
+    int32_t in_off = inp[0];
+    inp[0] = size_id < 2 ? ((1 << (bd - 1)) - in_off) : 0;
+    for (int i2 = 1; i2 < input_size; i2++) inp[i2] -= in_off;
+    int64_t isum = 0;
+    for (int i2 = 0; i2 < input_size; i2++) isum += inp[i2];
+    int64_t offset = (1 << 5) - 32 * isum;
+
+    int red_size = size_id == 2 ? 1 : 0;
+    int wrow_len = input_size - red_size;
+    const int32_t *mat = c->mip[size_id]
+        + (size_t)mode * (red * red) * wrow_len;
+    int32_t out8[8][8];
+    for (int pos = 0; pos < red * red; pos++) {
+        const int32_t *wr = mat + (size_t)pos * wrow_len;
+        int64_t acc = red_size ? 0 : (int64_t)inp[0] * wr[0];
+        for (int i2 = 1; i2 < input_size; i2++)
+            acc += (int64_t)inp[i2] * wr[i2 - red_size];
+        int64_t v = ((acc + offset) >> 6) + in_off;
+        v = lclip(v, 0, c->pel_max);
+        int r = pos / red, cc = pos % red;
+        if (transpose)
+            out8[cc][r] = (int32_t)v;
+        else
+            out8[r][cc] = (int32_t)v;
+    }
+
+    if (up_h == 1 && up_v == 1) {
+        for (int r = 0; r < h; r++)
+            for (int cc = 0; cc < w; cc++)
+                pred[(size_t)r * w + cc] = out8[r][cc];
+        return;
+    }
+    /* horizontal upsampling (rows land at y = (k+1)*up_v - 1) */
+    int32_t hor[8][64];
+    if (up_h > 1) {
+        int lg = ilog2(up_h), ro = 1 << (lg - 1);
+        for (int k = 0; k < red; k++) {
+            int32_t prev = ref_left[(k + 1) * up_v - 1];
+            int pos = 0;
+            for (int j = 0; j < red; j++) {
+                int32_t behind = out8[k][j];
+                int32_t diff = behind - prev;
+                int32_t scaled = prev * up_h + ro;
+                for (int i2 = 0; i2 < up_h; i2++) {
+                    scaled += diff;
+                    hor[k][pos++] = scaled >> lg;
+                }
+                prev = behind;
+            }
+        }
+    } else {
+        for (int k = 0; k < red; k++)
+            for (int j = 0; j < red; j++) hor[k][j] = out8[k][j];
+    }
+    if (up_v == 1) {
+        for (int r = 0; r < h; r++)
+            for (int cc = 0; cc < w; cc++)
+                pred[(size_t)r * w + cc] = hor[r][cc];
+        return;
+    }
+    int lg = ilog2(up_v), ro = 1 << (lg - 1);
+    for (int cc = 0; cc < w; cc++) {
+        int32_t prev = ref_top[cc];
+        for (int j = 0; j < red; j++) {
+            int32_t behind = hor[j][cc];
+            int32_t diff = behind - prev;
+            int32_t scaled = prev * up_v + ro;
+            for (int i2 = 0; i2 < up_v; i2++) {
+                scaled += diff;
+                pred[(size_t)(j * up_v + i2) * w + cc] = scaled >> lg;
+            }
+            prev = behind;
+        }
+    }
+}
+
+/* cross-component linear model chroma prediction (recon_np.pred_cclm;
+ * xGetLumaRecPixels / xGetLMParameters / predIntraChromaLM).  Negative
+ * sample indices wrap (python-indexing parity with the host golden). */
+static const int8_t CCLM_DIV[16] = {0, 7, 6, 5, 5, 4, 4, 3,
+                                    3, 2, 2, 1, 1, 1, 1, 0};
+
+static void pred_cclm(const Ctx *c, int comp, int cu_idx, int tu_order,
+                      int x, int y, int w, int h, int mode,
+                      const int32_t *top_ref, const int32_t *left_ref,
+                      int32_t *pred) {
+    const int32_t *luma = c->reco[0];
+    int lw = c->W[0], lh = c->H[0];
+    int mult = c->sub_w, rec2 = c->sub_h;
+    int stro = c->sub_w == 1 ? 0 : 1;
+    const int32_t *cm = c->cu_meta + (size_t)cu_idx * CM_STRIDE;
+    int cu_cx = cm[2], cu_cy = cm[3];
+    int lx = x * c->sub_w, ly = y * c->sub_h;
+    int first_row = (ly & ((1 << c->ctu_log2) - 1)) == 0;
+    int t3[5], t5[7], t6[8];
+    if (c->fmt == 2) {
+        int a3[5] = {2, 1, 1, 2, 2};
+        int a5[7] = {0, 2, 1, 1, 0, 2, 2};
+        int a6[8] = {2, 1, 1, 0, 0, 0, 2, 2};
+        memcpy(t3, a3, sizeof(a3));
+        memcpy(t5, a5, sizeof(a5));
+        memcpy(t6, a6, sizeof(a6));
+    } else if (c->fmt == 3) {
+        int a3[5] = {1, 0, 0, 0, 0};
+        int a5[7] = {0, 1, 0, 0, 0, 0, 0};
+        int a6[8] = {1, 0, 0, 0, 0, 0, 0, 0};
+        memcpy(t3, a3, sizeof(a3));
+        memcpy(t5, a5, sizeof(a5));
+        memcpy(t6, a6, sizeof(a6));
+    } else {
+        int a3[5] = {2, 1, 1, 2, 2};
+        int a5[7] = {1, 4, 1, 1, 1, 4, 3};
+        int a6[8] = {2, 1, 1, 2, 1, 1, 4, 3};
+        memcpy(t3, a3, sizeof(a3));
+        memcpy(t5, a5, sizeof(a5));
+        memcpy(t6, a6, sizeof(a6));
+    }
+
+#define LUM(r, cc2)                                                     \
+    luma[(size_t)((r) < 0 ? (r) + lh : ((r) >= lh ? lh - 1 : (r))) * lw \
+         + ((cc2) < 0 ? (cc2) + lw : ((cc2) >= lw ? lw - 1 : (cc2)))]
+
+    int cu_above = avail(c, cu_cx, cu_cy - 1, comp, cu_idx, tu_order);
+    int cu_left = avail(c, cu_cx - 1, cu_cy, comp, cu_idx, tu_order);
+    int above_flag = cu_above || y > cu_cy;
+    int left_flag = cu_left || x > cu_cx;
+    int build_above = above_flag, build_left = left_flag;
+
+    int above_avail = 0, left_avail = 0;
+    int actual_top = 0, actual_left = 0;
+    int unit = 2;
+    int tu_w_units = w / unit, tu_h_units = h / unit;
+    if (mode == 69) { /* MDLM_T */
+        int avai_above = 0;
+        if (above_flag) {
+            avai_above = tu_w_units;
+            int ar = (2 * w) / unit - tu_w_units;
+            int lim = h / unit;
+            if (ar > lim) ar = lim;
+            for (int u = 0; u < ar; u++) {
+                if (avail(c, x + w + u * unit, y - 1, comp, cu_idx,
+                          tu_order))
+                    avai_above++;
+                else
+                    break;
+            }
+        }
+        above_avail = avai_above >= tu_w_units;
+        actual_top = unit * avai_above;
+    } else if (mode == 68) { /* MDLM_L */
+        int avai_left = 0;
+        if (left_flag) {
+            avai_left = tu_h_units;
+            int lb = (2 * h) / unit - tu_h_units;
+            int lim = w / unit;
+            if (lb > lim) lb = lim;
+            for (int u = 0; u < lb; u++) {
+                if (avail(c, x - 1, y + h + u * unit, comp, cu_idx,
+                          tu_order))
+                    avai_left++;
+                else
+                    break;
+            }
+        }
+        left_avail = avai_left >= tu_h_units;
+        actual_left = unit * avai_left;
+    } else { /* LM_CHROMA */
+        above_avail = above_flag;
+        left_avail = left_flag;
+        actual_top = above_avail ? w : 0;
+        actual_left = left_avail ? h : 0;
+    }
+
+#define DS_TOP(i2, dstv)                                                  \
+    do {                                                                  \
+        int xx = lx + mult * (i2);                                        \
+        int lt = ((i2) == 0 && !build_left) ? xx : xx - 1;                \
+        if (first_row) {                                                  \
+            int r = ly - 1;                                               \
+            dstv = (t3[0] * LUM(r, xx) + t3[1] * LUM(r, lt)               \
+                    + t3[2] * LUM(r, xx + 1) + t3[3]) >> t3[4];           \
+        } else if (c->collocated) {                                       \
+            int r = ly - rec2;                                            \
+            dstv = (t5[0] * LUM(r - stro, xx) + t5[1] * LUM(r, xx)        \
+                    + t5[2] * LUM(r, lt) + t5[3] * LUM(r, xx + 1)         \
+                    + t5[4] * LUM(r + stro, xx) + t5[5]) >> t5[6];        \
+        } else {                                                          \
+            int r = ly - rec2;                                            \
+            dstv = (t6[0] * LUM(r, xx) + t6[1] * LUM(r, lt)               \
+                    + t6[2] * LUM(r, xx + 1) + t6[3] * LUM(r + stro, xx)  \
+                    + t6[4] * LUM(r + stro, lt)                           \
+                    + t6[5] * LUM(r + stro, xx + 1) + t6[6]) >> t6[7];    \
+        }                                                                 \
+    } while (0)
+
+#define DS_LEFT(j2, dstv)                                                 \
+    do {                                                                  \
+        int yy = ly + rec2 * (j2);                                        \
+        int base = lx - 2 - (c->sub_w - 1);                               \
+        if (c->collocated) {                                              \
+            int tt = ((j2) == 0 && !build_above) ? yy : yy - stro;        \
+            dstv = (t5[0] * LUM(tt, base + 1) + t5[1] * LUM(yy, base + 1) \
+                    + t5[2] * LUM(yy, base) + t5[3] * LUM(yy, base + 2)   \
+                    + t5[4] * LUM(yy + stro, base + 1) + t5[5]) >> t5[6]; \
+        } else {                                                          \
+            dstv = (t6[0] * LUM(yy, base + 1) + t6[1] * LUM(yy, base)     \
+                    + t6[2] * LUM(yy, base + 2)                           \
+                    + t6[3] * LUM(yy + stro, base + 1)                    \
+                    + t6[4] * LUM(yy + stro, base)                        \
+                    + t6[5] * LUM(yy + stro, base + 2) + t6[6])           \
+                   >> t6[7];                                              \
+        }                                                                 \
+    } while (0)
+
+    int above_is4 = left_avail ? 0 : 1;
+    int left_is4 = above_avail ? 0 : 1;
+    int start_t = actual_top >> (2 + above_is4);
+    int step_t = actual_top >> (1 + above_is4);
+    if (step_t < 1) step_t = 1;
+    int start_l = actual_left >> (2 + left_is4);
+    int step_l = actual_left >> (1 + left_is4);
+    if (step_l < 1) step_l = 1;
+
+    int32_t sel_l[4] = {0, 0, 0, 0}, sel_c[4] = {0, 0, 0, 0};
+    int cnt_t = 0, cnt_l = 0, cnt = 0;
+    if (above_avail) {
+        cnt_t = (1 + above_is4) << 1;
+        if (cnt_t > actual_top) cnt_t = actual_top;
+        int pos = start_t;
+        while (cnt < cnt_t) {
+            DS_TOP(pos, sel_l[cnt]);
+            sel_c[cnt] = top_ref[1 + pos];
+            pos += step_t;
+            cnt++;
+        }
+    }
+    if (left_avail) {
+        cnt_l = (1 + left_is4) << 1;
+        if (cnt_l > actual_left) cnt_l = actual_left;
+        int pos = start_l, k = 0;
+        while (k < cnt_l) {
+            DS_LEFT(pos, sel_l[k + cnt_t]);
+            sel_c[k + cnt_t] = left_ref[1 + pos];
+            pos += step_l;
+            k++;
+        }
+    }
+    cnt = cnt_l + cnt_t;
+    if (cnt == 2) {
+        sel_l[3] = sel_l[0]; sel_c[3] = sel_c[0];
+        sel_l[2] = sel_l[1]; sel_c[2] = sel_c[1];
+        sel_l[0] = sel_l[1]; sel_c[0] = sel_c[1];
+        sel_l[1] = sel_l[3]; sel_c[1] = sel_c[3];
+    }
+
+    int mn[2] = {0, 2}, mx[2] = {1, 3};
+    int tswap;
+    if (sel_l[mn[0]] > sel_l[mn[1]]) {
+        tswap = mn[0]; mn[0] = mn[1]; mn[1] = tswap;
+    }
+    if (sel_l[mx[0]] > sel_l[mx[1]]) {
+        tswap = mx[0]; mx[0] = mx[1]; mx[1] = tswap;
+    }
+    if (sel_l[mn[0]] > sel_l[mx[1]]) {
+        tswap = mn[0]; mn[0] = mx[0]; mx[0] = tswap;
+        tswap = mn[1]; mn[1] = mx[1]; mx[1] = tswap;
+    }
+    if (sel_l[mn[1]] > sel_l[mx[0]]) {
+        tswap = mn[1]; mn[1] = mx[0]; mx[0] = tswap;
+    }
+    int32_t min_l = (sel_l[mn[0]] + sel_l[mn[1]] + 1) >> 1;
+    int32_t min_c = (sel_c[mn[0]] + sel_c[mn[1]] + 1) >> 1;
+    int32_t max_l = (sel_l[mx[0]] + sel_l[mx[1]] + 1) >> 1;
+    int32_t max_c = (sel_c[mx[0]] + sel_c[mx[1]] + 1) >> 1;
+
+    int a = 0, b, shift = 0;
+    if (left_avail || above_avail) {
+        int diff = max_l - min_l;
+        if (diff > 0) {
+            int diff_c = max_c - min_c;
+            int xsh = bitlen(diff) - 1;
+            int norm_diff = ((diff << 4) >> xsh) & 15;
+            int v = CCLM_DIV[norm_diff] | 8;
+            xsh += norm_diff != 0;
+            int adc = diff_c < 0 ? -diff_c : diff_c;
+            int ysh = diff_c == 0 ? 0 : bitlen(adc) - 1 + 1;
+            int add = (1 << ysh) >> 1;
+            a = (diff_c * v + add) >> ysh;
+            shift = 3 + xsh - ysh;
+            if (shift < 1) {
+                shift = 1;
+                a = a == 0 ? 0 : (a < 0 ? -15 : 15);
+            }
+            b = min_c - ((a * min_l) >> shift);
+        } else {
+            b = min_c;
+        }
+    } else {
+        b = 1 << (c->bit_depth - 1);
+    }
+
+    for (int j = 0; j < h; j++) {
+        int yy = ly + rec2 * j;
+        for (int i2 = 0; i2 < w; i2++) {
+            int xx = lx + mult * i2;
+            int32_t ds;
+            if (c->collocated) {
+                int lt = (i2 == 0 && !build_left) ? xx : xx - 1;
+                int tt = (j == 0 && !build_above) ? yy : yy - stro;
+                ds = (t5[0] * LUM(tt, xx) + t5[1] * LUM(yy, xx)
+                      + t5[2] * LUM(yy, lt) + t5[3] * LUM(yy, xx + 1)
+                      + t5[4] * LUM(yy + stro, xx) + t5[5]) >> t5[6];
+            } else {
+                int lt;
+                if (i2 == 0 && !build_left)
+                    lt = xx;
+                else {
+                    lt = xx - 1;
+                    if (lt < 0) lt = 0;
+                }
+                int x1 = xx + 1 >= lw ? lw - 1 : xx + 1;
+                ds = (t6[0] * LUM(yy, xx) + t6[1] * LUM(yy, lt)
+                      + t6[2] * LUM(yy, x1) + t6[3] * LUM(yy + stro, xx)
+                      + t6[4] * LUM(yy + stro, lt)
+                      + t6[5] * LUM(yy + stro, x1) + t6[6]) >> t6[7];
+            }
+            int64_t p = b + (((int64_t)a * ds) >> shift);
+            pred[(size_t)j * w + i2] = (int32_t)lclip(p, 0, c->pel_max);
+        }
+    }
+#undef LUM
+#undef DS_TOP
+#undef DS_LEFT
+}
+
 /* process TUs from index `start`; returns the index of the first TU that
  * needs the Python fallback (or n_tus when done) */
 static PyObject *mod_run_from(PyObject *self, PyObject *args) {
@@ -617,14 +1087,19 @@ static PyObject *mod_run_from(PyObject *self, PyObject *args) {
     Py_buffer td_buf, cm_buf, bank_buf, off_buf;
     Py_buffer reco_bufs[3], coef_bufs[3];
     Py_buffer cum_buf, cumc_buf, om_buf;
+    Py_buffer lf_buf, mip_bufs[3];
     int W0, H0, Wc, Hc;
     int bit_depth, wpp, ctu_log2, sub_w, sub_h, num_comp;
+    int fmt, collocated, imi;
     if (!PyArg_ParseTuple(
-            args, "iiy*y*w*y*w*y*w*y*iiiiy*y*w*y*y*iiiiii", &start, &n_tus,
+            args, "iiy*y*w*y*w*y*w*y*iiiiy*y*w*y*y*iiiiiiy*y*y*y*iii",
+            &start, &n_tus,
             &td_buf, &cm_buf, &reco_bufs[0], &coef_bufs[0], &reco_bufs[1],
             &coef_bufs[1], &reco_bufs[2], &coef_bufs[2], &W0, &H0, &Wc, &Hc,
             &cum_buf, &cumc_buf, &om_buf, &bank_buf, &off_buf, &bit_depth,
-            &wpp, &ctu_log2, &sub_w, &sub_h, &num_comp))
+            &wpp, &ctu_log2, &sub_w, &sub_h, &num_comp,
+            &lf_buf, &mip_bufs[0], &mip_bufs[1], &mip_bufs[2],
+            &fmt, &collocated, &imi))
         return NULL;
 
     Ctx c;
@@ -653,6 +1128,12 @@ static PyObject *mod_run_from(PyObject *self, PyObject *args) {
     c.sub_w = sub_w;
     c.sub_h = sub_h;
     c.num_comp = num_comp;
+    c.lfnst = (const int32_t *)lf_buf.buf;
+    for (int i = 0; i < 3; i++)
+        c.mip[i] = (const int32_t *)mip_bufs[i].buf;
+    c.fmt = fmt;
+    c.collocated = collocated;
+    c.imi = imi;
 
     const int32_t *td = (const int32_t *)td_buf.buf;
     int i = start;
@@ -677,6 +1158,9 @@ static PyObject *mod_run_from(PyObject *self, PyObject *args) {
             int x = cd[0], y = cd[1], w = cd[2], h = cd[3];
             int cbf = cd[4], mode = cd[5], filt = cd[6], qp = cd[7];
             int msx = cd[8], msy = cd[9], mat_h = cd[10], mat_v = cd[11];
+            int special = cd[12] & 15, is_ts = cd[12] >> 4;
+            int lf_off = cd[13], lf_meta = cd[14];
+            int mip_meta = cd[15];
             int pi = comp ? 1 : 0;
             int32_t *reco = c.reco[comp == 0 ? 0 : comp];
             int W = c.W[pi];
@@ -690,7 +1174,13 @@ static PyObject *mod_run_from(PyObject *self, PyObject *args) {
                 uleft = fleft;
             }
             int do_pdpc = (w >= 4 && h >= 4);
-            if (mode == PLANAR_IDX) {
+            if (special == SP_MIP) {
+                pred_mip(&c, top, left, w, h, mode, mip_meta & 1,
+                         mip_meta >> 1, pred);
+            } else if (special == SP_CCLM) {
+                pred_cclm(&c, comp, cu_idx, i, x, y, w, h, mode, top,
+                          left, pred);
+            } else if (mode == PLANAR_IDX) {
                 pred_planar(utop, uleft, w, h, pred);
                 if (do_pdpc) pdpc_dc_planar(pred, utop, uleft, w, h);
             } else if (mode == DC_IDX) {
@@ -701,10 +1191,14 @@ static PyObject *mod_run_from(PyObject *self, PyObject *args) {
             }
 
             if (cbf) {
+                if (is_ts) {
+                    ts_dequant(&c, comp, x, y, w, h, qp, msx, msy, resi);
+                } else {
                 const int32_t *mhp = c.bank + c.bank_off[mat_h];
                 const int32_t *mvp = c.bank + c.bank_off[mat_v];
                 dequant_itx(&c, comp, x, y, w, h, qp, dep_quant, msx, msy,
-                            mhp, mvp, resi);
+                            mhp, mvp, lf_off, lf_meta, resi);
+                }
                 for (int yy = 0; yy < h; yy++)
                     for (int xx = 0; xx < w; xx++) {
                         int32_t v = pred[(size_t)yy * w + xx] +
@@ -738,6 +1232,9 @@ static PyObject *mod_run_from(PyObject *self, PyObject *args) {
     PyBuffer_Release(&om_buf);
     PyBuffer_Release(&bank_buf);
     PyBuffer_Release(&off_buf);
+    PyBuffer_Release(&lf_buf);
+    for (int k = 0; k < 3; k++)
+        PyBuffer_Release(&mip_bufs[k]);
     return PyLong_FromLong(i);
 }
 

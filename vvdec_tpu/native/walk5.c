@@ -12,9 +12,9 @@
  * #included by cabac.c after walk4.c.
  */
 
-#define TD_STRIDE 42
+#define TD_STRIDE 54
 #define TD_COMP_BASE 6
-#define TD_COMP_STRIDE 12
+#define TD_COMP_STRIDE 16
 #define TD_F_ELIG 1
 #define TD_F_COMP0 2
 #define TD_F_CHROMA 4
@@ -30,6 +30,48 @@ static const int16_t ANG_TABLE_T[32] = {
     0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29, 32, 35, 39, 45,
     51, 57, 64, 73, 86, 102, 128, 171, 256, 341, 512, 1024};
 static const int8_t IF_THRESH_LUMA[8] = {24, 24, 24, 14, 2, 0, 0, 0};
+
+/* g_lfnstLut (intra mode incl. extended wide-angle -> transform set) */
+static const int8_t LFNST_LUT_T[97] = {
+    0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3,
+    3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 0, 0};
+
+/* LFNST kernel-bank offset + meta for one component, or -1 when LFNST
+ * does not apply (lfnst_params, TrQuant::xInvLfnst mode derivation).
+ * intra_mode: the LFNST mode basis (planar for MIP luma, co-located
+ * luma for LM chroma, final 422-mapped mode otherwise). */
+static int td_lfnst(int lfnst_idx, int intra_mode, int w, int h,
+                    int *meta_out)
+{
+    int wide = intra_mode;
+    if (intra_mode >= 2) {
+        static const int mode_shift[6] = {0, 6, 10, 12, 14, 15};
+        int delta = w_ilog2(w) - w_ilog2(h);
+        if (delta < 0) delta = -delta;
+        if (w > h && intra_mode < 2 + mode_shift[delta])
+            wide = intra_mode + (W_VDIA - 1);
+        else if (h > w && intra_mode > W_VDIA - mode_shift[delta])
+            wide = intra_mode - (W_VDIA + 1);
+    }
+    int lfnst_mode;
+    if (wide < 0)
+        lfnst_mode = wide + 14 + 67;
+    else if (wide >= 67)
+        lfnst_mode = wide + 14;
+    else
+        lfnst_mode = wide;
+    int transpose = (lfnst_mode >= 81) || (lfnst_mode > 34 && lfnst_mode < 67);
+    int sb8 = (w >= 8 && h >= 8);
+    int zero16 = !((w == 4 && h == 4) || (w == 8 && h == 8));
+    int set = LFNST_LUT_T[lfnst_mode];
+    int off = sb8 ? 2048 + (set * 2 + lfnst_idx - 1) * 768
+                  : (set * 2 + lfnst_idx - 1) * 256;
+    *meta_out = transpose | (sb8 << 1) | (zero16 << 2);
+    return off;
+}
 
 static int td_wide_angle(int w, int h, int mode)
 {
@@ -114,9 +156,9 @@ static PyObject *mod_build_intra_td(PyObject *self, PyObject *args)
             d[2] = tu[TUF_BX1] * sub_w; d[3] = tu[TUF_BY1] * sub_h;
             d[4] = tu[TUF_BW1] * sub_w; d[5] = tu[TUF_BH1] * sub_h;
         }
-        if (cu[CU_PRED_MODE] != W_MODE_INTRA || cu[CU_MIP_FLAG]
+        if (cu[CU_PRED_MODE] != W_MODE_INTRA
             || cu[CU_ISP] || cu[CU_MULTI_REF] || cu[CU_BDPCM]
-            || cu[CU_BDPCM_C] || cu[CU_LFNST] || tu[TUF_JOINT_CBCR])
+            || cu[CU_BDPCM_C] || tu[TUF_JOINT_CBCR])
             continue;
         int flags = TD_F_ELIG;
         int sl = cu[CU_SLICE_IDX];
@@ -144,6 +186,7 @@ static PyObject *mod_build_intra_td(PyObject *self, PyObject *args)
             }
             /* final_mode */
             int mode;
+            int colocated_luma = -1; /* co-located luma mode (LM/DM) */
             if (comp == 0) {
                 mode = cu[CU_INTRA_DIR0];
             } else {
@@ -163,35 +206,74 @@ static PyObject *mod_build_intra_td(PyObject *self, PyObject *args)
                     mode = (src == NULL || src[CU_MIP_FLAG])
                                ? W_PLANAR : src[CU_INTRA_DIR0];
                 }
+                /* co-located luma mode before the 422 remap: the LFNST
+                 * mode basis for LM chroma (lfnst_params) */
+                {
+                    const int32_t *src2 = cu;
+                    if (cu[CU_TREE_TYPE] == W_TREE_C || !cu[CU_HAS_LUMA]) {
+                        int lx = (cu[CU_CX] + (cu[CU_CW] >> 1)) * sub_w;
+                        int ly = (cu[CU_CY] + (cu[CU_CH] >> 1)) * sub_h;
+                        int li = (lx >= 0 && ly >= 0 && lx < pic_w
+                                  && ly < pic_h)
+                                     ? cu_map[(size_t)(ly >> 2) * w4
+                                              + (lx >> 2)]
+                                     : -1;
+                        src2 = li >= 0 ? cu_rec + (size_t)li * CU_NF : NULL;
+                    }
+                    colocated_luma = (src2 == NULL || src2[CU_MIP_FLAG])
+                                         ? W_PLANAR : src2[CU_INTRA_DIR0];
+                }
                 if (fmt == 2 && mode < W_NUM_LUMA)
                     mode = CHROMA422_MAP_T[mode];
             }
-            if (mode >= W_NUM_LUMA) { /* CCLM chroma modes */
-                ok = 0;
-                break;
+            int special = 0; /* SP_NONE */
+            int is_mip = comp == 0 && cu[CU_MIP_FLAG];
+            int is_cclm = 0;
+            if (is_mip) {
+                special = 2; /* SP_MIP */
+                mode = cu[CU_INTRA_DIR0];
+            } else if (mode >= W_NUM_LUMA) {
+                if (mode > 69) { /* DM already resolved; 67..69 = CCLM */
+                    ok = 0;
+                    break;
+                }
+                special = 3; /* SP_CCLM */
+                is_cclm = 1;
             }
             int cbf = tu[TUF_CBF0 + comp];
-            if (cbf && tu[TUF_MTS0 + comp] == W_MTS_SKIP) {
-                ok = 0;
-                break;
-            }
+            int is_ts = cbf && tu[TUF_MTS0 + comp] == W_MTS_SKIP;
+            if (is_ts)
+                special |= 16; /* TS residual, pred kind unchanged */
             int32_t *cd = d + TD_COMP_BASE + comp * TD_COMP_STRIDE;
             cd[0] = x; cd[1] = y; cd[2] = w; cd[3] = h;
             cd[4] = cbf;
             cd[5] = mode;
-            cd[6] = comp == 0 ? td_use_filtered(w, h, mode) : 0;
+            cd[6] = (comp == 0 && !is_mip) ? td_use_filtered(w, h, mode)
+                                           : 0;
             cd[7] = comp == 0 ? tu[TUF_QP] + qp_bd : tu[TUF_CQP0 + comp - 1];
             cd[8] = tu[TUF_MSX0 + comp];
             cd[9] = tu[TUF_MSY0 + comp];
-            if (cbf) {
-                /* getTrTypes under this gate set (no isp/sbt/mip/lfnst) */
+            cd[12] = special;
+            cd[13] = -1;
+            cd[15] = is_mip
+                         ? (cu[CU_MIP_TRANSPOSE] != 0)
+                               | ((w == 4 && h == 4            ? 0
+                                   : (w == 4 || h == 4
+                                      || (w == 8 && h == 8))   ? 1
+                                                               : 2)
+                                  << 1)
+                         : 0;
+            if (cbf && !is_ts) {
+                /* getTrTypes under this gate set (no isp/sbt) */
                 int hk = 0, vk = 0; /* DCT2 */
                 if (mts_en && comp == 0) {
                     int mts = tu[TUF_MTS0];
                     if (!mts_intra) {
-                        /* implicit MTS */
-                        hk = (w >= 4 && w <= 16) ? 1 : 0;
-                        vk = (h >= 4 && h <= 16) ? 1 : 0;
+                        /* implicit MTS (not for LFNST / MIP blocks) */
+                        if (!cu[CU_LFNST] && !is_mip) {
+                            hk = (w >= 4 && w <= 16) ? 1 : 0;
+                            vk = (h >= 4 && h <= 16) ? 1 : 0;
+                        }
                     } else if (mts >= 2) {
                         hk = (mts == 2 || mts == 4) ? 1 : 2;
                         vk = (mts == 2 || mts == 3) ? 1 : 2;
@@ -199,6 +281,22 @@ static PyObject *mod_build_intra_td(PyObject *self, PyObject *args)
                 }
                 cd[10] = td_tr_id(hk, w);
                 cd[11] = td_tr_id(vk, h);
+                if (cu[CU_LFNST]) {
+                    int sep_tree = cu[CU_TREE_TYPE] != 0;
+                    if (sep_tree || comp == 0) {
+                        int basis;
+                        if (is_mip)
+                            basis = W_PLANAR;
+                        else if (is_cclm)
+                            basis = colocated_luma;
+                        else
+                            basis = mode;
+                        int meta = 0;
+                        cd[13] = td_lfnst(cu[CU_LFNST], basis, w, h,
+                                          &meta);
+                        cd[14] = meta;
+                    }
+                }
             }
         }
         if (ok)
