@@ -206,3 +206,86 @@ class TestPerSliceRpl:
         assert len(frames) == 3
         census = d.get_fallback_census()
         assert census.get("inter_c:per_slice_rpl", 0) >= 1, census
+
+
+class TestParallelSliceParse:
+    """threads >= 3 parses each slice of a multi-slice picture as its
+    own walk-pool task over private record buffers (DecLibParser's
+    per-slice parse tasks); results must be bit-identical to the serial
+    parse."""
+
+    def _both(self, stream, n):
+        import numpy as np
+        from vvdec_tpu.decoder import StreamDecoder, decode_annexb
+        ser = decode_annexb(stream)
+        d = StreamDecoder(threads=4)
+        par = d.push(stream)
+        par += d.flush()
+        assert len(ser) == len(par) == n
+        for fs, fp in zip(ser, par):
+            for a, b in zip(fs, fp.planes):
+                assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("seed", range(2))
+    def test_four_slices_inter_parallel(self, seed):
+        from vvdec_tpu.testenc.encoder import encode_picture
+        pps_kw = dict(**TILES_2X2, rect_slice=True,
+                      single_slice_per_subpic=False, num_slices_in_pic=4,
+                      slice_top_left_tile_idx=[0, 1, 2, 3],
+                      slice_width_in_tiles=[1, 1, 1, 1],
+                      slice_height_in_tiles=[1, 1, 1, 1],
+                      loop_filter_across_slices=seed % 2 == 0,
+                      loop_filter_across_tiles=True)
+        sps, pps, stream = _header(dict(temporal_mvp_enabled=True),
+                                   pps_kw)
+        dec_kw = dict(split_prob=0.4, inter_prob=0.7, skip_prob=0.2,
+                      mv_range=24)
+        for f in range(4):
+            if f == 0:
+                sl = _slices(4, seed * 100 + f * 10, dict(split_prob=0.5))
+            else:
+                d = tuple(range(1, min(f, 2) + 1))
+                sl = _slices(4, seed * 100 + f * 10, dec_kw,
+                             types=[1] * 4, ref_deltas=(d, ()))
+            nal, _ = encode_picture(sps, pps, poc=f, idr=f == 0,
+                                    slices=sl)
+            stream += nal
+        self._both(stream, 4)
+
+    def test_raster_slices_parallel(self):
+        from vvdec_tpu.testenc.encoder import encode_picture
+        pps_kw = dict(**TILES_2X2, rect_slice=False,
+                      loop_filter_across_slices=True,
+                      loop_filter_across_tiles=True)
+        sps, pps, stream = _header({}, pps_kw)
+        for f in range(2):
+            sl = _slices(2, 7 + f * 10, dict(split_prob=0.5))
+            sl[0]["address"], sl[0]["num_tiles"] = 0, 3
+            sl[1]["address"], sl[1]["num_tiles"] = 3, 1
+            nal, _ = encode_picture(sps, pps, poc=f, idr=True, slices=sl)
+            stream += nal
+        self._both(stream, 2)
+
+    def test_mixed_slice_types_parallel(self):
+        from vvdec_tpu.testenc.encoder import encode_picture
+        pps_kw = dict(**TILES_2X2, rect_slice=True,
+                      single_slice_per_subpic=False, num_slices_in_pic=2,
+                      slice_top_left_tile_idx=[0, 2],
+                      slice_width_in_tiles=[2, 2],
+                      slice_height_in_tiles=[1, 1],
+                      loop_filter_across_slices=True,
+                      loop_filter_across_tiles=True)
+        sps, pps, stream = _header({}, pps_kw)
+        dec_kw = dict(split_prob=0.4, inter_prob=0.7, skip_prob=0.2,
+                      mv_range=16)
+        for f in range(3):
+            if f == 0:
+                sl = _slices(2, 21, dict(split_prob=0.5))
+            else:
+                sl = _slices(1, 22 + f, dec_kw, types=[1],
+                             ref_deltas=((1,), ()))
+                sl += _slices(1, 25 + f, dict(split_prob=0.5), types=[2])
+            nal, _ = encode_picture(sps, pps, poc=f, idr=f == 0,
+                                    slices=sl)
+            stream += nal
+        self._both(stream, 3)

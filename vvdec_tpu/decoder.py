@@ -148,7 +148,7 @@ class FrameParser:
 
     def _flush_pending(self, frames: list) -> None:
         if self._pending is not None:
-            pf, covered, total = self._pending
+            pf, covered, total, _tasks = self._pending
             self._pending = None
             if len(covered) < total:
                 raise ValueError(
@@ -225,10 +225,10 @@ class FrameParser:
             pf = ParsedFrame(cs=cs, poc=sh.poc, is_idr=nal.is_idr,
                              nal_type=int(nal.nal_type))
             total = pps.pic_width_in_ctu * pps.pic_height_in_ctu
-            self._pending = (pf, set(), total)
+            self._pending = (pf, set(), total, [])
             slice_idx = 0
         else:
-            pf, covered0, total = self._pending
+            pf, covered0, total, _tasks = self._pending
             cs = pf.cs
             if sh.poc != pf.poc:
                 raise ValueError("slice POC changed mid-picture "
@@ -255,24 +255,140 @@ class FrameParser:
         from vvdec_tpu.cabac.engine import make_cabac_decoder
         dec = make_cabac_decoder(full_rbsp, start_byte)
         dec.reset(sh.qp_y, sh.slice_type)
-        coder = CtuDecoder(cs, dec=dec, slice_idx=slice_idx)
         if self.walk_pool is not None and slice_idx == 0 \
                 and len(sh.ctu_addrs) >= total:
             # single-slice picture: defer the whole CABAC walk to the
             # parse-ahead pool; the picture is "parsed" when the future
             # resolves (checked before reconstruction)
+            coder = CtuDecoder(cs, dec=dec, slice_idx=slice_idx)
             pf.walk_future = self.walk_pool.submit(coder.decode_slice)
             self._pending = None
             return pf
+        if self.walk_pool is not None and self._parallel_slice_ok(cs, dec):
+            # multi-slice picture: ONE walk task per slice over a proxy
+            # cs with private record buffers and maps; slices of the
+            # same picture parse concurrently (DecLibParser.cpp:948) and
+            # merge at join (ParsedFrame.walk_future)
+            task = self._submit_slice_walk(cs, sh, dec, slice_idx)
+            pf, covered, total, tasks = self._pending
+            tasks.append(task)
+            covered.update(sh.ctu_addrs)
+            self._pending = (pf, covered, total, tasks)
+            if len(covered) >= total:
+                pf.walk_future = _MultiSliceWalk(cs, tasks)
+                self._pending = None
+                return pf
+            return None
+        coder = CtuDecoder(cs, dec=dec, slice_idx=slice_idx)
         coder.decode_slice()
-        pf, covered, total = self._pending
+        pf, covered, total, tasks = self._pending
         covered.update(sh.ctu_addrs)
-        self._pending = (pf, covered, total)
+        self._pending = (pf, covered, total, tasks)
         if len(covered) >= total:
             cs.sh = cs.shs[0]
             self._pending = None
             return pf
         return None
+
+    @staticmethod
+    def _parallel_slice_ok(cs, dec) -> bool:
+        """Per-slice walk tasks need the native walk (the merge operates
+        on its flat records); mirror native_walk_ok's gates."""
+        import os
+        if os.environ.get("VVDEC_TPU_PY_WALK") == "1":
+            return False
+        if cs.sps.act_enabled:
+            return False
+        return hasattr(dec, "_d") and hasattr(dec._d, "walk_begin")
+
+    def _submit_slice_walk(self, cs, sh, dec, slice_idx):
+        """Submit one slice's CABAC walk on a private proxy cs (fresh
+        walk buffers + CU/QP/slice maps; coefficient planes and per-CTU
+        parameter lists stay shared — slices write disjoint regions)."""
+        import copy
+        proxy = copy.copy(cs)
+        proxy.__dict__.pop("_nw", None)
+        proxy.__dict__.pop("_mctx", None)
+        proxy.__dict__.pop("_mctx_side", None)
+        proxy.cu_map = np.full_like(cs.cu_map, -1)
+        proxy.cu_map_c = None if cs.cu_map_c is None \
+            else np.full_like(cs.cu_map_c, -1)
+        proxy.qp_map = np.zeros_like(cs.qp_map)
+        proxy.slice_map = np.full_like(cs.slice_map, -1)
+        proxy.sh = sh
+        proxy.cus = []
+        proxy.tus = []
+
+        def run():
+            coder = CtuDecoder(proxy, dec=dec, slice_idx=slice_idx)
+            coder.decode_slice()
+            return proxy
+
+        return self.walk_pool.submit(run), proxy
+
+
+class _MultiSliceWalk:
+    """Joins the per-slice CABAC walk tasks of one picture and merges
+    their private walk records/maps into the real CodingStructure (the
+    reference's per-slice parse tasks, DecLibParser.cpp:948-1012, with
+    context isolation per slice as DecSlice.cpp:133-167).  Each task
+    parsed its slice into a proxy cs with private record buffers and
+    CU/QP/slice maps; cross-slice neighbor lookups during the walk see
+    -1 (unavailable), which matches the slice availability rule."""
+
+    def __init__(self, cs, tasks) -> None:
+        self.cs = cs
+        self.tasks = tasks  # [(future, proxy)] in slice order
+        self._done = False
+
+    def result(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        from vvdec_tpu.cabac.native_walk import (
+            CU_F, LazyRecList, _materialize_cu, _materialize_tu)
+        cs = self.cs
+        proxies = []
+        for fut, proxy in self.tasks:
+            fut.result()  # re-raises slice parse errors
+            proxies.append(proxy)
+        first_tu_col = CU_F["first_tu"]
+        cu_parts, tu_parts = [], []
+        cu_base = tu_base = 0
+        for p in proxies:
+            nw = p._nw
+            ncu, ntu = int(nw["counts"][0]), int(nw["counts"][1])
+            cu_rec = nw["cu_rec"][:ncu].copy()
+            tu_rec = nw["tu_rec"][:ntu].copy()
+            cu_rec[:, first_tu_col] += tu_base
+            tu_rec[:, 0] += cu_base
+            cu_parts.append(cu_rec)
+            tu_parts.append(tu_rec)
+            m = p.cu_map >= 0
+            cs.cu_map[m] = p.cu_map[m] + cu_base
+            if cs.cu_map_c is not None:
+                mc = p.cu_map_c >= 0
+                cs.cu_map_c[mc] = p.cu_map_c[mc] + cu_base
+            ms = p.slice_map >= 0
+            cs.slice_map[ms] = p.slice_map[ms]
+            cs.qp_map[ms] = p.qp_map[ms]
+            cu_base += ncu
+            tu_base += ntu
+        nw = {
+            "cu_rec": np.concatenate(cu_parts),
+            "tu_rec": np.concatenate(tu_parts),
+            "counts": np.asarray([cu_base, tu_base], dtype=np.int32),
+        }
+        cs._nw = nw
+        cs.chroma_qp_adj = proxies[-1].chroma_qp_adj
+        from vvdec_tpu.cabac import native_walk as _nwmod
+        cs.cus = _nwmod.LazyRecList(
+            lambda i: _materialize_cu(cs, nw, i))
+        cs.tus = _nwmod.LazyRecList(
+            lambda i: _materialize_tu(cs, nw, i))
+        cs.cus.extend([None] * cu_base)
+        cs.tus.extend([None] * tu_base)
+        cs.sh = cs.shs[0]
 
 
 class _DeferredFrame:
