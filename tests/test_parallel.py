@@ -123,3 +123,49 @@ class TestShardedChain:
         out = filter_frames_sharded(captured, mesh, axis="row")[0]
         for a, b in zip(ref, out):
             assert np.array_equal(a, b)
+
+
+class TestMultihost:
+    """decode_annexb_multihost: the GOP/segment distribution path.  This
+    environment is single-host, which exercises segment partitioning,
+    per-process decode and ordered reassembly; the payload pack/unpack
+    round-trip covers the cross-host exchange format."""
+
+    def test_single_process_decode_matches_serial(self):
+        import numpy as np
+        from vvdec_tpu.decoder import decode_annexb
+        from vvdec_tpu.parallel.distributed import decode_annexb_multihost
+        from vvdec_tpu.testenc.encoder import generate_stream
+        s, _ = generate_stream(width=96, height=64, ctu=32, n_frames=4,
+                               seed=9, qp=30,
+                               dec_kw=dict(split_prob=0.4, density=0.3))
+        ser = decode_annexb(s)
+        out = decode_annexb_multihost(s, use_jax=False)
+        assert len(out) == len(ser)
+        for (poc, planes), fs in zip(out, ser):
+            for a, b in zip(planes, fs):
+                assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_payload_roundtrip(self):
+        import numpy as np
+        from vvdec_tpu.parallel.distributed import (_segment_payload,
+                                                    _unpack_payload)
+
+        class _Pic:
+            def __init__(self, poc, planes):
+                self.poc = poc
+                self.planes = planes
+
+        rng = np.random.default_rng(0)
+        pics = [_Pic(3, [rng.integers(0, 1023, (16, 24), dtype=np.uint16),
+                         rng.integers(0, 1023, (8, 12), dtype=np.uint16),
+                         rng.integers(0, 1023, (8, 12), dtype=np.uint16)]),
+                _Pic(4, [rng.integers(0, 1023, (16, 24),
+                                      dtype=np.uint16)])]
+        meta, payload = _segment_payload(pics)
+        back = _unpack_payload(meta, payload)
+        assert [p for p, _ in back] == [3, 4]
+        for (_, planes), pic in zip(back, pics):
+            assert len(planes) == len(pic.planes)
+            for a, b in zip(planes, pic.planes):
+                assert np.array_equal(a, b)
