@@ -18,4 +18,13 @@ Reference behavioral blueprint: /root/reference (vvdec), see SURVEY.md.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# The host plane's numpy work is all small strided views; BLAS worker
+# threads only spin (blas_thread_server showed up at ~15% of decode CPU
+# in profiles) and steal cores from the parse/recon overlap.  Pin BLAS
+# to one thread unless the user chose otherwise, BEFORE numpy loads.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+
 from vvdec_tpu.api import Decoder, DecoderParams, Frame  # noqa: F401

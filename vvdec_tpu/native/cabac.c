@@ -32,7 +32,10 @@ typedef struct {
     int64_t range_, value_;
     int32_t bits_needed;
     int32_t num_ctx;
-    int32_t *state0, *state1, *rate0, *rate1, *d00, *d10;
+    /* per-context probability state packed into one 16-byte record
+     * (s0, s1, d0, d1, r0, r1, pad, pad as int16) so a bin decode
+     * touches ONE cache line instead of six parallel arrays */
+    int16_t *cm;
     /* cached init tables (B, P, I) + rates, each num_ctx bytes */
     uint8_t *init_tables[3];
     uint8_t *rates_tab;
@@ -50,7 +53,7 @@ static inline int read_byte(Decoder *d)
 static void Decoder_dealloc(Decoder *self)
 {
     Py_XDECREF(self->data_obj);
-    free(self->state0);
+    free(self->cm);
     for (int i = 0; i < 3; i++) free(self->init_tables[i]);
     free(self->rates_tab);
     Py_TYPE(self)->tp_free((PyObject *)self);
@@ -80,17 +83,11 @@ static int Decoder_init(Decoder *self, PyObject *args, PyObject *kw)
     self->pos = start;
     self->end = (end_obj == Py_None) ? self->len : PyLong_AsSsize_t(end_obj);
     self->num_ctx = num_ctx;
-    /* 6 int32 arrays in one allocation */
-    self->state0 = (int32_t *)calloc((size_t)num_ctx * 6, sizeof(int32_t));
-    if (!self->state0) {
+    self->cm = (int16_t *)calloc((size_t)num_ctx * 8, sizeof(int16_t));
+    if (!self->cm) {
         PyErr_NoMemory();
         return -1;
     }
-    self->state1 = self->state0 + num_ctx;
-    self->rate0 = self->state1 + num_ctx;
-    self->rate1 = self->rate0 + num_ctx;
-    self->d00 = self->rate1 + num_ctx;
-    self->d10 = self->d00 + num_ctx;
     PyObject *tabs[3] = {init_b, init_p, init_i};
     for (int i = 0; i < 3; i++) {
         if (PyBytes_GET_SIZE(tabs[i]) != num_ctx) {
@@ -124,14 +121,15 @@ static PyObject *Decoder_ctx_init(Decoder *self, PyObject *args)
         if (inistate < 1) inistate = 1;
         if (inistate > 127) inistate = 127;
         int32_t p1 = inistate << 8;
-        self->state0[i] = p1 & MASK_0;
-        self->state1[i] = p1 & MASK_1;
+        int16_t *c = self->cm + (size_t)i * 8;
         int32_t r0 = 2 + ((rates[i] >> 2) & 3);
         int32_t r1 = 3 + r0 + (rates[i] & 3);
-        self->rate0[i] = r0 + 5;
-        self->rate1[i] = r1 + 1;
-        self->d00[i] = 0xFFFF >> (16 - self->rate0[i]);
-        self->d10[i] = 0xFFFF >> (16 - self->rate1[i]);
+        c[0] = (int16_t)(p1 & MASK_0);       /* s0 */
+        c[1] = (int16_t)(p1 & MASK_1);       /* s1 */
+        c[4] = (int16_t)(r0 + 5);            /* rate0 */
+        c[5] = (int16_t)(r1 + 1);            /* rate1 */
+        c[2] = (int16_t)(0xFFFF >> (16 - c[4])); /* d00 */
+        c[3] = (int16_t)(0xFFFF >> (16 - c[5])); /* d10 */
     }
     Py_RETURN_NONE;
 }
@@ -162,7 +160,8 @@ static inline int dec_bin(Decoder *d, int ctx)
 {
     int64_t rng = d->range_;
     int64_t value = d->value_;
-    int32_t q = (d->state0[ctx] + d->state1[ctx]) >> 8;
+    int16_t *cm = d->cm + (size_t)ctx * 8;
+    int32_t q = (cm[0] + cm[1]) >> 8;
     int bin_val = q >> 7;
     int32_t qs = bin_val ? (q ^ 0xFF) : q;
     int64_t lps = (((int64_t)(qs >> 2) * (rng >> 5)) >> 1) + 4;
@@ -186,11 +185,11 @@ static inline int dec_bin(Decoder *d, int ctx)
     d->range_ = rng;
     d->value_ = value;
     /* two-window probability update */
-    int32_t s0 = d->state0[ctx], s1 = d->state1[ctx];
-    int32_t d0 = bin_val ? 0x7FFF : d->d00[ctx];
-    int32_t d1 = bin_val ? 0x7FFF : d->d10[ctx];
-    d->state0[ctx] = s0 + ((d0 - s0) >> d->rate0[ctx]) * 32;
-    d->state1[ctx] = s1 + ((d1 - s1) >> d->rate1[ctx]) * 2;
+    int32_t s0 = cm[0], s1 = cm[1];
+    int32_t d0 = bin_val ? 0x7FFF : cm[2];
+    int32_t d1 = bin_val ? 0x7FFF : cm[3];
+    cm[0] = (int16_t)(s0 + ((d0 - s0) >> cm[4]) * 32);
+    cm[1] = (int16_t)(s1 + ((d1 - s1) >> cm[5]) * 2);
     return bin_val;
 }
 
@@ -360,8 +359,8 @@ static PyObject *Decoder_finish_ok(Decoder *self, PyObject *Py_UNUSED(i))
 static PyObject *Decoder_ctx_save(Decoder *self, PyObject *Py_UNUSED(i))
 {
     return PyBytes_FromStringAndSize(
-        (const char *)self->state0,
-        (Py_ssize_t)self->num_ctx * 6 * sizeof(int32_t));
+        (const char *)self->cm,
+        (Py_ssize_t)self->num_ctx * 8 * sizeof(int16_t));
 }
 
 static PyObject *Decoder_ctx_load(Decoder *self, PyObject *arg)
@@ -369,12 +368,13 @@ static PyObject *Decoder_ctx_load(Decoder *self, PyObject *arg)
     Py_buffer view;
     if (PyObject_GetBuffer(arg, &view, PyBUF_SIMPLE) < 0)
         return NULL;
-    if (view.len != (Py_ssize_t)self->num_ctx * 6 * (Py_ssize_t)sizeof(int32_t)) {
+    if (view.len !=
+        (Py_ssize_t)self->num_ctx * 8 * (Py_ssize_t)sizeof(int16_t)) {
         PyBuffer_Release(&view);
         PyErr_SetString(PyExc_ValueError, "ctx snapshot size mismatch");
         return NULL;
     }
-    memcpy(self->state0, view.buf, view.len);
+    memcpy(self->cm, view.buf, view.len);
     PyBuffer_Release(&view);
     Py_RETURN_NONE;
 }

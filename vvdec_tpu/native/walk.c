@@ -224,6 +224,7 @@ static const int8_t SBB_H[7][7] = {
 /* scan tables: grouped coefficient scan + CG scan, generated at first use */
 static int32_t *g_wscan[7][7];    /* grouped scan for (log2w, log2h) */
 static int32_t *g_wscan_cg[7][7]; /* CG scan (diag over group grid) */
+static int32_t *g_wscan_inv[7][7]; /* blk_pos -> scan index (covered only) */
 
 static void w_diag_scan(int w, int h, int32_t *out)
 {
@@ -264,8 +265,13 @@ static int w_scan_init(void)
                 }
             }
             free(sub);
+            int32_t *inv = (int32_t *)malloc(sizeof(int32_t) * w * h);
+            if (!inv) return -1;
+            for (int i = 0; i < w * h; i++) inv[i] = w * h - 1;
+            for (int i = 0; i < wg * hg * gw * gh; i++) inv[sc[i]] = i;
             g_wscan[lw][lh] = sc;
             g_wscan_cg[lw][lh] = cg;
+            g_wscan_inv[lw][lh] = inv;
         }
     }
     return 0;
@@ -739,14 +745,7 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
         pos_y = MIN_IN_GROUP_T[pos_y] + t;
     }
     int blk_last = pos_x + pos_y * w;
-    int n_scan = (w_groups * h_groups) << log2_cg;
-    int scan_pos_last = max_num_coeff - 1;
-    for (int i = 0; i < n_scan; i++) {
-        if (scan[i] == blk_last) {
-            scan_pos_last = i;
-            break;
-        }
-    }
+    int scan_pos_last = g_wscan_inv[log2_w][log2_h][blk_last];
 
     /* per-CU residual bookkeeping (lfnst/mts gates) */
     if (mts != W_MTS_SKIP && w >= 4 && h >= 4) {

@@ -77,17 +77,21 @@ def _bitlen(v, maxbits: int = 17):
     return n
 
 
-def _gather_refs(plane, d, bd: int):
+def _gather_refs(plane, d, bd: int, read=None):
     """Reference arrays top[RL], left[RL] (index 0 = corner), already
     smoothed when the descriptor says so (xFillReferenceSamples +
-    xFilterReferenceSamples)."""
+    xFilterReferenceSamples).  `read(y, x)` overrides the plane read
+    (the stacked-plane wavefront passes P[d[0], y, x])."""
+    if read is None:
+        def read(yy, xx):
+            return plane[yy, xx]
     i = jnp.arange(RL)
     ty = jnp.where(i < d[13], d[11], d[12])
     tx = jnp.clip(d[14] + i, d[15], d[16])
-    top = plane[ty, tx].astype(jnp.int32)
+    top = read(ty, tx).astype(jnp.int32)
     ly = jnp.clip(d[20] + i, d[21], d[22])
     lx = jnp.where(i < d[19], d[17], d[18])
-    left = plane[ly, lx].astype(jnp.int32)
+    left = read(ly, lx).astype(jnp.int32)
     dcv = 1 << (bd - 1)
     na = d[10] == 1
     top = jnp.where(na, dcv, top)
@@ -489,50 +493,58 @@ def _pred_cclm(top, left, d, luma, bd: int, cfmt: int, collocated: bool,
     return jnp.clip(b + ((a * ds) >> shift), 0, pel_max)
 
 
-def _make_unit_update(bd: int, cfmt: int, collocated: bool, ctu_log2: int,
-                      cf, gf):
-    """One prediction unit's gather -> predict -> reconstruct -> RMW."""
+def _make_unit_kernels(bd: int, cfmt: int, collocated: bool, ctu_log2: int,
+                       cf, gf):
+    """The 6 per-unit prediction kernels, each
+    (top, left, plane, luma, d) -> (B, B) predicted block (pre-residual).
+    Shared by the sequential scan and the wavefront-batched scan."""
     pel_max = (1 << bd) - 1
     from vvdec_tpu.ops.tables import MIP_4x4, MIP_8x8, MIP_16x16
     m4 = jnp.asarray(MIP_4x4, dtype=jnp.int32)
     m8 = jnp.asarray(MIP_8x8, dtype=jnp.int32)
     m16 = jnp.asarray(MIP_16x16, dtype=jnp.int32)
 
+    def k_planar(top, left, plane, luma, d):
+        p = _pred_planar(top, left, d)
+        return jnp.where(d[27] == 1, _pdpc_dc_planar(p, top, left, d), p)
+
+    def k_dc(top, left, plane, luma, d):
+        p = _pred_dc(top, left, d)
+        return jnp.where(d[27] == 1, _pdpc_dc_planar(p, top, left, d), p)
+
+    def k_ang(top, left, plane, luma, d):
+        return _pred_angular(top, left, d, pel_max, cf, gf)
+
+    def k_mip(top, left, plane, luma, d):
+        return _pred_mip(top, left, d, bd, m4, m8, m16)
+
+    def k_cclm(top, left, plane, luma, d):
+        return _pred_cclm(top, left, d, luma, bd, cfmt, collocated,
+                          ctu_log2)
+
+    def k_ciip(top, left, plane, luma, d):
+        # planar intra blended 1:3..3:1 with the RAW inter pred the
+        # MC stage left in the plane (d[24]=w_intra, d[25]=w_merge)
+        p = _pred_planar(top, left, d)
+        p = jnp.where(d[27] == 1, _pdpc_dc_planar(p, top, left, d), p)
+        cur = lax.dynamic_slice(plane, (d[2], d[1]), (B, B))
+        return (d[25] * cur + d[24] * p + 2) >> 2
+
+    return [k_planar, k_dc, k_ang, k_mip, k_cclm, k_ciip]
+
+
+def _make_unit_update(bd: int, cfmt: int, collocated: bool, ctu_log2: int,
+                      cf, gf):
+    """One prediction unit's gather -> predict -> reconstruct -> RMW."""
+    pel_max = (1 << bd) - 1
+    kernels = _make_unit_kernels(bd, cfmt, collocated, ctu_log2, cf, gf)
+
     def update(plane, luma, resi, d):
         top, left = _gather_refs(plane, d, bd)
-
-        def f_planar(_):
-            p = _pred_planar(top, left, d)
-            return jnp.where(d[27] == 1, _pdpc_dc_planar(p, top, left, d),
-                             p)
-
-        def f_dc(_):
-            p = _pred_dc(top, left, d)
-            return jnp.where(d[27] == 1, _pdpc_dc_planar(p, top, left, d),
-                             p)
-
-        def f_ang(_):
-            return _pred_angular(top, left, d, pel_max, cf, gf)
-
-        def f_mip(_):
-            return _pred_mip(top, left, d, bd, m4, m8, m16)
-
-        def f_cclm(_):
-            return _pred_cclm(top, left, d, luma, bd, cfmt, collocated,
-                              ctu_log2)
-
-        def f_ciip(_):
-            # planar intra blended 1:3..3:1 with the RAW inter pred the
-            # MC stage left in the plane (d[24]=w_intra, d[25]=w_merge)
-            p = _pred_planar(top, left, d)
-            p = jnp.where(d[27] == 1, _pdpc_dc_planar(p, top, left, d),
-                          p)
-            cur = lax.dynamic_slice(plane, (d[2], d[1]), (B, B))
-            return (d[25] * cur + d[24] * p + 2) >> 2
-
-        blk = lax.switch(jnp.clip(d[7], 0, 5),
-                         [f_planar, f_dc, f_ang, f_mip, f_cclm, f_ciip],
-                         0)
+        blk = lax.switch(
+            jnp.clip(d[7], 0, 5),
+            [lambda _, k=k: k(top, left, plane, luma, d) for k in kernels],
+            0)
         x, y = d[1], d[2]
         r = lax.dynamic_slice(resi, (y, x), (B, B))
         out = jnp.clip(blk + jnp.where(d[9] == 1, r, 0), 0, pel_max)
@@ -578,6 +590,204 @@ def _intra_scan_fn(bd: int, cfmt: int = 1, collocated: bool = True,
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _intra_wavefront_fn(bd: int, cfmt: int, collocated: bool,
+                        ctu_log2: int, K: int):
+    """Wavefront-batched intra chain: lax.scan over dependency levels,
+    each step reconstructing up to K *independent* units at once
+    (vmapped gather -> predict -> residual add, K dynamic block
+    writes into a [3, H, W] stacked plane carry — a single array, so a
+    step can mix luma and chroma units without control-flow branches).
+
+    The host groups units by exact dependency level (compute_unit_levels
+    — a unit's level is 1 + the max level over every recon cell its
+    reference-fill runs read), so units inside one step never read each
+    other's output: results are bit-identical to the sequential scan.
+    This replaces ~#units sequential scan steps with ~#levels batched
+    steps — the TPU-native answer to the reference's intra raster
+    dependency (ctuTask INTRA stage, DecLibRecon.cpp:876-893)."""
+    cf = jnp.asarray(CHROMA_FILTER, dtype=jnp.int32)
+    gf = jnp.asarray(GAUSS_FILTER, dtype=jnp.int32)
+    pel_max = (1 << bd) - 1
+    from vvdec_tpu.ops.tables import MIP_4x4, MIP_8x8, MIP_16x16
+    m4 = jnp.asarray(MIP_4x4, dtype=jnp.int32)
+    m8 = jnp.asarray(MIP_8x8, dtype=jnp.int32)
+    m16 = jnp.asarray(MIP_16x16, dtype=jnp.int32)
+
+    @jax.jit
+    def run(planes, resis, batches):
+        hh = max(p.shape[0] for p in planes)
+        ww = max(p.shape[1] for p in planes)
+        P = jnp.stack([jnp.pad(p, ((0, hh - p.shape[0]),
+                                   (0, ww - p.shape[1]))) for p in planes])
+        R = jnp.stack([jnp.pad(r, ((0, hh - r.shape[0]),
+                                   (0, ww - r.shape[1]))) for r in resis])
+        iy = jnp.arange(B)[:, None]
+        ix = jnp.arange(B)[None, :]
+
+        def step(P, db):
+            luma2d = P[0]
+
+            def unit_refs(d):
+                return _gather_refs(
+                    None, d, bd, read=lambda yy, xx: P[d[0], yy, xx])
+
+            tops, lefts = jax.vmap(unit_refs)(db)
+
+            def k_planar(t, l, d):
+                p = _pred_planar(t, l, d)
+                return jnp.where(d[27] == 1,
+                                 _pdpc_dc_planar(p, t, l, d), p)
+
+            def k_dc(t, l, d):
+                p = _pred_dc(t, l, d)
+                return jnp.where(d[27] == 1,
+                                 _pdpc_dc_planar(p, t, l, d), p)
+
+            def k_ang(t, l, d):
+                return _pred_angular(t, l, d, pel_max, cf, gf)
+
+            def k_mip(t, l, d):
+                return _pred_mip(t, l, d, bd, m4, m8, m16)
+
+            def k_cclm(t, l, d):
+                return _pred_cclm(t, l, d, luma2d, bd, cfmt, collocated,
+                                  ctu_log2)
+
+            def k_ciip(t, l, d):
+                p = _pred_planar(t, l, d)
+                p = jnp.where(d[27] == 1, _pdpc_dc_planar(p, t, l, d), p)
+                cur = lax.dynamic_slice(P, (d[0], d[2], d[1]),
+                                        (1, B, B))[0]
+                return (d[25] * cur + d[24] * p + 2) >> 2
+
+            kernels = [k_planar, k_dc, k_ang, k_mip, k_cclm, k_ciip]
+
+            def branch(k):
+                return lambda _: jax.vmap(kernels[k])(tops, lefts, db)
+
+            # batches are homogeneous in mode_class: the switch is on a
+            # per-step scalar, so only one kernel family runs per step
+            blk = lax.switch(jnp.clip(db[0, 7], 0, 5),
+                             [branch(k) for k in range(6)], 0)
+            r = jax.vmap(
+                lambda d: lax.dynamic_slice(R, (d[0], d[2], d[1]),
+                                            (1, B, B))[0])(db)
+            cbf = (db[:, 9] == 1)[:, None, None]
+            out = jnp.clip(blk + jnp.where(cbf, r, 0), 0, pel_max)
+
+            def wr(k, p):
+                d = db[k]
+                cur = lax.dynamic_slice(p, (d[0], d[2], d[1]), (1, B, B))
+                m = (iy < d[4]) & (ix < d[3]) & (d[28] == 1)
+                upd = jnp.where(m, out[k], cur[0]).astype(p.dtype)
+                return lax.dynamic_update_slice(p, upd[None],
+                                                (d[0], d[2], d[1]))
+
+            return lax.fori_loop(0, K, wr, P), 0
+
+        P, _ = lax.scan(step, P, batches)
+        return tuple(P[c, :planes[c].shape[0], :planes[c].shape[1]]
+                     for c in range(3))
+
+    return run
+
+
+def _subsampling(cfmt: int) -> tuple:
+    sub_w = 2 if cfmt in (1, 2) else 1
+    sub_h = 2 if cfmt == 1 else 1
+    return sub_w, sub_h
+
+
+def compute_unit_levels(desc: np.ndarray, cfmt: int) -> np.ndarray:
+    """Exact dependency level per descriptor row (host, numpy).
+
+    Maintains one level map per component plane (granularity 4 px luma,
+    2 px chroma — every intra unit and its reference rows/columns are
+    aligned to those grids).  A unit's level is 1 + the max level over
+    the cells its top/left fill runs read (plus, for CCLM, the
+    co-located luma region); its own block cells are then stamped with
+    that level.  Cells never written (picture border, MC output,
+    unavailable-substituted) stay at level 0."""
+    n = desc.shape[0]
+    lvl = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return lvl
+    sub_w, sub_h = _subsampling(cfmt)
+    gsh = {0: 2, 1: 1, 2: 1}
+    maps = {}
+    for comp in (0, 1, 2):
+        sel = desc[:, 0] == comp
+        if not sel.any():
+            continue
+        dd = desc[sel]
+        hh = int(max(dd[:, 2].max() + dd[:, 4].max() * 2,
+                     dd[:, 22].max() + 1)) + 4
+        ww = int(max(dd[:, 1].max() + dd[:, 3].max() * 2,
+                     dd[:, 16].max() + 1)) + 4
+        maps[comp] = np.zeros(((hh >> gsh[comp]) + 2,
+                               (ww >> gsh[comp]) + 2), dtype=np.int32)
+    for i in range(n):
+        d = desc[i]
+        comp = int(d[0])
+        g = gsh[comp]
+        m = maps[comp]
+        dep = 0
+        if d[10] != 1:  # has references
+            c0, c1 = int(d[15]) >> g, int(d[16]) >> g
+            for rr in {int(d[11]), int(d[12])}:
+                if rr >= 0:
+                    seg = m[rr >> g, c0:c1 + 1]
+                    if seg.size:
+                        dep = max(dep, int(seg.max()))
+            r0, r1 = int(d[21]) >> g, int(d[22]) >> g
+            for cc in {int(d[17]), int(d[18])}:
+                if cc >= 0:
+                    seg = m[max(r0, 0):r1 + 1, cc >> g]
+                    if seg.size:
+                        dep = max(dep, int(seg.max()))
+        if d[7] == 4:  # CCLM reads the co-located reconstructed luma
+            lm = maps[0]
+            x, y, w, h = int(d[1]), int(d[2]), int(d[3]), int(d[4])
+            ext_r = y + max(h, int(d[25])) + 1
+            ext_c = x + max(w, int(d[24])) + 1
+            r0 = max(0, (y - 1) * sub_h) >> 2
+            r1 = min((ext_r * sub_h) >> 2, lm.shape[0] - 1)
+            c0 = max(0, (x - 1) * sub_w) >> 2
+            c1 = min((ext_c * sub_w) >> 2, lm.shape[1] - 1)
+            seg = lm[r0:r1 + 1, c0:c1 + 1]
+            if seg.size:
+                dep = max(dep, int(seg.max()))
+        li = dep + 1
+        lvl[i] = li
+        x, y, w, h = int(d[1]), int(d[2]), int(d[3]), int(d[4])
+        m[y >> g:(y + h) >> g, x >> g:(x + w) >> g] = li
+    return lvl
+
+
+def build_wavefront_batches(desc: np.ndarray, lvl: np.ndarray,
+                            K: int) -> np.ndarray:
+    """[S, K, D] scan input: units grouped by (level, mode_class) — each
+    step homogeneous in kernel family (components mix freely; the scan
+    carries a stacked [3, H, W] plane) — chunked to K units per step,
+    padding rows marked invalid (d[28] = 0)."""
+    order = np.argsort(lvl, kind="stable")
+    groups: dict = {}
+    for i in order:
+        kkey = (int(lvl[i]), int(desc[i, 7]))
+        groups.setdefault(kkey, []).append(i)
+    steps = []
+    for kkey in groups:
+        idxs = groups[kkey]
+        for j in range(0, len(idxs), K):
+            chunk = idxs[j:j + K]
+            b = np.zeros((K, D), dtype=np.int32)
+            b[:len(chunk)] = desc[chunk]
+            steps.append(b)
+    return np.stack(steps) if steps \
+        else np.zeros((0, K, D), dtype=np.int32)
+
+
 def scan_key(cs) -> tuple:
     """Static configuration of the intra scan program for this stream."""
     return (cs.sps.bit_depth, cs.sps.chroma_format_idc,
@@ -588,16 +798,34 @@ def run_intra_scan(planes_pad, resi_pad, desc: np.ndarray, key):
     """Run the intra chain on device.  planes_pad/resi_pad: 3 padded
     int32 device arrays (mono: dummy chroma >= (B+1, B+1)); desc is the
     [n, D] host descriptor tensor (bucketed to powers of two here);
-    key = scan_key(cs) (or a bare bit depth for intra-only content)."""
+    key = scan_key(cs) (or a bare bit depth for intra-only content).
+
+    Default path: the wavefront-batched scan (independent units per
+    step).  VVDEC_INTRA_SCAN=seq selects the one-unit-per-step scan
+    (the debugging / parity baseline)."""
+    import os
+
     n = desc.shape[0]
     if n == 0:
         return tuple(planes_pad)
+    full_key = key if isinstance(key, tuple) else (key, 1, True, 7)
+    if os.environ.get("VVDEC_INTRA_SCAN", "wavefront") != "seq":
+        K = int(os.environ.get("VVDEC_INTRA_SCAN_K", "8"))
+        lvl = compute_unit_levels(desc, full_key[1])
+        batches = build_wavefront_batches(desc, lvl, K)
+        s = batches.shape[0]
+        s_pad = 1 << max(0, (s - 1)).bit_length()
+        if s_pad != s:  # all-invalid steps scatter nothing (d[28]=0)
+            pad = np.zeros((s_pad - s, K, D), dtype=np.int32)
+            batches = np.concatenate([batches, pad])
+        fn = _intra_wavefront_fn(*full_key, K)
+        return fn(tuple(planes_pad), tuple(resi_pad),
+                  jnp.asarray(batches))
     n_pad = 1 << max(0, (n - 1)).bit_length()
     if n_pad != n:
         pad = np.zeros((n_pad - n, D), dtype=np.int32)
         desc = np.concatenate([desc, pad])
-    fn = _intra_scan_fn(*key) if isinstance(key, tuple) \
-        else _intra_scan_fn(key)
+    fn = _intra_scan_fn(*full_key)
     return fn(tuple(planes_pad), tuple(resi_pad), jnp.asarray(desc))
 
 

@@ -63,14 +63,18 @@ def _decode_segment(args):
 
 
 def _decode_segment_shm(args):
-    """Decode a segment and return frames through a shared-memory block
-    (descriptor only over the pipe) — the result pipe otherwise
-    serializes ~1-2 MB per frame and caps pool scaling."""
-    seg, use_jax, threads = args
+    """Decode a chunk of segments and return all frames through ONE
+    shared-memory block (descriptor only over the pipe) — the result
+    pipe otherwise serializes ~1-2 MB per frame, and per-segment tasks
+    pay pool dispatch + shm setup per frame; both cap pool scaling."""
+    segs, use_jax, threads = args
     from multiprocessing import shared_memory
 
     from vvdec_tpu.decoder import decode_annexb
-    frames = decode_annexb(seg, use_jax=use_jax, threads=threads)
+    frames = []
+    for seg in segs:
+        frames.extend(decode_annexb(seg, use_jax=use_jax,
+                                    threads=threads))
     total = sum(p.nbytes for planes in frames for p in planes)
     if total == 0:
         return None, [], []
@@ -161,13 +165,27 @@ def decode_annexb_parallel(data: bytes, workers: int | None = None,
     if (workers <= 1 or len(segments) <= 1) and executor is None:
         from vvdec_tpu.decoder import decode_annexb
         return decode_annexb(data, use_jax=use_jax, threads=threads)
+    # contiguous chunks, one per worker, balanced by byte size (the
+    # decode-time proxy): amortizes pool dispatch + shm setup across
+    # the whole chunk while preserving output order
+    nchunks = min(len(segments), workers)
+    total = sum(len(s) for s in segments)
+    chunks, cur, acc = [], [], 0
+    for s in segments:
+        cur.append(s)
+        acc += len(s)
+        if len(chunks) < nchunks - 1 and acc >= total / nchunks:
+            chunks.append(cur)
+            cur, acc = [], 0
+    if cur:
+        chunks.append(cur)
     out = []
     own = executor is None
     ex = executor or make_worker_pool(workers)
     try:
         for name, metas, _ in ex.map(
                 _decode_segment_shm,
-                [(s, use_jax, threads) for s in segments]):
+                [(c, use_jax, threads) for c in chunks]):
             if name is None:
                 continue
             blk = _ShmFrames(name)
