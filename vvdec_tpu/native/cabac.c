@@ -275,6 +275,195 @@ static inline uint32_t dec_bins_ep(Decoder *d, int num_bins)
     return bins;
 }
 
+/* ------------------------------------------------------------------ */
+/* Register-resident engine state for the hot residual-coding loops:   */
+/* the same arithmetic decoder, but range/value/bits/pos live in a     */
+/* local struct the compiler keeps in registers across thousands of    */
+/* bins, instead of bouncing through the Decoder object per bin.       */
+/* Semantics identical to dec_bin/dec_bin_ep/dec_bins_ep/dec_rem_abs.  */
+typedef struct {
+    int64_t range_, value_;
+    int32_t bits_needed;
+    Py_ssize_t pos, end;
+    const uint8_t *data;
+} EngSt;
+
+static inline void eng_load(EngSt *e, const Decoder *d)
+{
+    e->range_ = d->range_;
+    e->value_ = d->value_;
+    e->bits_needed = d->bits_needed;
+    e->pos = d->pos;
+    e->end = d->end;
+    e->data = d->data;
+}
+
+static inline void eng_store(Decoder *d, const EngSt *e)
+{
+    d->range_ = e->range_;
+    d->value_ = e->value_;
+    d->bits_needed = e->bits_needed;
+    d->pos = e->pos;
+}
+
+static inline int e_read_byte(EngSt *e)
+{
+    if (e->pos >= e->end) {
+        e->pos += 1;
+        return 0;
+    }
+    return e->data[e->pos++];
+}
+
+static inline int e_dec_bin(EngSt *e, int16_t *cm)
+{
+    int64_t rng = e->range_;
+    int64_t value = e->value_;
+    int32_t q = (cm[0] + cm[1]) >> 8;
+    int bin_val = q >> 7;
+    int32_t qs = bin_val ? (q ^ 0xFF) : q;
+    int64_t lps = (((int64_t)(qs >> 2) * (rng >> 5)) >> 1) + 4;
+    rng -= lps;
+    int64_t sr = rng << 7;
+    if (value >= sr) {
+        bin_val ^= 1;
+        int nb = RENORM_TABLE_32[lps >> 3];
+        value = (value - sr) << nb;
+        rng = lps << nb;
+        e->bits_needed += nb;
+    } else if (rng < 256) {
+        value <<= 1;
+        rng <<= 1;
+        e->bits_needed += 1;
+    }
+    if (e->bits_needed >= 0) {
+        value += (int64_t)e_read_byte(e) << e->bits_needed;
+        e->bits_needed -= 8;
+    }
+    e->range_ = rng;
+    e->value_ = value;
+    int32_t s0 = cm[0], s1 = cm[1];
+    int32_t d0 = bin_val ? 0x7FFF : cm[2];
+    int32_t d1 = bin_val ? 0x7FFF : cm[3];
+    cm[0] = (int16_t)(s0 + ((d0 - s0) >> cm[4]) * 32);
+    cm[1] = (int16_t)(s1 + ((d1 - s1) >> cm[5]) * 2);
+    return bin_val;
+}
+
+static inline int e_dec_bin_ep(EngSt *e)
+{
+    int64_t value = e->value_ << 1;
+    e->bits_needed += 1;
+    if (e->bits_needed >= 0) {
+        value += e_read_byte(e);
+        e->bits_needed = -8;
+    }
+    int64_t sr = e->range_ << 7;
+    int bin_val = 0;
+    if (value >= sr) {
+        value -= sr;
+        bin_val = 1;
+    }
+    e->value_ = value;
+    return bin_val;
+}
+
+static inline uint32_t e_dec_aligned_bins_ep(EngSt *e, int num_bins)
+{
+    int rem = num_bins;
+    uint32_t bins = 0;
+    while (rem > 0) {
+        int n = rem < 8 ? rem : 8;
+        uint32_t mask = (1u << n) - 1;
+        uint32_t nb = ((uint32_t)(e->value_ >> (15 - n))) & mask;
+        bins = (bins << n) | nb;
+        e->value_ = (e->value_ << n) & 0x7FFF;
+        rem -= n;
+        e->bits_needed += n;
+        if (e->bits_needed >= 0) {
+            e->value_ |= (int64_t)e_read_byte(e) << e->bits_needed;
+            e->bits_needed -= 8;
+        }
+    }
+    return bins;
+}
+
+static inline uint32_t e_dec_bins_ep(EngSt *e, int num_bins)
+{
+    if (num_bins == 0) return 0;
+    if (e->range_ == 256)
+        return e_dec_aligned_bins_ep(e, num_bins);
+    int rem = num_bins;
+    uint32_t bins = 0;
+    int64_t value = e->value_;
+    int64_t rng = e->range_;
+    int bits_needed = e->bits_needed;
+    while (rem > 8) {
+        value = (value << 8) + ((int64_t)e_read_byte(e) << (8 + bits_needed));
+        int64_t sr = rng << 15;
+        for (int k = 0; k < 8; k++) {
+            bins += bins;
+            sr >>= 1;
+            if (value >= sr) {
+                bins += 1;
+                value -= sr;
+            }
+        }
+        rem -= 8;
+    }
+    bits_needed += rem;
+    value <<= rem;
+    if (bits_needed >= 0) {
+        value += (int64_t)e_read_byte(e) << bits_needed;
+        bits_needed -= 8;
+    }
+    int64_t sr = rng << (rem + 7);
+    for (int k = 0; k < rem; k++) {
+        bins += bins;
+        sr >>= 1;
+        if (value >= sr) {
+            bins += 1;
+            value -= sr;
+        }
+    }
+    e->value_ = value;
+    e->range_ = rng;
+    e->bits_needed = bits_needed;
+    return bins;
+}
+
+static inline int e_dec_rem_abs(EngSt *e, int rice, int cutoff, int maxlog2)
+{
+    int max_prefix = 32 - maxlog2;
+    int prefix = 0, code = 0;
+    for (;;) {
+        prefix += 1;
+        code = e_dec_bin_ep(e);
+        if (!(code && prefix < max_prefix))
+            break;
+    }
+    prefix -= 1 - code;
+    int length = rice;
+    uint32_t offset;
+    if (prefix < cutoff) {
+        offset = (uint32_t)prefix << rice;
+    } else {
+        offset = (uint32_t)(((1u << (prefix - cutoff)) + cutoff - 1) << rice);
+        length += (prefix == max_prefix) ? (maxlog2 - rice) : (prefix - cutoff);
+    }
+    return (int)(offset + e_dec_bins_ep(e, length));
+}
+
+static inline int e_last_prefix(EngSt *e, Decoder *d, int ctx_base,
+                                int shift, int max_val)
+{
+    int pos = 0;
+    while (pos < max_val
+           && e_dec_bin(e, d->cm + (size_t)(ctx_base + (pos >> shift)) * 8))
+        pos += 1;
+    return pos;
+}
+
 static PyObject *Decoder_decode_bin(Decoder *self, PyObject *arg)
 {
     long ctx = PyLong_AsLong(arg);

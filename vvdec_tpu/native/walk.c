@@ -730,18 +730,20 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
     int sig_grp_b = ch ? CTX_SigCoeffGroup1 : CTX_SigCoeffGroup0;
 
     /* ---- last significant position ---- */
-    int pos_x = last_prefix(d, last_ctx_x, last_shift_x, max_last_x);
-    int pos_y = last_prefix(d, last_ctx_y, last_shift_y, max_last_y);
+    EngSt e;
+    eng_load(&e, d);
+    int pos_x = e_last_prefix(&e, d, last_ctx_x, last_shift_x, max_last_x);
+    int pos_y = e_last_prefix(&e, d, last_ctx_y, last_shift_y, max_last_y);
     if (pos_x > 3) {
         int n = (pos_x - 2) >> 1, t = 0;
         for (int i = n - 1; i >= 0; i--)
-            t += dec_bin_ep(d) << i;
+            t += e_dec_bin_ep(&e) << i;
         pos_x = MIN_IN_GROUP_T[pos_x] + t;
     }
     if (pos_y > 3) {
         int n = (pos_y - 2) >> 1, t = 0;
         for (int i = n - 1; i >= 0; i--)
-            t += dec_bin_ep(d) << i;
+            t += e_dec_bin_ep(&e) << i;
         pos_y = MIN_IN_GROUP_T[pos_y] + t;
     }
     int blk_last = pos_x + pos_y * w;
@@ -795,7 +797,9 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
         if (!sig_group) {
             int sig_right = (cg_x + 1 < w_groups) && sig_cg[cg_pos + 1];
             int sig_lower = (cg_y + 1 < h_groups) && sig_cg[cg_pos + w_groups];
-            sig_group = dec_bin(d, sig_grp_b + (sig_right || sig_lower));
+            sig_group = e_dec_bin(
+                &e, d->cm
+                + (size_t)(sig_grp_b + (sig_right || sig_lower)) * 8);
         }
         if (!sig_group) continue;
         sig_cg[cg_pos] = 1;
@@ -835,7 +839,7 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
                 tmpl_cp_sum1 = sum_abs - num_pos;
                 int st = state - 1;
                 if (st < 0) st = 0;
-                sig_flag = dec_bin(d, sig_base[st] + ctx_ofs);
+                sig_flag = e_dec_bin(&e, d->cm + (size_t)(sig_base[st] + ctx_ofs) * 8);
                 reg_bin_limit -= 1;
             }
             if (sig_flag) {
@@ -855,14 +859,14 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
                 positions[num_nonzero++] = blk_pos;
                 first_nz = next_sig_pos;
                 if (next_sig_pos > last_nz) last_nz = next_sig_pos;
-                int gt1 = dec_bin(d, gt1_b + off);
+                int gt1 = e_dec_bin(&e, d->cm + (size_t)(gt1_b + off) * 8);
                 reg_bin_limit -= 1;
                 int abs_val;
                 if (gt1) {
-                    int par = dec_bin(d, par_b + off);
+                    int par = e_dec_bin(&e, d->cm + (size_t)(par_b + off) * 8);
                     num_gt1 += 1;
                     reg_bin_limit -= 1;
-                    int gt2 = dec_bin(d, gt2_b + off);
+                    int gt2 = e_dec_bin(&e, d->cm + (size_t)(gt2_b + off) * 8);
                     gt2_mask |= (uint32_t)gt2 << (num_gt1 - 1);
                     reg_bin_limit -= 1;
                     gt1_positions[num_gt1 - 1] = blk_pos;
@@ -894,8 +898,8 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
                 int bp = gt1_positions[k];
                 int sum_all = tmpl_abs_sum(bp, coeff_abs, w, h, log2_w, 4);
                 int rice = GO_RICE_PARS_T[sum_all];
-                int rem = dec_rem_abs(d, rice, COEF_REMAIN_BIN_REDUCTION,
-                                      max_log2_tr);
+                int rem = e_dec_rem_abs(&e, rice, COEF_REMAIN_BIN_REDUCTION,
+                                        max_log2_tr);
                 coeff_abs[bp] += rem << 1;
             }
             gmask >>= 1;
@@ -907,8 +911,8 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
             int sum_all = tmpl_abs_sum(blk_pos, coeff_abs, w, h, log2_w, 0);
             int rice = GO_RICE_PARS_T[sum_all];
             int pos0 = (state < 2 ? 1 : 2) << rice;
-            int rem = dec_rem_abs(d, rice, COEF_REMAIN_BIN_REDUCTION,
-                                  max_log2_tr);
+            int rem = e_dec_rem_abs(&e, rice, COEF_REMAIN_BIN_REDUCTION,
+                                    max_log2_tr);
             int tcoeff = (rem == pos0) ? 0 : (rem < pos0 ? rem + 1 : rem);
             state = (int)((state_trans >> ((state << 2) + ((tcoeff & 1) << 1)))
                           & 3);
@@ -926,7 +930,7 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
                    && !bdpcm;
         int num_signs = (hide && num_nonzero > 0) ? num_nonzero - 1
                                                   : num_nonzero;
-        uint32_t sign_pattern = dec_bins_ep(d, num_signs);
+        uint32_t sign_pattern = e_dec_bins_ep(&e, num_signs);
         if (num_nonzero > num_signs) {
             int sum_abs_cg = 0;
             for (int k = 0; k < num_nonzero; k++)
@@ -942,6 +946,7 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
             pos_fill += num_nonzero;
         }
     }
+    eng_store(d, &e);
 
     int max_x_px, max_y_px;
     if (bdpcm) {
