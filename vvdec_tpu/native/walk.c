@@ -763,8 +763,18 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
 
     static _Thread_local int32_t coeff_abs[64 * 64];
     static _Thread_local int32_t tplw[64 * 64];
-    memset(coeff_abs, 0, sizeof(int32_t) * max_num_coeff);
-    memset(tplw, 0, sizeof(int32_t) * max_num_coeff);
+    {
+        /* clear only rows the scan (and the +2-row template window of
+         * tmpl_abs_sum) can touch: the CGs up to the last subset */
+        int bb_y = 0;
+        for (int si = scan_pos_last >> log2_cg; si >= 0; si--) {
+            int gy = scan_cg[si] / w_groups;
+            if (gy > bb_y) bb_y = gy;
+        }
+        int clear_rows = w_min(h, ((bb_y + 1) << lg_ch) + 2);
+        memset(coeff_abs, 0, sizeof(int32_t) * (size_t)clear_rows * w);
+        memset(tplw, 0, sizeof(int32_t) * (size_t)clear_rows * w);
+    }
     static _Thread_local int32_t sub_positions[4096];
     static _Thread_local int32_t sub_meta[1024][4];
     int n_subsets_out = 0, pos_fill = 0;

@@ -77,21 +77,48 @@ def _bitlen(v, maxbits: int = 17):
     return n
 
 
-def _gather_refs(plane, d, bd: int, read=None):
+def _gather_refs(plane, d, bd: int, slice2d=None):
     """Reference arrays top[RL], left[RL] (index 0 = corner), already
     smoothed when the descriptor says so (xFillReferenceSamples +
-    xFilterReferenceSamples).  `read(y, x)` overrides the plane read
-    (the stacked-plane wavefront passes P[d[0], y, x])."""
-    if read is None:
-        def read(yy, xx):
-            return plane[yy, xx]
+    xFilterReferenceSamples).
+
+    Reads the recon plane ONLY through lax.dynamic_slice windows (a
+    2-row strip for the top run, a 2-column strip for the left run) and
+    remaps the clamped fill indices inside the small window.  A
+    fancy-index gather from the scan carry costs ~60 us/step on TPU (it
+    defeats XLA's in-place carry analysis and forces whole-plane
+    copies); slice reads keep the carry in place (~0.3 us/step).
+    `slice2d(r, c, h, w)` and `dims` override the plane read (the
+    stacked-plane wavefront slices P[d[0]]); both fill rows/cols are
+    adjacent (ty_a, ty_b in {y-1, y}; lx_a, lx_b in {x-1, x}), so a
+    2-wide strip always covers them.  Window starts are clamped here
+    with the SAME rule lax.dynamic_slice applies, so the in-window
+    remap indices stay consistent; planes must be >= (RL, RL)."""
+    if slice2d is None:
+        def slice2d(r, c, hh, ww):
+            return lax.dynamic_slice(plane, (r, c), (hh, ww))
+    dims = plane.shape
+    hp, wp = dims[0], dims[1]
     i = jnp.arange(RL)
-    ty = jnp.where(i < d[13], d[11], d[12])
-    tx = jnp.clip(d[14] + i, d[15], d[16])
-    top = read(ty, tx).astype(jnp.int32)
-    ly = jnp.clip(d[20] + i, d[21], d[22])
-    lx = jnp.where(i < d[19], d[17], d[18])
-    left = read(ly, lx).astype(jnp.int32)
+    # top run: value(i) = plane[ty(i), clip(tx0+i, txlo, txhi)] — the
+    # clip output range [txlo, txhi] (span <= 2*64) bounds the window,
+    # NOT tx0 (which may sit far outside it)
+    rt0 = jnp.clip(jnp.minimum(d[11], d[12]), 0, hp - 2)
+    ct0 = jnp.clip(d[15], 0, wp - RL)
+    win_t = slice2d(rt0, ct0, 2, RL)
+    row_a = jnp.where(d[11] == rt0, win_t[0], win_t[1])
+    row_b = jnp.where(d[12] == rt0, win_t[0], win_t[1])
+    jt = jnp.clip(d[14] + i, d[15], d[16]) - ct0
+    top = jnp.where(i < d[13], row_a[jt], row_b[jt]).astype(jnp.int32)
+    # left run: value(j) = plane[clip(ly0+j, lylo, lyhi), lx(j)] — the
+    # window starts at lylo (clip output range), not ly0
+    rl0 = jnp.clip(d[21], 0, hp - RL)
+    cl0 = jnp.clip(jnp.minimum(d[17], d[18]), 0, wp - 2)
+    win_l = slice2d(rl0, cl0, RL, 2)
+    col_a = jnp.where(d[17] == cl0, win_l[:, 0], win_l[:, 1])
+    col_b = jnp.where(d[18] == cl0, win_l[:, 0], win_l[:, 1])
+    jl = jnp.clip(d[20] + i, d[21], d[22]) - rl0
+    left = jnp.where(i < d[19], col_a[jl], col_b[jl]).astype(jnp.int32)
     dcv = 1 << (bd - 1)
     na = d[10] == 1
     top = jnp.where(na, dcv, top)
@@ -571,6 +598,16 @@ def _intra_scan_fn(bd: int, cfmt: int = 1, collocated: bool = True,
 
     @jax.jit
     def run(planes, resis, desc):
+        # the slice-window reference fill needs planes >= (RL, RL)
+        # (tiny pictures / dummy mono chroma planes)
+        shapes = [p.shape for p in planes]
+        planes = [jnp.pad(p, ((0, max(RL - p.shape[0], 0)),
+                              (0, max(RL - p.shape[1], 0))))
+                  for p in planes]
+        resis = [jnp.pad(r, ((0, max(RL - r.shape[0], 0)),
+                             (0, max(RL - r.shape[1], 0))))
+                 for r in resis]
+
         def step(carry, d):
             def b0(c):
                 return (upd(c[0], c[0], resis[0], d), c[1], c[2])
@@ -585,7 +622,7 @@ def _intra_scan_fn(bd: int, cfmt: int = 1, collocated: bool = True,
                               carry), 0
 
         carry, _ = lax.scan(step, tuple(planes), desc)
-        return carry
+        return tuple(p[:s[0], :s[1]] for p, s in zip(carry, shapes))
 
     return run
 
@@ -616,8 +653,8 @@ def _intra_wavefront_fn(bd: int, cfmt: int, collocated: bool,
 
     @jax.jit
     def run(planes, resis, batches):
-        hh = max(p.shape[0] for p in planes)
-        ww = max(p.shape[1] for p in planes)
+        hh = max(max(p.shape[0] for p in planes), RL)
+        ww = max(max(p.shape[1] for p in planes), RL)
         P = jnp.stack([jnp.pad(p, ((0, hh - p.shape[0]),
                                    (0, ww - p.shape[1]))) for p in planes])
         R = jnp.stack([jnp.pad(r, ((0, hh - r.shape[0]),
@@ -626,11 +663,12 @@ def _intra_wavefront_fn(bd: int, cfmt: int, collocated: bool,
         ix = jnp.arange(B)[None, :]
 
         def step(P, db):
-            luma2d = P[0]
-
             def unit_refs(d):
-                return _gather_refs(
-                    None, d, bd, read=lambda yy, xx: P[d[0], yy, xx])
+                def s2(r, c, sh, sw):
+                    return lax.dynamic_slice(P, (d[0], r, c),
+                                             (1, sh, sw))[0]
+
+                return _gather_refs(P[0], d, bd, slice2d=s2)
 
             tops, lefts = jax.vmap(unit_refs)(db)
 
@@ -651,7 +689,10 @@ def _intra_wavefront_fn(bd: int, cfmt: int, collocated: bool,
                 return _pred_mip(t, l, d, bd, m4, m8, m16)
 
             def k_cclm(t, l, d):
-                return _pred_cclm(t, l, d, luma2d, bd, cfmt, collocated,
+                # materialize the luma plane only on CCLM steps (a slice
+                # COPY: its gathers then read the copy, not the scan
+                # carry, keeping the carry update in place)
+                return _pred_cclm(t, l, d, P[0], bd, cfmt, collocated,
                                   ctu_log2)
 
             def k_ciip(t, l, d):
