@@ -145,8 +145,8 @@ def _pred_planar(top, left, d):
     w, h, l2w, l2h = d[3], d[4], d[5], d[6]
     xs = jnp.arange(B)[None, :]
     ys = jnp.arange(B)[:, None]
-    topv = top[1 + xs]
-    leftv = left[1 + ys]
+    topv = top[1:B + 1][None, :]
+    leftv = left[1:B + 1][:, None]
     tr = top[w + 1]
     bl = left[h + 1]
     hor = (leftv << l2w) + (xs + 1) * (tr - leftv)
@@ -173,14 +173,27 @@ def _pdpc_dc_planar(pred, top, left, d):
     ys = jnp.arange(B)[:, None]
     wt = 32 >> jnp.minimum(31, (2 * ys) >> scale)
     wl = 32 >> jnp.minimum(31, (2 * xs) >> scale)
-    lv = left[1 + ys]
-    tv = top[1 + xs]
+    lv = left[1:B + 1][:, None]
+    tv = top[1:B + 1][None, :]
     return pred + ((wl * (lv - pred) + wt * (tv - pred) + 32) >> 6)
+
+
+H_OFF = 64           # refext negative-side extent (max side length)
+RL2 = H_OFF + 128 + B + 4   # refext length: side ext + 2*64 main + taps
 
 
 def _pred_angular(top, left, d, pel_max: int, cf, gf):
     """xPredIntraAng in the swapped (main-reference) space; transposed
-    back for horizontal modes."""
+    back for horizontal modes.
+
+    TPU formulation: per-element fancy gathers serialize (~8 ns/elem →
+    ~34 us per 64x64 read), so the reference row is assembled ONCE as a
+    clamped extended array refext[j] = main[clip(j-H_OFF, 0, 2wp)] (or
+    the inverse-angle side projection for j < H_OFF, xPredIntraAng's
+    refMain assembly), and each output row's taps come from ONE
+    contiguous dynamic-slice window W[y] = refext[H_OFF+min(di,2wp) ..
+    +B+3].  The per-element clamp and the window replication agree
+    because refext itself replicates main[2wp] past its end."""
     w, h, l2w, l2h = d[3], d[4], d[5], d[6]
     is_ver = d[23] == 1
     wp = jnp.where(is_ver, w, h)
@@ -193,27 +206,28 @@ def _pred_angular(top, left, d, pel_max: int, cf, gf):
     inv = d[25]
     ys = jnp.arange(B)[:, None]
     xs = jnp.arange(B)[None, :]
-    delta = angle * (ys + 1)
-    di = delta >> 5
-    frac = delta & 31
-    t0 = di + 1 + xs
+    delta = angle * (jnp.arange(B) + 1)
+    di = delta >> 5                       # [B] per-row integer offset
+    frac = (delta & 31)[:, None]
 
-    def refmain(t):
-        # t < 0: side projection (negative-angle extension); t >= 0: main
-        # with right replication at 2*wp (xPredIntraAng refMain assembly)
-        sidx = jnp.clip(jnp.minimum(((-t) * inv + 256) >> 9, hp), 0, RL - 1)
-        sv = side[sidx]
-        mv = main[jnp.clip(t, 0, 2 * wp)]
-        return jnp.where(t < 0, sv, mv)
+    jj = jnp.arange(RL2)
+    m = jj - H_OFF
+    mains = main[jnp.clip(m, 0, 2 * wp)]
+    sidx = jnp.clip(jnp.minimum(((-m) * inv + 256) >> 9, hp), 0, RL - 1)
+    refext = jnp.where(m < 0, side[sidx], mains)
+    starts = H_OFF + jnp.minimum(di, 2 * wp)
+    wnd = jax.vmap(
+        lambda s0: lax.dynamic_slice(refext, (s0,), (B + 4,)))(starts)
+    # wnd[y, u] = refext[H_OFF + min(di[y], 2wp) + u]; t0=di+1+x -> u=x+1
 
     def k_int(_):
-        return refmain(t0)
+        return wnd[:, 1:B + 1]
 
     def four_tap(tab):
         co = tab[frac[:, 0]]
-        return (co[:, 0:1] * refmain(t0 - 1) + co[:, 1:2] * refmain(t0)
-                + co[:, 2:3] * refmain(t0 + 1)
-                + co[:, 3:4] * refmain(t0 + 2) + 32) >> 6
+        return (co[:, 0:1] * wnd[:, 0:B] + co[:, 1:2] * wnd[:, 1:B + 1]
+                + co[:, 2:3] * wnd[:, 2:B + 2]
+                + co[:, 3:4] * wnd[:, 3:B + 3] + 32) >> 6
 
     def k_cubic(_):
         return jnp.clip(four_tap(cf), 0, pel_max)
@@ -222,35 +236,46 @@ def _pred_angular(top, left, d, pel_max: int, cf, gf):
         return four_tap(gf)
 
     def k_chroma(_):
-        return ((32 - frac) * refmain(t0) + frac * refmain(t0 + 1)
+        return ((32 - frac) * wnd[:, 1:B + 1] + frac * wnd[:, 2:B + 2]
                 + 16) >> 5
 
     dst = lax.switch(jnp.clip(d[26], 0, 3),
                      [k_int, k_cubic, k_gauss, k_chroma], 0)
 
     do_pdpc = d[27] == 1
-    # positive-angle PDPC (side projection weights)
+    # positive-angle PDPC (side projection weights): lv[y, x] =
+    # side[min(y + g(x), 2hp)] — assembled from a tail-replicated side
+    # array with one contiguous window per COLUMN, then transposed
     scale_a = jnp.minimum(2, l2hp - (_bitlen(3 * inv - 2) - 1 - 8))
     sa = jnp.clip(scale_a, 0, 31)
     nx = jnp.minimum(3 << sa, wp)
-    inv_sums = 256 + inv * (xs + 1)
+    g = ((256 + inv * (jnp.arange(B) + 1)) >> 9) + 1   # [B] per column
     wl = 32 >> jnp.minimum(31, (2 * xs) >> sa)
-    sidx = jnp.clip(jnp.minimum(ys + (inv_sums >> 9) + 1, 2 * hp),
-                    0, RL - 1)
-    lv = side[sidx]
+    sideext = side[jnp.clip(jnp.minimum(jnp.arange(128 + B + 1), 2 * hp),
+                            0, RL - 1)]
+    gs = jnp.clip(g, 0, 128 + B + 1 - B)
+    lvt = jax.vmap(
+        lambda s0: lax.dynamic_slice(sideext, (s0,), (B,)))(gs)
+    lv = lvt.T
     add = (wl * (lv - dst) + 32) >> 6
     m_pos = do_pdpc & (angle > 0) & (scale_a >= 0) & (xs < nx)
     dst = jnp.where(m_pos, dst + add, dst)
-    # pure hor/ver PDPC (angle == 0)
+    # pure hor/ver PDPC (angle == 0): refmain(1+xs) = refext[H_OFF+1+x]
     scale0 = jnp.maximum((l2wp + l2hp - 2) >> 2, 0)
     lev = jnp.minimum(3 << scale0, wp)
     wl0 = 32 >> jnp.minimum(31, (2 * xs) >> scale0)
     corner = side[0]
-    v0 = jnp.clip((wl0 * (side[1 + ys] - corner) + refmain(1 + xs) * 64
+    mrow = refext[H_OFF + 1:H_OFF + 1 + B][None, :]
+    v0 = jnp.clip((wl0 * (left_of(side) - corner) + mrow * 64
                    + 32) >> 6, 0, pel_max)
     m0 = do_pdpc & (angle == 0) & (xs < lev)
     dst = jnp.where(m0, v0, dst)
     return jnp.where(is_ver, dst, dst.T)
+
+
+def left_of(side):
+    """side[1..B] as a column (static slice, not an iota gather)."""
+    return side[1:B + 1][:, None]
 
 
 def _pred_mip(top, left, d, bd: int, m4, m8, m16):
