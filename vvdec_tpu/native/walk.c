@@ -1003,6 +1003,8 @@ static void w_residual_reg(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
 static void w_residual_ts(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
 {
     Decoder *d = ws->dec;
+    EngSt e;
+    eng_load(&e, d);
     int x0 = tu[TUF_BX0 + comp * 4], y0 = tu[TUF_BY0 + comp * 4];
     int w = tu[TUF_BW0 + comp * 4], h = tu[TUF_BH0 + comp * 4];
     int log2_w = w_ilog2(w), log2_h = w_ilog2(h);
@@ -1041,7 +1043,7 @@ static void w_residual_ts(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
         if (!sig_group) {
             int sig_left = cg_x > 0 && sig_cg[cg_pos - 1];
             int sig_above = cg_y > 0 && sig_cg[cg_pos - w_groups];
-            sig_group = dec_bin(d, CTX_TsSigCoeffGroup + sig_left + sig_above);
+            sig_group = e_dec_bin(&e, d->cm + (size_t)(CTX_TsSigCoeffGroup + sig_left + sig_above) * 8);
         }
         if (!sig_group) continue;
         sig_cg[cg_pos] = 1;
@@ -1061,7 +1063,7 @@ static void w_residual_ts(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
             if (!sig) {
                 int npos = (px > 0 && coeff[blk - 1] != 0)
                            + (py > 0 && coeff[blk - w] != 0);
-                sig = dec_bin(d, CTX_TsSigFlag + npos);
+                sig = e_dec_bin(&e, d->cm + (size_t)(CTX_TsSigFlag + npos) * 8);
                 num_ctx_bins -= 1;
             }
             if (sig) {
@@ -1075,7 +1077,7 @@ static void w_residual_ts(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
                 else
                     sctx = 2;
                 if (bdpcm) sctx += 3;
-                int sign = dec_bin(d, CTX_TsResidualSign + sctx);
+                int sign = e_dec_bin(&e, d->cm + (size_t)(CTX_TsResidualSign + sctx) * 8);
                 num_ctx_bins -= 1;
                 sign_pattern += (uint64_t)sign << num_nonzero;
                 sig_blk_pos[num_nonzero++] = blk;
@@ -1085,11 +1087,11 @@ static void w_residual_ts(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
                 else
                     nlrg = (px > 0 && coeff[blk - 1] != 0)
                            + (py > 0 && coeff[blk - w] != 0);
-                int gt1 = dec_bin(d, CTX_TsLrg1Flag + nlrg);
+                int gt1 = e_dec_bin(&e, d->cm + (size_t)(CTX_TsLrg1Flag + nlrg) * 8);
                 num_ctx_bins -= 1;
                 int par = 0;
                 if (gt1) {
-                    par = dec_bin(d, CTX_TsParFlag);
+                    par = e_dec_bin(&e, d->cm + (size_t)(CTX_TsParFlag) * 8);
                     num_ctx_bins -= 1;
                 }
                 coeff[blk] = (int64_t)(sign ? -1 : 1) * (1 + par + gt1);
@@ -1106,7 +1108,7 @@ static void w_residual_ts(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
             if (coeff[blk] < 0) coeff[blk] = -coeff[blk];
             for (int i = 0; i < 4; i++) {
                 if (coeff[blk] >= cutoff) {
-                    int g = dec_bin(d, CTX_TsGtxFlag + (cutoff >> 1));
+                    int g = e_dec_bin(&e, d->cm + (size_t)(CTX_TsGtxFlag + (cutoff >> 1)) * 8);
                     coeff[blk] += (int64_t)g << 1;
                     num_ctx_bins -= 1;
                 }
@@ -1122,12 +1124,12 @@ static void w_residual_ts(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
             int cutoff = pos <= last_pass2 ? 10 : (pos <= last_pass1 ? 2 : 0);
             if (coeff[blk] < 0) coeff[blk] = -coeff[blk];
             if (coeff[blk] >= cutoff) {
-                int rem = dec_rem_abs(d, 1, COEF_REMAIN_BIN_REDUCTION,
+                int rem = e_dec_rem_abs(&e, 1, COEF_REMAIN_BIN_REDUCTION,
                                       max_log2_tr);
                 coeff[blk] += pos <= last_pass1 ? ((int64_t)rem << 1)
                                                 : (int64_t)rem;
                 if (coeff[blk] && pos > last_pass1) {
-                    int sign = dec_bin_ep(d);
+                    int sign = e_dec_bin_ep(&e);
                     sign_pattern += (uint64_t)sign << num_nonzero;
                     sig_blk_pos[num_nonzero++] = blk;
                 }
@@ -1166,6 +1168,7 @@ static void w_residual_ts(Walk *ws, int32_t *tu, const int32_t *cu, int comp)
         }
     }
 
+    eng_store(d, &e);
     if (bdpcm) {
         tu[TUF_MSX0 + comp] = w;
         tu[TUF_MSY0 + comp] = h;
