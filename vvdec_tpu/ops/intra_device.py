@@ -77,6 +77,18 @@ def _bitlen(v, maxbits: int = 17):
     return n
 
 
+def _take1d(vec, idx):
+    """vec[idx] for a small 1-D vector, as a one-hot matmul.
+
+    Per-element gathers serialize on TPU (~8 ns/element) and vmapped /
+    per-row dynamic slices lower to while loops; a one-hot [*, n] @ [n]
+    contraction rides the MXU/VPU instead.  Exact: one product per
+    output is nonzero, and sample values (< 2^16) are exact in f32."""
+    oh = (idx[..., None] == jnp.arange(vec.shape[0])).astype(jnp.float32)
+    return jnp.matmul(oh, vec.astype(jnp.float32),
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
 def _gather_refs(plane, d, bd: int, slice2d=None):
     """Reference arrays top[RL], left[RL] (index 0 = corner), already
     smoothed when the descriptor says so (xFillReferenceSamples +
@@ -109,7 +121,8 @@ def _gather_refs(plane, d, bd: int, slice2d=None):
     row_a = jnp.where(d[11] == rt0, win_t[0], win_t[1])
     row_b = jnp.where(d[12] == rt0, win_t[0], win_t[1])
     jt = jnp.clip(d[14] + i, d[15], d[16]) - ct0
-    top = jnp.where(i < d[13], row_a[jt], row_b[jt]).astype(jnp.int32)
+    top = jnp.where(i < d[13], _take1d(row_a, jt),
+                    _take1d(row_b, jt)).astype(jnp.int32)
     # left run: value(j) = plane[clip(ly0+j, lylo, lyhi), lx(j)] — the
     # window starts at lylo (clip output range), not ly0
     rl0 = jnp.clip(d[21], 0, hp - RL)
@@ -118,7 +131,8 @@ def _gather_refs(plane, d, bd: int, slice2d=None):
     col_a = jnp.where(d[17] == cl0, win_l[:, 0], win_l[:, 1])
     col_b = jnp.where(d[18] == cl0, win_l[:, 0], win_l[:, 1])
     jl = jnp.clip(d[20] + i, d[21], d[22]) - rl0
-    left = jnp.where(i < d[19], col_a[jl], col_b[jl]).astype(jnp.int32)
+    left = jnp.where(i < d[19], _take1d(col_a, jl),
+                     _take1d(col_b, jl)).astype(jnp.int32)
     dcv = 1 << (bd - 1)
     na = d[10] == 1
     top = jnp.where(na, dcv, top)
@@ -212,19 +226,28 @@ def _pred_angular(top, left, d, pel_max: int, cf, gf):
 
     jj = jnp.arange(RL2)
     m = jj - H_OFF
-    mains = main[jnp.clip(m, 0, 2 * wp)]
+    mains = _take1d(main, jnp.clip(m, 0, 2 * wp))
     sidx = jnp.clip(jnp.minimum(((-m) * inv + 256) >> 9, hp), 0, RL - 1)
-    refext = jnp.where(m < 0, side[sidx], mains)
+    refext = jnp.where(m < 0, _take1d(side, sidx), mains)
+    # refmat[j, u] = refext[j + u] (static shifts); row windows become a
+    # one-hot [B, RL2] @ [RL2, B+4] matmul — per-row dynamic slices
+    # would lower to a 64-iteration while loop on TPU
+    refpad = jnp.concatenate([refext, jnp.zeros(B + 4, jnp.int32)])
+    refmat = jnp.stack([refpad[u:u + RL2] for u in range(B + 4)], axis=1)
     starts = H_OFF + jnp.minimum(di, 2 * wp)
-    wnd = jax.vmap(
-        lambda s0: lax.dynamic_slice(refext, (s0,), (B + 4,)))(starts)
+    ohs = (starts[:, None] == jnp.arange(RL2)).astype(jnp.float32)
+    wnd = jnp.matmul(ohs, refmat.astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
     # wnd[y, u] = refext[H_OFF + min(di[y], 2wp) + u]; t0=di+1+x -> u=x+1
 
     def k_int(_):
         return wnd[:, 1:B + 1]
 
     def four_tap(tab):
-        co = tab[frac[:, 0]]
+        ohf = (frac[:, 0, None] == jnp.arange(32)).astype(jnp.float32)
+        co = jnp.matmul(ohf, tab.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) \
+            .astype(jnp.int32)
         return (co[:, 0:1] * wnd[:, 0:B] + co[:, 1:2] * wnd[:, 1:B + 1]
                 + co[:, 2:3] * wnd[:, 2:B + 2]
                 + co[:, 3:4] * wnd[:, 3:B + 3] + 32) >> 6
@@ -251,11 +274,15 @@ def _pred_angular(top, left, d, pel_max: int, cf, gf):
     nx = jnp.minimum(3 << sa, wp)
     g = ((256 + inv * (jnp.arange(B) + 1)) >> 9) + 1   # [B] per column
     wl = 32 >> jnp.minimum(31, (2 * xs) >> sa)
-    sideext = side[jnp.clip(jnp.minimum(jnp.arange(128 + B + 1), 2 * hp),
-                            0, RL - 1)]
-    gs = jnp.clip(g, 0, 128 + B + 1 - B)
-    lvt = jax.vmap(
-        lambda s0: lax.dynamic_slice(sideext, (s0,), (B,)))(gs)
+    next_ = 128 + B + 1
+    sideext = _take1d(side, jnp.clip(jnp.minimum(jnp.arange(next_),
+                                                 2 * hp), 0, RL - 1))
+    sidepad = jnp.concatenate([sideext, jnp.zeros(B, jnp.int32)])
+    sidemat = jnp.stack([sidepad[u:u + next_] for u in range(B)], axis=1)
+    gs = jnp.clip(g, 0, next_ - B)
+    ohg = (gs[:, None] == jnp.arange(next_)).astype(jnp.float32)
+    lvt = jnp.matmul(ohg, sidemat.astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
     lv = lvt.T
     add = (wl * (lv - dst) + 32) >> 6
     m_pos = do_pdpc & (angle > 0) & (scale_a >= 0) & (xs < nx)
