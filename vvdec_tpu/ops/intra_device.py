@@ -316,8 +316,8 @@ def _pred_mip(top, left, d, bd: int, m4, m8, m16):
     sid = d[26]
     pel_max = (1 << bd) - 1
     i64 = jnp.arange(B)
-    ref_top = top[1 + i64]
-    ref_left = left[1 + i64]
+    ref_top = top[1:B + 1]
+    ref_left = left[1:B + 1]
     # Haar downsample to bdry boundary samples per side (masked group
     # sums; lgf == 0 means copy)
     log2bdry = jnp.where(sid == 0, 1, 2)
@@ -375,23 +375,44 @@ def _pred_mip(top, left, d, bd: int, m4, m8, m16):
     lg_v = jnp.maximum(l2h - log2red, 0)
     up_h = 1 << lg_h
     up_v = 1 << lg_v
+    # upsampling reads are separable (row index from y, column index
+    # from x): use per-axis one-hot matmuls, not [B, B] gathers (which
+    # serialize per element on TPU)
     xs = i64[None, :]
     ks = i64[:, None]
     j = xs >> lg_h
     i_ = xs & (up_h - 1)
-    bh = pred[jnp.clip(ks, 0, 7), jnp.clip(j, 0, 7)]
-    pv_in = pred[jnp.clip(ks, 0, 7), jnp.clip(j - 1, 0, 7)]
-    pv0 = left[jnp.clip((ks + 1) * up_v, 0, RL - 1)]
-    pv = jnp.where(j == 0, pv0, pv_in)
+    ohr8 = (jnp.clip(i64, 0, 7)[:, None]
+            == jnp.arange(8)).astype(jnp.float32)
+    ohc = (jnp.clip(i64 >> lg_h, 0, 7)[:, None]
+           == jnp.arange(8)).astype(jnp.float32)
+    ohc1 = (jnp.clip((i64 >> lg_h) - 1, 0, 7)[:, None]
+            == jnp.arange(8)).astype(jnp.float32)
+    predf = pred.astype(jnp.float32)
+    rowsel = jnp.matmul(ohr8, predf,
+                        preferred_element_type=jnp.float32)  # [B, 8]
+    bh = jnp.matmul(rowsel, ohc.T,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    pv_in = jnp.matmul(rowsel, ohc1.T,
+                       preferred_element_type=jnp.float32) \
+        .astype(jnp.int32)
+    pv0 = _take1d(left, jnp.clip((ks[:, 0] + 1) * up_v, 0, RL - 1))
+    pv = jnp.where(j == 0, pv0[:, None], pv_in)
     ro_h = jnp.where(lg_h > 0, 1 << jnp.maximum(lg_h - 1, 0), 0)
     hor = (pv * up_h + ro_h + (i_ + 1) * (bh - pv)) >> lg_h
     ys = i64[:, None]
-    jv = jnp.clip(ys >> lg_v, 0, B - 1)
     iv = ys & (up_v - 1)
-    bh2 = jnp.take_along_axis(hor, jnp.broadcast_to(jv, (B, B)), axis=0)
-    pv2_in = jnp.take_along_axis(
-        hor, jnp.broadcast_to(jnp.clip(jv - 1, 0, B - 1), (B, B)), axis=0)
-    pv2 = jnp.where(ys >> lg_v == 0, top[1 + xs], pv2_in)
+    ohrv = (jnp.clip(i64 >> lg_v, 0, B - 1)[:, None]
+            == jnp.arange(B)).astype(jnp.float32)
+    ohrv1 = (jnp.clip((i64 >> lg_v) - 1, 0, B - 1)[:, None]
+             == jnp.arange(B)).astype(jnp.float32)
+    horf = hor.astype(jnp.float32)
+    bh2 = jnp.matmul(ohrv, horf,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    pv2_in = jnp.matmul(ohrv1, horf,
+                        preferred_element_type=jnp.float32) \
+        .astype(jnp.int32)
+    pv2 = jnp.where(ys >> lg_v == 0, top[1:B + 1][None, :], pv2_in)
     ro_v = jnp.where(lg_v > 0, 1 << jnp.maximum(lg_v - 1, 0), 0)
     return (pv2 * up_v + ro_v + (iv + 1) * (bh2 - pv2)) >> lg_v
 
