@@ -321,3 +321,38 @@ class TestIntraDescriptors:
                     and cs.num_comp > 1:
                 n_units += 2
         assert desc.shape[0] == n_units
+
+
+class TestFrameDeviceLmcs:
+    """LMCS on the device pipeline: luma reconstructs in the reshaped
+    domain, chroma residuals scale by the on-device VPDU-neighbor
+    average, and the RSP stage inverse-maps luma before the filters
+    (Reshape.cpp:377; frame/lmcs_np.py is the host golden)."""
+
+    def _stream(self, seed, chroma_scale, dec_kw=None):
+        from tests.test_lmcs import _lmcs_stream
+        return _lmcs_stream(seed, 2, 2, {},
+                            dec_kw or dict(split_prob=0.5, density=0.4),
+                            chroma_scale, ctu=32, wh=WH)
+
+    @pytest.mark.parametrize("seed", [31, 32])
+    def test_lmcs_intra_on_device(self, seed):
+        census, frames = _census(self._stream(seed, chroma_scale=False))
+        assert len(frames) == 2
+        assert not any(k.startswith("device_recon") for k in census)
+        _assert_both(self._stream(seed, chroma_scale=False))
+
+    @pytest.mark.parametrize("seed", [33, 34])
+    def test_lmcs_chroma_scaling_on_device(self, seed):
+        census, frames = _census(self._stream(seed, chroma_scale=True))
+        assert not any(k.startswith("device_recon") for k in census)
+        _assert_both(self._stream(seed, chroma_scale=True))
+
+    def test_lmcs_inter_falls_back_bit_exact(self):
+        from tests.test_lmcs import _lmcs_stream
+        s = _lmcs_stream(35, 3, 0, {}, dict(split_prob=0.5, density=0.3,
+                                            inter_prob=0.8),
+                         True, ctu=32, wh=WH)
+        census, _ = _census(s)
+        assert census.get("device_recon:lmcs_inter", 0) >= 1
+        _assert_both(s)

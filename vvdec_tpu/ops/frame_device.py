@@ -822,6 +822,11 @@ def plan_frame_device(cs):
     desc, reason = build_intra_descriptors(cs)
     if reason is not None:
         return None, reason
+    if _lmcs_on(cs) and any(cu.pred_mode != MODE_INTRA
+                            for cu in cs.cus):
+        # inter LMCS needs decode-order chroma scaling interleaved with
+        # the MC stage (and forward-mapped luma preds); host fallback
+        return None, "lmcs_inter"
     if any(cu.pred_mode != MODE_INTRA for cu in cs.cus):
         from vvdec_tpu.ops.mc_device import _cu_mc_eligible
 
@@ -866,9 +871,35 @@ def reconstruct_frame_device(cs, desc, get_ref=None):
     if get_ref is not None \
             and any(cu.pred_mode != MODE_INTRA for cu in cs.cus):
         recon = _mc_reconstruct_device(cs, recon, resi, get_ref)
-    recon = run_intra_scan(recon, resi, desc, scan_key(cs))
+    lmcs = None
+    if _lmcs_on(cs):
+        from vvdec_tpu.frame.lmcs_np import Reshaper
+        from vvdec_tpu.ops.intra_device import build_lmcs_params
+        rs = Reshaper(cs.lmcs_info, bd,
+                      bool(cs.ph.chroma_residual_scale))
+        lmcs = build_lmcs_params(rs, cs)
+    recon = run_intra_scan(recon, resi, desc, scan_key(cs), lmcs)
+    if lmcs is not None:
+        # the RSP stage: inverse-map luma back to the original domain
+        # before the in-loop filters (Reshape::rspCtuBcw, Reshape.cpp:377)
+        from vvdec_tpu.ops.intra_device import lmcs_inv_map
+        recon = (_lmcs_inv_fn(bd)(recon[0], jnp.asarray(lmcs)),
+                 recon[1], recon[2])
     planes = []
     for comp in range(cs.num_comp):
         w_c, h_c = cs.comp_size[comp]
         planes.append(recon[comp][:h_c, :w_c])
     return filter_frame_device(cs, planes)
+
+
+def _lmcs_on(cs) -> bool:
+    return bool(cs.ph.lmcs_enabled
+                and getattr(cs, "lmcs_info", None) is not None
+                and cs.shs and cs.shs[0].lmcs_enabled)
+
+
+@functools.lru_cache(maxsize=None)
+def _lmcs_inv_fn(bd: int):
+    from vvdec_tpu.ops.intra_device import lmcs_inv_map
+
+    return jax.jit(lambda plane, lm: lmcs_inv_map(plane, lm, bd))

@@ -52,7 +52,7 @@ from vvdec_tpu.ops.tables import (
 B = 64     # max prediction block side (the padded compute tile)
 PB = 64    # plane bottom/right padding (allows 64x64 RMW at any origin)
 RL = 132   # reference array length (2*64+1 samples + filter margin)
-D = 29     # descriptor row width
+D = 33     # descriptor row width
 
 # descriptor row layout (int32):
 #  0 comp; 1 x; 2 y; 3 w; 4 h; 5 log2w; 6 log2h;
@@ -67,6 +67,9 @@ D = 29     # descriptor row width
 #  23 is_ver; 24 angle (signed); 25 inv_angle;
 #  26 frac_kind (0 integer, 1 cubic, 2 gauss, 3 chroma 2-tap);
 #  27 do_pdpc; 28 valid (0 = padding row)
+#  LMCS chroma residual scaling (calculateChromaAdjVpduNei):
+#  29 flags: bit0 scale-this-unit, bit1 vpdu-left nb, bit2 vpdu-above nb;
+#  30 x_pos; 31 y_pos (luma coords of the VPDU's top-left CU); 32 rsvd
 
 
 def _bitlen(v, maxbits: int = 17):
@@ -87,6 +90,103 @@ def _take1d(vec, idx):
     oh = (idx[..., None] == jnp.arange(vec.shape[0])).astype(jnp.float32)
     return jnp.matmul(oh, vec.astype(jnp.float32),
                       preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+# ======================================================================
+# LMCS on device (Reshape.cpp: rspCtuBcw inverse map, scaleSignal,
+# calculateChromaAdjVpduNei; host golden frame/lmcs_np.py)
+# ======================================================================
+# lmcs parameter vector layout (int32, traced):
+#  [0:17]  reshape_pivot (17)
+#  [17:33] input_pivot (16)
+#  [33:49] inv_scale (16)
+#  [49:65] chroma_adj_lut (16)
+#  [65] min_bin; [66] max_bin; [67] pic_h; [68] pic_w
+LM_LEN = 69
+
+
+def build_lmcs_params(reshaper, cs) -> np.ndarray:
+    lm = np.zeros(LM_LEN, dtype=np.int32)
+    lm[0:17] = reshaper.reshape_pivot
+    lm[17:33] = reshaper.input_pivot[:16]
+    lm[33:49] = reshaper.inv_scale
+    lm[49:65] = reshaper.chroma_adj_lut
+    lm[65] = reshaper.min_bin
+    lm[66] = reshaper.max_bin
+    lm[67] = cs.h
+    lm[68] = cs.w
+    return lm
+
+
+def _sel16(lm, base: int, idx):
+    """lm[base + idx] for a scalar/array idx over a 16/17-entry table
+    (masked sum — no serialized gather)."""
+    n = 17 if base == 0 else 16
+    tab = lm[base:base + n]
+    i = jnp.arange(n)
+    return jnp.sum(jnp.where(idx[..., None] == i, tab, 0), axis=-1)
+
+
+def _pwl_idx_inv_dev(v, lm):
+    """getPWLIdxInv: first bin whose next pivot exceeds v (pivots are
+    non-decreasing, so the walk equals min_bin + count of exceeded
+    pivots in [min_bin, max_bin]), clipped to 15."""
+    i = jnp.arange(16)
+    pivots = lm[1:17]
+    hit = (i >= lm[65]) & (i <= lm[66]) & (v[..., None] >= pivots)
+    return jnp.minimum(lm[65] + jnp.sum(hit.astype(jnp.int32), axis=-1),
+                       15)
+
+
+def _scale_signal_dev(r, scale, bd: int):
+    """AreaBuf::scaleSignal: sign-symmetric fixed-point residual scale."""
+    max_abs = (1 << bd) - 1
+    rc = jnp.clip(r, -max_abs - 1, max_abs)
+    sign = jnp.where(rc >= 0, 1, -1)
+    val = sign * ((sign * rc * scale + (1 << 10)) >> 11)
+    return jnp.clip(val, -32768, 32767)
+
+
+def _chroma_scale_dev(read_luma, d, lm, bd: int, num_nb: int):
+    """calculateChromaAdjVpduNei on device: average the reconstructed
+    (reshaped-domain) luma left/above the VPDU's top-left CU, then look
+    up the chroma scale.  read_luma(r, c, h, w) is a dynamic-slice of
+    the luma plane."""
+    xpos, ypos = d[30], d[31]
+    left_ok = (d[29] & 2) != 0
+    above_ok = (d[29] & 4) != 0
+    log_nb = num_nb.bit_length() - 1
+    jv = jnp.arange(num_nb)
+    colw = read_luma(ypos, jnp.maximum(xpos - 1, 0), num_nb, 1)[:, 0]
+    lim = jnp.clip(lm[67] - ypos, 1, num_nb)
+    wj = jnp.where(jv < lim - 1, 1,
+                   jnp.where(jv == lim - 1, num_nb - lim + 1, 0))
+    sum_l = jnp.sum(colw * wj)
+    roww = read_luma(jnp.maximum(ypos - 1, 0), xpos, 1, num_nb)[0, :]
+    limx = jnp.clip(lm[68] - xpos, 1, num_nb)
+    wi = jnp.where(jv < limx - 1, 1,
+                   jnp.where(jv == limx - 1, num_nb - limx + 1, 0))
+    sum_t = jnp.sum(roww * wi)
+    rec_sum = jnp.where(left_ok, sum_l, 0) + jnp.where(above_ok, sum_t, 0)
+    pelnum = (jnp.where(left_ok, num_nb, 0)
+              + jnp.where(above_ok, num_nb, 0))
+    v1 = (rec_sum + (1 << (log_nb - 1))) >> log_nb
+    v2 = (rec_sum + (1 << log_nb)) >> (log_nb + 1)
+    luma_val = jnp.where(pelnum == num_nb, v1,
+                         jnp.where(pelnum == 2 * num_nb, v2,
+                                   1 << (bd - 1)))
+    return _sel16(lm, 49, _pwl_idx_inv_dev(luma_val, lm))
+
+
+def lmcs_inv_map(plane, lm, bd: int):
+    """Inverse luma mapping (the RSP stage): piecewise-linear evaluation
+    bit-equal to the host's inv_lut (built with the same formula)."""
+    idx = _pwl_idx_inv_dev(plane, lm)
+    piv = _sel16(lm, 0, idx)
+    ipiv = _sel16(lm, 17, idx)
+    isc = _sel16(lm, 33, idx)
+    out = ipiv + ((isc * (plane - piv) + (1 << 10)) >> 11)
+    return jnp.clip(out, 0, (1 << bd) - 1)
 
 
 def _gather_refs(plane, d, bd: int, slice2d=None):
@@ -634,12 +734,13 @@ def _make_unit_kernels(bd: int, cfmt: int, collocated: bool, ctu_log2: int,
 
 
 def _make_unit_update(bd: int, cfmt: int, collocated: bool, ctu_log2: int,
-                      cf, gf):
+                      cf, gf, has_lmcs: bool = False):
     """One prediction unit's gather -> predict -> reconstruct -> RMW."""
     pel_max = (1 << bd) - 1
     kernels = _make_unit_kernels(bd, cfmt, collocated, ctu_log2, cf, gf)
+    num_nb = min(64, 1 << ctu_log2)
 
-    def update(plane, luma, resi, d):
+    def update(plane, luma, resi, d, lm=None):
         top, left = _gather_refs(plane, d, bd)
         blk = lax.switch(
             jnp.clip(d[7], 0, 5),
@@ -647,6 +748,13 @@ def _make_unit_update(bd: int, cfmt: int, collocated: bool, ctu_log2: int,
             0)
         x, y = d[1], d[2]
         r = lax.dynamic_slice(resi, (y, x), (B, B))
+        if has_lmcs:
+            def rl(rr, cc, sh, sw):
+                return lax.dynamic_slice(luma, (rr, cc), (sh, sw))
+
+            scale = _chroma_scale_dev(rl, d, lm, bd, num_nb)
+            r = jnp.where((d[29] & 1) == 1,
+                          _scale_signal_dev(r, scale, bd), r)
         out = jnp.clip(blk + jnp.where(d[9] == 1, r, 0), 0, pel_max)
         cur = lax.dynamic_slice(plane, (y, x), (B, B))
         ys = jnp.arange(B)[:, None]
@@ -660,17 +768,18 @@ def _make_unit_update(bd: int, cfmt: int, collocated: bool, ctu_log2: int,
 
 @functools.lru_cache(maxsize=None)
 def _intra_scan_fn(bd: int, cfmt: int = 1, collocated: bool = True,
-                   ctu_log2: int = 7):
+                   ctu_log2: int = 7, has_lmcs: bool = False):
     """Jitted scan over descriptor rows carrying the (padded) recon
     planes; the per-plane shapes specialize at trace time.  The chroma
     branches receive the luma plane too (CCLM reads the co-located
     reconstructed luma)."""
     cf = jnp.asarray(CHROMA_FILTER, dtype=jnp.int32)
     gf = jnp.asarray(GAUSS_FILTER, dtype=jnp.int32)
-    upd = _make_unit_update(bd, cfmt, collocated, ctu_log2, cf, gf)
+    upd = _make_unit_update(bd, cfmt, collocated, ctu_log2, cf, gf,
+                            has_lmcs)
 
     @jax.jit
-    def run(planes, resis, desc):
+    def run(planes, resis, desc, lm):
         # the slice-window reference fill needs planes >= (RL, RL)
         # (tiny pictures / dummy mono chroma planes)
         shapes = [p.shape for p in planes]
@@ -683,13 +792,13 @@ def _intra_scan_fn(bd: int, cfmt: int = 1, collocated: bool = True,
 
         def step(carry, d):
             def b0(c):
-                return (upd(c[0], c[0], resis[0], d), c[1], c[2])
+                return (upd(c[0], c[0], resis[0], d, lm), c[1], c[2])
 
             def b1(c):
-                return (c[0], upd(c[1], c[0], resis[1], d), c[2])
+                return (c[0], upd(c[1], c[0], resis[1], d, lm), c[2])
 
             def b2(c):
-                return (c[0], c[1], upd(c[2], c[0], resis[2], d))
+                return (c[0], c[1], upd(c[2], c[0], resis[2], d, lm))
 
             return lax.switch(jnp.clip(d[0], 0, 2), [b0, b1, b2],
                               carry), 0
@@ -702,7 +811,7 @@ def _intra_scan_fn(bd: int, cfmt: int = 1, collocated: bool = True,
 
 @functools.lru_cache(maxsize=None)
 def _intra_wavefront_fn(bd: int, cfmt: int, collocated: bool,
-                        ctu_log2: int, K: int):
+                        ctu_log2: int, K: int, has_lmcs: bool = False):
     """Wavefront-batched intra chain: lax.scan over dependency levels,
     each step reconstructing up to K *independent* units at once
     (vmapped gather -> predict -> residual add, K dynamic block
@@ -723,9 +832,10 @@ def _intra_wavefront_fn(bd: int, cfmt: int, collocated: bool,
     m4 = jnp.asarray(MIP_4x4, dtype=jnp.int32)
     m8 = jnp.asarray(MIP_8x8, dtype=jnp.int32)
     m16 = jnp.asarray(MIP_16x16, dtype=jnp.int32)
+    num_nb = min(64, 1 << ctu_log2)
 
     @jax.jit
-    def run(planes, resis, batches):
+    def run(planes, resis, batches, lm):
         hh = max(max(p.shape[0] for p in planes), RL)
         ww = max(max(p.shape[1] for p in planes), RL)
         P = jnp.stack([jnp.pad(p, ((0, hh - p.shape[0]),
@@ -787,6 +897,18 @@ def _intra_wavefront_fn(bd: int, cfmt: int, collocated: bool,
             r = jax.vmap(
                 lambda d: lax.dynamic_slice(R, (d[0], d[2], d[1]),
                                             (1, B, B))[0])(db)
+            if has_lmcs:
+                def unit_scale(d):
+                    def rl(rr, cc, sh, sw):
+                        return lax.dynamic_slice(P, (0, rr, cc),
+                                                 (1, sh, sw))[0]
+
+                    return _chroma_scale_dev(rl, d, lm, bd, num_nb)
+
+                scales = jax.vmap(unit_scale)(db)
+                rs = jax.vmap(
+                    lambda rr, s: _scale_signal_dev(rr, s, bd))(r, scales)
+                r = jnp.where((db[:, 29, None, None] & 1) == 1, rs, r)
             cbf = (db[:, 9] == 1)[:, None, None]
             out = jnp.clip(blk + jnp.where(cbf, r, 0), 0, pel_max)
 
@@ -860,6 +982,16 @@ def compute_unit_levels(desc: np.ndarray, cfmt: int) -> np.ndarray:
                     seg = m[max(r0, 0):r1 + 1, cc >> g]
                     if seg.size:
                         dep = max(dep, int(seg.max()))
+        if d[29] & 1:  # LMCS chroma scale reads luma left/above the VPDU
+            lm_ = maps[0]
+            xp, yp = int(d[30]), int(d[31])
+            r0 = max(0, yp - 1) >> 2
+            r1 = min((yp + 64) >> 2, lm_.shape[0] - 1)
+            c0 = max(0, xp - 1) >> 2
+            c1 = min((xp + 64) >> 2, lm_.shape[1] - 1)
+            seg = lm_[r0:r1 + 1, c0:c1 + 1]
+            if seg.size:
+                dep = max(dep, int(seg.max()))
         if d[7] == 4:  # CCLM reads the co-located reconstructed luma
             lm = maps[0]
             x, y, w, h = int(d[1]), int(d[2]), int(d[3]), int(d[4])
@@ -908,11 +1040,13 @@ def scan_key(cs) -> tuple:
             bool(cs.sps.chroma_ver_collocated), cs.sps.ctu_log2)
 
 
-def run_intra_scan(planes_pad, resi_pad, desc: np.ndarray, key):
+def run_intra_scan(planes_pad, resi_pad, desc: np.ndarray, key,
+                   lmcs: np.ndarray | None = None):
     """Run the intra chain on device.  planes_pad/resi_pad: 3 padded
     int32 device arrays (mono: dummy chroma >= (B+1, B+1)); desc is the
     [n, D] host descriptor tensor (bucketed to powers of two here);
-    key = scan_key(cs) (or a bare bit depth for intra-only content).
+    key = scan_key(cs) (or a bare bit depth for intra-only content);
+    lmcs = build_lmcs_params(...) when the picture uses LMCS.
 
     Default path: the wavefront-batched scan (independent units per
     step).  VVDEC_INTRA_SCAN=seq selects the one-unit-per-step scan
@@ -923,6 +1057,9 @@ def run_intra_scan(planes_pad, resi_pad, desc: np.ndarray, key):
     if n == 0:
         return tuple(planes_pad)
     full_key = key if isinstance(key, tuple) else (key, 1, True, 7)
+    has_lmcs = lmcs is not None
+    lm = jnp.asarray(lmcs if has_lmcs
+                     else np.zeros(LM_LEN, dtype=np.int32))
     if os.environ.get("VVDEC_INTRA_SCAN", "wavefront") != "seq":
         K = int(os.environ.get("VVDEC_INTRA_SCAN_K", "8"))
         lvl = compute_unit_levels(desc, full_key[1])
@@ -932,15 +1069,15 @@ def run_intra_scan(planes_pad, resi_pad, desc: np.ndarray, key):
         if s_pad != s:  # all-invalid steps scatter nothing (d[28]=0)
             pad = np.zeros((s_pad - s, K, D), dtype=np.int32)
             batches = np.concatenate([batches, pad])
-        fn = _intra_wavefront_fn(*full_key, K)
+        fn = _intra_wavefront_fn(*full_key, K, has_lmcs)
         return fn(tuple(planes_pad), tuple(resi_pad),
-                  jnp.asarray(batches))
+                  jnp.asarray(batches), lm)
     n_pad = 1 << max(0, (n - 1)).bit_length()
     if n_pad != n:
         pad = np.zeros((n_pad - n, D), dtype=np.int32)
         desc = np.concatenate([desc, pad])
-    fn = _intra_scan_fn(*full_key)
-    return fn(tuple(planes_pad), tuple(resi_pad), jnp.asarray(desc))
+    fn = _intra_scan_fn(*full_key, has_lmcs)
+    return fn(tuple(planes_pad), tuple(resi_pad), jnp.asarray(desc), lm)
 
 
 # ======================================================================
@@ -1043,8 +1180,15 @@ def build_intra_descriptors(cs):
 
     if cs.sps.bit_depth > 10:
         return None, "bit_depth>10"
-    if cs.ph.lmcs_enabled and getattr(cs, "lmcs_info", None) is not None:
-        return None, "lmcs"
+    lmcs_on = bool(cs.ph.lmcs_enabled
+                   and getattr(cs, "lmcs_info", None) is not None)
+    if lmcs_on and len({bool(s.lmcs_enabled) for s in cs.shs}) > 1:
+        # mixed per-slice reshaping would need a masked inverse map
+        return None, "lmcs_mixed_slices"
+    if lmcs_on and not cs.shs[0].lmcs_enabled:
+        lmcs_on = False  # model present but disabled for every slice
+    chroma_scale_on = lmcs_on and cs.ph.chroma_residual_scale \
+        and cs.num_comp > 1
     if cs.sps.ibc_enabled:
         return None, "ibc"
     if cs.sps.act_enabled:
@@ -1068,6 +1212,40 @@ def build_intra_descriptors(cs):
 
     rows = []
     seen_ciip: set = set()
+    vpdu_cache: dict = {}
+
+    def lmcs_fields(tu_, comp_):
+        """(flags, x_pos, y_pos, 0) for the device chroma residual
+        scale (calculateChromaAdjVpduNei geometry; value-independent —
+        the average itself runs on device)."""
+        if not chroma_scale_on or comp_ not in (1, 2):
+            return (0, 0, 0, 0)
+        if tu_.blocks[1] is None:
+            return (0, 0, 0, 0)
+        _, _, cw_, ch_ = tu_.blocks[1]
+        if cw_ * ch_ <= 4 or not (tu_.cbf[1] or tu_.cbf[2]
+                                  or tu_.joint_cbcr):
+            return (0, 0, 0, 0)
+        if not tu_.cbf[comp_]:
+            return (0, 0, 0, 0)
+        if tu_.blocks[0] is not None:
+            lx, ly = tu_.blocks[0][0], tu_.blocks[0][1]
+        else:
+            lx = tu_.blocks[1][0] * cs.sub_w
+            ly = tu_.blocks[1][1] * cs.sub_h
+        ctu_sz = cs.sps.ctu_size
+        vmask = 63 if ctu_sz == 128 else (ctu_sz - 1)
+        vx, vy = lx & ~vmask, ly & ~vmask
+        if (vx, vy) not in vpdu_cache:
+            top_left = cs.cu_at(vx, vy, 0)
+            x_pos, y_pos = top_left.x, top_left.y
+            above = cs.cu_at_restricted(x_pos, y_pos - 1, top_left, 0)
+            left_n = cs.cu_at_restricted(x_pos - 1, y_pos, top_left, 0)
+            vpdu_cache[(vx, vy)] = (
+                x_pos, y_pos, (2 if left_n is not None else 0)
+                | (4 if above is not None else 0))
+        x_pos, y_pos, nbf = vpdu_cache[(vx, vy)]
+        return (1 | nbf, x_pos, y_pos, 0)
     for tu in cs.tus:
         cu = cs.cus[tu.cu_idx]
         is_intra = cu.pred_mode == MODE_INTRA
@@ -1122,7 +1300,8 @@ def build_intra_descriptors(cs):
                         h_.bit_length() - 1, 5,
                         1 if (comp == 0 and w_ * h_ > 32) else 0, 1,
                         avail0, *fill, 0, w_intra, w_merge, 0,
-                        1 if (w_ >= 4 and h_ >= 4) else 0, 1))
+                        1 if (w_ >= 4 and h_ >= 4) else 0, 1,
+                        0, 0, 0, 0))
         if is_intra:
             if cu.isp_mode:
                 return None, "isp"
@@ -1158,7 +1337,8 @@ def build_intra_descriptors(cs):
                 rows.append((
                     comp, x, y, w, h, l2w, l2h, 3, 0,
                     1 if cbf else 0, avail0, *fill, 0, cu.intra_dir[0],
-                    1 if cu.mip_transpose else 0, mip_size_id(w, h), 0, 1))
+                    1 if cu.mip_transpose else 0, mip_size_id(w, h), 0, 1,
+                    0, 0, 0, 0))
                 continue
             mode = final_mode(cu, comp)
             if mode >= NUM_LUMA_MODE:
@@ -1216,7 +1396,7 @@ def build_intra_descriptors(cs):
                     h.bit_length() - 1, 4, 0, 1 if cbf else 0, avail0,
                     *fill, 1 if left_flag else 0, actual_top, actual_left,
                     (1 if above_avail else 0) | (2 if left_avail else 0),
-                    1 if above_flag else 0, 1))
+                    1 if above_flag else 0, 1, *lmcs_fields(tu, comp)))
                 continue
             do_pdpc = 1 if (w >= 4 and h >= 4) else 0
             # mode classification + angular parameters
@@ -1251,7 +1431,7 @@ def build_intra_descriptors(cs):
             rows.append((
                 comp, x, y, w, h, l2w, l2h, mode_class, filtered,
                 1 if cbf else 0, avail0, *fill, is_ver, angle, inv,
-                kind, do_pdpc, 1))
+                kind, do_pdpc, 1, *lmcs_fields(tu, comp)))
         # mark the TU decoded (luma-granularity availability map)
         if tu.blocks[0] is not None:
             mx, my, mw, mh = tu.blocks[0]
