@@ -137,11 +137,14 @@ class TestFrameDevice:
         assert any(k.startswith("device_recon:") for k in census), census
         _assert_both(s)
 
-    def test_transform_skip_falls_back(self):
+    def test_transform_skip_on_device(self):
         s, _ = generate_stream(
             width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=14, qp=30,
             sps_kw=dict(transform_skip_enabled=True),
             dec_kw=dict(split_prob=0.4, density=0.4))
+        census, frames = _census(s)
+        assert len(frames) == 2
+        assert not any(k.startswith("device_recon") for k in census)
         _assert_both(s)
 
 

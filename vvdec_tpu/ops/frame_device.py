@@ -36,6 +36,20 @@ from vvdec_tpu.ops.intra_device import (
 
 
 @functools.lru_cache(maxsize=None)
+def _extract_fn(h: int, w: int, n: int):
+    """Batch-extract n (h, w) tiles from a device-resident int16
+    coefficient plane (the alternative — host-built per-group level
+    arrays — costs one ~25 ms tunnel upload per group)."""
+
+    @jax.jit
+    def run(plane, ys, xs):
+        return jax.vmap(
+            lambda y, x: lax.dynamic_slice(plane, (y, x), (h, w)))(
+                ys, xs).astype(jnp.int32)
+
+    return run
+
+
 def _scatter_fn(hp: int, wp: int, h: int, w: int, n: int):
     """Jitted block scatter: write n (h, w) blocks into a padded plane
     at (ys, xs); rectangles are disjoint per component (TU layout)."""
@@ -80,12 +94,19 @@ def itx_residual_device(cs) -> list:
 
     bd = cs.sps.bit_depth
     resi = []
+    coefd = []
     for comp in range(3):
         if comp < cs.num_comp:
             w_c, h_c = cs.comp_size[comp]
         else:
             w_c, h_c = 1, 1
         resi.append(jnp.zeros((h_c + PB, w_c + PB), dtype=jnp.int32))
+        if comp < cs.num_comp:
+            # ONE int16 upload per plane (coefficients fit the 15-bit
+            # transform range); groups then slice their tiles on device
+            coefd.append(jnp.asarray(cs.coef[comp].astype(np.int16)))
+        else:
+            coefd.append(None)
 
     groups: dict[tuple, list] = {}
     for tu in cs.tus:
@@ -97,6 +118,13 @@ def itx_residual_device(cs) -> list:
             comps += [c for c in (1, 2) if tu.cbf[c]]
         for comp in comps:
             x, y, w, h = tu.blocks[comp]
+            if tu.mts_idx[comp] == MTS_SKIP:
+                # transform-skip: dequant only (recon_np.ts_residual;
+                # BDPCM is gated out by build_intra_descriptors)
+                qp = tu_qp(cs, tu, cu, comp)
+                groups.setdefault(("ts", comp, w, h), []).append(
+                    (x, y, qp, None))
+                continue
             lf_prm = None
             if cu.lfnst_idx:
                 lf_prm = lfnst_params(cs, tu, cu, comp, fm)
@@ -119,19 +147,44 @@ def itx_residual_device(cs) -> list:
                 groups.setdefault(key, []).append((x, y, qp, smat))
 
     for key, items in groups.items():
+        if key[0] == "ts":
+            from vvdec_tpu.ops.pipeline import _ts_fn
+
+            comp, w, h = key[1], key[2], key[3]
+            n = len(items)
+            n_pad = 1 << max(0, (n - 1)).bit_length()
+            ys = np.zeros(n_pad, dtype=np.int32)
+            xs = np.zeros(n_pad, dtype=np.int32)
+            qps = np.zeros(n_pad, dtype=np.int32)
+            for i, it in enumerate(items):
+                ys[i], xs[i] = it[1], it[0]
+                qps[i] = it[2]
+            levels = _extract_fn(h, w, n_pad)(
+                coefd[comp], jnp.asarray(ys), jnp.asarray(xs))
+            fn = _ts_fn(h, w, bd,
+                        cs.sps.internal_minus_input_bit_depth)
+            out = fn(levels, jnp.asarray(qps))
+            ys[n:] = cs.comp_size[comp][1]
+            xs[n:] = cs.comp_size[comp][0]
+            sc = _scatter_fn(resi[comp].shape[0], resi[comp].shape[1],
+                             h, w, n_pad)
+            resi[comp] = sc(resi[comp], out, jnp.asarray(ys),
+                            jnp.asarray(xs))
+            continue
         is_lfnst = len(key) == 9
         comp, w, h, hor, ver, lt, dep_quant = key[:7]
         n = len(items)
         n_pad = 1 << max(0, (n - 1)).bit_length()
-        levels = np.zeros((n_pad, h, w), dtype=np.int32)
-        ys = np.full(n_pad, cs.comp_size[comp][1], dtype=np.int32)
-        xs = np.full(n_pad, cs.comp_size[comp][0], dtype=np.int32)
+        ys = np.zeros(n_pad, dtype=np.int32)
+        xs = np.zeros(n_pad, dtype=np.int32)
         qps = np.zeros(n_pad, dtype=np.int32)
         for i, it in enumerate(items):
-            x, y = it[0], it[1]
-            levels[i] = cs.coef[comp][y: y + h, x: x + w]
-            ys[i], xs[i] = y, x
+            ys[i], xs[i] = it[1], it[0]
             qps[i] = it[2]
+        levels = _extract_fn(h, w, n_pad)(
+            coefd[comp], jnp.asarray(ys), jnp.asarray(xs))
+        ys[n:] = cs.comp_size[comp][1]
+        xs[n:] = cs.comp_size[comp][0]
         if is_lfnst:
             sb, zero = key[7], key[8]
             kern = np.zeros((n_pad, 16 if sb == 4 else 48, zero),

@@ -1321,8 +1321,8 @@ def build_intra_descriptors(cs):
         for comp in comps:
             x, y, w, h = tu.blocks[comp]
             cbf = bool(tu.cbf[comp])
-            if cbf and tu.mts_idx[comp] == MTS_SKIP:
-                return None, "transform_skip"
+            # transform-skip residuals run in the device TS-dequant
+            # stage (itx_residual_device); BDPCM is rejected above
             if not is_intra:
                 continue
             if w > 64 or h > 64 or w < 1 or h < 1:

@@ -140,6 +140,35 @@ def _itx_fn(h: int, w: int, tr_hor: str, tr_ver: str, bit_depth: int,
 
 
 @functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=None)
+def _ts_fn(h: int, w: int, bit_depth: int, imi: int):
+    """Transform-skip dequant on device (no transform): parity with
+    recon_np.dequant_block(ts=True) / Quant.cpp DeQuant."""
+    scales = jnp.asarray(rom.INV_QUANT_SCALES[0], dtype=jnp.int32)
+
+    @jax.jit
+    def run(levels, qp):
+        lv = levels.astype(jnp.int32)
+        qp2 = jnp.maximum(qp, 4 + 6 * imi)[:, None, None]
+        qp_per = qp2 // 6
+        qp_rem = qp2 - 6 * qp_per
+        right_shift = 6 - qp_per
+        scale = jnp.sum(
+            jnp.where(qp_rem == jnp.arange(6)[None, None, None, :],
+                      scales, 0), axis=-1)
+        target_bd = jnp.minimum(16, 57 + right_shift)
+        input_max = (1 << (target_bd - 1)) - 1
+        clipped = jnp.clip(lv, -input_max - 1, input_max)
+        rs_p = jnp.clip(right_shift, 0, 31)
+        deq_p = (clipped * scale
+                 + (1 << jnp.clip(right_shift - 1, 0, 31))) >> rs_p
+        deq_n = (clipped * scale) << jnp.clip(-right_shift, 0, 31)
+        deq = jnp.where(right_shift > 0, deq_p, deq_n)
+        return jnp.where(lv != 0, jnp.clip(deq, -32768, 32767), 0)
+
+    return run
+
+
 def _itx_lfnst_fn(h: int, w: int, tr_hor: str, tr_ver: str,
                   bit_depth: int, dep_quant: bool, sb: int, zero_out: int,
                   use_sl: bool = False):
