@@ -455,6 +455,20 @@ class StreamDecoder:
         self.parser = FrameParser()
         self.plm = PicListManager()
         self.use_jax = use_jax
+        if use_jax:
+            # persistent compile cache: the device pipeline compiles one
+            # program per (stage, shape class); on remote-compile rigs a
+            # cold miss costs seconds, so cache across processes
+            import os as _os
+
+            import jax as _jax
+            try:
+                _jax.config.update(
+                    "jax_compilation_cache_dir",
+                    _os.environ.get("VVDEC_JAX_CACHE",
+                                    "/tmp/jax_bench_cache"))
+            except Exception:
+                pass
         self.strict_hash = strict_hash
         self.err_policy = err_policy
         self._parse_exec = None

@@ -43,13 +43,21 @@ def _extract_fn(h: int, w: int, n: int):
 
     @jax.jit
     def run(plane, ys, xs):
-        return jax.vmap(
-            lambda y, x: lax.dynamic_slice(plane, (y, x), (h, w)))(
-                ys, xs).astype(jnp.int32)
+        out = jnp.zeros((n, h, w), jnp.int32)
+
+        def body(k, o):
+            t = lax.dynamic_slice(plane, (ys[k], xs[k]), (h, w))
+            return lax.dynamic_update_slice(
+                o, t.astype(jnp.int32)[None], (k, 0, 0))
+
+        # explicit slice loop: a vmapped dynamic_slice becomes a gather,
+        # which XLA:TPU may lower catastrophically on this operand
+        return lax.fori_loop(0, n, body, out)
 
     return run
 
 
+@functools.lru_cache(maxsize=None)
 def _scatter_fn(hp: int, wp: int, h: int, w: int, n: int):
     """Jitted block scatter: write n (h, w) blocks into a padded plane
     at (ys, xs); rectangles are disjoint per component (TU layout)."""
@@ -102,9 +110,9 @@ def itx_residual_device(cs) -> list:
             w_c, h_c = 1, 1
         resi.append(jnp.zeros((h_c + PB, w_c + PB), dtype=jnp.int32))
         if comp < cs.num_comp:
-            # ONE int16 upload per plane (coefficients fit the 15-bit
-            # transform range); groups then slice their tiles on device
-            coefd.append(jnp.asarray(cs.coef[comp].astype(np.int16)))
+            # ONE upload per plane; groups then slice their tiles on
+            # device instead of uploading per-group level arrays
+            coefd.append(jnp.asarray(cs.coef[comp]))
         else:
             coefd.append(None)
 

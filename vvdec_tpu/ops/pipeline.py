@@ -169,6 +169,7 @@ def _ts_fn(h: int, w: int, bit_depth: int, imi: int):
     return run
 
 
+@functools.lru_cache(maxsize=None)
 def _itx_lfnst_fn(h: int, w: int, tr_hor: str, tr_ver: str,
                   bit_depth: int, dep_quant: bool, sb: int, zero_out: int,
                   use_sl: bool = False):
