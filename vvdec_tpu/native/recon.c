@@ -9,11 +9,11 @@
  * path per TU (the caller preserves parse order).
  *
  * Fast set: intra planar / DC / angular (incl. wide-angle, PDPC, reference
- * smoothing, 4-tap cubic/gauss luma interpolation, 2-tap chroma), DCT2 /
- * DST7 / DCT8 separable inverse transforms with coefficient-region bounds,
- * flat dequant with dependent-quant scaling.  Excluded (Python fallback):
- * MIP, ISP, MRL, CCLM, BDPCM, LFNST, transform-skip, joint-CbCr, scaling
- * lists, LMCS, ACT, IBC, inter.
+ * smoothing, 4-tap cubic/gauss luma interpolation, 2-tap chroma), MIP,
+ * CCLM, DCT2 / DST7 / DCT8 separable inverse transforms with
+ * coefficient-region bounds, LFNST, transform-skip, flat dequant with
+ * dependent-quant scaling.  Excluded (Python fallback): ISP, MRL, BDPCM,
+ * joint-CbCr, scaling lists, LMCS, ACT, IBC, inter.
  */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>

@@ -27,9 +27,10 @@ pdpc_dc_planar), itself oracle-validated against vvdecapp.
 Covered tool set (frame falls back to the host plane otherwise, counted
 in the fallback census): planar / DC / all angular modes incl. wide
 angle, PDPC, reference smoothing, 4-tap cubic/gauss luma interpolation,
-2-tap chroma interpolation, dual-tree, LFNST/MTS residuals (the device
-ITX stage).  Excluded: MIP, ISP, MRL, CCLM, BDPCM, joint-CbCr,
-transform-skip, LMCS, ACT, IBC.
+2-tap chroma interpolation, dual-tree, MIP (one-hot MXU matmuls), CCLM
+(LM/LM-L/LM-T off the carried luma plane), CIIP blend, intra LMCS
+(reshaped-domain scan + VPDU chroma-scale average + PWL inverse map),
+and LFNST/MTS/transform-skip residuals (the device ITX stage).
 """
 
 from __future__ import annotations
