@@ -329,7 +329,8 @@ def _mc_reconstruct_device(cs, recon, resi, get_ref):
     no pixel uploads happen here.  Grouping/arithmetic identical to
     ops/mc_device.mc_frame_device (bit-exact kernels: mc_batch_core /
     bi_combine_core / wp_combine_core)."""
-    from vvdec_tpu.frame.dmvr_np import _wp_present
+    from vvdec_tpu.frame.dmvr_np import (_wp_present, bdof_condition,
+                                         dmvr_condition)
     from vvdec_tpu.frame.inter_np import BCW_INTERN, BCW_WEIGHTS, clip_mv
     from vvdec_tpu.hls.weight_table import resolve_wp
     from vvdec_tpu.ops.mc_device import (
@@ -339,6 +340,8 @@ def _mc_reconstruct_device(cs, recon, resi, get_ref):
     margin = cs.sps.ctu_size + 24
     groups: dict = {}
     geo_groups: dict = {}
+    dmvr_groups: dict = {}
+    bdof_groups: dict = {}
     aff_cus: list = []
     for cu in cs.cus:
         if cu is None or cu.pred_mode == MODE_INTRA:
@@ -372,8 +375,20 @@ def _mc_reconstruct_device(cs, recon, resi, get_ref):
         if cu.affine_flag:
             aff_cus.append(cu)
             continue
+        # DMVR / standalone BDOF run in the dedicated refinement stage
+        # (same dispatch split as the host recon driver,
+        # recon_np.py:1619-1636; scaled refs are frame-rejected by
+        # plan_frame_device before this point)
+        cs_bio = bdof_condition(cs, cu)
+        if dmvr_condition(cs, cu):
+            dmvr_groups.setdefault((cu.w, cu.h), []).append((cu, cs_bio))
+            continue
+        if cs_bio:
+            bdof_groups.setdefault((cu.w, cu.h), []).append(cu)
+            continue
         groups.setdefault((cu.w, cu.h), []).append(cu)
-    if not groups and not geo_groups and not aff_cus:
+    if not groups and not geo_groups and not aff_cus and not dmvr_groups \
+            and not bdof_groups:
         return recon
 
     pads: dict = {}
@@ -382,14 +397,18 @@ def _mc_reconstruct_device(cs, recon, resi, get_ref):
         key = (lst, ref_idx, comp, m)
         ent = pads.get(key)
         if ent is None:
-            # dedup identical planes across lists by object identity
+            # dedup identical planes across lists by object identity;
+            # the keyed plane object must be KEPT ALIVE while the cache
+            # exists — id() of a freed temporary (e.g. a fresh
+            # jax.device_put result per get_ref call) can be reused by a
+            # different plane, aliasing two references
             plane = get_ref(lst, ref_idx, comp)
             ent = pads.get((id(plane), m))
             if ent is None:
-                ent = jnp.pad(plane, m, mode="edge")
+                ent = (jnp.pad(plane, m, mode="edge"), plane)
                 pads[(id(plane), m)] = ent
             pads[key] = ent
-        return ent
+        return ent[0]
 
     scatters = []  # (comp, x, y, pred[ch, cw])
     for (w, h), cus in groups.items():
@@ -837,6 +856,21 @@ def _mc_reconstruct_device(cs, recon, resi, get_ref):
             for i, it in enumerate(its):
                 scatters.append((comp, it[2], it[3], preds[i], False))
 
+    # ---- DMVR + BDOF: device-refined MC (ops/dmvr_device.py) ----
+    if dmvr_groups or bdof_groups:
+        from vvdec_tpu.ops.dmvr_device import (
+            LazyDmvrFixups, run_bdof_groups, run_dmvr_groups)
+        if bdof_groups:
+            run_bdof_groups(cs, bdof_groups, padded, margin, scatters)
+        if dmvr_groups:
+            fix = LazyDmvrFixups()
+            run_dmvr_groups(cs, dmvr_groups, padded, margin, scatters,
+                            fix)
+            # decoder.py applies these to the motion field after deblock
+            # strength derivation (TaskFinishMotionInfo ordering); the
+            # iteration resolves the tiny refined-MV readback lazily
+            cs.dmvr_fixups = fix
+
     # scatter reconstruct per (comp, block shape, raw) batch
     by_shape: dict = {}
     for comp, bx, by, pred, raw in scatters:
@@ -901,6 +935,7 @@ def plan_frame_device(cs):
         derive_frame_motion(cs)
         any_scaled = any(s is not None
                          for lst in cs.ref_scaled for s in lst)
+        from vvdec_tpu.frame.dmvr_np import bdof_condition, dmvr_condition
         for cu in cs.cus:
             if cu.pred_mode == MODE_INTRA:
                 continue
@@ -909,6 +944,13 @@ def plan_frame_device(cs):
                 # GPM / affine(+PROF) / SbTMVP run in the dedicated
                 # device subblock batches; only the special gather
                 # windows stay out of scope
+                if cs.sps.ref_wraparound_enabled or cs.subpics \
+                        or any_scaled:
+                    return _reject()
+                continue
+            if dmvr_condition(cs, cu) or bdof_condition(cs, cu):
+                # device-refined MC (ops/dmvr_device.py); the wraparound
+                # / subpic / scaled-ref gather windows stay out of scope
                 if cs.sps.ref_wraparound_enabled or cs.subpics \
                         or any_scaled:
                     return _reject()
