@@ -90,7 +90,8 @@ def _take1d(vec, idx):
     output is nonzero, and sample values (< 2^16) are exact in f32."""
     oh = (idx[..., None] == jnp.arange(vec.shape[0])).astype(jnp.float32)
     return jnp.matmul(oh, vec.astype(jnp.float32),
-                      preferred_element_type=jnp.float32).astype(jnp.int32)
+                      preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST).astype(jnp.int32)
 
 
 # ======================================================================
@@ -338,7 +339,8 @@ def _pred_angular(top, left, d, pel_max: int, cf, gf):
     starts = H_OFF + jnp.minimum(di, 2 * wp)
     ohs = (starts[:, None] == jnp.arange(RL2)).astype(jnp.float32)
     wnd = jnp.matmul(ohs, refmat.astype(jnp.float32),
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST).astype(jnp.int32)
     # wnd[y, u] = refext[H_OFF + min(di[y], 2wp) + u]; t0=di+1+x -> u=x+1
 
     def k_int(_):
@@ -347,7 +349,8 @@ def _pred_angular(top, left, d, pel_max: int, cf, gf):
     def four_tap(tab):
         ohf = (frac[:, 0, None] == jnp.arange(32)).astype(jnp.float32)
         co = jnp.matmul(ohf, tab.astype(jnp.float32),
-                        preferred_element_type=jnp.float32) \
+                        preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST) \
             .astype(jnp.int32)
         return (co[:, 0:1] * wnd[:, 0:B] + co[:, 1:2] * wnd[:, 1:B + 1]
                 + co[:, 2:3] * wnd[:, 2:B + 2]
@@ -383,7 +386,8 @@ def _pred_angular(top, left, d, pel_max: int, cf, gf):
     gs = jnp.clip(g, 0, next_ - B)
     ohg = (gs[:, None] == jnp.arange(next_)).astype(jnp.float32)
     lvt = jnp.matmul(ohg, sidemat.astype(jnp.float32),
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST).astype(jnp.int32)
     lv = lvt.T
     add = (wl * (lv - dst) + 32) >> 6
     m_pos = do_pdpc & (angle > 0) & (scale_a >= 0) & (xs < nx)
@@ -491,11 +495,14 @@ def _pred_mip(top, left, d, bd: int, m4, m8, m16):
             == jnp.arange(8)).astype(jnp.float32)
     predf = pred.astype(jnp.float32)
     rowsel = jnp.matmul(ohr8, predf,
-                        preferred_element_type=jnp.float32)  # [B, 8]
+                        preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)  # [B, 8]
     bh = jnp.matmul(rowsel, ohc.T,
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                    preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST).astype(jnp.int32)
     pv_in = jnp.matmul(rowsel, ohc1.T,
-                       preferred_element_type=jnp.float32) \
+                       preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST) \
         .astype(jnp.int32)
     pv0 = _take1d(left, jnp.clip((ks[:, 0] + 1) * up_v, 0, RL - 1))
     pv = jnp.where(j == 0, pv0[:, None], pv_in)
@@ -509,9 +516,11 @@ def _pred_mip(top, left, d, bd: int, m4, m8, m16):
              == jnp.arange(B)).astype(jnp.float32)
     horf = hor.astype(jnp.float32)
     bh2 = jnp.matmul(ohrv, horf,
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST).astype(jnp.int32)
     pv2_in = jnp.matmul(ohrv1, horf,
-                        preferred_element_type=jnp.float32) \
+                        preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST) \
         .astype(jnp.int32)
     pv2 = jnp.where(ys >> lg_v == 0, top[1:B + 1][None, :], pv2_in)
     ro_v = jnp.where(lg_v > 0, 1 << jnp.maximum(lg_v - 1, 0), 0)
