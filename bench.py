@@ -239,6 +239,7 @@ def main() -> None:
 
     headline = headline_ref = None
     dev_fps = dev_census = None
+    dev_inter_fps = None
     try:
         for ci, (name, stream, n, pels) in enumerate(configs):
             fps, cfg, all_r = _best_fps(stream, n, pool)
@@ -246,9 +247,9 @@ def main() -> None:
             vs = f" ref={ref:.1f} vs_reference={fps / ref:.2f}" if ref \
                 else ""
             dv = ""
-            if ci == 0:  # headline: measure the TPU pipeline fps too
-                # (the inter configs' device path is oracle-tested; its
-                # many MC shape-class compiles don't fit a bench budget)
+            if ci in (0, 4):  # headline + inter-LD: measure the TPU
+                # pipeline fps too (the persistent compile cache bounds
+                # the inter path's MC shape-class compiles across runs)
                 dfps, census = _device_fps(stream, n)
                 if dfps is not None:
                     dv = f" device={dfps:.1f}"
@@ -257,6 +258,8 @@ def main() -> None:
                             f"{k}:{v}" for k, v in sorted(census.items()))
                 if ci == 0:
                     dev_fps, dev_census = dfps, census
+                elif dfps is not None:
+                    dev_inter_fps = dfps
             print(f"{name}: {fps:.1f} fps ({fps * pels / 1e6:.1f} MP/s) "
                   f"best={cfg}{vs}{dv} " + " ".join(
                       f"{k}={v:.1f}" for k, v in all_r.items()),
@@ -276,6 +279,8 @@ def main() -> None:
         out["device_fps"] = round(dev_fps, 2)
         if dev_census:
             out["device_fallbacks"] = dict(dev_census)
+    if dev_inter_fps is not None:
+        out["device_inter_fps"] = round(dev_inter_fps, 2)
     if headline_ref:
         out["vs_baseline"] = round(headline / headline_ref, 5)
         out["reference_fps"] = round(headline_ref, 2)

@@ -359,3 +359,37 @@ class TestFrameDeviceLmcs:
         census, _ = _census(s)
         assert census.get("device_recon:lmcs_inter", 0) >= 1
         _assert_both(s)
+
+
+class TestJccrDevice:
+    """Joint Cb-Cr runs in the device ITX stage (the ICT derivation
+    post-pass, frame_device._jccr_fn) instead of ejecting the frame."""
+
+    def test_jccr_both_signs(self):
+        for seed in (0, 1):
+            s, _ = generate_stream(
+                width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=seed,
+                qp=30, sps_kw=dict(joint_cbcr_enabled=True),
+                ph_kw=dict(joint_cbcr_sign=bool(seed % 2)),
+                dec_kw=dict(split_prob=0.5, jccr_prob=0.6, density=0.4))
+            _assert_both(s)
+
+    def test_jccr_stays_on_device(self):
+        s, _ = generate_stream(
+            width=WH[0], height=WH[1], ctu=32, n_frames=2, seed=2, qp=30,
+            sps_kw=dict(joint_cbcr_enabled=True),
+            dec_kw=dict(split_prob=0.5, jccr_prob=0.7, density=0.4))
+        census, frames = _census(s)
+        assert len(frames) == 2
+        assert not any(k.startswith("device_recon") for k in census), \
+            census
+
+    def test_jccr_with_lmcs(self):
+        # joint Cb-Cr + intra LMCS chroma residual scaling: the derived
+        # plane must be ICT-transformed BEFORE the per-unit scale
+        from tests.test_lmcs import _lmcs_stream
+        s = _lmcs_stream(
+            3, 2, 2, dict(joint_cbcr_enabled=True),
+            dict(split_prob=0.5, jccr_prob=0.5, density=0.4),
+            chroma_scale=True)
+        _assert_both(s)

@@ -44,10 +44,30 @@ class MotionHist:
     alt)) so the native candidate-derivation kernels can read it."""
 
     def __init__(self) -> None:
-        self.lut: list[tuple] = []  # entries: (inter_dir, mv0, mv1, r0, r1)
+        self._lut: list[tuple] = []  # entries: (inter_dir, mv0, mv1, r0, r1)
+        self._dirty = False          # buf/nbuf newer than the mirror
         self.lut_ibc: list[tuple] = []  # entries: (bvx, bvy)
         self.buf = np.zeros((MAX_NUM_HMVP, 9), dtype=np.int32)
         self.nbuf = np.zeros(1, dtype=np.int32)
+
+    @property
+    def lut(self) -> list:
+        # rebuilt lazily: the native inter driver (walk9.c) updates
+        # buf/nbuf in place for EVERY segment, but the Python mirror is
+        # only needed when a Python-path CU derives candidates
+        if self._dirty:
+            self._dirty = False
+            self._lut = [
+                (int(r[0]), (int(r[1]), int(r[2])),
+                 (int(r[3]), int(r[4])), int(r[5]), int(r[6]),
+                 int(r[7]), bool(r[8]))
+                for r in self.buf[: int(self.nbuf[0])]]
+        return self._lut
+
+    @lut.setter
+    def lut(self, v: list) -> None:
+        self._lut = v
+        self._dirty = False
 
     def reset(self) -> None:
         self.lut = []
@@ -76,12 +96,10 @@ class MotionHist:
         self._add(self.lut_ibc, bv)
 
     def sync_from_buf(self) -> None:
-        """Rebuild the Python mirror after the native inter driver
-        (walk9.c) updated buf/nbuf in place."""
-        self.lut = [
-            (int(r[0]), (int(r[1]), int(r[2])), (int(r[3]), int(r[4])),
-             int(r[5]), int(r[6]), int(r[7]), bool(r[8]))
-            for r in self.buf[: int(self.nbuf[0])]]
+        """Mark the Python mirror stale after the native inter driver
+        (walk9.c) updated buf/nbuf in place; the rebuild happens on the
+        next .lut read (usually never — C handles the following CUs)."""
+        self._dirty = True
 
 
 def _mi_of(cu: CodingUnit) -> tuple:

@@ -117,13 +117,25 @@ def itx_residual_device(cs) -> list:
             coefd.append(None)
 
     groups: dict[tuple, list] = {}
+    jccr_ops: dict[tuple, list] = {}
     for tu in cs.tus:
         cu = cs.cus[tu.cu_idx]
         comps = []
         if tu.blocks[0] is not None and tu.cbf[0]:
             comps.append(0)
         if tu.blocks[1] is not None:
-            comps += [c for c in (1, 2) if tu.cbf[c]]
+            if tu.joint_cbcr:
+                # joint Cb-Cr: one coded chroma plane (its QP rides the
+                # JCbCr mapping table inside tu_qp); the other plane is
+                # derived by the ICT post-pass below
+                # (TrQuant::invTransformCbCr, TrQuant.cpp:108)
+                coded = 1 if (tu.joint_cbcr >> 1) else 2
+                comps.append(coded)
+                x1, y1, w1, h1 = tu.blocks[coded]
+                jccr_ops.setdefault((w1, h1, tu.joint_cbcr), []).append(
+                    (x1, y1))
+            else:
+                comps += [c for c in (1, 2) if tu.cbf[c]]
         for comp in comps:
             x, y, w, h = tu.blocks[comp]
             if tu.mts_idx[comp] == MTS_SKIP:
@@ -218,7 +230,45 @@ def itx_residual_device(cs) -> list:
         sc = _scatter_fn(resi[comp].shape[0], resi[comp].shape[1],
                          out.shape[1], out.shape[2], n_pad)
         resi[comp] = sc(resi[comp], out, jnp.asarray(ys), jnp.asarray(xs))
+    # joint Cb-Cr ICT: derive the uncoded chroma residual plane from the
+    # coded one, batched per (shape, mode) (invTransformCbCr)
+    if jccr_ops:
+        neg = bool(cs.ph.joint_cbcr_sign)
+        for (w, h, mode), items in jccr_ops.items():
+            coded = 1 if (mode >> 1) else 2
+            other = 3 - coded
+            n = len(items)
+            n_pad = 1 << max(0, (n - 1)).bit_length()
+            ys = np.full(n_pad, cs.comp_size[other][1], dtype=np.int32)
+            xs = np.full(n_pad, cs.comp_size[other][0], dtype=np.int32)
+            for i, (x1, y1) in enumerate(items):
+                ys[i], xs[i] = y1, x1
+            fn = _jccr_fn(resi[other].shape[0], resi[other].shape[1],
+                          h, w, n_pad, mode, neg)
+            resi[other] = fn(resi[other], resi[coded], jnp.asarray(ys),
+                             jnp.asarray(xs))
     return resi
+
+
+@functools.lru_cache(maxsize=None)
+def _jccr_fn(hp: int, wp: int, h: int, w: int, n: int, mode: int,
+             neg: bool):
+    """Jitted joint-CbCr derivation: dst[rect] = ICT(src[rect]) per
+    block (mode 1/2: +-src >> 1; mode 3: +-src), rects disjoint."""
+
+    @jax.jit
+    def run(dst, src, ys, xs):
+        def body(k, p):
+            r = lax.dynamic_slice(src, (ys[k], xs[k]), (h, w))
+            if mode == 3:
+                v = -r if neg else r
+            else:
+                v = ((-r) >> 1) if neg else (r >> 1)
+            return lax.dynamic_update_slice(p, v, (ys[k], xs[k]))
+
+        return lax.fori_loop(0, n, body, dst)
+
+    return run
 
 
 def derive_frame_motion(cs) -> None:
@@ -925,6 +975,12 @@ def plan_frame_device(cs):
     if any(cu.pred_mode != MODE_INTRA for cu in cs.cus):
         from vvdec_tpu.ops.mc_device import _cu_mc_eligible
 
+        # parse-time global gates FIRST: rejecting before the motion
+        # pass avoids deriving the whole frame's motion twice (the host
+        # fallback re-derives with its own HMVP buffers)
+        if cs.sps.ref_wraparound_enabled or cs.subpics:
+            return None, "mc_tool"
+
         def _reject():
             # aborted derive pass: drop the per-picture motion ctx so
             # the host fallback rebuilds it with its own HMVP buffers
@@ -942,17 +998,15 @@ def plan_frame_device(cs):
             if cu.geo_flag or cu.affine_flag or cu.merge_type == 1 \
                     or cu.ciip_flag:
                 # GPM / affine(+PROF) / SbTMVP run in the dedicated
-                # device subblock batches; only the special gather
-                # windows stay out of scope
-                if cs.sps.ref_wraparound_enabled or cs.subpics \
-                        or any_scaled:
+                # device subblock batches (wraparound/subpics were
+                # rejected above; scaled refs stay out of scope)
+                if any_scaled:
                     return _reject()
                 continue
             if dmvr_condition(cs, cu) or bdof_condition(cs, cu):
-                # device-refined MC (ops/dmvr_device.py); the wraparound
-                # / subpic / scaled-ref gather windows stay out of scope
-                if cs.sps.ref_wraparound_enabled or cs.subpics \
-                        or any_scaled:
+                # device-refined MC (ops/dmvr_device.py); the scaled-ref
+                # gather windows stay out of scope
+                if any_scaled:
                     return _reject()
                 continue
             if not _cu_mc_eligible(cs, cu):

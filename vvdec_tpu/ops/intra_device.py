@@ -1236,7 +1236,7 @@ def build_intra_descriptors(cs):
         if cw_ * ch_ <= 4 or not (tu_.cbf[1] or tu_.cbf[2]
                                   or tu_.joint_cbcr):
             return (0, 0, 0, 0)
-        if not tu_.cbf[comp_]:
+        if not (tu_.cbf[comp_] or tu_.joint_cbcr):
             return (0, 0, 0, 0)
         if tu_.blocks[0] is not None:
             lx, ly = tu_.blocks[0][0], tu_.blocks[0][1]
@@ -1321,8 +1321,6 @@ def build_intra_descriptors(cs):
                 return None, "bdpcm"
             if cu.color_transform:
                 return None, "act"
-        if tu.joint_cbcr:
-            return None, "joint_cbcr"
         comps = []
         if tu.blocks[0] is not None and cu.has_luma:
             comps.append(0)
@@ -1330,7 +1328,10 @@ def build_intra_descriptors(cs):
             comps += [1, 2]
         for comp in comps:
             x, y, w, h = tu.blocks[comp]
-            cbf = bool(tu.cbf[comp])
+            # joint Cb-Cr: BOTH chroma planes carry residual (the device
+            # ITX stage derives the uncoded one, frame_device._jccr_fn)
+            cbf = bool(tu.cbf[comp]
+                       or (comp in (1, 2) and tu.joint_cbcr))
             # transform-skip residuals run in the device TS-dequant
             # stage (itx_residual_device); BDPCM is rejected above
             if not is_intra:
