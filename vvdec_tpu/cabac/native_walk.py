@@ -361,37 +361,53 @@ class SliceWalk:
         self._materialize_ctu_params()
 
     def _materialize_ctu_params(self) -> None:
+        """Register LAZY per-CTU SAO/ALF dict builders over this walk's
+        flat records (frame/structure.LazyCtuParams) — the C filter
+        stages read the records directly; the dicts materialize only for
+        the Python/device fallback paths that index them."""
         coder, cs, nw = self.coder, self.cs, self.nw
         sao_rec, alf_rec, flags = nw["sao"], nw["alf"], nw["flags"]
-        for addr in coder.sh.ctu_addrs:
-            f = int(flags[addr])
-            if f & 1:
-                params = []
-                for c in range(3):
-                    base = addr * 24 + c * 8
-                    mode = int(sao_rec[base])
-                    typ = int(sao_rec[base + 1])
-                    band = int(sao_rec[base + 2])
-                    offs = [int(sao_rec[base + 3 + k]) for k in range(4)]
-                    p = {"mode": mode, "type": typ, "offsets": None,
-                         "band": band}
-                    if mode:
-                        if typ == 4:
-                            table = np.zeros(32, dtype=np.int32)
-                            for k in range(4):
-                                table[(band + k) % 32] = offs[k]
-                            p["offsets"] = table
-                        else:
-                            p["offsets"] = np.array(
-                                [offs[0], offs[1], 0, -offs[2], -offs[3]],
-                                dtype=np.int32)
-                    params.append(p)
-                cs.sao_params[addr] = params
-            if f & 2:
-                base = addr * 8
-                cs.alf_params[addr] = {
-                    "enable": [int(alf_rec[base + k]) for k in range(3)],
-                    "filt_idx": int(alf_rec[base + 3]),
-                    "alt": [int(alf_rec[base + 4]), int(alf_rec[base + 5])],
-                    "cc": [int(alf_rec[base + 6]), int(alf_rec[base + 7])],
-                }
+
+        def sao_build(addr):
+            if not (int(flags[addr]) & 1):
+                return None
+            params = []
+            for c in range(3):
+                base = addr * 24 + c * 8
+                mode = int(sao_rec[base])
+                typ = int(sao_rec[base + 1])
+                band = int(sao_rec[base + 2])
+                offs = [int(sao_rec[base + 3 + k]) for k in range(4)]
+                p = {"mode": mode, "type": typ, "offsets": None,
+                     "band": band}
+                if mode:
+                    if typ == 4:
+                        table = np.zeros(32, dtype=np.int32)
+                        for k in range(4):
+                            table[(band + k) % 32] = offs[k]
+                        p["offsets"] = table
+                    else:
+                        p["offsets"] = np.array(
+                            [offs[0], offs[1], 0, -offs[2], -offs[3]],
+                            dtype=np.int32)
+                params.append(p)
+            return params
+
+        def alf_build(addr):
+            if not (int(flags[addr]) & 2):
+                return None
+            base = addr * 8
+            return {
+                "enable": [int(alf_rec[base + k]) for k in range(3)],
+                "filt_idx": int(alf_rec[base + 3]),
+                "alt": [int(alf_rec[base + 4]), int(alf_rec[base + 5])],
+                "cc": [int(alf_rec[base + 6]), int(alf_rec[base + 7])],
+            }
+
+        from vvdec_tpu.frame.structure import LazyCtuParams
+        if not isinstance(cs.sao_params, LazyCtuParams):
+            cs.sao_params = LazyCtuParams(cs.sao_params)
+        if not isinstance(cs.alf_params, LazyCtuParams):
+            cs.alf_params = LazyCtuParams(cs.alf_params)
+        cs.sao_params.register(coder.sh.ctu_addrs, sao_build)
+        cs.alf_params.register(coder.sh.ctu_addrs, alf_build)

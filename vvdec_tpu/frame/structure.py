@@ -50,6 +50,40 @@ HOR_INTRA_SUBPARTITIONS = 1
 VER_INTRA_SUBPARTITIONS = 2
 
 
+class LazyCtuParams(list):
+    """addr-indexed per-CTU parameter list (SAO/ALF): entries
+    materialize from the syntax walk's flat records on first access.
+    The C filter stages read the records directly and never touch
+    these; building every dict eagerly cost ~8% of an all-intra
+    SAO/ALF decode.  Shared by all slice-walk proxies of a picture
+    (disjoint addr ranges)."""
+
+    __slots__ = ("_srcs",)
+
+    def __init__(self, base):
+        super().__init__(base)
+        self._srcs: dict = {}
+
+    def register(self, addrs, builder) -> None:
+        srcs = self._srcs
+        for a in addrs:
+            srcs[a] = builder
+
+    def __getitem__(self, i):
+        v = list.__getitem__(self, i)
+        if v is None and self._srcs:
+            b = self._srcs.get(i)
+            if b is not None:
+                v = b(i)
+                list.__setitem__(self, i, v)
+                del self._srcs[i]
+        return v
+
+    def __setitem__(self, i, v):
+        self._srcs.pop(i, None)
+        list.__setitem__(self, i, v)
+
+
 @dataclass
 class TransformUnit:
     cu_idx: int = -1
@@ -190,10 +224,9 @@ class CodingStructure:
         self.cus: list[CodingUnit] = []
         # DMVR refined-MV writeback records: (x, y, mv0, mv1) per 8x8 cell
         self.dmvr_fixups: list = []
-        self.sao_params: list = [None] * (pps.pic_width_in_ctu *
-                                          pps.pic_height_in_ctu)
-        self.alf_params: list = [None] * (pps.pic_width_in_ctu *
-                                          pps.pic_height_in_ctu)
+        n_ctu = pps.pic_width_in_ctu * pps.pic_height_in_ctu
+        self.sao_params: list = LazyCtuParams([None] * n_ctu)
+        self.alf_params: list = LazyCtuParams([None] * n_ctu)
         self.alf_apss: dict = {}  # aps_id -> APS (ALF type)
         self.tus: list[TransformUnit] = []
         self.chroma_qp_adj = 0

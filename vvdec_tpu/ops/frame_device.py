@@ -110,9 +110,11 @@ def itx_residual_device(cs) -> list:
             w_c, h_c = 1, 1
         resi.append(jnp.zeros((h_c + PB, w_c + PB), dtype=jnp.int32))
         if comp < cs.num_comp:
-            # ONE upload per plane; groups then slice their tiles on
-            # device instead of uploading per-group level arrays
-            coefd.append(jnp.asarray(cs.coef[comp]))
+            # ONE upload per plane, as int16 — parsed levels are within
+            # +-2^15 (the parser's coefficient clip), and halving the
+            # bytes halves the dominant per-frame transfer on a
+            # link-bound chip; _extract_fn widens to int32 on device
+            coefd.append(jnp.asarray(cs.coef[comp].astype(np.int16)))
         else:
             coefd.append(None)
 
