@@ -151,9 +151,13 @@ def _device_fps(stream, n_frames):
         from vvdec_tpu.api import Decoder, DecoderParams
         from vvdec_tpu.decoder import decode_annexb
 
+        t_warm = time.time()
         decode_annexb(stream, use_jax=True)  # warm (compile)
+        warm_s = time.time() - t_warm
         best = 0.0
-        for _ in range(2):
+        # budget guard: a cold compile sweep (uncached rig) can cost
+        # minutes on the tunneled chip; one timed run then suffices
+        for _ in range(1 if warm_s > 120 else 2):
             t0 = time.time()
             decode_annexb(stream, use_jax=True)
             best = max(best, n_frames / (time.time() - t0))
@@ -221,10 +225,21 @@ def main() -> None:
                     explicit_mts_intra=True),
         dec_kw=dict(split_prob=0.35, density=0.3, mip_prob=0.25))
 
+    # conformance-load analog (no JVET downloads in this environment):
+    # maximum coefficient density at low QP, the heaviest residual
+    # workload the constrained writer produces
+    maxdense, _ = generate_stream(width=832, height=480, ctu=64,
+                                  n_frames=6, seed=7, qp=22,
+                                  dec_kw=dict(split_prob=0.4,
+                                              density=0.85,
+                                              max_level=120))
+
     configs = [
         ("all-intra 832x480", _intra_stream(832, 480, 8, 1), 8,
          832 * 480),
         ("all-intra dense q27 832x480", dense, 8, 832 * 480),
+        ("max-density q22 832x480 (conformance-load analog)", maxdense,
+         6, 832 * 480),
         ("tool-rich intra (MIP/CCLM/LFNST/MTS) 832x480", rich, 8,
          832 * 480),
         ("all-intra+SAO/ALF 832x480",
@@ -247,9 +262,10 @@ def main() -> None:
             vs = f" ref={ref:.1f} vs_reference={fps / ref:.2f}" if ref \
                 else ""
             dv = ""
-            if ci in (0, 4):  # headline + inter-LD: measure the TPU
-                # pipeline fps too (the persistent compile cache bounds
-                # the inter path's MC shape-class compiles across runs)
+            if ci == 0 or name.startswith("inter-LD 832"):
+                # headline + inter-LD: measure the TPU pipeline fps too
+                # (the persistent compile cache bounds the inter path's
+                # MC shape-class compiles across runs)
                 dfps, census = _device_fps(stream, n)
                 if dfps is not None:
                     dv = f" device={dfps:.1f}"

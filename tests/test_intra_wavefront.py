@@ -164,3 +164,16 @@ class TestWavefrontParity:
             for fs, fw in zip(seq, wf):
                 for ps, pw in zip(fs, fw):
                     assert np.array_equal(np.asarray(ps), np.asarray(pw))
+
+
+class TestPrecisionDiscipline:
+    def test_one_hot_matmuls_force_exact_precision(self):
+        """Every float one-hot gather matmul must pin HIGHEST precision:
+        XLA:TPU's default matmul precision truncates f32 inputs to
+        bfloat16 (1023 -> 1024), silently breaking bit-exactness on real
+        hardware while the CPU-backed suite stays exact."""
+        import vvdec_tpu.ops.intra_device as m
+        src = open(m.__file__).read()
+        n_mm = src.count("jnp.matmul(")
+        n_hp = src.count("precision=lax.Precision.HIGHEST")
+        assert n_mm == n_hp, (n_mm, n_hp)

@@ -36,8 +36,23 @@ class TestGraftEntry:
         assert out.shape == args[0].shape
 
     def test_dryrun_multichip(self):
-        from __graft_entry__ import dryrun_multichip
-        dryrun_multichip(8)
+        # fresh subprocess, matching how the driver invokes it: the
+        # 8-virtual-device compiles are memory-heavy, and XLA:CPU can
+        # segfault compiling them inside a long-lived full-suite process
+        import os
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # dryrun sets its own device count
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import __graft_entry__ as g; g.dryrun_multichip(8); "
+             "print('DRYRUN_OK')"],
+            cwd=repo, env=env, capture_output=True, text=True,
+            timeout=1200)
+        assert r.returncode == 0 and "DRYRUN_OK" in r.stdout, \
+            (r.returncode, r.stdout[-500:], r.stderr[-2000:])
 
 
 def test_sao_device_stage_matches_host():

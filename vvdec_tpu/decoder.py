@@ -462,13 +462,15 @@ class StreamDecoder:
             import os as _os
 
             import jax as _jax
-            try:
-                _jax.config.update(
-                    "jax_compilation_cache_dir",
-                    _os.environ.get("VVDEC_JAX_CACHE",
-                                    "/tmp/jax_bench_cache"))
-            except Exception:
-                pass
+            cache_dir = _os.environ.get("VVDEC_JAX_CACHE",
+                                        "/tmp/jax_bench_cache")
+            if cache_dir:  # "" disables (multi-virtual-device
+                # executables can crash the cache serializer)
+                try:
+                    _jax.config.update("jax_compilation_cache_dir",
+                                       cache_dir)
+                except Exception:
+                    pass
         self.strict_hash = strict_hash
         self.err_policy = err_policy
         self._parse_exec = None

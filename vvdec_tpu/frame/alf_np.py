@@ -1104,6 +1104,76 @@ def alf_prepare_maps(cs, planes: list, bd: int):
     w_ctu = cs.pps.pic_width_in_ctu
     h_ctu = cs.pps.pic_height_in_ctu
     any_luma = any_chroma = any_cc = False
+    vbx_f, vby_f = cs.virtual_boundaries()
+    pps_ = cs.pps
+    fast = (not vbx_f and not vby_f and not cs.subpics
+            and (pps_.no_pic_partition
+                 or pps_.num_tile_cols * pps_.num_tile_rows == 1
+                 or pps_.loop_filter_across_tiles)
+            and (len(cs.shs) == 1 or pps_.loop_filter_across_slices))
+    if fast:
+        # unrestricted common case: no per-CTU clamp windows or VB
+        # sub-areas ever materialize, so collect per-CTU SCALARS into
+        # CTU-grid arrays and upsample once (the per-CTU sample-slab
+        # writes below cost ~7% of an all-intra SAO/ALF decode)
+        g_set = np.full((h_ctu, w_ctu), -1, dtype=np.int32)
+        g_alt = np.zeros((2, h_ctu, w_ctu), dtype=np.int32)
+        g_cm = np.zeros((2, h_ctu, w_ctu), dtype=bool)
+        g_cc = np.zeros((2, h_ctu, w_ctu), dtype=np.int32)
+        for addr in range(h_ctu * w_ctu):
+            p = cs.alf_params[addr]
+            if p is None:
+                continue
+            ry, rx = divmod(addr, w_ctu)
+            si = int(cs.slice_map[(ry * ctu) >> 2, (rx * ctu) >> 2])
+            sh = cs.shs[si if 0 <= si < len(cs.shs) else 0]
+            if sh.alf_enabled[0] and p["enable"][0]:
+                any_luma = True
+                g_set[ry, rx] = bank_id(si, p["filt_idx"])
+            if cs.num_comp > 1:
+                for comp in (1, 2):
+                    if sh.alf_enabled[comp] and p["enable"][comp]:
+                        any_chroma = True
+                        aps = cs.alf_apss[sh.alf_aps_id_chroma]
+                        alt = p["alt"][comp - 1]
+                        key = (sh.alf_aps_id_chroma, alt)
+                        if key not in chroma_bank_ids:
+                            co, cl = build_chroma_coeff(aps.alf, alt, bd)
+                            chroma_bank_ids[key] = len(chroma_banks_co)
+                            chroma_banks_co.append(co)
+                            chroma_banks_cl.append(cl)
+                        g_alt[comp - 1, ry, rx] = chroma_bank_ids[key]
+                        g_cm[comp - 1, ry, rx] = True
+                    cc_on = sh.ccalf_cb_enabled if comp == 1 \
+                        else sh.ccalf_cr_enabled
+                    fidx = p["cc"][comp - 1]
+                    if cc_on and fidx:
+                        any_cc = True
+                        aps_id = sh.ccalf_cb_aps_id if comp == 1 \
+                            else sh.ccalf_cr_aps_id
+                        coeff = cs.alf_apss[aps_id].cc_alf \
+                            .coeff[comp - 1][fidx - 1]
+                        key = (aps_id, comp, fidx)
+                        if key not in cc_bank_ids:
+                            cc_bank_ids[key] = len(cc_banks)
+                            cc_banks.append(
+                                np.asarray(coeff, dtype=np.int64))
+                        g_cc[comp - 1, ry, rx] = cc_bank_ids[key]
+
+        def _rep(g, fy, fx, hh, ww):
+            return np.repeat(np.repeat(g, fy, axis=-2),
+                             fx, axis=-1)[..., :hh, :ww]
+
+        q = ctu >> 2
+        set_map = _rep(np.maximum(g_set, 0), q, q, h >> 2, w >> 2)
+        mask_y = _rep(g_set >= 0, ctu, ctu, h, w)
+        if cs.num_comp > 1:
+            cth, ctw = ctu // cs.sub_h, ctu // cs.sub_w
+            chroma_alt = _rep(g_alt, cth >> 2, ctw >> 2,
+                              (ch_c + 3) >> 2, (cw_c + 3) >> 2)
+            mask_c = _rep(g_cm, cth, ctw, ch_c, cw_c)
+            cc_idx = _rep(g_cc, cth, ctw, ch_c, cw_c)
+        h_ctu = 0  # the general per-CTU loop below is fully covered
     for ry in range(h_ctu):
         for rx in range(w_ctu):
             p = cs.alf_params[ry * w_ctu + rx]
